@@ -1,0 +1,270 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edge direction for neighborhood operators, mirroring the reference's
+  * `EdgeDirection { IN, OUT, ALL }` ([GH] flink/graphs/EdgeDirection.java —
+  * provenance caveat in SURVEY §0).
+  */
+sealed trait EdgeDirection
+object EdgeDirection {
+  case object In extends EdgeDirection
+  case object Out extends EdgeDirection
+  case object All extends EdgeDirection
+}
+
+/** Property graph over two DataFrames — the Spark-native re-expression of the
+  * reference's `Graph<K,VV,EV>` ([GH] flink/graphs/Graph.java#class), which
+  * wraps a vertex DataSet and an edge DataSet.
+  *
+  * Schema contract:
+  *  - `vertices`: (`id` LONG, `value` any) — reference `Vertex<K,VV>`
+  *  - `edges`:    (`src` LONG, `dst` LONG, `value` any) — reference
+  *    `Edge<K,EV>`
+  *
+  * Design (SURVEY §1.3): every operator is a *declarative* DataFrame
+  * combinator — a thin view over the two frames — so Catalyst gets full
+  * visibility (predicate pushdown, column pruning, join strategy selection,
+  * AQE). This deliberately fixes the reference's known weakness of passing
+  * opaque user lambdas that defeat its optimizer.
+  *
+  * Scale notes (100 TB design):
+  *  - All joins are equi-joins on `id`/`src`/`dst`; Catalyst picks
+  *    broadcast-hash when the vertex side is small, else shuffle hash/SMJ
+  *    with AQE skew handling. Nothing here collects to the driver.
+  *  - Degree-style aggregations are hash aggregations with map-side partial
+  *    combine — one shuffle on the grouping key.
+  *  - `filterOnVertices` uses LEFT SEMI joins (no row multiplication, no
+  *    payload shuffle of the vertex value column).
+  */
+case class Graph(vertices: DataFrame, edges: DataFrame) {
+  import Graph._
+
+  // ---- projections / filters (reference Graph.java#mapVertices etc.) ----
+
+  /** Per-vertex value transform; id preserved ([GH] Graph.java#mapVertices). */
+  def mapVertices(f: Column => Column): Graph =
+    copy(vertices = vertices.select(col("id"), f(col("value")).as("value")))
+
+  /** Per-edge value transform ([GH] Graph.java#mapEdges). */
+  def mapEdges(f: Column => Column): Graph =
+    copy(edges =
+      edges.select(col("src"), col("dst"), f(col("value")).as("value")))
+
+  /** Keep vertices passing `p`; keep edges whose BOTH endpoints survive
+    * ([GH] Graph.java#filterOnVertices). Two LEFT SEMI joins — no payload
+    * duplication, broadcast-able filtered vertex-id side.
+    */
+  def filterOnVertices(p: Column): Graph = {
+    val vs  = vertices.filter(p)
+    val ids = vs.select(col("id"))
+    val es = edges
+      .join(ids, edges("src") === ids("id"), "left_semi")
+      .join(ids, edges("dst") === ids("id"), "left_semi")
+    Graph(vs, es)
+  }
+
+  /** Keep edges passing `p`; vertex set unchanged
+    * ([GH] Graph.java#filterOnEdges).
+    */
+  def filterOnEdges(p: Column): Graph = copy(edges = edges.filter(p))
+
+  /** Both filters; an edge survives iff its predicate passes AND both
+    * endpoints survive ([GH] Graph.java#subgraph).
+    */
+  def subgraph(vertexPred: Column, edgePred: Column): Graph =
+    filterOnEdges(edgePred).filterOnVertices(vertexPred)
+
+  /** Id-only projections ([GH] Graph.java#getVertexIds / #getEdgeIds) —
+    * column pruning reaches the parquet scan.
+    */
+  def vertexIds: DataFrame = vertices.select(col("id"))
+  def edgeIds: DataFrame   = edges.select(col("src"), col("dst"))
+
+  // ---- joins (reference Graph.java#joinWithVertices etc.) ----
+
+  /** Equi-join vertices against `aux` (`id`, `t`); matched vertices get
+    * `f(value, t)`, unmatched KEEP their old value — the reference's
+    * left-outer coGroup semantics ([GH] Graph.java#joinWithVertices).
+    */
+  def joinWithVertices(aux: DataFrame, f: (Column, Column) => Column): Graph =
+    copy(vertices = vertices
+      .join(aux, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("t").isNull, col("value"))
+          .otherwise(f(col("value"), col("t"))).as("value")))
+
+  /** Same, keyed on (src, dst) ([GH] Graph.java#joinWithEdges). */
+  def joinWithEdges(aux: DataFrame, f: (Column, Column) => Column): Graph =
+    copy(edges = edges
+      .join(aux, Seq("src", "dst"), "left_outer")
+      .select(col("src"), col("dst"),
+        when(col("t").isNull, col("value"))
+          .otherwise(f(col("value"), col("t"))).as("value")))
+
+  /** Aux keyed on src only: one aux row updates ALL out-edges of that src
+    * ([GH] Graph.java#joinWithEdgesOnSource).
+    */
+  def joinWithEdgesOnSource(aux: DataFrame,
+                            f: (Column, Column) => Column): Graph =
+    joinOnEndpoint(aux, f, "src")
+
+  /** Symmetric on dst ([GH] Graph.java#joinWithEdgesOnTarget). */
+  def joinWithEdgesOnTarget(aux: DataFrame,
+                            f: (Column, Column) => Column): Graph =
+    joinOnEndpoint(aux, f, "dst")
+
+  private def joinOnEndpoint(aux: DataFrame, f: (Column, Column) => Column,
+                             key: String): Graph =
+    copy(edges = edges
+      .join(aux.withColumnRenamed("id", key), Seq(key), "left_outer")
+      .select(col("src"), col("dst"),
+        when(col("t").isNull, col("value"))
+          .otherwise(f(col("value"), col("t"))).as("value")))
+
+  /** Edge–vertex–vertex 3-way join: (src, dst, src_value, dst_value,
+    * edge_value) — the pattern under every neighborhood op and Pregel
+    * messaging ([GH] Graph.java#getTriplets). Vertex sides broadcast when
+    * small; at scale this is two shuffles on src/dst co-partitioned by AQE.
+    */
+  def triplets: DataFrame = {
+    val s = vertices.select(col("id").as("src"), col("value").as("src_value"))
+    val d = vertices.select(col("id").as("dst"), col("value").as("dst_value"))
+    edges.select(col("src"), col("dst"), col("value").as("edge_value"))
+      .join(s, Seq("src")).join(d, Seq("dst"))
+      .select(col("src"), col("dst"), col("src_value"), col("dst_value"),
+        col("edge_value"))
+  }
+
+  /** True iff every edge endpoint exists in the vertex set — reference
+    * `validate(InvalidVertexIdsValidator)` ([GH]
+    * flink/graphs/validation/InvalidVertexIdsValidator.java). LEFT ANTI join
+    * (never materializes the valid majority).
+    */
+  def invalidEndpoints: DataFrame = {
+    val endpoints = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+    endpoints.join(vertices.select(col("id")), Seq("id"), "left_anti")
+  }
+
+  /** Delete matching vertices and ALL their incident edges
+    * ([GH] Graph.java#removeVertex). Anti-joins on both endpoints.
+    */
+  def removeVertices(ids: DataFrame): Graph = {
+    val vs = vertices.join(ids, Seq("id"), "left_anti")
+    val es = edges
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"), col("value"))
+    Graph(vs, es)
+  }
+
+  /** Delete edges matching (src, dst) ([GH] Graph.java#removeEdge). */
+  def removeEdges(pairs: DataFrame): Graph =
+    copy(edges = edges.join(pairs, Seq("src", "dst"), "left_anti"))
+
+  /** Append a vertex and its incident edges ([GH] Graph.java#addVertex). */
+  def addVertex(v: DataFrame, incident: DataFrame): Graph =
+    Graph(vertices.unionAll(v), edges.unionAll(incident))
+
+  /** Append edges ([GH] Graph.java#addEdge). */
+  def addEdges(e: DataFrame): Graph = copy(edges = edges.unionAll(e))
+
+  // ---- aggregations (reference Graph.java#outDegrees etc.) ----
+
+  /** Out-degree per vertex; vertices with no out-edges get 0 — the
+    * reference's coGroup-with-vertex-set semantics
+    * ([GH] Graph.java#outDegrees). Hash agg (partial+final) then one
+    * left-outer join against the vertex set.
+    */
+  def outDegrees: DataFrame = degreesOn("src")
+  /** In-degree per vertex, zeros included ([GH] Graph.java#inDegrees). */
+  def inDegrees: DataFrame = degreesOn("dst")
+  /** in+out degree per vertex ([GH] Graph.java#getDegrees). */
+  def degrees: DataFrame = {
+    val ends = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id")))
+    zeroFilled(ends.groupBy(col("id")).agg(count(lit(1)).as("degree")))
+  }
+
+  private def degreesOn(key: String): DataFrame =
+    zeroFilled(edges.groupBy(col(key).as("id"))
+      .agg(count(lit(1)).as("degree")))
+
+  private def zeroFilled(deg: DataFrame): DataFrame =
+    vertices.select(col("id")).join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+
+  def numVertices: Long = vertices.count()
+  def numEdges: Long    = edges.count()
+
+  /** Per-vertex aggregate over incident EDGE values, direction-parameterized
+    * ([GH] Graph.java#reduceOnEdges). `aggs` are expressions over the edge
+    * `value` column. Only vertices with at least one incident edge appear
+    * (reference group-reduce semantics).
+    */
+  def reduceOnEdges(dir: EdgeDirection)(aggs: Column*): DataFrame = {
+    val keyed = dir match {
+      case EdgeDirection.Out => edges.select(col("src").as("id"), col("value"))
+      case EdgeDirection.In  => edges.select(col("dst").as("id"), col("value"))
+      case EdgeDirection.All =>
+        edges.select(col("src").as("id"), col("value"))
+          .unionAll(edges.select(col("dst").as("id"), col("value")))
+    }
+    keyed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-vertex aggregate over NEIGHBOR VERTEX values (triplet join first),
+    * direction-parameterized ([GH] Graph.java#reduceOnNeighbors). For
+    * direction In, the neighbors of v are sources of v's in-edges; `aggs`
+    * are expressions over `nbr_value` (and `edge_value`).
+    */
+  def reduceOnNeighbors(dir: EdgeDirection)(aggs: Column*): DataFrame = {
+    val t = triplets
+    val keyed = dir match {
+      case EdgeDirection.In => t.select(col("dst").as("id"),
+        col("src_value").as("nbr_value"), col("edge_value"))
+      case EdgeDirection.Out => t.select(col("src").as("id"),
+        col("dst_value").as("nbr_value"), col("edge_value"))
+      case EdgeDirection.All =>
+        t.select(col("dst").as("id"), col("src_value").as("nbr_value"),
+            col("edge_value"))
+          .unionAll(t.select(col("src").as("id"),
+            col("dst_value").as("nbr_value"), col("edge_value")))
+    }
+    keyed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- structural ops ----
+
+  /** Swap src/dst on every edge ([GH] Graph.java#reverse). */
+  def reverse: Graph =
+    copy(edges = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("value")))
+
+  /** Union edges with their reversals — UNION ALL, duplicates kept
+    * ([GH] Graph.java#getUndirected).
+    */
+  def undirected: Graph = copy(edges = edges.unionAll(reverse.edges))
+
+  /** Concatenate vertex and edge sets (UNION ALL — reference-era `union`
+    * did not dedup; [GH] Graph.java#union, Conf M in SURVEY §2.5).
+    */
+  def union(other: Graph): Graph =
+    Graph(vertices.unionAll(other.vertices), edges.unionAll(other.edges))
+}
+
+object Graph {
+  /** Vertex set inferred as distinct edge endpoints, values from an
+    * initializer expression over the id — reference
+    * `Graph.fromDataSet(edges, mapper, env)`
+    * ([GH] Graph.java#fromDataSet(edges,mapper)).
+    */
+  def fromEdges(edges: DataFrame, init: Column => Column): Graph = {
+    val vs = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .select(col("id"), init(col("id")).as("value"))
+    Graph(vs, edges)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.algorithms
+
+import graft.util.Det
+import org.apache.spark.graphx.{Edge => GXEdge, EdgeDirection => GXDir,
+  Graph => GXGraph, PartitionStrategy, Pregel, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vertex-centric iteration (SURVEY §2.6) — the Spark-native equivalent of
+  * the reference's `runVertexCentricIteration` ([GH]
+  * Graph.java#runVertexCentricIteration, delegating to flink-spargel's BSP
+  * supersteps over delta iterations).
+  *
+  * GraphX `Pregel` replicates the spargel contract exactly: per superstep a
+  * messaging phase over edges, a vertex-update phase, and halting when no
+  * messages flow or `maxIterations` is reached. Crucially it also
+  * replicates the reference's one real physical trick — *delta* iteration:
+  * only vertices that received messages participate in the next round
+  * (`activeSetOpt` inside `aggregateMessages`), so supersteps touch the
+  * frontier, not the whole graph.
+  *
+  * Scale notes (100 TB design):
+  *  - The graph is partitioned once with `EdgePartition2D` (√|P| replication
+  *    bound on vertex copies) before iterating; per-superstep joins are then
+  *    co-partitioned — no repeated wide shuffles.
+  *  - Each algorithm materializes + unpersists per round (GraphX Pregel does
+  *    this internally), truncating lineage (SURVEY §7.3.4).
+  *  - All algorithms take `maxIterations`, like the reference — fixed bounds
+  *    make runs (and oracles) deterministic.
+  */
+object GraphAlgorithms {
+
+  /** DataFrame (id,value)/(src,dst,value) → GraphX graph with Double
+    * attrs. The GraphX bridge of SURVEY §1.3; ids are already Long (see
+    * [[graft.sources.IdEncoder]] for the generic-key dictionary path).
+    */
+  def toGraphX(g: graft.Graph, numPartitions: Int = 0): GXGraph[Double, Double] = {
+    val vrdd = g.vertices.select(col("id"), col("value").cast("double"))
+      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
+    val erdd = g.edges.select(col("src"), col("dst"),
+        col("value").cast("double"))
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gx = GXGraph(vrdd, erdd)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else gx.edges.sparkContext.defaultParallelism
+    gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
+  }
+
+  /** Bounded single-source shortest paths ([GH]
+    * library/SingleSourceShortestPaths.java): vertex value = distance
+    * (source 0, else ∞); message = dist + edge weight; update = min.
+    * `maxIterations` message rounds ⇒ shortest distance within that many
+    * hops — level-synchronous, so it matches the unrolled relational
+    * expansion exactly (bit-exact: path sums fold weights in path order in
+    * both formulations).
+    */
+  def ssspBounded(s: SparkSession, g: graft.Graph, source: Long,
+                  maxIterations: Int): DataFrame = {
+    import s.implicits._
+    val gx = toGraphX(g).mapVertices((id, _) =>
+      if (id == source) 0.0 else Double.PositiveInfinity)
+    val res = Pregel(gx, Double.PositiveInfinity, maxIterations, GXDir.Out)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr + t.attr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      math.min)
+    res.vertices.filter(_._2 < Double.PositiveInfinity)
+      .toDF("id", "dist")
+  }
+
+  /** Bounded connected components via min-id label propagation ([GH]
+    * library CC / the canonical spargel example): value = component id
+    * (init = own id), propagate min until fixpoint or `maxIterations`.
+    * Run on an undirected (symmetrized) graph for weak connectivity.
+    */
+  def connectedComponents(s: SparkSession, g: graft.Graph,
+                          maxIterations: Int): DataFrame = {
+    import s.implicits._
+    val gx = toGraphX(g).mapVertices((id, _) => id)
+    val res = Pregel(gx, Long.MaxValue, maxIterations, GXDir.Out)(
+      (_, c, m) => math.min(c, m),
+      t => if (t.srcAttr < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr)) else Iterator.empty,
+      math.min)
+    res.vertices.toDF("id", "comp")
+  }
+
+  /** Fixed-iteration damped PageRank ([GH] library/PageRank.java):
+    * message = rank × normalized edge weight (weight / Σ out-weights, the
+    * reference's weighted-messaging form); update = (1−β)/N + β·Σ msgs.
+    * Dangling mass is not redistributed (reference semantics).
+    *
+    * The out-weight normalizer uses exact decimal summation ([[Det.decSum]])
+    * so normalized weights are bit-identical to the SQL oracle; the
+    * remaining cross-engine drift (message-sum order) is absorbed by
+    * quantizing the final rank to 6 decimals.
+    */
+  def pageRank(s: SparkSession, g: graft.Graph, iterations: Int,
+               beta: Double): DataFrame = {
+    import s.implicits._
+    val n = g.vertices.count().toDouble
+    val ow = g.edges.groupBy(col("src"))
+      .agg(Det.decSum(col("value")).as("w"))
+    val normalized = graft.Graph(g.vertices,
+      g.edges.join(ow, Seq("src"))
+        .select(col("src"), col("dst"), (col("value") / col("w")).as("value")))
+    var ranks = toGraphX(normalized).mapVertices((_, _) => 1.0 / n).cache()
+    ranks.vertices.count()
+    for (_ <- 1 to iterations) {
+      val msgs = ranks.aggregateMessages[Double](
+        ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
+      val next = ranks.outerJoinVertices(msgs)((_, _, m) =>
+        (1.0 - beta) / n + beta * m.getOrElse(0.0)).cache()
+      next.vertices.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks.vertices.toDF("id", "rank")
+      .select(col("id"), Det.qround(col("rank"), 6).as("rank"))
+  }
+
+  /** Label propagation ([GH] library/LabelPropagation.java): adopt the most
+    * frequent neighbor label each round; ties broken toward the SMALLEST
+    * label (our pinned semantics, SURVEY §7.3.5 — the reference left the
+    * tie rule ambiguous, so this key is golden-tested, not oracled).
+    */
+  def labelPropagation(s: SparkSession, g: graft.Graph,
+                       maxIterations: Int): DataFrame = {
+    import s.implicits._
+    val gx = toGraphX(g).mapVertices((id, _) => id)
+    val res = Pregel(gx, Map.empty[VertexId, Long], maxIterations, GXDir.Out)(
+      (_, lbl, msg) =>
+        if (msg.isEmpty) lbl
+        else msg.maxBy { case (l, c) => (c, -l) }._1,
+      t => Iterator((t.dstId, Map(t.srcAttr -> 1L))),
+      (a, b) => (a.keySet ++ b.keySet).iterator
+        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
+    res.vertices.toDF("id", "label")
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.sources.Tables
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite (SURVEY §2.9 X1/X2 + north-star dedup family):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * All hashing is our own deterministic integer arithmetic (polynomial
+  * rolling hashes) so every stage is reproducible in DuckDB — no engine
+  * hash functions, no RNG.
+  *
+  * Scale notes: every operator is a hash-shuffle pipeline (explode →
+  * groupBy → self-join on bucket keys). The LSH designs exist exactly so
+  * the pairwise stage never sees the O(n²) cross join at 100 TB: candidates
+  * are generated per bucket, and frequency caps (`MaxShingleDf`) bound the
+  * worst bucket.
+  */
+object DedupQueries {
+  import TextFns.HashMod
+  private val Prime = 2147483647L // 2^31-1, second-level LSH modulus
+  /** MinHash: 4 bands × 2 rows (r=2 halves false positives vs r=1). */
+  private val BandParams: Seq[(Int, Long, Long, Long, Long)] = Seq(
+    // (band, a1, b1, a2, b2) — odd multipliers, fixed public constants
+    (0, 1103515245L, 12345L, 214013L, 2531011L),
+    (1, 69069L, 362437L, 134775813L, 1L),
+    (2, 1664525L, 1013904223L, 22695477L, 1L),
+    (3, 48271L, 0L, 16807L, 0L))
+  private val MaxShingleDf = 50
+
+  /** X1 — exact dedup: group by full text, keep the smallest doc_id.
+    * At scale one would group by a 128-bit content hash instead of the raw
+    * text to shrink the shuffle payload; semantics identical.
+    */
+  private def exact(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"),
+        (col("n_copies") > 1).cast("int").as("had_dups"))
+      .orderBy(col("keep_id"))
+
+  private val exactSql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      |       CAST(COUNT(*) > 1 AS INT) AS had_dups
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Shingle hashes per doc (3-gram word shingles → rolling hash), shared
+    * by MinHash. Column: (doc_id, hs: array<long>).
+    */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .filter(size(tok) >= 3)
+      .select(col("doc_id"),
+        transform(TextFns.shingles(tok, 3),
+          sh => TextFns.stringHash(sh)).as("hs"))
+  }
+
+  private val shingleHashesSql =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |        i -> string_split(text, ' ')[i] || ' ' ||
+       |             string_split(text, ' ')[i + 1] || ' ' ||
+       |             string_split(text, ' ')[i + 2]),
+       |      s -> ${TextFns.stringHashSql("s").replace("\n", " ")}) AS hs
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  /** X2 — MinHash/LSH near-duplicate candidates: per band, bucket key =
+    * (min a1·h+b1 mod p, min a2·h+b2 mod p); pairs sharing any band bucket
+    * are candidates. Output: candidate pairs with the number of agreeing
+    * bands.
+    */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = BandParams.toDF("band", "a1", "b1", "a2", "b2")
+    val sigs = shingleHashes(s, dir).crossJoin(broadcast(bands))
+      .select(col("doc_id"), col("band"),
+        array_min(transform(col("hs"),
+          h => (h * col("a1") % Prime + col("b1")) % Prime)).as("mh1"),
+        array_min(transform(col("hs"),
+          h => (h * col("a2") % Prime + col("b2")) % Prime)).as("mh2"))
+    val l = sigs.as("l"); val r = sigs.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.mh1") === col("r.mh1") && col("l.mh2") === col("r.mh2") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val minhashSql = {
+    val bandRows = BandParams
+      .map { case (b, a1, b1, a2, b2) => s"($b, $a1, $b1, $a2, $b2)" }
+      .mkString(", ")
+    s"""WITH $shingleHashesSql,
+       |bands(band, a1, b1, a2, b2) AS (VALUES $bandRows),
+       |sigs AS (
+       |  SELECT doc_id, band,
+       |    list_min(list_transform(hs, h -> (h * a1 % $Prime + b1) % $Prime)) AS mh1,
+       |    list_min(list_transform(hs, h -> (h * a2 % $Prime + b2) % $Prime)) AS mh2
+       |  FROM sh CROSS JOIN bands)
+       |SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS n_bands
+       |FROM sigs l JOIN sigs r
+       |  ON l.band = r.band AND l.mh1 = r.mh1 AND l.mh2 = r.mh2
+       | AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
+  }
+
+  /** SimHash — 16-bit signature from token hashes: bit b of the signature
+    * is the sign of Σ_tokens (±1 by bit b of the token hash).
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokenHashes = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(TextFns.tokens(col("text")),
+          t => TextFns.stringHash(t))).as("th"))
+    val bits = (0 to 15).toDF("b")
+    tokenHashes.crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(th, b) % 2") === 1, 1L)
+        .otherwise(-1L)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashSql =
+    s"""WITH th AS (
+       |  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+       |    s -> ${TextFns.stringHashSql("s").replace("\n", " ")})) AS th
+       |  FROM documents),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (th >> b) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bits
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** n-gram Jaccard near-dup: distinct 3-gram shingle sets, document-
+    * frequency cap (df ≤ MaxShingleDf) to bound bucket fan-out, pairwise
+    * Jaccard over the shared-shingle join, threshold 0.5.
+    */
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(col("hs"))).as("shingle"))
+    val rare = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf),
+      Seq("shingle"))
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val l = rare.as("l"); val r = rare.as("r")
+    val inter = l.join(r, col("l.shingle") === col("r.shingle") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_sh", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_sh", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        Det.qround(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH $shingleHashesSql,
+       |shd AS (SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
+       |rare AS (
+       |  SELECT doc_id, shingle FROM shd
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM shd GROUP BY shingle
+       |    HAVING COUNT(*) <= $MaxShingleDf)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS inter
+       |  FROM rare l JOIN rare r
+       |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} AS jaccard
+       |FROM (
+       |  SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id) t
+       |WHERE ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  private def qs0 = Seq(
+    Q("dedup_exact", exact, Some(exactSql)),
+    Q("dedup_minhash", minhash, Some(minhashSql)),
+    Q("dedup_simhash", simhash, Some(simhashSql)),
+    Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+  )
+
+  val qs: Seq[Q] = qs0
+}

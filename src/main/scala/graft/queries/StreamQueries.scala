@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T1–T5 batch twins of the streaming transforms (same DataFrame code runs
+  * under `readStream`; see [[graft.streaming.Streams]]) plus X6
+  * approx-distinct. Oracled in batch mode per SURVEY §2.10.
+  */
+object StreamQueries {
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  private def t1(s: SparkSession, dir: String): DataFrame =
+    Streams.tumbling(events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val t1Sql =
+    s"""SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       |  event_type, COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  private def t2(s: SparkSession, dir: String): DataFrame =
+    Streams.sliding(events(s, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val t2Sql =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)
+      |  - k * INTERVAL '15 minutes') AS BIGINT) AS window_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) ks(k)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  private def t3(s: SparkSession, dir: String): DataFrame =
+    Streams.sessions(events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Gaps-and-islands twin: a session starts where the gap from the
+    * previous event of the same user is ≥ 30 minutes (Spark's
+    * session_window closes at gap ≥ gapDuration).
+    */
+  private val t3Sql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM flagged)
+       |SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+       |  COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
+       |FROM sessions GROUP BY user_id, sess_id
+       |ORDER BY user_id, session_start""".stripMargin
+
+  private def t4(s: SparkSession, dir: String): DataFrame =
+    Streams.dedup(events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+
+  private val t4Sql =
+    """SELECT event_type, COUNT(*) AS n_unique FROM (
+      |  SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      |  ORDER BY event_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def t5(s: SparkSession, dir: String): DataFrame =
+    Streams.userCounts(events(s, dir)).orderBy(col("user_id"))
+
+  private val t5Sql =
+    s"""SELECT user_id, COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** X6 — distinct users per event type. The engine's approximate path is
+    * `approx_count_distinct` (HLL, mergeable at 100 TB scale); the oracled
+    * columns are the exact counts, which is what the driver compares.
+    */
+  private def x6(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val x6Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("stream_tumbling", t1, Some(t1Sql)),
+    Q("stream_sliding", t2, Some(t2Sql)),
+    Q("stream_session", t3, Some(t3Sql)),
+    Q("stream_dedup_late", t4, Some(t4Sql)),
+    Q("stream_stateful_count", t5, Some(t5Sql)),
+    Q("distinct_users_hll", x6, Some(x6Sql)),
+  )
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational substrate R1–R7 (SURVEY §2.7): the Flink DataSet primitives
+  * every reference graph operator lowers to (map/filter/join/groupBy-reduce/
+  * coGroup/union/distinct/sort-limit), oracle-checked independently of graph
+  * semantics over the star schema.
+  *
+  * Scale notes per query are inline; common themes: filters/projections are
+  * Column expressions (pushed to the parquet scan), aggregations are hash
+  * agg with partial combine, joins are AQE-planned (broadcast for dimension
+  * tables).
+  */
+object Substrate {
+
+  /** R1 — scan → filter → project. Predicate + column pruning reach the
+    * scan (`PushedFilters`, 3-column `ReadSchema`).
+    */
+  private def r1(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val r1Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** R2 — multi-way equi-join (customer ⋈ orders ⋈ lineitem) + agg.
+    * Dimension side (filtered customers) broadcasts; fact-side join is
+    * shuffle on orderkey at scale.
+    */
+  private def r2(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        Det.sumDec(Det.discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderkey"))
+
+  private val r2Sql =
+    s"""SELECT o_orderkey,
+       |  ${Det.sumDecSql(Det.discPriceSql)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  /** R3 — TPC-H Q1-shaped group-aggregate: hash agg, partial+final, tiny
+    * result. All double sums via exact decimal accumulation.
+    */
+  private def r3(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.decSum(col("l_quantity")).as("sum_qty"),
+        Det.decSum(col("l_extendedprice")).as("sum_base_price"),
+        Det.sumDec(Det.discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("sum_disc_price"),
+        (Det.decSum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val r3Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.decSumSql("l_quantity")} AS sum_qty,
+       |  ${Det.decSumSql("l_extendedprice")} AS sum_base_price,
+       |  ${Det.sumDecSql(Det.discPriceSql)} AS sum_disc_price,
+       |  ${Det.decSumSql("l_quantity")} / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** R4 — coGroup-shaped full-outer join: customers vs per-customer order
+    * aggregates, zero-filled (the reference uses coGroup for exactly this
+    * zero-handling in outDegrees).
+    */
+  private def r4(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.decSum(col("o_totalprice")).as("total_spent"))
+    Tables(s, dir, "customer").select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+        col("c_custkey").isNotNull.cast("int").as("known_customer"))
+      .orderBy(col("id"))
+  }
+
+  private val r4Sql =
+    s"""SELECT COALESCE(c_custkey, o_custkey) AS id,
+       |  COALESCE(n_orders, 0) AS n_orders,
+       |  COALESCE(total_spent, 0.0) AS total_spent,
+       |  CAST(c_custkey IS NOT NULL AS INT) AS known_customer
+       |FROM (SELECT c_custkey FROM customer) c
+       |FULL OUTER JOIN (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |         ${Det.decSumSql("o_totalprice")} AS total_spent
+       |  FROM orders GROUP BY o_custkey) o
+       |ON c_custkey = o_custkey
+       |ORDER BY id""".stripMargin
+
+  /** R5 — union / distinct / intersect / except as one summary row. */
+  private def r5(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "orders").select(col("o_custkey").as("id"))
+      .distinct()
+    val b = Tables(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("id"))
+    a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+  }
+
+  private val r5Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey AS id FROM orders),
+      |b AS (SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000)
+      |SELECT
+      |  (SELECT COUNT(*) FROM (SELECT id FROM a UNION SELECT id FROM b)) AS n_union,
+      |  (SELECT COUNT(*) FROM (SELECT id FROM a INTERSECT SELECT id FROM b)) AS n_intersect,
+      |  (SELECT COUNT(*) FROM (SELECT id FROM a EXCEPT SELECT id FROM b)) AS n_except""".stripMargin
+
+  /** R6 — global top-k (sort + limit): top 10 suppliers by revenue,
+    * deterministic tie-break on s_suppkey. TakeOrdered at scale — no full
+    * global sort materialization.
+    */
+  private def r6(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(Det.sumDec(Det.discPrice(col("l_extendedprice"), col("l_discount")))
+        .as("revenue"))
+      .join(Tables(s, dir, "supplier"),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(10)
+
+  private val r6Sql =
+    s"""SELECT s_suppkey, s_name, revenue FROM (
+       |  SELECT l_suppkey,
+       |    ${Det.sumDecSql(Det.discPriceSql)} AS revenue
+       |  FROM lineitem GROUP BY l_suppkey) r
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |ORDER BY revenue DESC, s_suppkey LIMIT 10""".stripMargin
+
+  /** R7 — window rank: latest 3 orders per customer (row_number over
+    * partitioned sort; single shuffle on the partition key).
+    */
+  private def r7(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val r7Sql =
+    """SELECT o_custkey, rk, o_orderkey, order_epoch FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("substrate_scan_filter_project", r1, Some(r1Sql)),
+    Q("substrate_hash_join", r2, Some(r2Sql)),
+    Q("substrate_group_agg", r3, Some(r3Sql)),
+    Q("substrate_cogroup", r4, Some(r4Sql)),
+    Q("substrate_union_distinct", r5, Some(r5Sql)),
+    Q("substrate_sort_limit_topk", r6, Some(r6Sql)),
+    Q("substrate_window_rank", r7, Some(r7Sql)),
+  )
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.sources.Tables
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY §2.9 X4/X5 + the training-data-pipeline
+  * surface from the north star): TF-IDF, per-language stats, token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All over
+  * the `documents` table, all pure Column expressions (no UDFs).
+  */
+object TextQueries {
+  private val EnStop = Seq("the", "a", "and", "of", "to")
+  private val DeStop = Seq("der", "die", "und", "ein", "zu")
+  private val FrStop = Seq("le", "la", "et", "un", "une")
+
+  /** X4 — TF-IDF top-3 terms per document. tf = term count / doc tokens;
+    * idf = ln(N / df). Scores quantized to 6 decimals BEFORE ranking so the
+    * cross-engine libm ulp on `ln` cannot flip ranks; ties break on term.
+    * Scale: explode + two hash aggregations + window — all shuffle on
+    * doc/term keys, no driver loops.
+    */
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, Seq("term")).crossJoin(nDocs)
+      .select(col("doc_id"), col("term"),
+        Det.qround((col("cnt") / col("n_tok")) *
+          log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val tfidfSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS cnt,
+       |         SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n_tok
+       |  FROM tok GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ${Det.qroundSql("(CAST(cnt AS DOUBLE) / n_tok) * ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS tfidf
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tfidf DESC, term) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
+  /** X5 — per-language corpus stats. */
+  private def langStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(TextFns.tokens(col("text")))).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  private val langStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  SUM(len(string_split(text, ' '))) AS total_tokens,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** token counting — whitespace tokens + a regex token pass. */
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+        .as("n_re_tokens"),
+      col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** quality scoring — length / stopword-ratio / mean-token-length
+    * heuristics with a bucketed score.
+    */
+  private def quality(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    val nTok = size(tok)
+    val stopRatio =
+      TextFns.stopwordCount(tok, EnStop).cast("double") / nTok
+    val avgTokLen =
+      (length(col("text")) - (nTok - 1)).cast("double") / nTok
+    Tables(s, dir, "documents").select(
+      col("doc_id"), nTok.as("n_tokens"),
+      Det.qround(avgTokLen, 6).as("avg_token_len"),
+      Det.qround(stopRatio, 6).as("stopword_ratio"),
+      when(nTok >= 40 && stopRatio < 0.3, 2)
+        .when(nTok >= 10, 1).otherwise(0).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql = {
+    val tok = "string_split(text, ' ')"
+    val stop = TextFns.stopwordCountSql(tok, EnStop)
+    s"""SELECT doc_id, len($tok) AS n_tokens,
+       |  ${Det.qroundSql(s"CAST(length(text) - (len($tok) - 1) AS DOUBLE) / len($tok)", 6)} AS avg_token_len,
+       |  ${Det.qroundSql(s"CAST($stop AS DOUBLE) / len($tok)", 6)} AS stopword_ratio,
+       |  CASE WHEN len($tok) >= 40
+       |            AND CAST($stop AS DOUBLE) / len($tok) < 0.3 THEN 2
+       |       WHEN len($tok) >= 10 THEN 1 ELSE 0 END AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** language-ID — stopword-vote heuristic over three mini-lexicons with a
+    * deterministic argmax (en ≥ de ≥ fr on ties).
+    */
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    val cEn = TextFns.stopwordCount(tok, EnStop)
+    val cDe = TextFns.stopwordCount(tok, DeStop)
+    val cFr = TextFns.stopwordCount(tok, FrStop)
+    Tables(s, dir, "documents").select(
+      col("doc_id"), cEn.as("c_en"), cDe.as("c_de"), cFr.as("c_fr"),
+      when(cEn >= cDe && cEn >= cFr, "en")
+        .when(cDe >= cFr, "de").otherwise("fr").as("pred_lang"),
+      col("lang"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val tok = "string_split(text, ' ')"
+    val (cEn, cDe, cFr) = (TextFns.stopwordCountSql(tok, EnStop),
+      TextFns.stopwordCountSql(tok, DeStop),
+      TextFns.stopwordCountSql(tok, FrStop))
+    s"""SELECT doc_id, c_en, c_de, c_fr, pred_lang, lang,
+       |  CAST(pred_lang = lang AS INT) AS is_match FROM (
+       |  SELECT doc_id, $cEn AS c_en, $cDe AS c_de, $cFr AS c_fr,
+       |    CASE WHEN $cEn >= $cDe AND $cEn >= $cFr THEN 'en'
+       |         WHEN $cDe >= $cFr THEN 'de' ELSE 'fr' END AS pred_lang,
+       |    lang
+       |  FROM documents) t ORDER BY doc_id""".stripMargin
+  }
+
+  /** document fingerprinting — deterministic polynomial rolling hash of the
+    * full text (identical integer arithmetic in both engines).
+    */
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      TextFns.stringHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, ${TextFns.stringHashSql("text")} AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("text_lang_stats", langStats, Some(langStatsSql)),
+    Q("text_token_count", tokenCount, Some(tokenCountSql)),
+    Q("text_quality", quality, Some(qualitySql)),
+    Q("text_lang_id", langId, Some(langIdSql)),
+    Q("text_fingerprint", fingerprint, Some(fingerprintSql)),
+  )
+}

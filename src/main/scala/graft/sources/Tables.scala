@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Parquet table access for the driver-generated star schema
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md).
+  *
+  * Scale notes (100 TB design):
+  *  - `spark.read.parquet` gives the vectorized columnar reader; predicate
+  *    pushdown + column pruning reach the scan automatically as long as
+  *    callers express filters/projections as `Column` expressions (never
+  *    opaque closures) — design rule #1 from SURVEY §4.
+  *  - We deliberately do NOT `.cache()` base tables: at the target scale they
+  *    do not fit in memory. Only small derived artifacts (the G_trade vertex/
+  *    edge sets, ~|customers|+|suppliers| rows) are persisted, in
+  *    [[GTrade]].
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  // Plan-object memoization only (avoids re-running schema inference per
+  // query); no data is persisted here.
+  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name), {
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+        // read natively; read it as a nanos Long and convert to a proper
+        // TimestampType (µs) with integer division (fp division would lose
+        // precision: ns epochs exceed double's 2^53 exact range).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
+}
