@@ -55,10 +55,10 @@ object GraphAlgorithms {
     * expansion exactly (bit-exact: path sums fold weights in path order in
     * both formulations).
     */
-  def ssspBounded(s: SparkSession, g: graft.Graph, source: Long,
-                  maxIterations: Int): DataFrame = {
+  def ssspBounded(s: SparkSession, base: GXGraph[Double, Double],
+                  source: Long, maxIterations: Int): DataFrame = {
     import s.implicits._
-    val gx = toGraphX(g).mapVertices((id, _) =>
+    val gx = base.mapVertices((id, _) =>
       if (id == source) 0.0 else Double.PositiveInfinity)
     val res = Pregel(gx, Double.PositiveInfinity, maxIterations, GXDir.Out)(
       (_, d, m) => math.min(d, m),
@@ -74,10 +74,10 @@ object GraphAlgorithms {
     * (init = own id), propagate min until fixpoint or `maxIterations`.
     * Run on an undirected (symmetrized) graph for weak connectivity.
     */
-  def connectedComponents(s: SparkSession, g: graft.Graph,
+  def connectedComponents(s: SparkSession, base: GXGraph[Double, Double],
                           maxIterations: Int): DataFrame = {
     import s.implicits._
-    val gx = toGraphX(g).mapVertices((id, _) => id)
+    val gx = base.mapVertices((id, _) => id)
     val res = Pregel(gx, Long.MaxValue, maxIterations, GXDir.Out)(
       (_, c, m) => math.min(c, m),
       t => if (t.srcAttr < t.dstAttr)
@@ -124,18 +124,39 @@ object GraphAlgorithms {
     * frequent neighbor label each round; ties broken toward the SMALLEST
     * label (our pinned semantics, SURVEY §7.3.5 — the reference left the
     * tie rule ambiguous, so this key is golden-tested, not oracled).
+    *
+    * Implemented as a synchronous DataFrame driver-loop (the R8 substrate
+    * pattern): per round, one shuffle to count (vertex, label) pairs over
+    * in-edges and a window argmax by (count DESC, label ASC). This replaces
+    * a GraphX Pregel whose per-message `Map[label,count]` merge was
+    * O(degree²) allocation on high-degree hubs — the relational
+    * count/argmax is a hash aggregation with map-side partial combine, the
+    * plan a 1000-executor cluster wants. `localCheckpoint` every round
+    * truncates the iterative lineage (SURVEY §7.3.4).
     */
   def labelPropagation(s: SparkSession, g: graft.Graph,
                        maxIterations: Int): DataFrame = {
-    import s.implicits._
-    val gx = toGraphX(g).mapVertices((id, _) => id)
-    val res = Pregel(gx, Map.empty[VertexId, Long], maxIterations, GXDir.Out)(
-      (_, lbl, msg) =>
-        if (msg.isEmpty) lbl
-        else msg.maxBy { case (l, c) => (c, -l) }._1,
-      t => Iterator((t.dstId, Map(t.srcAttr -> 1L))),
-      (a, b) => (a.keySet ++ b.keySet).iterator
-        .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap)
-    res.vertices.toDF("id", "label")
+    import org.apache.spark.sql.expressions.Window
+    var labels = g.vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    val ends = g.edges.select(col("src"), col("dst")).persist()
+    ends.count()
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to maxIterations) {
+      val counts = ends
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("vid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val winners = counts
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vid").as("id"), col("label").as("next"))
+      labels = labels.join(winners, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("next"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    ends.unpersist(blocking = false)
+    labels
   }
 }

@@ -47,16 +47,42 @@ object DedupQueries {
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
   /** Shingle hashes per doc (3-gram word shingles → rolling hash), shared
-    * by MinHash. Column: (doc_id, hs: array<long>).
+    * by MinHash and Jaccard. Column: (doc_id, hs: array<long>). Persisted
+    * per (session, dir): the rolling-hash fold is the expensive part and
+    * several downstream plans reference it more than once.
     */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val tok = TextFns.tokens(col("text"))
-    Tables(s, dir, "documents")
-      .filter(size(tok) >= 3)
-      .select(col("doc_id"),
-        transform(TextFns.shingles(tok, 3),
-          sh => TextFns.stringHash(sh)).as("hs"))
-  }
+  private val hsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    hsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      // Tight JVM kernel instead of interpreted HOF folds: the per-character
+      // rolling hash dominated this stage (~10 M lambda evaluations at
+      // sf0.1). Arithmetic is bit-identical to TextFns.stringHash /
+      // stringHashSql — same split semantics (split(" ", -1) keeps trailing
+      // empties like Spark's split), same (h*31 + codepoint) % HashMod fold.
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val tok = text.split(" ", -1)
+          if (tok.length < 3) Iterator.empty
+          else {
+            val hs = new Array[Long](tok.length - 2)
+            var i = 0
+            while (i < hs.length) {
+              val sh = tok(i) + " " + tok(i + 1) + " " + tok(i + 2)
+              var h = 0L; var j = 0
+              while (j < sh.length) {
+                h = (h * 31 + sh.charAt(j).toLong) % HashMod; j += 1
+              }
+              hs(i) = h; i += 1
+            }
+            Iterator.single((id, hs))
+          }
+        }).toDF("doc_id", "hs")
+        .persist()
+    })
 
   private val shingleHashesSql =
     s"""sh AS (
@@ -152,10 +178,11 @@ object DedupQueries {
     val sh = shingleHashes(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(col("hs"))).as("shingle"))
+    // persisted: referenced three times below (sizes + both join sides)
     val rare = sh.join(
       sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxShingleDf),
-      Seq("shingle"))
+      Seq("shingle")).persist()
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val l = rare.as("l"); val r = rare.as("r")
     val inter = l.join(r, col("l.shingle") === col("r.shingle") &&

@@ -131,12 +131,8 @@ object GraphQueries {
     * matched edges take value/t (mean price per item).
     */
   private def j2(s: SparkSession, dir: String) = {
-    val orders   = graft.sources.Tables(s, dir, "orders")
-    val lineitem = graft.sources.Tables(s, dir, "lineitem")
-    val aux = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("src"),
-        (col("l_suppkey") + GTrade.Offset).as("dst"))
-      .agg(count(lit(1)).cast("double").as("t"))
+    val aux = GTrade.edgesWithCounts(s, dir)
+      .select(col("src"), col("dst"), col("n_items").cast("double").as("t"))
     orderedEdges(g(s, dir).joinWithEdges(aux, (v, t) => v / t).edges)
   }
   private val j2Sql =

@@ -1,0 +1,80 @@
+package graft
+
+import graft.algorithms.GraphAlgorithms
+import org.apache.spark.sql.functions._
+
+/** End-to-end goldens for the iterative algorithms (SURVEY §2.6) on the
+  * fixture graph — the Spark twin of the reference's library-algorithm
+  * tests (SingleSourceShortestPaths / ConnectedComponents / PageRank /
+  * LabelPropagation on small graphs with exact expected outputs).
+  */
+class AlgorithmsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val gx = GraphAlgorithms.toGraphX(fixture)
+
+  test("SSSP from vertex 1 (reference golden: 0,12,13,47,48)") {
+    val d = GraphAlgorithms.ssspBounded(spark, gx, source = 1L,
+      maxIterations = 10)
+    val got = d.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got === Seq((1L, 0.0), (2L, 12.0), (3L, 13.0), (4L, 47.0), (5L, 48.0)))
+  }
+
+  test("SSSP respects the iteration bound (level-synchronous)") {
+    // 1 round: only direct successors of the source are reached.
+    val d = GraphAlgorithms.ssspBounded(spark, gx, source = 1L,
+      maxIterations = 1)
+    val got = d.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(got === Seq((1L, 0.0), (2L, 12.0), (3L, 13.0)))
+  }
+
+  test("connected components: cycle graph collapses to min id 1") {
+    val cc = GraphAlgorithms.connectedComponents(spark,
+      GraphAlgorithms.toGraphX(fixture.undirected), maxIterations = 10)
+    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === (1L to 5L).map(i => (i, 1L)))
+  }
+
+  test("connected components separates disjoint subgraphs") {
+    val v = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("id", "value")
+    val e = Seq((1L, 2L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "value")
+    val g = Graph(v, e).undirected
+    val cc = GraphAlgorithms.connectedComponents(spark,
+      GraphAlgorithms.toGraphX(g), maxIterations = 10)
+    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("pageRank: no dangling vertices ⇒ ranks sum to 1; deterministic") {
+    val pr = GraphAlgorithms.pageRank(spark, fixture, iterations = 10,
+      beta = 0.85)
+    val ranks = pr.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ranks.size === 5)
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+    // Vertex 5 receives from 3 (weight 35/69) and 4 (45/45): highest rank.
+    assert(ranks(5L) === ranks.values.max)
+    val again = GraphAlgorithms.pageRank(spark, fixture, iterations = 10,
+      beta = 0.85).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(again === ranks)
+  }
+
+  test("label propagation: pinned semantics converge to label 1 on fixture") {
+    // Hand-derived (ties → smallest label, synchronous rounds on the
+    // undirected fixture): round1 = (2,1,1,3,1), round2 = (1,1,1,1,1),
+    // stable thereafter.
+    val lp = GraphAlgorithms.labelPropagation(spark, fixture.undirected,
+      maxIterations = 5)
+    val got = lp.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got === (1L to 5L).map(i => (i, 1L)))
+  }
+
+  test("label propagation honors the tie→min rule after one round") {
+    val lp = GraphAlgorithms.labelPropagation(spark, fixture.undirected,
+      maxIterations = 1)
+    val got = lp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Neighbors of 1 are {2,3,5}, all count 1 → tie broken to min = 2.
+    assert(got(1L) === 2L)
+    assert(got(3L) === 1L)
+    assert(got(4L) === 3L)
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral-parity goldens for the `graft.Graph` combinators on the
+  * reference's fixture graph (FIXTURES.md §2) — the Spark twin of the
+  * reference's per-operator JUnit classes (`TestMapVertices`,
+  * `TestJoinWithVertices`, `TestDegrees`, … — SURVEY §5.1).
+  */
+class GraphOpsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // ---- projections / filters (P1–P6) ----
+
+  test("mapVertices transforms values, preserves ids") {
+    val g = fixture.mapVertices(v => v * 10)
+    assert(pairs(g.vertices) ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+  }
+
+  test("mapEdges transforms edge values") {
+    val g = fixture.mapEdges(v => v + 1)
+    assert(triples(g.edges) === Fixture.edgeRows.map {
+      case (s, d, v) => (s, d, v + 1)
+    }.sorted)
+  }
+
+  test("filterOnVertices keeps edges with BOTH endpoints surviving") {
+    // Reference golden (TestGraphOperations): keep id > 1 drops vertex 1,
+    // its out-edges (1,2),(1,3) and in-edge (5,1).
+    val g = fixture.filterOnVertices(col("value") > 1)
+    assert(pairs(g.vertices) === Seq((2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
+    assert(triples(g.edges) ===
+      Seq((2L, 3L, 23L), (3L, 4L, 34L), (3L, 5L, 35L), (4L, 5L, 45L)))
+  }
+
+  test("filterOnEdges keeps vertex set unchanged") {
+    val g = fixture.filterOnEdges(col("value") > 34)
+    assert(g.vertices.count() === 5)
+    assert(triples(g.edges) === Seq((3L, 5L, 35L), (4L, 5L, 45L), (5L, 1L, 51L)))
+  }
+
+  test("subgraph applies both predicates") {
+    val g = fixture.subgraph(col("value") > 2, col("value") > 30)
+    assert(pairs(g.vertices) === Seq((3L, 3L), (4L, 4L), (5L, 5L)))
+    // (5,1,51) dropped: endpoint 1 fails the vertex predicate.
+    assert(triples(g.edges) === Seq((3L, 4L, 34L), (3L, 5L, 35L), (4L, 5L, 45L)))
+  }
+
+  test("vertexIds / edgeIds project only keys") {
+    assert(fixture.vertexIds.columns === Array("id"))
+    assert(fixture.vertexIds.as[Long].collect().sorted === Array(1L, 2L, 3L, 4L, 5L))
+    assert(fixture.edgeIds.columns === Array("src", "dst"))
+  }
+
+  // ---- joins (J1–J8) ----
+
+  test("joinWithVertices: matched mapped, unmatched keep old value") {
+    val aux = Seq((1L, 100L), (3L, 300L)).toDF("id", "t")
+    val g = fixture.joinWithVertices(aux, (v, t) => v + t)
+    assert(pairs(g.vertices) ===
+      Seq((1L, 101L), (2L, 2L), (3L, 303L), (4L, 4L), (5L, 5L)))
+  }
+
+  test("joinWithEdges keyed on (src,dst)") {
+    val aux = Seq((1L, 2L, 1000L), (5L, 1L, 2000L)).toDF("src", "dst", "t")
+    val g = fixture.joinWithEdges(aux, (v, t) => v + t)
+    assert(triples(g.edges).toSet ===
+      Set((1L, 2L, 1012L), (1L, 3L, 13L), (2L, 3L, 23L), (3L, 4L, 34L),
+        (3L, 5L, 35L), (4L, 5L, 45L), (5L, 1L, 2051L)))
+  }
+
+  test("joinWithEdgesOnSource updates ALL out-edges of matched src") {
+    val aux = Seq((1L, 1000L)).toDF("id", "t")
+    val g = fixture.joinWithEdgesOnSource(aux, (v, t) => v + t)
+    assert(triples(g.edges).toSet ===
+      Set((1L, 2L, 1012L), (1L, 3L, 1013L), (2L, 3L, 23L), (3L, 4L, 34L),
+        (3L, 5L, 35L), (4L, 5L, 45L), (5L, 1L, 51L)))
+  }
+
+  test("joinWithEdgesOnTarget updates ALL in-edges of matched dst") {
+    val aux = Seq((5L, 1000L)).toDF("id", "t")
+    val g = fixture.joinWithEdgesOnTarget(aux, (v, t) => v + t)
+    assert(triples(g.edges).toSet ===
+      Set((1L, 2L, 12L), (1L, 3L, 13L), (2L, 3L, 23L), (3L, 4L, 34L),
+        (3L, 5L, 1035L), (4L, 5L, 1045L), (5L, 1L, 51L)))
+  }
+
+  test("triplets joins both endpoint values onto each edge") {
+    val t = rows(fixture.triplets
+      .select(col("src"), col("dst"), col("src_value"), col("dst_value"),
+        col("edge_value")))
+    assert(t.size === 7)
+    // Every fixture vertex value equals its id, so the triplet row for
+    // (1,2,12) must be (1,2,1,2,12).
+    assert(t.contains(Seq(1L, 2L, 1L, 2L, 12L)))
+    assert(t.contains(Seq(5L, 1L, 5L, 1L, 51L)))
+  }
+
+  test("invalidEndpoints: empty on valid graph, flags dangling ids") {
+    assert(fixture.invalidEndpoints.count() === 0)
+    val bad = fixture.addEdges(Seq((1L, 99L, 0L)).toDF("src", "dst", "value"))
+    assert(bad.invalidEndpoints.as[Long].collect() === Array(99L))
+  }
+
+  test("removeVertices drops vertices AND incident edges") {
+    val g = fixture.removeVertices(Seq(Tuple1(3L)).toDF("id"))
+    assert(g.vertices.count() === 4)
+    // 4 incident edges of vertex 3 vanish: (1,3),(2,3),(3,4),(3,5).
+    assert(triples(g.edges) === Seq((1L, 2L, 12L), (4L, 5L, 45L), (5L, 1L, 51L)))
+  }
+
+  test("removeEdges drops matching (src,dst) pairs only") {
+    val g = fixture.removeEdges(Seq((1L, 2L), (5L, 1L)).toDF("src", "dst"))
+    assert(g.edges.count() === 5)
+    assert(g.vertices.count() === 5)
+  }
+
+  test("addVertex / addEdges append") {
+    val g = fixture.addVertex(Seq((6L, 6L)).toDF("id", "value"),
+      Seq((6L, 1L, 61L)).toDF("src", "dst", "value"))
+    assert(g.numVertices === 6 && g.numEdges === 8)
+    assert(g.invalidEndpoints.count() === 0)
+  }
+
+  // ---- aggregations (A1–A6) ----
+
+  test("outDegrees zero-filled (reference golden)") {
+    assert(pairs(fixture.outDegrees) ===
+      Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("inDegrees zero-filled (reference golden)") {
+    assert(pairs(fixture.inDegrees) ===
+      Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)))
+  }
+
+  test("degrees = in + out per vertex") {
+    assert(pairs(fixture.degrees) ===
+      Seq((1L, 3L), (2L, 2L), (3L, 4L), (4L, 2L), (5L, 3L)))
+  }
+
+  test("outDegrees reports 0 for sink vertices") {
+    // Drop (5,1): vertex 5 becomes a sink with out-degree 0 (the
+    // coGroup-with-vertex-set semantics the reference pins).
+    val g = fixture.removeEdges(Seq((5L, 1L)).toDF("src", "dst"))
+    assert(pairs(g.outDegrees).toMap.apply(5L) === 0L)
+  }
+
+  test("numVertices / numEdges") {
+    assert(fixture.numVertices === 5 && fixture.numEdges === 7)
+  }
+
+  test("reduceOnEdges: max out-edge weight per vertex (reference golden)") {
+    val out = fixture.reduceOnEdges(EdgeDirection.Out)(
+      max(col("value")).as("m"))
+    assert(pairs(out) === Seq((1L, 13L), (2L, 23L), (3L, 35L), (4L, 45L), (5L, 51L)))
+    val in = fixture.reduceOnEdges(EdgeDirection.In)(max(col("value")).as("m"))
+    assert(pairs(in) === Seq((1L, 51L), (2L, 12L), (3L, 23L), (4L, 34L), (5L, 45L)))
+    val all = fixture.reduceOnEdges(EdgeDirection.All)(max(col("value")).as("m"))
+    assert(pairs(all) === Seq((1L, 51L), (2L, 23L), (3L, 35L), (4L, 45L), (5L, 51L)))
+  }
+
+  test("reduceOnNeighbors: sum of neighbor values (reference golden)") {
+    val out = fixture.reduceOnNeighbors(EdgeDirection.Out)(
+      sum(col("nbr_value")).as("s"))
+    // out-neighbors: 1→{2,3}=5, 2→{3}=3, 3→{4,5}=9, 4→{5}=5, 5→{1}=1
+    assert(pairs(out) === Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 5L), (5L, 1L)))
+    val in = fixture.reduceOnNeighbors(EdgeDirection.In)(
+      sum(col("nbr_value")).as("s"))
+    // in-neighbors: 1←{5}=5, 2←{1}=1, 3←{1,2}=3, 4←{3}=3, 5←{3,4}=7
+    assert(pairs(in) === Seq((1L, 5L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 7L)))
+  }
+
+  // ---- structural (G1–G4, S2) ----
+
+  test("reverse swaps every edge") {
+    assert(triples(fixture.reverse.edges) === Fixture.edgeRows.map {
+      case (s, d, v) => (d, s, v)
+    }.sorted)
+  }
+
+  test("undirected = edges UNION ALL reversed (duplicates kept)") {
+    val g = fixture.undirected
+    assert(g.numEdges === 14)
+    assert(g.vertices.count() === 5)
+  }
+
+  test("union concatenates without dedup (reference-era UNION ALL)") {
+    val g = fixture.union(fixture)
+    assert(g.numVertices === 10 && g.numEdges === 14)
+  }
+
+  test("fromEdges infers distinct endpoints as vertices") {
+    val g = Graph.fromEdges(fixture.edges, id => id * 2)
+    assert(pairs(g.vertices) ===
+      Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 10L)))
+  }
+}

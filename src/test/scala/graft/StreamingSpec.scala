@@ -1,0 +1,105 @@
+package graft
+
+import graft.streaming.Streams
+import java.sql.Timestamp
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Drives the SURVEY §2.10 transforms through REAL Structured Streaming
+  * micro-batches (MemoryStream source → memory sink) — watermark
+  * advancement, append-mode window emission, within-watermark dedup and
+  * update-style state. The batch twins of the same functions are what the
+  * DuckDB oracle checks; this spec is the stream-mode half.
+  */
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+  private implicit def ctx: SQLContext = spark.sqlContext
+
+  private def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("tumblingStream emits closed windows once the watermark passes") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_tumble")
+      .outputMode("append").start()
+    try {
+      // Hour-0 window: 2 views + 1 click.
+      mem.addData(Ev(1, t("00:05"), 1, "view", 1.0),
+        Ev(2, t("00:20"), 2, "view", 2.0), Ev(3, t("00:40"), 1, "click", 3.0))
+      q.processAllAvailable()
+      // Append mode: window [00:00,01:00) not emitted before the watermark
+      // (max 00:40 − 1h) passes its end.
+      assert(spark.table("t_tumble").count() === 0)
+      mem.addData(Ev(4, t("02:30"), 3, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, t("04:00"), 3, "view", 1.0))
+      q.processAllAvailable() // watermark now 01:30 ⇒ hour-0 closed
+      val rows = spark.table("t_tumble")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      // Watermark 03:00 (04:00 − 1h) also closes the hour-2 window.
+      assert(rows.toSeq === Seq(
+        (t("00:00").getTime / 1000, "click", 1L),
+        (t("00:00").getTime / 1000, "view", 2L),
+        (t("02:00").getTime / 1000, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate event_ids within the watermark") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t("00:10"), 1, "view", 1.0),
+        Ev(2, t("00:20"), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, t("00:12"), 1, "view", 1.0)) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids === Array(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("userCounts maintains running per-user state across batches") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.userCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t_ucount")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(1, t("00:10"), 1, "view", 1.0),
+        Ev(2, t("00:20"), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t("00:30"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_ucount")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rows.toSeq === Seq((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionsStream groups events into 30-minute-gap sessions") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionsStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("append").start()
+    try {
+      // User 1: events at 00:00 and 00:10 (one session), then 01:30 (new
+      // session after >30m gap).
+      mem.addData(Ev(1, t("00:00"), 1, "view", 1.0),
+        Ev(2, t("00:10"), 1, "view", 1.0), Ev(3, t("01:30"), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, t("05:00"), 9, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData(Ev(5, t("07:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val sess = spark.table("t_sess").filter($"user_id" === 1)
+        .collect().map(r => (r.getLong(2))).sorted // n per session
+      assert(sess.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
