@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, shuffle machinery) on synthetic data so session
+    // init isn't attributed to whichever query happens to run first. Touches
+    // no benchmark tables.
+    spark.range(1000000L).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

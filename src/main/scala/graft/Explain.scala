@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan inspection tool: prints `explain("formatted")` for the
+  * given query keys (default: a representative set) so scan pushdown,
+  * join strategy, and whole-stage-codegen coverage can be audited.
+  *
+  * Usage: runMain graft.Explain [sfDir] [key ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val keys =
+      if (args.length > 1) args.tail.toSeq
+      else Seq("substrate_scan_filter_project", "substrate_hash_join",
+        "out_degrees", "triplets", "filter_on_vertices", "sim_topk",
+        "dedup_minhash", "substrate_window_rank")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      println(s"\n======== $k ========")
+      queries.Registry.byKey.get(k) match {
+        case Some(q) => q.fn(spark, sfDir).explain("formatted")
+        case None    => println(s"unknown key: $k")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -253,6 +253,19 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     */
   def union(other: Graph): Graph =
     Graph(vertices.unionAll(other.vertices), edges.unionAll(other.edges))
+
+  /** Run a composable graph→graph algorithm — reference
+    * `Graph.run(GraphAlgorithm)` ([GH] flink/graphs/GraphAlgorithm.java).
+    */
+  def run(algorithm: GraphAlgorithm): Graph = algorithm.run(this)
+}
+
+/** Composable graph→graph transform, the reference's `GraphAlgorithm<K,VV,EV>`
+  * interface ([GH] flink/graphs/GraphAlgorithm.java): algorithms are values
+  * that can be chained with further operator calls.
+  */
+trait GraphAlgorithm {
+  def run(input: Graph): Graph
 }
 
 object Graph {

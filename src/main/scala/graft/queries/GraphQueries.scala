@@ -343,8 +343,51 @@ object GraphQueries {
        |  SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
        |ORDER BY id""".stripMargin
 
+  /** Generic-key support (reference `Graph<K,VV,EV>` allows any comparable
+    * key; SURVEY §1.3/§7.3.3): build a STRING-keyed customer→nation graph,
+    * dictionary-encode the keys to dense Long ids ([[graft.sources.IdEncoder]]),
+    * run a Long-id operator (degrees), decode back. The oracle reproduces
+    * the encoding with `dense_rank() OVER (ORDER BY key) - 1`.
+    */
+  private def encodeStringIds(s: SparkSession, dir: String) = {
+    val customer = graft.sources.Tables(s, dir, "customer")
+    val nation   = graft.sources.Tables(s, dir, "nation")
+    val verts = customer.select(col("c_name").as("key"),
+        col("c_acctbal").as("value"))
+      .unionAll(nation.select(col("n_name").as("key"), lit(0.0).as("value")))
+    val edges = customer.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_name").as("src_key"), col("n_name").as("dst_key"),
+        lit(1.0).as("value"))
+    val (dict, g) = graft.sources.IdEncoder.encode(s, verts, edges)
+    graft.sources.IdEncoder.decode(g.degrees, dict, "id", "key")
+      .select(col("id"), col("key"), col("degree"))
+      .orderBy(col("id"))
+  }
+  private val encodeStringIdsSql =
+    """WITH verts AS (
+      |  SELECT c_name AS key FROM customer
+      |  UNION ALL SELECT n_name FROM nation),
+      |e AS (
+      |  SELECT c.c_name AS src_key, n.n_name AS dst_key
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |keys AS (
+      |  SELECT DISTINCT key FROM (
+      |    SELECT key FROM verts
+      |    UNION ALL SELECT src_key FROM e
+      |    UNION ALL SELECT dst_key FROM e)),
+      |dict AS (
+      |  SELECT key, dense_rank() OVER (ORDER BY key) - 1 AS id FROM keys),
+      |deg AS (
+      |  SELECT id, COUNT(*) AS degree FROM (
+      |    SELECT src_key AS key FROM e
+      |    UNION ALL SELECT dst_key FROM e) ends
+      |  JOIN dict USING (key) GROUP BY id)
+      |SELECT d.id, d.key, COALESCE(deg.degree, 0) AS degree
+      |FROM dict d LEFT JOIN deg USING (id) ORDER BY id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph", s1, Some(s1Sql)),
+    Q("encode_string_ids", encodeStringIds, Some(encodeStringIdsSql)),
     Q("scan_edges_infer_vertices", s2, Some(s2Sql)),
     Q("scan_collection", s3, Some(s3Sql)),
     Q("sink_tuples", s4, Some(s4Sql)),

@@ -191,6 +191,15 @@ class GraphOpsSpec extends GraftSuite {
     assert(g.numVertices === 10 && g.numEdges === 14)
   }
 
+  test("run composes GraphAlgorithm transforms (reference Graph.run)") {
+    val dropLight = new GraphAlgorithm {
+      def run(input: Graph): Graph = input.filterOnEdges(col("value") > 30)
+    }
+    val g = fixture.run(dropLight).reverse
+    assert(g.numEdges === 4)
+    assert(triples(g.edges).map(_._1).toSet === Set(4L, 5L, 1L))
+  }
+
   test("fromEdges infers distinct endpoints as vertices") {
     val g = Graph.fromEdges(fixture.edges, id => id * 2)
     assert(pairs(g.vertices) ===
