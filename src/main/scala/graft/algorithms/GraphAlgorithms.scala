@@ -136,21 +136,23 @@ object GraphAlgorithms {
     */
   def labelPropagation(s: SparkSession, g: graft.Graph,
                        maxIterations: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var labels = g.vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
     val ends = g.edges.select(col("src"), col("dst")).persist()
     ends.count()
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to maxIterations) {
       val counts = ends
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("vid"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) as a single hash aggregation:
+      // the (c, -label) struct is strictly ordered within a vid group
+      // (label is part of the grouping key), so max_by is deterministic —
+      // and there is no per-partition sort as with a rank window.
       val winners = counts
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vid").as("id"), col("label").as("next"))
+        .groupBy(col("vid"))
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("next"))
+        .select(col("vid").as("id"), col("next"))
       labels = labels.join(winners, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("next"), col("label")).as("label"))

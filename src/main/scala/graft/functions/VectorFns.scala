@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** Column-level vector primitives over `array<float>` embedding columns.
   * Dot products are sequential left folds over exactly-widened floats
@@ -9,11 +10,12 @@ import org.apache.spark.sql.functions._
   * `list_reduce` twin — no UDFs, no MLlib dependency.
   */
 object VectorFns {
-  /** Σ aᵢ·bᵢ in double precision (left fold, deterministic order). */
+  /** Σ aᵢ·bᵢ in double precision (left fold, deterministic order) — the
+    * codegen'd [[ArrayDot]] Catalyst expression.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    SqlBridge.column(ArrayDot(
+      SqlBridge.expression(a), SqlBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
