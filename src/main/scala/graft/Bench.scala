@@ -15,7 +15,12 @@ object Bench {
     // no benchmark tables.
     spark.range(1000000L).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted profiling; the
+    // driver invokes with no args (full run).
+    val keys = args.headOption.map(_.split(",").toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => keys.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
