@@ -41,9 +41,15 @@ object GraphAlgorithms {
         col("value").cast("double"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val gx = GXGraph(vrdd, erdd)
+    // Partition by DATA size, not core count: the source DataFrame's
+    // partitioning is already AQE-coalesced to the data volume, so reuse
+    // its partition count. Core-count partitioning (defaultParallelism)
+    // turns every Pregel superstep into a fan of near-empty tasks at small
+    // scale; at 100 TB callers pass numPartitions explicitly.
     val parts =
       if (numPartitions > 0) numPartitions
-      else gx.edges.sparkContext.defaultParallelism
+      else math.max(1, erdd.getNumPartitions min
+        gx.edges.sparkContext.defaultParallelism)
     gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
   }
 

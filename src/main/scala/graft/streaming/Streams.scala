@@ -66,4 +66,29 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** T5 variant with EXPLICIT custom state (`mapGroupsWithState`) — the
+    * escape hatch for stateful logic Spark's built-in aggregates can't
+    * express (per-key state machines, custom eviction). Here the state is
+    * a running (count, sum) per user, updated per micro-batch; in batch
+    * mode the same code degenerates to a single-pass group aggregate.
+    *
+    * Scale notes: state lives in the state store keyed by user — bounded
+    * by |users|, partitioned by the grouping key across executors; a real
+    * deployment adds a timeout (`GroupStateTimeout`) to evict idle keys.
+    */
+  def userCountsStateful(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var (n, sum) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { case (_, v) => n += 1; sum += v }
+        state.update((n, sum))
+        (uid, n, sum)
+      }
+      .toDF("user_id", "n", "sum_value")
+  }
 }

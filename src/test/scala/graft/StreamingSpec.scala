@@ -82,6 +82,26 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("userCountsStateful accumulates explicit state across micro-batches") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.userCountsStateful(mem.toDF())
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(Ev(1, t("00:10"), 1, "view", 1.5),
+        Ev(2, t("00:20"), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t("00:30"), 1, "click", 0.5))
+      q.processAllAvailable()
+      // Update-mode memory sink appends one row per key per batch; the
+      // running state is the max-n row per user.
+      val last = spark.table("t_state")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSeq.sorted
+      assert(last === Seq((1L, 2L, 2.0), (2L, 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionsStream groups events into 30-minute-gap sessions") {
     val mem = MemoryStream[Ev]
     val q = Streams.sessionsStream(mem.toDF())
