@@ -41,17 +41,27 @@ object GraphAlgorithms {
         col("value").cast("double"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val gx = GXGraph(vrdd, erdd)
-    // Partition by DATA size, not core count: the source DataFrame's
-    // partitioning is already AQE-coalesced to the data volume, so reuse
-    // its partition count. Core-count partitioning (defaultParallelism)
-    // turns every Pregel superstep into a fan of near-empty tasks at small
-    // scale; at 100 TB callers pass numPartitions explicitly.
+    // Partition by DATA size, not core count: core-count partitioning
+    // (defaultParallelism) turns every Pregel superstep into a fan of
+    // near-empty tasks at small scale. Default: inherit the source
+    // DataFrame's (AQE-coalesced) partition count; callers that know the
+    // edge count pass an explicit [[sizedParts]] — important when the
+    // source plan collapses to one partition but the iteration itself is
+    // heavy (e.g. PageRank over a joined edge set).
     val parts =
       if (numPartitions > 0) numPartitions
       else math.max(1, erdd.getNumPartitions min
         gx.edges.sparkContext.defaultParallelism)
     gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
   }
+
+  /** Data-sized GraphX partition count: ~32k edges per partition (a few MB
+    * of serialized triplets per task), capped at the core count locally —
+    * on a real cluster the cap is total executor cores.
+    */
+  def sizedParts(s: SparkSession, nEdges: Long): Int =
+    math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (nEdges / 32768L + 1).toInt))
 
   /** Bounded single-source shortest paths ([GH]
     * library/SingleSourceShortestPaths.java): vertex value = distance
@@ -111,7 +121,13 @@ object GraphAlgorithms {
     val normalized = graft.Graph(g.vertices,
       g.edges.join(ow, Seq("src"))
         .select(col("src"), col("dst"), (col("value") / col("w")).as("value")))
-    var ranks = toGraphX(normalized).mapVertices((_, _) => 1.0 / n).cache()
+    // The joined edge plan AQE-coalesces to very few partitions; size the
+    // iteration's partitioning by edge count instead (g.edges is the
+    // persisted base edge set, so this count is cheap and row-preserving
+    // through the normalizing join).
+    val parts = sizedParts(s, g.edges.count())
+    var ranks = toGraphX(normalized, parts)
+      .mapVertices((_, _) => 1.0 / n).cache()
     ranks.vertices.count()
     for (_ <- 1 to iterations) {
       val msgs = ranks.aggregateMessages[Double](
