@@ -160,7 +160,13 @@ object GraphAlgorithms {
                        maxIterations: Int): DataFrame = {
     var labels = g.vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    val ends = g.edges.select(col("src"), col("dst")).persist()
+    // Repartition the persisted edge list by data size: the AQE-coalesced
+    // source can collapse to a couple of partitions, which would serialize
+    // every round's map side; one explicit shuffle here pays for all
+    // maxIterations rounds.
+    val ends0 = g.edges.select(col("src"), col("dst"))
+    val parts = sizedParts(s, ends0.count())
+    val ends = ends0.repartition(parts).persist()
     ends.count()
     for (_ <- 1 to maxIterations) {
       val counts = ends
