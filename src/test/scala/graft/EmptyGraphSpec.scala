@@ -1,0 +1,56 @@
+package graft
+
+import graft.algorithms.GraphAlgorithms
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: operators must be total on empty vertex/edge
+  * sets (a 100 TB pipeline will hit empty partitions and empty subgraphs
+  * constantly — an operator that throws on empty input is a production
+  * outage, and the reference's coGroup-based ops are all total).
+  */
+class EmptyGraphSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def emptyGraph: Graph = {
+    val v = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("value", LongType))))
+    val e = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("src", LongType), StructField("dst", LongType),
+        StructField("value", LongType))))
+    Graph(v, e)
+  }
+
+  test("structural and aggregate ops are total on the empty graph") {
+    val g = emptyGraph
+    assert(g.numVertices === 0 && g.numEdges === 0)
+    assert(g.outDegrees.count() === 0)
+    assert(g.degrees.count() === 0)
+    assert(g.triplets.count() === 0)
+    assert(g.invalidEndpoints.count() === 0)
+    assert(g.reverse.undirected.edges.count() === 0)
+    assert(g.reduceOnEdges(EdgeDirection.All)(max(col("value"))).count() === 0)
+    assert(g.reduceOnNeighbors(EdgeDirection.In)(sum(col("nbr_value")))
+      .count() === 0)
+  }
+
+  test("edgeless graph: degrees are zero, CC is per-vertex, LP keeps labels") {
+    val g = Graph(Seq((7L, 7L), (9L, 9L)).toDF("id", "value"),
+      emptyGraph.edges)
+    assert(pairs(g.degrees) === Seq((7L, 0L), (9L, 0L)))
+    val cc = GraphAlgorithms.connectedComponents(spark,
+      GraphAlgorithms.toGraphX(g), 5)
+    assert(cc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      === Seq((7L, 7L), (9L, 9L)))
+    val lp = GraphAlgorithms.labelPropagation(spark, g, 3)
+    assert(pairs(lp) === Seq((7L, 7L), (9L, 9L)))
+  }
+
+  test("filters that eliminate everything still compose") {
+    val g = fixture.filterOnVertices(lit(false))
+    assert(g.numVertices === 0 && g.numEdges === 0)
+    assert(g.subgraph(lit(true), lit(true)).numEdges === 0)
+  }
+}
