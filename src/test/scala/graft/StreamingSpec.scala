@@ -82,6 +82,47 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("file-source stream over events.parquet matches the batch twin") {
+    // Real readStream file source over the driver's parquet (TIMESTAMP
+    // NANOS → read as Long via nanosAsLong, converted like
+    // graft.sources.Tables). Complete mode: one replay batch aggregates
+    // the whole file; result must equal the batch-mode computation the
+    // DuckDB oracle checks.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_stream_src")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val streamed = spark.readStream.schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.tumbling(streamed)
+      .writeStream.format("memory").queryName("t_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = rows(spark.table("t_file"))
+      val want = rows(Streams.tumbling(
+        graft.sources.Tables(spark, sfDir, "events")))
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("userCountsStateful accumulates explicit state across micro-batches") {
     val mem = MemoryStream[Ev]
     val q = Streams.userCountsStateful(mem.toDF())
