@@ -18,7 +18,10 @@ object Bench {
     // Optional comma-separated key filter for targeted profiling; the
     // driver invokes with no args (full run).
     val keys = args.headOption.map(_.split(",").toSet)
-    val selected = SparkEntry.queries
+    // Sorted key order: Map hash order shifts whenever a key is added,
+    // moving shared first-touch materialization costs onto different
+    // queries and breaking round-over-round comparability.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keys.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,7 +30,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
