@@ -184,6 +184,10 @@ object GraphAlgorithms {
       labels = labels.join(winners, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("next"), col("label")).as("label"))
+        // Materialize EVERY round: labels_{k-1} appears twice in round k's
+        // plan (the join side and inside winners), so a lazy loop doubles
+        // the plan per round — measured 2× slower by round 5. The eager
+        // cut also truncates lineage (SURVEY §7.3.4).
         .localCheckpoint()
     }
     ends.unpersist(blocking = false)
