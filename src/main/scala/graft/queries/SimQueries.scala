@@ -206,10 +206,64 @@ object SimQueries {
       |  CAST(FLOOR((octet_length(encode(text)) + 1023) / 1024.0) AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal frame-sampling stage: chunk each blob into fixed 1 KiB
+    * "frames" (the video/audio analogue: fixed-duration segments), SAMPLE
+    * every 2nd frame, and feature-extract each sampled frame (stub
+    * checksum — see [[multimodal]]'s STUB note). Output carries both the
+    * total frame count and the ordered per-sampled-frame features, so
+    * downstream stages can join features back to frame offsets.
+    *
+    * Scale notes: frames never leave their partition — the kernel emits
+    * one row per document with a bounded feature array; a real pipeline
+    * with large blobs would explode to (doc, frame_idx) rows instead and
+    * repartition by doc for shuffle-balanced decode.
+    */
+  private val FrameBytes = 1024
+  private val SampleRate = 2
+
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[(Long, Array[Byte])]
+    blobs.mapPartitions(_.map { case (id, bytes) =>
+      val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+      val sampled = (0 until nFrames by SampleRate).toArray
+      val checksums = sampled.map { f =>
+        var acc = 0L
+        var i = f * FrameBytes
+        val end = math.min(i + FrameBytes, bytes.length)
+        while (i < end) { acc += bytes(i) & 0xffL; i += 1 }
+        acc % 65536L
+      }
+      (id, nFrames.toLong, sampled.length.toLong, checksums)
+    }).toDF("doc_id", "n_frames", "n_sampled", "frame_checksums")
+      .orderBy(col("doc_id"))
+  }
+
+  // ASCII text ⇒ byte values == code points; frame f covers substr
+  // [f*1024+1, 1024] (SQL is 1-based).
+  private val multimodalFramesSql =
+    s"""SELECT doc_id,
+       |  CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT)
+       |    AS n_frames,
+       |  CAST(len(range(0,
+       |    CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT),
+       |    $SampleRate)) AS BIGINT) AS n_sampled,
+       |  list_transform(range(0,
+       |    CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT),
+       |    $SampleRate),
+       |    f -> CAST(list_sum(list_transform(
+       |           string_split(substr(text, CAST(f * $FrameBytes + 1 AS INT), $FrameBytes), ''),
+       |           c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT))
+       |    AS frame_checksums
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, None),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("multimodal_features", multimodal, Some(multimodalSql)),
+    Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
   )
 }
