@@ -25,7 +25,12 @@ object Explain {
     keys.foreach { k =>
       println(s"\n======== $k ========")
       queries.Registry.byKey.get(k) match {
-        case Some(q) => q.fn(spark, sfDir).explain("formatted")
+        case Some(q) =>
+          val df = q.fn(spark, sfDir)
+          df.explain("formatted")
+          // Simple mode marks whole-stage-codegen stages with '*(n)'.
+          println("-------- codegen spans --------")
+          df.explain()
         case None    => println(s"unknown key: $k")
       }
     }

@@ -35,6 +35,28 @@ class ArrayDotSpec extends GraftSuite {
       === 1.75)
   }
 
+  test("ArrayDot participates in whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.execution.debug.codegenString
+    // AQE wraps the plan and defers codegen to stage execution; disable it
+    // here so the concrete plan (and its generated source) is inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen = try {
+      // A literal local relation would be pre-evaluated by
+      // ConvertToLocalRelation — use a range source so a real codegen
+      // stage exists.
+      val df = spark.range(4)
+        .select(array(col("id").cast("float"), lit(2.0f)).as("a"),
+          array(lit(3.0f), lit(4.0f)).as("b"))
+        .select(VectorFns.dot(col("a"), col("b")).as("d"))
+        .filter(col("d") > 0)
+      codegenString(df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // A doGenCode compile failure would silently drop to interpreted
+    // eval; the generated source must contain our primitive loop.
+    assert(gen.contains("WholeStageCodegen"))
+    assert(gen.contains("numElements"), gen.take(500))
+  }
+
   test("null array yields null; norm and cosine compose") {
     val df = Seq((Some(Array(3.0f, 4.0f)), Option.empty[Array[Float]]))
       .toDF("a", "b")
