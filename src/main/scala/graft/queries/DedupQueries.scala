@@ -140,19 +140,24 @@ object DedupQueries {
     * is the sign of Σ_tokens (±1 by bit b of the token hash).
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val tokenHashes = Tables(s, dir, "documents")
       .select(col("doc_id"),
         explode(transform(TextFns.tokens(col("text")),
           t => TextFns.stringHash(t))).as("th"))
-    val bits = (0 to 15).toDF("b")
-    tokenHashes.crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(th, b) % 2") === 1, 1L)
-        .otherwise(-1L)).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    // One hash aggregation with 16 conditional bit-vote sums — NOT a
+    // crossJoin with a 16-row bit table, which multiplies the shuffle
+    // input 16× before aggregating. Identical values (the oracle SQL keeps
+    // the relational formulation); at scale this is the difference between
+    // shuffling |tokens| and 16·|tokens| rows.
+    val votes = (0 to 15).map(b =>
+      sum(when(expr(s"shiftright(th, $b) % 2") === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    tokenHashes.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 to 15).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
