@@ -39,8 +39,6 @@ object EdgeDirection {
   *    payload shuffle of the vertex value column).
   */
 case class Graph(vertices: DataFrame, edges: DataFrame) {
-  import Graph._
-
   // ---- projections / filters (reference Graph.java#mapVertices etc.) ----
 
   /** Per-vertex value transform; id preserved ([GH] Graph.java#mapVertices). */

@@ -2,7 +2,7 @@ package graft.algorithms
 
 import graft.util.Det
 import org.apache.spark.graphx.{Edge => GXEdge, EdgeDirection => GXDir,
-  Graph => GXGraph, PartitionStrategy, Pregel, VertexId}
+  Graph => GXGraph, PartitionStrategy, Pregel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
