@@ -172,7 +172,8 @@ object DedupQueries {
        |  FROM th CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bits
        |  GROUP BY doc_id, b)
        |SELECT doc_id,
-       |  SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |       AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** n-gram Jaccard near-dup: distinct 3-gram shingle sets, document-

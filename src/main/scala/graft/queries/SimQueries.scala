@@ -109,52 +109,53 @@ object SimQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs above
-    * the cosine threshold.
+    * the cosine threshold — EXACT semantics (the oracle is all-pairs SQL).
     *
-    * Physical plan: broadcast nested-loop with a primitive-array kernel —
-    * one side is broadcast (n·64 floats, KBs here), the candidate side
-    * streams through `mapPartitions` computing dots in tight JVM loops.
-    * This replaces a cartesian join evaluating interpreted HOF folds per
-    * pair (~80× slower measured). At 100 TB the same kernel runs per block
-    * pair after LSH/IVF bucketing (see simTopkIvf) — broadcast one block,
-    * stream the other; never an unbucketed O(n²).
+    * Physical plan: distributed block nested-loop. Rows are assigned to
+    * `vec_id % nBlocks` blocks (nBlocks sized by data volume, not core
+    * count); a tiny broadcast table of unordered block pairs replicates
+    * each row to its ~nBlocks/2 partner pairs; the equi-join on the pair id
+    * then evaluates the codegen'd [[VectorFns.dot]] kernel over each
+    * |Li|×|Rj| block product. Nothing is collected to the driver and no
+    * task ever holds more than two blocks (≈2·RowsPerBlock·64 floats) —
+    * this is the shape an exact O(n²) scan must take on a 1000-executor
+    * cluster. (At 100 TB an exact low-threshold all-pairs is inherently
+    * quadratic; a production near-dup pass would first narrow candidates
+    * with the LSH/IVF machinery in [[simTopkIvf]]/MinHash and run this same
+    * block kernel per bucket.)
     *
     * The fold order (sequential over dims, float widened to double) matches
-    * [[VectorFns.dot]] and the DuckDB `list_reduce` twin bit-for-bit.
+    * [[VectorFns.dot]] and the DuckDB twin bit-for-bit; dot and the norm
+    * product are symmetric, so evaluating a pair in either operand order
+    * yields bit-identical cosines.
     */
+  private val RowsPerBlock = 1024
+
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val side = rows.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, math.sqrt(dotKernel(v, v))) }
-    val b = s.sparkContext.broadcast(side)
-    val thresh = NearThresh
-    rows.mapPartitions { it =>
-      val all = b.value
-      it.flatMap { case (id1, v1) =>
-        val n1 = math.sqrt(dotKernel(v1, v1))
-        all.iterator
-          .filter(_._1 > id1)
-          .flatMap { case (id2, v2, n2) =>
-            val cos = qroundKernel(dotKernel(v1, v2) / (n1 * n2))
-            if (cos >= thresh) Some((id1, id2, cos)) else None
-          }
-      }
-    }.toDF("v1", "v2", "cos").orderBy(col("v1"), col("v2"))
+    val e = withNorms(s, dir)
+    val nBlocks = math.max(1L,
+      (e.count() + RowsPerBlock - 1) / RowsPerBlock).toInt
+    val blkPairs = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+      yield (i, j, i.toLong * nBlocks + j)).toDF("blk_l", "blk_r", "pid")
+    val blocked = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (col("vec_id") % nBlocks).cast("int").as("blk"))
+    val lhs = blocked.join(broadcast(blkPairs), col("blk") === col("blk_l"))
+      .select(col("pid"), col("blk_l"), col("blk_r"),
+        col("vec_id").as("id_l"), col("embedding").as("emb_l"),
+        col("nrm").as("nrm_l"))
+    val rhs = blocked.join(broadcast(blkPairs), col("blk") === col("blk_r"))
+      .select(col("pid").as("pid_r"), col("vec_id").as("id_r"),
+        col("embedding").as("emb_r"), col("nrm").as("nrm_r"))
+    lhs.join(rhs, col("pid") === col("pid_r") &&
+        (col("blk_l") < col("blk_r") || col("id_l") < col("id_r")))
+      .select(least(col("id_l"), col("id_r")).as("v1"),
+        greatest(col("id_l"), col("id_r")).as("v2"),
+        Det.qround(VectorFns.dot(col("emb_l"), col("emb_r")) /
+          (col("nrm_l") * col("nrm_r")), 6).as("cos"))
+      .filter(col("cos") >= NearThresh)
+      .orderBy(col("v1"), col("v2"))
   }
-
-  /** Left-fold dot product, bit-identical to [[VectorFns.dot]]. */
-  private def dotKernel(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  }
-
-  /** JVM twin of [[Det.qround]] at 6 decimals (pure IEEE ops). */
-  private def qroundKernel(x: Double): Double =
-    math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
   private val dedupEmbeddingSql = {
     val dot = VectorFns.dotSql("a.embedding", "b.embedding")
@@ -201,22 +202,19 @@ object SimQueries {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
       |  CAST(unicode(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
-      |  list_sum(list_transform(string_split(text, ''),
-      |    c -> CAST(unicode(c) AS BIGINT))) % 65536 AS checksum,
+      |  CAST(list_sum(list_transform(string_split(text, ''),
+      |    c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT) AS checksum,
       |  CAST(FLOOR((octet_length(encode(text)) + 1023) / 1024.0) AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame-sampling stage: chunk each blob into fixed 1 KiB
     * "frames" (the video/audio analogue: fixed-duration segments), SAMPLE
     * every 2nd frame, and feature-extract each sampled frame (stub
-    * checksum — see [[multimodal]]'s STUB note). Output carries both the
-    * total frame count and the ordered per-sampled-frame features, so
-    * downstream stages can join features back to frame offsets.
-    *
-    * Scale notes: frames never leave their partition — the kernel emits
-    * one row per document with a bounded feature array; a real pipeline
-    * with large blobs would explode to (doc, frame_idx) rows instead and
-    * repartition by doc for shuffle-balanced decode.
+    * checksum — see [[multimodal]]'s STUB note). Output is exploded to one
+    * row per sampled frame (doc_id, n_frames, frame_idx, checksum) — the
+    * shape a real pipeline wants anyway: downstream stages join features
+    * back by (doc_id, frame_idx), and a repartition on doc_id rebalances
+    * decode work when blob sizes are skewed.
     */
   private val FrameBytes = 1024
   private val SampleRate = 2
@@ -226,38 +224,36 @@ object SimQueries {
     val blobs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[(Long, Array[Byte])]
-    blobs.mapPartitions(_.map { case (id, bytes) =>
+    blobs.mapPartitions(_.flatMap { case (id, bytes) =>
       val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
-      val sampled = (0 until nFrames by SampleRate).toArray
-      val checksums = sampled.map { f =>
+      (0 until nFrames by SampleRate).iterator.map { f =>
         var acc = 0L
         var i = f * FrameBytes
         val end = math.min(i + FrameBytes, bytes.length)
         while (i < end) { acc += bytes(i) & 0xffL; i += 1 }
-        acc % 65536L
+        (id, nFrames.toLong, f.toLong, acc % 65536L)
       }
-      (id, nFrames.toLong, sampled.length.toLong, checksums)
-    }).toDF("doc_id", "n_frames", "n_sampled", "frame_checksums")
-      .orderBy(col("doc_id"))
+    }).toDF("doc_id", "n_frames", "frame_idx", "checksum")
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   // ASCII text ⇒ byte values == code points; frame f covers substr
   // [f*1024+1, 1024] (SQL is 1-based).
   private val multimodalFramesSql =
-    s"""SELECT doc_id,
-       |  CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT)
-       |    AS n_frames,
-       |  CAST(len(range(0,
-       |    CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT),
-       |    $SampleRate)) AS BIGINT) AS n_sampled,
-       |  list_transform(range(0,
-       |    CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0) AS BIGINT),
-       |    $SampleRate),
-       |    f -> CAST(list_sum(list_transform(
-       |           string_split(substr(text, CAST(f * $FrameBytes + 1 AS INT), $FrameBytes), ''),
-       |           c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT))
-       |    AS frame_checksums
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    CAST(FLOOR((length(text) + $FrameBytes - 1) / $FrameBytes.0)
+       |         AS BIGINT) AS n_frames
+       |  FROM documents),
+       |fx AS (
+       |  SELECT doc_id, text, n_frames,
+       |    unnest(range(0, n_frames, $SampleRate)) AS f
+       |  FROM base)
+       |SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(list_sum(list_transform(
+       |    string_split(substr(text, CAST(f * $FrameBytes + 1 AS INT), $FrameBytes), ''),
+       |    c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT) AS checksum
+       |FROM fx ORDER BY doc_id, frame_idx""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),

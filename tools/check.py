@@ -40,6 +40,15 @@ for key, sql in sorted(oracles.items()):
     ocols, scols = sorted(oracle.column_names), sorted(spark.column_names)
     if ocols != scols:
         print(f"FAIL {key}: cols oracle={ocols} spark={scols}"); n_fail += 1; continue
+    # The driver compares pandas-rendered values, so dtype KIND differences
+    # (e.g. DuckDB HUGEINT -> float64 vs Spark int64) fail its hash gate
+    # even when values are identical (r1: dedup_simhash etc.). Width-only
+    # differences (int32 vs int64) passed the r1 gate, so only kind counts.
+    opd, spd = oracle.to_pandas(), spark.to_pandas()
+    dt = [(c, str(opd[c].dtype), str(spd[c].dtype)) for c in ocols
+          if opd[c].dtype.kind != spd[c].dtype.kind]
+    if dt:
+        print(f"FAIL {key}: dtype kind mismatch {dt}"); n_fail += 1; continue
     orows = [tuple(canon(r[c]) for c in ocols) for r in oracle.to_pylist()]
     srows = [tuple(canon(r[c]) for c in scols) for r in spark.to_pylist()]
     if orows == srows:
