@@ -145,7 +145,8 @@ object GraphAlgorithms {
   /** Label propagation ([GH] library/LabelPropagation.java): adopt the most
     * frequent neighbor label each round; ties broken toward the SMALLEST
     * label (our pinned semantics, SURVEY §7.3.5 — the reference left the
-    * tie rule ambiguous, so this key is golden-tested, not oracled).
+    * tie rule ambiguous; pinning it makes the rounds fully deterministic,
+    * so the key is both golden-tested AND oracled via unrolled CTEs).
     *
     * Implemented as a synchronous DataFrame driver-loop (the R8 substrate
     * pattern): per round, one shuffle to count (vertex, label) pairs over

@@ -65,19 +65,29 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
-  /** IVF-style ANN (scale path, golden/rows-only): coarse centroids =
-    * per-label mean vectors; each query probes its 2 nearest centroids and
-    * scores only those inverted lists (~2/10 of the data). At 100 TB the
-    * lists are bucketed/partitioned by centroid id, so a query touches only
-    * its probed partitions. Not SQL-oracled: centroid means are
-    * order-dependent float sums (SURVEY §7.4 forbids oracling those).
+  /** IVF-style ANN (scale path): coarse centroids = per-label mean
+    * vectors; each query probes its 2 nearest centroids and scores only
+    * those inverted lists (~2/10 of the data). At 100 TB the lists are
+    * bucketed/partitioned by centroid id, so a query touches only its
+    * probed partitions.
+    *
+    * SQL-oracled: centroid means are computed over INTEGER-scaled
+    * components — `floor(x·10⁶ + 0.5)` is pure IEEE (bit-identical in both
+    * engines, like [[Det.qround]]), the BIGINT sum is order-independent,
+    * and the final `sum/(10⁶·n)` division is a single deterministic IEEE
+    * op. Every downstream dot/norm/ratio is then the same sequential fold
+    * on both sides, so probe selection and final ranking match exactly.
     */
   private def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorms(s, dir)
     // centroids: mean per label via posexplode + re-collect (distributed)
     val cent = Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("v"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * 1000000.0 + 0.5)
+        .cast("long")).as("sv"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sv").cast("double") / (lit(1000000.0) * col("n"))).as("v"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
         .as("pv"))
@@ -106,6 +116,54 @@ object SimQueries {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val simTopkIvfSql = {
+    val cdot = VectorFns.dotSql("q.q_emb", "c.centroid")
+    val sdot = VectorFns.dotSql("p.q_emb", "c.embedding")
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |centc AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM comps GROUP BY label, pos),
+       |centn AS (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM centc GROUP BY label)),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id < $NQueries),
+       |probe0 AS (
+       |  SELECT q.q_id, q.q_emb, q.q_nrm, c.c_label,
+       |    $cdot / (q.q_nrm * c.c_nrm) AS c_cos
+       |  FROM q CROSS JOIN centn c),
+       |probes AS (
+       |  SELECT q_id, q_emb, q_nrm, c_label FROM (
+       |    SELECT q_id, q_emb, q_nrm, c_label,
+       |      row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY c_cos DESC, c_label) AS c_rk
+       |    FROM probe0) WHERE c_rk <= 2),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id AS c_id,
+       |    ${Det.qroundSql(s"$sdot / (p.q_nrm * c.nrm)", 6)} AS cos
+       |  FROM n c JOIN probes p
+       |    ON c.label = p.c_label AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs above
@@ -257,7 +315,7 @@ object SimQueries {
 
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
-    Q("sim_topk_ivf", simTopkIvf, None),
+    Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("multimodal_features", multimodal, Some(multimodalSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),

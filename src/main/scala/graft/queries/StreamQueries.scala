@@ -79,19 +79,32 @@ object StreamQueries {
     s"""SELECT user_id, COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** X6 — distinct users per event type. The engine's approximate path is
-    * `approx_count_distinct` (HLL, mergeable at 100 TB scale); the oracled
-    * columns are the exact counts, which is what the driver compares.
+  /** X6 — distinct users per event type: the HLL sketch
+    * (`approx_count_distinct`, mergeable at 100 TB scale — partial sketches
+    * combine across executors without a distinct shuffle) alongside the
+    * exact `count(DISTINCT)`.
+    *
+    * Oracle shape (SURVEY X6 "declare both columns, compare exact one"):
+    * the exact counts are value-compared; the sketch — whose estimate is
+    * deterministic in Spark but engine-specific, so DuckDB's HLL could
+    * never hash-match it — is checked through its accuracy contract
+    * instead: `hll_within_rsd` asserts the estimate lands within 3×rsd of
+    * the exact count (rsd = 0.05 default), which the oracle pins to TRUE.
+    * A broken sketch (or a silent fallback to 0) fails the gate.
     */
   private def x6(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("n_approx"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (abs(col("n_approx") - col("n_users")).cast("double") <=
+          lit(0.15) * col("n_users")).as("hll_within_rsd"))
       .orderBy(col("event_type"))
 
   private val x6Sql =
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
-      |  COUNT(*) AS n_events
+      |  COUNT(*) AS n_events, TRUE AS hll_within_rsd
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val qs: Seq[Q] = Seq(
