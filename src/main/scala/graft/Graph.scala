@@ -14,6 +14,14 @@ object EdgeDirection {
   case object All extends EdgeDirection
 }
 
+/** One edge with both endpoint values — the messaging view a
+  * [[Graph.pregel]] `sendMsg` function sees, mirroring the reference's
+  * spargel messaging context ([GH] Graph.java#runVertexCentricIteration's
+  * MessagingFunction receives the edge plus the source vertex state).
+  */
+final case class PregelTriplet(src: Long, dst: Long, srcValue: Double,
+                               dstValue: Double, edgeValue: Double)
+
 /** Property graph over two DataFrames — the Spark-native re-expression of the
   * reference's `Graph<K,VV,EV>` ([GH] flink/graphs/Graph.java#class), which
   * wraps a vertex DataSet and an edge DataSet.
@@ -256,6 +264,50 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * `Graph.run(GraphAlgorithm)` ([GH] flink/graphs/GraphAlgorithm.java).
     */
   def run(algorithm: GraphAlgorithm): Graph = algorithm.run(this)
+
+  // ---- vertex-centric iteration (reference's core export) ----
+
+  /** Generic bulk-synchronous vertex-centric iteration — the reference's
+    * single most important export ([GH] Graph.java#runVertexCentricIteration
+    * wrapping flink-spargel's delta iterations). Users write NEW iterative
+    * algorithms with this; the library algorithms in
+    * [[graft.algorithms.GraphAlgorithms]] (SSSP, CC) are themselves
+    * 10-line calls through the same runner.
+    *
+    * Per superstep: `sendMsg` runs over every triplet whose `dir`-side
+    * endpoint received a message last round (the delta/frontier
+    * optimization — supersteps touch the active set, not the whole graph),
+    * messages to the same vertex are combined with `mergeMsg` (map-side,
+    * before the shuffle), and each message-receiving vertex updates via
+    * `vprog(id, oldValue, combinedMsg)`. Halts when no messages flow or
+    * after `maxIterations`. `vprog` is also applied once to every vertex
+    * with `initialMsg` before the first superstep (GraphX/spargel
+    * convention — write `vprog` so it is identity on `initialMsg`).
+    *
+    * Vertex and edge values are evaluated as Double (the same bridge the
+    * library algorithms use; see [[graft.sources.IdEncoder]] for generic
+    * keys). Returns the final (id, value) assignment.
+    *
+    * Scale notes: the graph is partitioned once with `EdgePartition2D`
+    * (√|P| vertex-replication bound), partition count sized by edge count
+    * (~32k edges/partition) unless `numPartitions` overrides; per-superstep
+    * state is materialized and unpersisted by the runner, truncating
+    * lineage across supersteps.
+    */
+  def pregel[M: scala.reflect.ClassTag](
+      initialMsg: M, maxIterations: Int,
+      dir: EdgeDirection = EdgeDirection.Out, numPartitions: Int = 0)(
+      vprog: (Long, Double, M) => Double)(
+      sendMsg: PregelTriplet => Iterator[(Long, M)])(
+      mergeMsg: (M, M) => M): DataFrame = {
+    import graft.algorithms.GraphAlgorithms
+    val s = vertices.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else GraphAlgorithms.sizedParts(s, edges.count())
+    GraphAlgorithms.pregelOn(s, GraphAlgorithms.toGraphX(this, parts),
+      initialMsg, maxIterations, dir)(vprog)(sendMsg)(mergeMsg)
+  }
 }
 
 /** Composable graph→graph transform, the reference's `GraphAlgorithm<K,VV,EV>`

@@ -63,43 +63,70 @@ object GraphAlgorithms {
     math.max(1, math.min(s.sparkContext.defaultParallelism,
       (nEdges / 32768L + 1).toInt))
 
+  /** The generic vertex-centric runner under [[graft.Graph.pregel]] — also
+    * usable directly over an already-converted (cached) GraphX graph, which
+    * is how the library algorithms below share one conversion per dataset.
+    * Contract documented on [[graft.Graph.pregel]].
+    */
+  def pregelOn[M: scala.reflect.ClassTag](
+      s: SparkSession, gx: GXGraph[Double, Double], initialMsg: M,
+      maxIterations: Int, dir: graft.EdgeDirection)(
+      vprog: (Long, Double, M) => Double)(
+      sendMsg: graft.PregelTriplet => Iterator[(Long, M)])(
+      mergeMsg: (M, M) => M): DataFrame = {
+    import s.implicits._
+    val gxDir = dir match {
+      case graft.EdgeDirection.In  => GXDir.In
+      case graft.EdgeDirection.Out => GXDir.Out
+      case graft.EdgeDirection.All => GXDir.Either
+    }
+    Pregel(gx, initialMsg, maxIterations, gxDir)(
+      (id, v, m) => vprog(id, v, m),
+      t => sendMsg(graft.PregelTriplet(t.srcId, t.dstId, t.srcAttr,
+        t.dstAttr, t.attr)),
+      mergeMsg)
+      .vertices.toDF("id", "value")
+  }
+
   /** Bounded single-source shortest paths ([GH]
     * library/SingleSourceShortestPaths.java): vertex value = distance
     * (source 0, else ∞); message = dist + edge weight; update = min.
     * `maxIterations` message rounds ⇒ shortest distance within that many
     * hops — level-synchronous, so it matches the unrolled relational
     * expansion exactly (bit-exact: path sums fold weights in path order in
-    * both formulations).
+    * both formulations). Expressed through the generic [[pregelOn]] runner.
     */
   def ssspBounded(s: SparkSession, base: GXGraph[Double, Double],
                   source: Long, maxIterations: Int): DataFrame = {
-    import s.implicits._
     val gx = base.mapVertices((id, _) =>
       if (id == source) 0.0 else Double.PositiveInfinity)
-    val res = Pregel(gx, Double.PositiveInfinity, maxIterations, GXDir.Out)(
-      (_, d, m) => math.min(d, m),
-      t => if (t.srcAttr + t.attr < t.dstAttr)
-        Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+    pregelOn(s, gx, Double.PositiveInfinity, maxIterations,
+      graft.EdgeDirection.Out)(
+      (_, d, m) => math.min(d, m))(
+      t => if (t.srcValue + t.edgeValue < t.dstValue)
+        Iterator((t.dst, t.srcValue + t.edgeValue)) else Iterator.empty)(
       math.min)
-    res.vertices.filter(_._2 < Double.PositiveInfinity)
-      .toDF("id", "dist")
+      .filter(col("value") < Double.PositiveInfinity)
+      .select(col("id"), col("value").as("dist"))
   }
 
   /** Bounded connected components via min-id label propagation ([GH]
     * library CC / the canonical spargel example): value = component id
     * (init = own id), propagate min until fixpoint or `maxIterations`.
     * Run on an undirected (symmetrized) graph for weak connectivity.
+    * Expressed through the generic [[pregelOn]] runner; component ids are
+    * vertex ids (< 2⁵³), so the Double-valued state is exact.
     */
   def connectedComponents(s: SparkSession, base: GXGraph[Double, Double],
                           maxIterations: Int): DataFrame = {
-    import s.implicits._
-    val gx = base.mapVertices((id, _) => id)
-    val res = Pregel(gx, Long.MaxValue, maxIterations, GXDir.Out)(
-      (_, c, m) => math.min(c, m),
-      t => if (t.srcAttr < t.dstAttr)
-        Iterator((t.dstId, t.srcAttr)) else Iterator.empty,
+    val gx = base.mapVertices((id, _) => id.toDouble)
+    pregelOn(s, gx, Double.MaxValue, maxIterations,
+      graft.EdgeDirection.Out)(
+      (_, c, m) => math.min(c, m))(
+      t => if (t.srcValue < t.dstValue)
+        Iterator((t.dst, t.srcValue)) else Iterator.empty)(
       math.min)
-    res.vertices.toDF("id", "comp")
+      .select(col("id"), col("value").cast("long").as("comp"))
   }
 
   /** Fixed-iteration damped PageRank ([GH] library/PageRank.java):

@@ -137,7 +137,7 @@ object GraphQueries {
   }
   private val j2Sql =
     s"""$P, aux AS (
-       |  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+       |  SELECT o_custkey AS src, ${GTrade.OffSql} + l_suppkey AS dst,
        |         CAST(COUNT(*) AS DOUBLE) AS t
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2)
        |SELECT e.src, e.dst,
@@ -163,13 +163,13 @@ object GraphQueries {
   /** J4 join_with_edges_on_target — symmetric on dst (supplier acctbal). */
   private def j4(s: SparkSession, dir: String) = {
     val aux = graft.sources.Tables(s, dir, "supplier")
-      .select((col("s_suppkey") + GTrade.Offset).as("id"),
+      .select((col("s_suppkey") + GTrade.offset(s, dir)).as("id"),
         col("s_acctbal").as("t"))
     orderedEdges(g(s, dir).joinWithEdgesOnTarget(aux, (_, t) => t).edges)
   }
   private val j4Sql =
     s"""$P, aux AS (
-       |  SELECT 1000000 + s_suppkey AS id, s_acctbal AS t FROM supplier)
+       |  SELECT ${GTrade.OffSql} + s_suppkey AS id, s_acctbal AS t FROM supplier)
        |SELECT e.src, e.dst,
        |       CASE WHEN a.id IS NULL THEN e.value ELSE a.t END AS value
        |FROM edges e LEFT JOIN aux a ON e.dst = a.id
@@ -199,18 +199,19 @@ object GraphQueries {
        |WHERE id NOT IN (SELECT id FROM vertices)""".stripMargin
 
   /** J7 remove_vertex + remove_edge — delete vertex 0 with incident edges,
-    * and the specific edge (1, 1000000).
+    * and the specific edge (1, offset) — customer 1 → supplier 0.
     */
   private def j7(s: SparkSession, dir: String) = {
     import s.implicits._
     val victims = Seq(0L).toDF("id")
-    val edgeVictims = Seq((1L, GTrade.Offset)).toDF("src", "dst")
+    val edgeVictims = Seq((1L, GTrade.offset(s, dir))).toDF("src", "dst")
     orderedEdges(g(s, dir).removeVertices(victims).removeEdges(edgeVictims)
       .edges)
   }
   private val j7Sql =
     s"""$P SELECT src, dst, value FROM edges
-       |WHERE src <> 0 AND dst <> 0 AND NOT (src = 1 AND dst = 1000000)
+       |WHERE src <> 0 AND dst <> 0
+       |  AND NOT (src = 1 AND dst = ${GTrade.OffSql})
        |ORDER BY src, dst, value""".stripMargin
 
   /** J8 add_vertex / add_edge — append a new vertex with one incident edge;
@@ -219,7 +220,7 @@ object GraphQueries {
   private def j8(s: SparkSession, dir: String) = {
     import s.implicits._
     val v = Seq((9999999L, 0.0)).toDF("id", "value")
-    val e = Seq((9999999L, GTrade.Offset, 1.0)).toDF("src", "dst", "value")
+    val e = Seq((9999999L, GTrade.offset(s, dir), 1.0)).toDF("src", "dst", "value")
     val g2 = g(s, dir).addVertex(v, e)
     g2.vertices.agg(count(lit(1)).as("n_vertices"))
       .crossJoin(g2.edges.agg(count(lit(1)).as("n_edges")))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The generic vertex-centric iteration API (reference's core export,
+  * [GH] Graph.java#runVertexCentricIteration): a user must be able to write
+  * a NEW algorithm against [[Graph.pregel]] alone — no library code.
+  */
+class PregelSpec extends GraftSuite {
+
+  /** Max-value propagation — not in the library — written from scratch
+    * against the public runner: every vertex converges to the largest value
+    * reachable backwards along directed paths into it.
+    */
+  test("new algorithm via public pregel: max-value propagation") {
+    val result = fixture.pregel(Double.NegativeInfinity, maxIterations = 10)(
+      (_, v, m) => math.max(v, m))(
+      t => if (t.srcValue > t.dstValue) Iterator((t.dst, t.srcValue))
+           else Iterator.empty)(
+      math.max)
+    // The fixture's 1→3→5→1 cycle reaches every vertex, so all converge
+    // to the global max 5.0 (vertex values = ids).
+    assert(rows(result) == (1 to 5).map(i => Seq(i.toLong, 5.0)))
+  }
+
+  test("pregel halts after maxIterations even when messages still flow") {
+    // One round of max propagation only: each vertex sees only direct
+    // predecessors. in-nbr maxes: 1←{5}, 2←{1}, 3←{1,2}, 4←{3}, 5←{3,4}.
+    val result = fixture.pregel(Double.NegativeInfinity, maxIterations = 1)(
+      (_, v, m) => math.max(v, m))(
+      t => if (t.srcValue > t.dstValue) Iterator((t.dst, t.srcValue))
+           else Iterator.empty)(
+      math.max)
+    assert(rows(result) ==
+      Seq(Seq(1L, 5.0), Seq(2L, 2.0), Seq(3L, 3.0), Seq(4L, 4.0), Seq(5L, 5.0)))
+  }
+
+  test("pregel with EdgeDirection.All activates both endpoints") {
+    // Min-id flood over the DIRECTED fixture with All active direction:
+    // messages go src→dst only, but a vertex whose value changed activates
+    // its in- AND out-edges next round. On the fixture cycle the global
+    // min 1 floods to everyone.
+    val result = fixture.pregel(Double.MaxValue, 10, EdgeDirection.All)(
+      (_, v, m) => math.min(v, m))(
+      t => if (t.srcValue < t.dstValue) Iterator((t.dst, t.srcValue))
+           else Iterator.empty)(
+      math.min)
+    assert(rows(result) == (1 to 5).map(i => Seq(i.toLong, 1.0)))
+  }
+
+  /** The library algorithms are thin calls through the same runner — the
+    * composability proof: re-derive SSSP with user code and compare with
+    * the library result on the fixture.
+    */
+  test("user-written SSSP matches library ssspBounded") {
+    val init = Graph(
+      fixture.vertices.select(col("id"),
+        when(col("id") === 1L, 0.0).otherwise(Double.PositiveInfinity)
+          .as("value")),
+      fixture.edges)
+    val viaPublic = init.pregel(Double.PositiveInfinity, 4)(
+      (_, d, m) => math.min(d, m))(
+      t => if (t.srcValue + t.edgeValue < t.dstValue)
+             Iterator((t.dst, t.srcValue + t.edgeValue))
+           else Iterator.empty)(
+      math.min)
+      .filter(col("value") < Double.PositiveInfinity)
+      .select(col("id"), col("value").as("dist"))
+    val lib = graft.algorithms.GraphAlgorithms.ssspBounded(spark,
+      graft.algorithms.GraphAlgorithms.toGraphX(fixture), 1L, 4)
+    assert(rows(viaPublic) == rows(lib))
+    assert(rows(viaPublic).nonEmpty)
+  }
+}
