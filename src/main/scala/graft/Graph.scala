@@ -90,24 +90,31 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
 
   // ---- joins (reference Graph.java#joinWithVertices etc.) ----
 
-  /** Equi-join vertices against `aux` (`id`, `t`); matched vertices get
-    * `f(value, t)`, unmatched KEEP their old value — the reference's
-    * left-outer coGroup semantics ([GH] Graph.java#joinWithVertices).
+  /** Equi-join vertices against a 2-column `aux` (key, payload — matched
+    * POSITIONALLY, any column names); matched vertices get `f(value, t)`,
+    * unmatched KEEP their old value — the reference's left-outer coGroup
+    * semantics ([GH] Graph.java#joinWithVertices).
     */
-  def joinWithVertices(aux: DataFrame, f: (Column, Column) => Column): Graph =
+  def joinWithVertices(aux: DataFrame, f: (Column, Column) => Column): Graph = {
+    val a = aux.toDF("id", "t")
     copy(vertices = vertices
-      .join(aux, Seq("id"), "left_outer")
+      .join(a, Seq("id"), "left_outer")
       .select(col("id"),
         when(col("t").isNull, col("value"))
           .otherwise(f(col("value"), col("t"))).as("value")))
+  }
 
-  /** Same, keyed on (src, dst) ([GH] Graph.java#joinWithEdges). */
-  def joinWithEdges(aux: DataFrame, f: (Column, Column) => Column): Graph =
+  /** Same, keyed on the first two `aux` columns as (src, dst)
+    * ([GH] Graph.java#joinWithEdges).
+    */
+  def joinWithEdges(aux: DataFrame, f: (Column, Column) => Column): Graph = {
+    val a = aux.toDF("src", "dst", "t")
     copy(edges = edges
-      .join(aux, Seq("src", "dst"), "left_outer")
+      .join(a, Seq("src", "dst"), "left_outer")
       .select(col("src"), col("dst"),
         when(col("t").isNull, col("value"))
           .otherwise(f(col("value"), col("t"))).as("value")))
+  }
 
   /** Aux keyed on src only: one aux row updates ALL out-edges of that src
     * ([GH] Graph.java#joinWithEdgesOnSource).
@@ -124,7 +131,7 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
   private def joinOnEndpoint(aux: DataFrame, f: (Column, Column) => Column,
                              key: String): Graph =
     copy(edges = edges
-      .join(aux.withColumnRenamed("id", key), Seq(key), "left_outer")
+      .join(aux.toDF(key, "t"), Seq(key), "left_outer")
       .select(col("src"), col("dst"),
         when(col("t").isNull, col("value"))
           .otherwise(f(col("value"), col("t"))).as("value")))
@@ -240,6 +247,58 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
             col("dst_value").as("nbr_value"), col("edge_value")))
     }
     keyed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[reduceOnEdges]] with the center vertex's own value in scope — the
+    * reference's `EdgesFunctionWithVertexValue` overload ([GH]
+    * Graph.java#reduceOnEdges(EdgesFunctionWithVertexValue,...)). `aggs`
+    * are expressions over the edge `value` column; the output carries
+    * `own_value` (the center vertex's value — part of the group key, which
+    * is loss-free since vertex values are unique per id) for use in a
+    * post-aggregation projection.
+    */
+  def reduceOnEdgesWithVertexValue(dir: EdgeDirection)(
+      aggs: Column*): DataFrame = {
+    val keyed = dir match {
+      case EdgeDirection.Out => edges
+        .join(vertices.select(col("id").as("src"),
+          col("value").as("own_value")), Seq("src"))
+        .select(col("src").as("id"), col("own_value"), col("value"))
+      case EdgeDirection.In => edges
+        .join(vertices.select(col("id").as("dst"),
+          col("value").as("own_value")), Seq("dst"))
+        .select(col("dst").as("id"), col("own_value"), col("value"))
+      case EdgeDirection.All =>
+        val t = triplets
+        t.select(col("src").as("id"), col("src_value").as("own_value"),
+            col("edge_value").as("value"))
+          .unionAll(t.select(col("dst").as("id"),
+            col("dst_value").as("own_value"),
+            col("edge_value").as("value")))
+    }
+    keyed.groupBy(col("id"), col("own_value")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[reduceOnNeighbors]] with the center vertex's own value in scope —
+    * the reference's `NeighborsFunctionWithVertexValue` overload ([GH]
+    * Graph.java#reduceOnNeighbors(NeighborsFunctionWithVertexValue,...)).
+    * `aggs` see `nbr_value` and `edge_value`; the output carries
+    * `own_value` for post-aggregation use (e.g. neighbor sum minus own
+    * balance).
+    */
+  def reduceOnNeighborsWithVertexValue(dir: EdgeDirection)(
+      aggs: Column*): DataFrame = {
+    val t = triplets
+    val in = t.select(col("dst").as("id"), col("dst_value").as("own_value"),
+      col("src_value").as("nbr_value"), col("edge_value"))
+    val out = t.select(col("src").as("id"), col("src_value").as("own_value"),
+      col("dst_value").as("nbr_value"), col("edge_value"))
+    val keyed = dir match {
+      case EdgeDirection.In  => in
+      case EdgeDirection.Out => out
+      case EdgeDirection.All => in.unionAll(out)
+    }
+    keyed.groupBy(col("id"), col("own_value")).agg(aggs.head, aggs.tail: _*)
   }
 
   // ---- structural ops ----

@@ -299,6 +299,61 @@ object GraphQueries {
        |FROM edges e JOIN vertices v ON e.src = v.id
        |GROUP BY e.dst ORDER BY id""".stripMargin
 
+  /** A5b reduce_on_edges_all — EdgeDirection.All branch: per-vertex reduce
+    * over ALL incident edge values (in- and out-, multiplicity kept; a
+    * self-loop would count twice, matching the reference's ALL coGroup).
+    */
+  private def a5all(s: SparkSession, dir: String) =
+    g(s, dir).reduceOnEdges(EdgeDirection.All)(
+      Det.decSum(col("value")).as("sum_all"),
+      count(lit(1)).as("n_all"))
+      .orderBy(col("id"))
+  private val a5allSql =
+    s"""$P SELECT id, ${Det.decSumSql("value")} AS sum_all,
+       |       COUNT(*) AS n_all
+       |FROM (SELECT src AS id, value FROM edges
+       |      UNION ALL SELECT dst AS id, value FROM edges)
+       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** A6b reduce_on_neighbors_all — EdgeDirection.All branch: per-vertex
+    * reduce over in- AND out-neighbor vertex values.
+    */
+  private def a6all(s: SparkSession, dir: String) =
+    g(s, dir).reduceOnNeighbors(EdgeDirection.All)(
+      Det.decSum(col("nbr_value")).as("nbr_sum_all"),
+      count(lit(1)).as("n_nbr_all"))
+      .orderBy(col("id"))
+  private val a6allSql =
+    s"""$P SELECT id, ${Det.decSumSql("nbr")} AS nbr_sum_all,
+       |       COUNT(*) AS n_nbr_all
+       |FROM (
+       |  SELECT e.dst AS id, v.value AS nbr
+       |  FROM edges e JOIN vertices v ON e.src = v.id
+       |  UNION ALL
+       |  SELECT e.src AS id, v.value AS nbr
+       |  FROM edges e JOIN vertices v ON e.dst = v.id)
+       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** A7 reduce_on_neighbors_with_value — the WithVertexValue overload: the
+    * center vertex's own value participates (in-neighbor balance sum minus
+    * own balance).
+    */
+  private def a7(s: SparkSession, dir: String) =
+    g(s, dir).reduceOnNeighborsWithVertexValue(EdgeDirection.In)(
+      Det.decSum(col("nbr_value")).as("nbr_sum"),
+      count(lit(1)).as("n_nbr"))
+      .select(col("id"), col("own_value"),
+        (col("nbr_sum") - col("own_value")).as("nbr_minus_own"),
+        col("n_nbr"))
+      .orderBy(col("id"))
+  private val a7Sql =
+    s"""$P SELECT e.dst AS id, c.value AS own_value,
+       |       ${Det.decSumSql("v.value")} - c.value AS nbr_minus_own,
+       |       COUNT(*) AS n_nbr
+       |FROM edges e JOIN vertices v ON e.src = v.id
+       |JOIN vertices c ON e.dst = c.id
+       |GROUP BY e.dst, c.value ORDER BY id""".stripMargin
+
   // ---- G: structural ----
 
   /** G1 reverse. */
@@ -411,7 +466,10 @@ object GraphQueries {
     Q("degrees", a3, Some(a3Sql)),
     Q("num_vertices_edges", a4, Some(a4Sql)),
     Q("reduce_on_edges", a5, Some(a5Sql)),
+    Q("reduce_on_edges_all", a5all, Some(a5allSql)),
     Q("reduce_on_neighbors", a6, Some(a6Sql)),
+    Q("reduce_on_neighbors_all", a6all, Some(a6allSql)),
+    Q("reduce_on_neighbors_with_value", a7, Some(a7Sql)),
     Q("reverse", g1, Some(g1Sql)),
     Q("undirected", g2q, Some(g2Sql)),
     Q("union_graphs", g3, Some(g3Sql)),
