@@ -17,6 +17,9 @@ object GraftFunctions {
     // Codegen'd scalar: dot product over float/double arrays.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", exprs => ArrayDot(exprs.head, exprs(1)), "scala_udf")
+    // Codegen'd scalar: word-3-gram rolling-hash shingles.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hash", exprs => ShingleHash(exprs.head), "scala_udf")
     // Typed Aggregator as a SQL UDAF.
     spark.udf.register("minhash_band", udaf(DefaultBand))
   }

@@ -19,7 +19,6 @@ import org.apache.spark.sql.functions._
   * worst bucket.
   */
 object DedupQueries {
-  import TextFns.HashMod
   private val Prime = 2147483647L // 2^31-1, second-level LSH modulus
   /** MinHash: 4 bands × 2 rows (r=2 halves false positives vs r=1). */
   private val BandParams: Seq[(Int, Long, Long, Long, Long)] = Seq(
@@ -56,31 +55,20 @@ object DedupQueries {
 
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     hsCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      // Tight JVM kernel instead of interpreted HOF folds: the per-character
-      // rolling hash dominated this stage (~10 M lambda evaluations at
-      // sf0.1). Arithmetic is bit-identical to TextFns.stringHash /
-      // stringHashSql — same split semantics (split(" ", -1) keeps trailing
-      // empties like Spark's split), same (h*31 + codepoint) % HashMod fold.
+      // Codegen'd JVM kernel ([[graft.functions.ShingleHash]]) instead of
+      // interpreted HOF folds: the per-character rolling hash dominated
+      // this stage (~10 M lambda evaluations at sf0.1). As a native
+      // expression it stays inside whole-stage codegen — no Dataset
+      // encoder round-trip, column pruning intact. Arithmetic is
+      // bit-identical to TextFns.stringHash / stringHashSql; the empty-
+      // array filter matches the oracle's `WHERE len(...) >= 3` (a doc
+      // with ≥ 3 tokens always yields ≥ 1 shingle).
+      import org.apache.spark.sql.graftbridge.SqlBridge
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.flatMap { case (id, text) =>
-          val tok = text.split(" ", -1)
-          if (tok.length < 3) Iterator.empty
-          else {
-            val hs = new Array[Long](tok.length - 2)
-            var i = 0
-            while (i < hs.length) {
-              val sh = tok(i) + " " + tok(i + 1) + " " + tok(i + 2)
-              var h = 0L; var j = 0
-              while (j < sh.length) {
-                h = (h * 31 + sh.charAt(j).toLong) % HashMod; j += 1
-              }
-              hs(i) = h; i += 1
-            }
-            Iterator.single((id, hs))
-          }
-        }).toDF("doc_id", "hs")
+        .select(col("doc_id"),
+          SqlBridge.column(graft.functions.ShingleHash(
+            SqlBridge.expression(col("text")))).as("hs"))
+        .filter(size(col("hs")) > 0)
         .persist()
     })
 
