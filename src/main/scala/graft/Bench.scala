@@ -39,6 +39,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    Caches.evict(spark) // release memoized graphs/frames before teardown
     spark.stop()
   }
 }

@@ -218,6 +218,13 @@ object DedupQueries {
        |WHERE ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Cache-lifecycle hook: unpersist and drop the memoized shingle-hash
+    * frames for `s` (all sfDirs). See [[graft.Caches]].
+    */
+  def evict(s: SparkSession): Unit =
+    hsCache.keys.filter(_._1 eq s).foreach(
+      hsCache.remove(_).foreach(_.unpersist(blocking = false)))
+
   private def qs0 = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_minhash", minhash, Some(minhashSql)),

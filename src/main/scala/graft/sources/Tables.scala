@@ -37,4 +37,8 @@ object Tables {
             .expr("timestamp_micros(ts div 1000)"))
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
+
+  /** Drop memoized plan objects for `spark` (no persisted data here). */
+  def evict(spark: SparkSession): Unit =
+    cache.keys.filter(_._1 eq spark).foreach(cache.remove)
 }

@@ -53,6 +53,12 @@ class GTradeOffsetSpec extends GraftSuite {
     assert(off == 1000000L)
   }
 
+  test("Caches.evict is idempotent and leaves the session usable") {
+    Caches.evict(spark)
+    Caches.evict(spark)
+    assert(fixture.numVertices == 5)
+  }
+
   test("negative supplier keys are refused (would re-enter customer range)") {
     val (c, _, o, l) = tables(maxCust = 1499L)
     val badSupp = Seq((-5L, 30.0)).toDF("s_suppkey", "s_acctbal")
