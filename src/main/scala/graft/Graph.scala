@@ -90,13 +90,14 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
 
   // ---- joins (reference Graph.java#joinWithVertices etc.) ----
 
-  /** Equi-join vertices against a 2-column `aux` (key, payload — matched
-    * POSITIONALLY, any column names); matched vertices get `f(value, t)`,
-    * unmatched KEEP their old value — the reference's left-outer coGroup
-    * semantics ([GH] Graph.java#joinWithVertices).
+  /** Equi-join vertices against `aux`, whose FIRST TWO columns are read
+    * POSITIONALLY as (key, payload) — any names, extra columns ignored;
+    * matched vertices get `f(value, t)`, unmatched KEEP their old value —
+    * the reference's left-outer coGroup semantics
+    * ([GH] Graph.java#joinWithVertices).
     */
   def joinWithVertices(aux: DataFrame, f: (Column, Column) => Column): Graph = {
-    val a = aux.toDF("id", "t")
+    val a = firstCols(aux, 2).toDF("id", "t")
     copy(vertices = vertices
       .join(a, Seq("id"), "left_outer")
       .select(col("id"),
@@ -104,11 +105,12 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
           .otherwise(f(col("value"), col("t"))).as("value")))
   }
 
-  /** Same, keyed on the first two `aux` columns as (src, dst)
+  /** Same, keyed on the first two `aux` columns as (src, dst) with the
+    * third as payload (positional; extra columns ignored)
     * ([GH] Graph.java#joinWithEdges).
     */
   def joinWithEdges(aux: DataFrame, f: (Column, Column) => Column): Graph = {
-    val a = aux.toDF("src", "dst", "t")
+    val a = firstCols(aux, 3).toDF("src", "dst", "t")
     copy(edges = edges
       .join(a, Seq("src", "dst"), "left_outer")
       .select(col("src"), col("dst"),
@@ -128,10 +130,19 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
                             f: (Column, Column) => Column): Graph =
     joinOnEndpoint(aux, f, "dst")
 
+  /** First `n` columns of `aux`, positionally — the joinWith* aux contract
+    * tolerates (and ignores) trailing extra columns.
+    */
+  private def firstCols(aux: DataFrame, n: Int): DataFrame = {
+    require(aux.columns.length >= n,
+      s"aux needs at least $n columns, got ${aux.columns.mkString(",")}")
+    aux.select(aux.columns.take(n).map(col).toIndexedSeq: _*)
+  }
+
   private def joinOnEndpoint(aux: DataFrame, f: (Column, Column) => Column,
                              key: String): Graph =
     copy(edges = edges
-      .join(aux.toDF(key, "t"), Seq(key), "left_outer")
+      .join(firstCols(aux, 2).toDF(key, "t"), Seq(key), "left_outer")
       .select(col("src"), col("dst"),
         when(col("t").isNull, col("value"))
           .otherwise(f(col("value"), col("t"))).as("value")))

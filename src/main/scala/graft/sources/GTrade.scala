@@ -130,14 +130,23 @@ object GTrade {
 
   /** SQL twin of [[dynOffset]]: smallest power of ten > max(c_custkey),
     * floored at [[MinOffset]] — integer comparisons only, so bit-identical
-    * to the Spark side at any scale.
+    * to the Spark side at any scale. The candidate list spans the full
+    * 10..10¹⁸ range of the Scala loop, and when NO power of ten qualifies
+    * (max(c_custkey) ≥ 10¹⁸) the CTE raises via `error()` — the same loud
+    * failure as [[dynOffset]]'s `require`, never a silently diverging
+    * fallback offset.
     */
   private val ParamsCte: String =
     s"""params AS (
-       |  SELECT GREATEST($MinOffset, MIN(p)) AS off FROM (VALUES
+       |  SELECT GREATEST($MinOffset, MIN(p)) + CASE WHEN COUNT(p) = 0
+       |    THEN error('customer key too large for a power-of-ten offset')
+       |    ELSE 0 END AS off FROM (VALUES
        |    (CAST(10 AS BIGINT)), (100), (1000), (10000), (100000),
        |    (1000000), (10000000), (100000000), (1000000000),
-       |    (10000000000), (100000000000), (1000000000000)) t(p)
+       |    (10000000000), (100000000000), (1000000000000),
+       |    (10000000000000), (100000000000000), (1000000000000000),
+       |    (10000000000000000), (100000000000000000),
+       |    (1000000000000000000)) t(p)
        |  WHERE p > (SELECT COALESCE(MAX(c_custkey), -1) FROM customer)
        |)""".stripMargin
 
