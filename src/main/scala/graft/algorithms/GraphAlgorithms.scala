@@ -3,8 +3,10 @@ package graft.algorithms
 import graft.util.Det
 import org.apache.spark.graphx.{Edge => GXEdge, EdgeDirection => GXDir,
   Graph => GXGraph, PartitionStrategy, Pregel}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders,
+  SparkSession}
 import org.apache.spark.sql.functions._
+import scala.reflect.ClassTag
 
 /** Vertex-centric iteration (SURVEY §2.6) — the Spark-native equivalent of
   * the reference's `runVertexCentricIteration` ([GH]
@@ -55,6 +57,30 @@ object GraphAlgorithms {
     gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
   }
 
+  /** [[toGraphX]] with a GENERIC vertex-state type: `stateInit` (a Column
+    * over the vertex frame's `id`/`value`) produces the initial VV, decoded
+    * through its Dataset encoder — the bridge under
+    * [[graft.Graph.pregelTyped]]. Edge values remain Double weights.
+    */
+  def toGraphXTyped[VV: ClassTag](g: graft.Graph, stateInit: Column,
+                                  numPartitions: Int = 0)(
+      implicit enc: Encoder[VV]): GXGraph[VV, Double] = {
+    implicit val tupEnc: Encoder[(Long, VV)] =
+      Encoders.tuple(Encoders.scalaLong, enc)
+    val vrdd = g.vertices
+      .select(col("id").cast("long").as("_1"), stateInit.as("_2"))
+      .as[(Long, VV)].rdd
+    val erdd = g.edges.select(col("src"), col("dst"),
+        col("value").cast("double"))
+      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gx = GXGraph(vrdd, erdd)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, erdd.getNumPartitions min
+        gx.edges.sparkContext.defaultParallelism)
+    gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
+  }
+
   /** Data-sized GraphX partition count: ~32k edges per partition (a few MB
     * of serialized triplets per task), capped at the core count locally —
     * on a real cluster the cap is total executor cores.
@@ -68,24 +94,41 @@ object GraphAlgorithms {
     * is how the library algorithms below share one conversion per dataset.
     * Contract documented on [[graft.Graph.pregel]].
     */
-  def pregelOn[M: scala.reflect.ClassTag](
+  def pregelOn[M: ClassTag](
       s: SparkSession, gx: GXGraph[Double, Double], initialMsg: M,
       maxIterations: Int, dir: graft.EdgeDirection)(
       vprog: (Long, Double, M) => Double)(
-      sendMsg: graft.PregelTriplet => Iterator[(Long, M)])(
+      sendMsg: graft.PregelTriplet[Double] => Iterator[(Long, M)])(
       mergeMsg: (M, M) => M): DataFrame = {
-    import s.implicits._
+    implicit val de: Encoder[Double] = Encoders.scalaDouble
+    pregelOnTyped(s, gx, initialMsg, maxIterations, dir)(
+      vprog)(sendMsg)(mergeMsg).toDF("id", "value")
+  }
+
+  /** Generic-state twin of [[pregelOn]] (under
+    * [[graft.Graph.pregelTyped]]): same BSP/delta-iteration contract, vertex
+    * state any encodable VV. Returns the typed (id, state) Dataset.
+    */
+  def pregelOnTyped[VV: ClassTag, M: ClassTag](
+      s: SparkSession, gx: GXGraph[VV, Double], initialMsg: M,
+      maxIterations: Int, dir: graft.EdgeDirection)(
+      vprog: (Long, VV, M) => VV)(
+      sendMsg: graft.PregelTriplet[VV] => Iterator[(Long, M)])(
+      mergeMsg: (M, M) => M)(
+      implicit enc: Encoder[VV]): Dataset[(Long, VV)] = {
     val gxDir = dir match {
       case graft.EdgeDirection.In  => GXDir.In
       case graft.EdgeDirection.Out => GXDir.Out
       case graft.EdgeDirection.All => GXDir.Either
     }
-    Pregel(gx, initialMsg, maxIterations, gxDir)(
+    val res = Pregel(gx, initialMsg, maxIterations, gxDir)(
       (id, v, m) => vprog(id, v, m),
       t => sendMsg(graft.PregelTriplet(t.srcId, t.dstId, t.srcAttr,
         t.dstAttr, t.attr)),
       mergeMsg)
-      .vertices.toDF("id", "value")
+    implicit val tupEnc: Encoder[(Long, VV)] =
+      Encoders.tuple(Encoders.scalaLong, enc)
+    s.createDataset(res.vertices.map(kv => (kv._1, kv._2)))
   }
 
   /** Bounded single-source shortest paths ([GH]

@@ -185,11 +185,13 @@ object GraphQueries {
        |JOIN vertices dv ON e.dst = dv.id
        |ORDER BY src, dst""".stripMargin
 
-  /** J6 validate_ids — anti-join endpoint check (reference
-    * InvalidVertexIdsValidator): count of dangling endpoints, validity flag.
+  /** J6 validate_ids — anti-join endpoint check, run through the pluggable
+    * [[graft.GraphValidator]] trait (reference
+    * `validate(InvalidVertexIdsValidator)`): count of dangling endpoints,
+    * validity flag.
     */
   private def j6(s: SparkSession, dir: String) =
-    g(s, dir).invalidEndpoints
+    g(s, dir).validate(graft.InvalidVertexIdsValidator)
       .agg(count(lit(1)).as("n_invalid"))
       .select(col("n_invalid"),
         (col("n_invalid") === 0).cast("int").as("is_valid"))
@@ -197,6 +199,51 @@ object GraphQueries {
     s"""$P SELECT COUNT(*) AS n_invalid, CAST(COUNT(*) = 0 AS INT) AS is_valid
        |FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) e
        |WHERE id NOT IN (SELECT id FROM vertices)""".stripMargin
+
+  /** validate_dup_edges — the second shipped validator through the same
+    * trait ([[graft.DuplicateEdgeValidator]]): re-add the 10 heaviest edges
+    * (total order: value DESC, src, dst) and report the resulting parallel
+    * (src, dst) pairs with multiplicity. G_trade's edges are grouped by
+    * pair at build time, so exactly those 10 duplicates must surface.
+    */
+  private def j6b(s: SparkSession, dir: String) = {
+    val base = g(s, dir)
+    val extra = base.edges
+      .orderBy(col("value").desc, col("src"), col("dst")).limit(10)
+    base.addEdges(extra).validate(graft.DuplicateEdgeValidator)
+      .orderBy(col("src"), col("dst"))
+  }
+  private val j6bSql =
+    s"""$P, extra AS (
+       |  SELECT src, dst, value FROM edges
+       |  ORDER BY value DESC, src, dst LIMIT 10),
+       |all_edges AS (
+       |  SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM extra)
+       |SELECT src, dst, COUNT(*) AS multiplicity FROM all_edges
+       |GROUP BY 1, 2 HAVING COUNT(*) > 1 ORDER BY src, dst""".stripMargin
+
+  /** validate_self_loops — third validator instance
+    * ([[graft.SelfLoopValidator]]): inject a unit-weight self-loop on the 5
+    * smallest vertex ids; exactly those must be reported (the bipartite
+    * G_trade has none of its own).
+    */
+  private def j6c(s: SparkSession, dir: String) = {
+    val base = g(s, dir)
+    val loops = base.vertices.orderBy(col("id")).limit(5)
+      .select(col("id").as("src"), col("id").as("dst"),
+        lit(1.0).as("value"))
+    base.addEdges(loops).validate(graft.SelfLoopValidator)
+      .orderBy(col("src"))
+  }
+  private val j6cSql =
+    s"""$P, loops AS (
+       |  SELECT id AS src, id AS dst, CAST(1.0 AS DOUBLE) AS value
+       |  FROM vertices ORDER BY id LIMIT 5),
+       |all_edges AS (
+       |  SELECT src, dst, value FROM edges
+       |  UNION ALL SELECT src, dst, value FROM loops)
+       |SELECT src, dst, value FROM all_edges WHERE src = dst
+       |ORDER BY src""".stripMargin
 
   /** J7 remove_vertex + remove_edge — delete vertex 0 with incident edges,
     * and the specific edge (1, offset) — customer 1 → supplier 0.
@@ -459,6 +506,8 @@ object GraphQueries {
     Q("join_with_edges_on_target", j4, Some(j4Sql)),
     Q("triplets", j5, Some(j5Sql)),
     Q("validate_ids", j6, Some(j6Sql)),
+    Q("validate_dup_edges", j6b, Some(j6bSql)),
+    Q("validate_self_loops", j6c, Some(j6cSql)),
     Q("remove_vertex", j7, Some(j7Sql)),
     Q("add_vertex_edge", j8, Some(j8Sql)),
     Q("out_degrees", a1, Some(a1Sql)),
