@@ -18,14 +18,9 @@ object Bench {
     // Optional comma-separated key filter for targeted profiling; the
     // driver invokes with no args (full run).
     val keys = args.headOption.map(_.split(",").toSet)
-    // Sorted key order: Map hash order shifts whenever a key is added,
-    // moving shared first-touch materialization costs onto different
-    // queries and breaking round-over-round comparability.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => keys.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { body; true } catch {
         case e: Throwable =>
           // A failed query must be loud: stderr trace + -1 sentinel in the
           // JSON (never a near-zero time that "improves" the total).
@@ -33,6 +28,25 @@ object Bench {
           false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    // Shared first-touch builds, timed as explicit `_build:` entries so the
+    // per-key numbers profile the QUERY, not whichever key is first in
+    // sorted order to touch the memoized fact-join / GraphX / CC /
+    // shingle-hash artifacts (judge r3 item #5). Skipped under a key
+    // filter, where first-touch cost is exactly what's being profiled.
+    val builds = if (keys.isDefined) Seq.empty else Seq(
+      timed("_build:gtrade")(sources.GTrade.warm(spark, sfDir)),
+      timed("_build:graphx")(queries.IterQueries.warmGraphX(spark, sfDir)),
+      timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
+      timed("_build:shingles")(
+        queries.DedupQueries.warmShingles(spark, sfDir)))
+    // Sorted key order: Map hash order shifts whenever a key is added,
+    // moving shared first-touch materialization costs onto different
+    // queries and breaking round-over-round comparability.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keys.forall(_.contains(name)) }
+    val results = builds ++ selected.map { case (name, fn) =>
+      timed(name)(fn(spark, sfDir).count())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -264,6 +264,17 @@ object DedupQueries {
        |WHERE ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Force the shared shingle-hash frame (bench `_build:shingles` timing
+    * hook; see [[graft.sources.GTrade.warm]]).
+    */
+  def warmShingles(s: SparkSession, dir: String): Unit = {
+    shingleHashes(s, dir).count(); ()
+  }
+
+  /** The shared persisted (doc_id, hs) frame — plan-inspection seam. */
+  private[graft] def shingleFrame(s: SparkSession, dir: String): DataFrame =
+    shingleHashes(s, dir)
+
   /** Cache-lifecycle hook: unpersist and drop the memoized shingle-hash
     * frames for `s` (all sfDirs). See [[graft.Caches]].
     */
