@@ -83,7 +83,7 @@ object DedupQueries {
     })
 
   private val shingleHashesSql =
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(
        |      list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -107,7 +107,7 @@ object DedupQueries {
       .select(col("doc_id"))
 
   private val repsSql =
-    "reps AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)"
+    "reps AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)"
 
   /** X2 — MinHash/LSH near-duplicate candidates: per band, bucket key =
     * (min a1·h+b1 mod p, min a2·h+b2 mod p); pairs sharing any band bucket
@@ -154,15 +154,15 @@ object DedupQueries {
     s"""WITH $shingleHashesSql,
        |$repsSql,
        |bands(band, a1, b1, a2, b2) AS (VALUES $bandRows),
-       |sigs0 AS (
+       |sigs0 AS MATERIALIZED (
        |  SELECT doc_id, band,
        |    list_min(list_transform(hs, h -> (h * a1 % $Prime + b1) % $Prime)) AS mh1,
        |    list_min(list_transform(hs, h -> (h * a2 % $Prime + b2) % $Prime)) AS mh2
        |  FROM sh JOIN reps USING (doc_id) CROSS JOIN bands),
-       |ok AS (
+       |ok AS MATERIALIZED (
        |  SELECT band, mh1, mh2 FROM sigs0
        |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= $MaxBandDf),
-       |sigs AS (SELECT sigs0.* FROM sigs0 JOIN ok USING (band, mh1, mh2))
+       |sigs AS MATERIALIZED (SELECT sigs0.* FROM sigs0 JOIN ok USING (band, mh1, mh2))
        |SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS n_bands
        |FROM sigs l JOIN sigs r
        |  ON l.band = r.band AND l.mh1 = r.mh1 AND l.mh2 = r.mh2
@@ -243,14 +243,14 @@ object DedupQueries {
 
   private val ngramJaccardSql =
     s"""WITH $shingleHashesSql,
-       |shd AS (SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
-       |rare AS (
+       |shd AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
+       |rare AS MATERIALIZED (
        |  SELECT doc_id, shingle FROM shd
        |  WHERE shingle IN (
        |    SELECT shingle FROM shd GROUP BY shingle
        |    HAVING COUNT(*) <= $MaxShingleDf)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
-       |inter AS (
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+       |inter AS MATERIALIZED (
        |  SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS inter
        |  FROM rare l JOIN rare r
        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id

@@ -49,10 +49,10 @@ object SimQueries {
 
   private val simTopkSql = {
     val dot = VectorFns.dotSql("q.embedding", "c.embedding")
-    s"""WITH n AS (
+    s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |    ${Det.qroundSql(s"$dot / (q.nrm * c.nrm)", 6)} AS cos
        |  FROM n q JOIN n c ON q.vec_id < $NQueries
@@ -139,7 +139,7 @@ object SimQueries {
   private val simTopkIvfSql = {
     val cdot = VectorFns.dotSql("q.q_emb", "c.centroid")
     val sdot = VectorFns.dotSql("p.q_emb", "c.embedding")
-    s"""WITH n AS (
+    s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, label, embedding,
        |    ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings),
@@ -148,30 +148,30 @@ object SimQueries {
        |    unnest(range(0, len(embedding))) AS pos,
        |    unnest(embedding) AS comp
        |  FROM embeddings),
-       |centc AS (
+       |centc AS MATERIALIZED (
        |  SELECT label, pos,
        |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
        |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
        |  FROM comps GROUP BY label, pos),
-       |centn AS (
+       |centn AS MATERIALIZED (
        |  SELECT c_label, centroid,
        |    ${VectorFns.normSql("centroid")} AS c_nrm
        |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
        |        FROM centc GROUP BY label)),
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
        |  FROM n WHERE vec_id < $NQueries),
-       |probe0 AS (
+       |probe0 AS MATERIALIZED (
        |  SELECT q.q_id, q.q_emb, q.q_nrm, c.c_label,
        |    ${Det.qroundSql(s"$cdot / (q.q_nrm * c.c_nrm)", 6)} AS c_cos
        |  FROM q CROSS JOIN centn c),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT q_id, q_emb, q_nrm, c_label FROM (
        |    SELECT q_id, q_emb, q_nrm, c_label,
        |      row_number() OVER (PARTITION BY q_id
        |                         ORDER BY c_cos DESC, c_label) AS c_rk
        |    FROM probe0) WHERE c_rk <= 2),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT p.q_id, c.vec_id AS c_id,
        |    ${Det.qroundSql(s"$sdot / (p.q_nrm * c.nrm)", 6)} AS cos
        |  FROM n c JOIN probes p
@@ -362,12 +362,12 @@ object SimQueries {
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM cent"
     }.mkString("\n  UNION ALL ")
     val dot = VectorFns.dotSql("a.embedding", "b.embedding")
-    s"""WITH n AS (
+    s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings),
-       |reps AS (SELECT MIN(vec_id) AS vec_id FROM embeddings
+       |reps AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings
        |         GROUP BY embedding),
-       |meanv AS (
+       |meanv AS MATERIALIZED (
        |  SELECT list(m ORDER BY pos) AS mean FROM (
        |    SELECT pos,
        |      CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
@@ -376,14 +376,14 @@ object SimQueries {
        |                 unnest(embedding) AS comp
        |          FROM embeddings JOIN reps USING (vec_id))
        |    GROUP BY pos)),
-       |cent AS (
+       |cent AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(list_zip(embedding, (SELECT mean FROM meanv)),
        |      p -> CAST(p[1] AS DOUBLE) - p[2]) AS c
        |  FROM embeddings JOIN reps USING (vec_id)),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  $bandSelects),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.vec_id AS v1, r.vec_id AS v2
        |  FROM sigs l JOIN sigs r
        |    ON l.band = r.band AND l.bucket = r.bucket
@@ -445,7 +445,7 @@ object SimQueries {
 
   private val dedupEmbeddingExactSql = {
     val dot = VectorFns.dotSql("a.embedding", "b.embedding")
-    s"""WITH n AS (
+    s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings)
        |SELECT v1, v2, cos FROM (

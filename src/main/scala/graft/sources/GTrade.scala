@@ -147,7 +147,7 @@ object GTrade {
     * fallback offset.
     */
   private val ParamsCte: String =
-    s"""params AS (
+    s"""params AS MATERIALIZED (
        |  SELECT GREATEST($MinOffset, MIN(p)) + CASE WHEN COUNT(p) = 0
        |    THEN error('customer key too large for a power-of-ten offset')
        |    ELSE 0 END AS off FROM (VALUES
@@ -169,11 +169,11 @@ object GTrade {
     * Must stay semantically identical to [[apply]].
     */
   val SqlPrefix: String =
-    s"""WITH $ParamsCte, vertices AS (
+    s"""WITH $ParamsCte, vertices AS MATERIALIZED (
        |  SELECT c_custkey AS id, c_acctbal AS value FROM customer
        |  UNION ALL
        |  SELECT $OffSql + s_suppkey AS id, s_acctbal AS value FROM supplier
-       |), edges AS (
+       |), edges AS MATERIALIZED (
        |  SELECT o_custkey AS src, $OffSql + l_suppkey AS dst,
        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -182,7 +182,7 @@ object GTrade {
 
   /** Undirected view (edges ∪ reversed) used by SSSP/CC oracles. */
   val SqlPrefixUndirected: String = SqlPrefix +
-    """, uedges AS (
+    """, uedges AS MATERIALIZED (
       |  SELECT src, dst, value FROM edges
       |  UNION ALL
       |  SELECT dst AS src, src AS dst, value FROM edges
