@@ -30,6 +30,13 @@ KEYSPACES = {
     "KD": ("documents", "doc_id"),
     "KV": ("embeddings", "vec_id"),
 }
+# string key columns that must stay UNIQUE per row across copies (real
+# TPC-H names are key-derived and unique; duplicate names would change
+# name-keyed query semantics, e.g. encode_string_ids' dictionary)
+SUFFIX = {
+    "customer": ["c_name"],
+    "supplier": ["s_name"],
+}
 SHIFTS = {
     "customer": {"c_custkey": "KC"},
     "supplier": {"s_suppkey": "KS"},
@@ -62,6 +69,9 @@ for table, shifts in SHIFTS.items():
             if k > 0 and name in shifts:
                 orig = col.type
                 col = pc.add(col, k * base[shifts[name]]).cast(orig)
+            if k > 0 and name in SUFFIX.get(table, []):
+                col = pc.binary_join_element_wise(
+                    pc.cast(col, pa.string()), f"~{k}", "")
             cols.append(col)
         copies.append(pa.table(cols, names=t.column_names))
     out = pa.concat_tables(copies)
