@@ -68,7 +68,11 @@ object ScalarFns {
       Det.qround(log(col("l_extendedprice")), 6).as("ln_price"),
       (col("l_quantity") * col("l_quantity")).as("qty_sq"),
       sqrt(col("l_quantity")).as("qty_sqrt"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // Full-row total order: (l_orderkey, l_linenumber) has duplicates in
+      // the synthetic data, and engine tie orders diverge at scale (sf1
+      // finding — see the same note on Substrate R1).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
+        col("qty_sq"))
 
   private val f3Sql =
     s"""SELECT l_orderkey, l_linenumber,
@@ -77,7 +81,8 @@ object ScalarFns {
        |  ${Det.qroundSql("ln(l_extendedprice)", 6)} AS ln_price,
        |  l_quantity * l_quantity AS qty_sq,
        |  sqrt(l_quantity) AS qty_sqrt
-       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, disc_price, qty_sq""".stripMargin
 
   /** F4 — array functions on the embedding column. The dot product is a
     * sequential left fold in both engines (Spark `aggregate` HOF; DuckDB

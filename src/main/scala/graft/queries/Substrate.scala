@@ -26,12 +26,16 @@ object Substrate {
       .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
         col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (118k duplicate pairs at sf0.1) — order by the full row so the sort
+      // is total; identical rows are then interchangeable (found by the sf1
+      // scale run: engine tie orders diverge once the file splits).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   private val r1Sql =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin
 
   /** R2 — multi-way equi-join (customer ⋈ orders ⋈ lineitem) + agg.
     * Dimension side (filtered customers) broadcasts; fact-side join is
