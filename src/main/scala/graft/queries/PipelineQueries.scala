@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline plumbing (north-star extensions, no reference
+  * citation — the reference is a graph library): deterministic dataset
+  * splitting, token-budget shard packing, and embedding quantization. These
+  * are the operators that sit AROUND dedup/similarity in a real 100 TB
+  * pretraining pipeline: every document must land in exactly one split and
+  * one shard, reproducibly, no matter how the input is partitioned.
+  */
+object PipelineQueries {
+  /** sample_split percentages: train 80 / val 10 / test 10. */
+  private val TrainPct = 80
+  private val ValPct   = 10
+  /** shard_pack token budget per shard. */
+  private val ShardTokens = 1000L
+
+  /** sample_split — deterministic train/val/test assignment by CONTENT
+    * hash, not row position: bucket = stringHash(text) mod 100, split by
+    * fixed percentage cut-points. Because the bucket is a pure function of
+    * the document text ([[TextFns.stringHash]], bit-identical in DuckDB),
+    * the assignment survives repartitioning, backfills, and re-runs — the
+    * property `rand()`/`monotonically_increasing_id` splits lack. Scale:
+    * one narrow map over the scan, no shuffle (the ORDER BY is oracle
+    * plumbing only).
+    */
+  private def sampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TextFns.stringHash(col("text")) % 100
+    Tables(s, dir, "documents").select(
+      col("doc_id"), bucket.as("bucket"),
+      when(bucket < TrainPct, "train")
+        .when(bucket < TrainPct + ValPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sampleSplitSql = {
+    val h = TextFns.stringHashSql("text").replace("\n", " ")
+    s"""SELECT doc_id, $h % 100 AS bucket,
+       |  CASE WHEN $h % 100 < $TrainPct THEN 'train'
+       |       WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** shard_pack — token-budget shard packing: documents in doc_id order
+    * are packed greedily into shards of [[ShardTokens]] whitespace tokens;
+    * shard = exclusive-prefix-sum(n_tokens) div budget (a document
+    * straddling a boundary goes to the earlier shard).
+    *
+    * Scale: the naive plan — a global window `SUM OVER (ORDER BY doc_id)`
+    * with no PARTITION BY — collapses to a SINGLE partition in Spark and
+    * is exactly the anti-pattern a 100 TB run cannot survive. This
+    * implementation is the two-phase distributed prefix sum instead
+    * (same family as [[graft.sources.IdEncoder]]'s zipWithIndex): range
+    * sort by doc_id, per-partition token totals (one tiny job — P numbers
+    * to the driver, like zipWithIndex's own offset pass), then a
+    * partition-local scan seeded with each partition's exclusive offset.
+    * All arithmetic is integer, so the result is bit-identical to the
+    * oracle's window formulation.
+    */
+  private def shardPack(s: SparkSession, dir: String): DataFrame =
+    shardPackOf(s, Tables(s, dir, "documents"))
+
+  /** Testable seam for [[shardPack]]: explicit documents frame. The result
+    * is a pure function of the (doc_id, text) SET — independent of the
+    * input's partitioning (asserted in `PipelineSpec`).
+    */
+  private[graft] def shardPackOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sorted = docs
+      .select(col("doc_id").as("_1"),
+        size(TextFns.tokens(col("text"))).cast("long").as("_2"))
+      .orderBy(col("_1"))
+      .as[(Long, Long)].rdd
+    val partSums = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive, length P+1
+    sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (id, n) =>
+        val shard = acc / ShardTokens
+        acc += n
+        (id, n, shard)
+      }
+    }.toDF("doc_id", "n_tokens", "shard")
+  }
+
+  private val shardPackSql =
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |  CAST((SUM(len(string_split(text, ' ')))
+       |          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |        - len(string_split(text, ' '))) // $ShardTokens
+       |       AS BIGINT) AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** emb_quantize — symmetric int8 quantization of the embedding column:
+    * scale = 127 / max(|x|) per vector, q = clamp(round(x·scale), ±127) —
+    * the storage/bandwidth shape an ANN index at scale actually serves
+    * (4× smaller than float32; [[SimQueries]]'s IVF probes would scan the
+    * int8 copy and re-rank the shortlist in float). All-zero vectors
+    * quantize to zeros (amax = 0 guard).
+    *
+    * Determinism: amax is an exact max over float-widened-to-double
+    * values; `x · (127/amax)` pins the operation order on both engines
+    * (one division, one multiply — IEEE ops on identical inputs), and
+    * `floor(v + 0.5)` rounds identically in both (see
+    * [[graft.util.Det.qround]]). Scale: pure narrow map, no shuffle.
+    */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val amax = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .select(col("vec_id"), col("amax"),
+        transform(col("embedding"), x =>
+          when(col("amax") === 0.0, lit(0L)).otherwise(
+            greatest(lit(-127L), least(lit(127L),
+              floor(x.cast("double") * (lit(127.0) / col("amax")) + 0.5)))))
+          .as("q"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embQuantizeSql =
+    s"""WITH a AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+       |  FROM embeddings)
+       |SELECT vec_id, amax,
+       |  list_transform(embedding, x ->
+       |    CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT)
+       |         ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+       |           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+       |                AS BIGINT)))
+       |    END) AS q
+       |FROM a ORDER BY vec_id""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("sample_split", sampleSplit, Some(sampleSplitSql)),
+    Q("shard_pack", shardPack, Some(shardPackSql)),
+    Q("emb_quantize", embQuantize, Some(embQuantizeSql)))
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline plumbing: shard packing, splitting, quantization.
+  * The load-bearing claim is determinism under re-partitioning — a 100 TB
+  * run re-reads the same corpus with different splits/parallelism and must
+  * get the same shard/split assignment every time.
+  */
+class PipelineSpec extends GraftSuite {
+
+  private def docs(nParts: Int) = {
+    import spark.implicits._
+    // 100 docs with varying token counts (1..10 tokens, deterministic).
+    (0L until 100L).map { i =>
+      (i, Seq.fill((i % 10).toInt + 1)("w" + (i % 7)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(nParts)
+  }
+
+  test("shard_pack is invariant under input partitioning") {
+    val a = PipelineQueries.shardPackOf(spark, docs(1)).collect().toSeq
+    val b = PipelineQueries.shardPackOf(spark, docs(7)).collect().toSeq
+    val c = PipelineQueries.shardPackOf(spark, docs(32)).collect().toSeq
+    assert(a.map(_.toSeq).sortBy(_.head.toString) ===
+      b.map(_.toSeq).sortBy(_.head.toString))
+    assert(a.map(_.toSeq).sortBy(_.head.toString) ===
+      c.map(_.toSeq).sortBy(_.head.toString))
+  }
+
+  test("shard_pack matches a local exclusive-prefix-sum model") {
+    val rows = PipelineQueries.shardPackOf(spark, docs(5))
+      .orderBy(col("doc_id"))
+      .select("doc_id", "n_tokens", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var acc = 0L
+    rows.foreach { case (_, n, shard) =>
+      assert(shard === acc / 1000L)
+      acc += n
+    }
+    // shards are contiguous, non-decreasing, and start at 0
+    assert(rows.head._3 === 0L)
+    assert(rows.map(_._3).sliding(2).forall(p =>
+      p.length < 2 || p(1) - p(0) <= 1 && p(1) >= p(0)))
+  }
+}

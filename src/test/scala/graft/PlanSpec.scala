@@ -102,6 +102,22 @@ class PlanSpec extends GraftSuite {
       .exists(_.exists(_.isInstanceOf[ShingleHash])))
   }
 
+  test("narrow pipeline maps shuffle only for the oracle sort") {
+    // sample_split / emb_quantize are per-row assignments: the only
+    // exchange their plans may contain is the RANGE partitioning of the
+    // trailing oracle ORDER BY — a hash exchange would mean the assignment
+    // itself started shuffling (scale regression).
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (key <- Seq("sample_split", "emb_quantize")) {
+      val bad = planOf(key).collect {
+        case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }
+      assert(bad.isEmpty, s"$key: ${bad.mkString(", ")}")
+    }
+  }
+
   test("array_dot runs inside a whole-stage-codegen region") {
     val exprs = codegenExprs(planOf("dedup_embedding"))
     assert(exprs.exists(_.exists(_.isInstanceOf[ArrayDot])))
