@@ -24,6 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
   private val Empty = new GenericArrayData(Array.empty[Long])
 
+  /** Whole-string rolling hash — the [[TextFns.stringHash]] fold
+    * (`h·31 + codepoint mod HashMod`, left-to-right) as a JVM hot loop.
+    * `charAt` (UTF-16 unit) equals the code point for the ASCII corpus —
+    * the same assumption [[shingleHashes]] already makes; the DuckDB twin
+    * (`unicode(c)` per split char) is bit-identical over that range.
+    */
+  def stringHash(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var j = 0
+    while (j < s.length) {
+      h = (h * 31 + s.charAt(j).toLong) % TextFns.HashMod
+      j += 1
+    }
+    h
+  }
+
   def shingleHashes(text: UTF8String): ArrayData = {
     val tok = text.toString.split(" ", -1)
     if (tok.length < 3) Empty
@@ -74,4 +91,36 @@ case class ShingleHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): ShingleHash = copy(child = newChild)
+}
+
+/** Native Catalyst expression: `string_hash(text)` → `long` rolling hash
+  * of the whole string. Replaces the interpreted per-char HOF fold
+  * (`aggregate(transform(split(s, "")), …)`) behind
+  * [[TextFns.stringHash]] — same arithmetic, but evaluated as one static
+  * JVM call inside whole-stage codegen instead of three nested
+  * higher-order lambdas per row (the same promotion [[ShingleHash]] got
+  * in round 3).
+  */
+case class StringHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "string_hash"
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.stringHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.stringHash($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StringHash = copy(child = newChild)
 }

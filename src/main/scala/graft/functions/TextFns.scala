@@ -19,9 +19,20 @@ object TextFns {
 
   /** Deterministic polynomial rolling hash of a string:
     * left fold of `h*31 + codepoint (mod HashMod)` — the document
-    * fingerprint primitive. DuckDB twin: [[fingerprintSql]].
+    * fingerprint primitive, evaluated by the codegen'd [[StringHash]]
+    * kernel (was an interpreted three-lambda HOF fold). DuckDB twin:
+    * [[stringHashSql]] — bit-identical over the ASCII corpus.
     */
   def stringHash(s: Column): Column =
+    org.apache.spark.sql.graftbridge.SqlBridge.column(
+      StringHash(org.apache.spark.sql.graftbridge.SqlBridge.expression(s)))
+
+  /** The interpreted HOF formulation of [[stringHash]] — kept ONLY as the
+    * executable spec of the arithmetic: parity tests compare the codegen
+    * kernels against this independent implementation (and the oracle gate
+    * compares both against DuckDB).
+    */
+  private[graft] def stringHashRef(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L), (h, c) => (h * 31 + c) % HashMod)

@@ -14,10 +14,13 @@ class ShingleHashSpec extends GraftSuite {
   private def native(c: org.apache.spark.sql.Column) =
     SqlBridge.column(ShingleHash(SqlBridge.expression(c)))
 
-  /** The slow declarative twin: split, 3-gram windows, rolling hash. */
+  /** The slow declarative twin: split, 3-gram windows, rolling hash —
+    * built on the interpreted reference fold, NOT the codegen kernel, so
+    * this stays an independent implementation.
+    */
   private def hofShingles(c: org.apache.spark.sql.Column) =
     transform(TextFns.shingles(split(c, " ", -1), 3),
-      sh => TextFns.stringHash(sh))
+      sh => TextFns.stringHashRef(sh))
 
   test("matches the HOF shingle+hash formulation on real-ish text") {
     val docs = Seq(
@@ -38,6 +41,31 @@ class ShingleHashSpec extends GraftSuite {
     val docs = Seq("", "one", "two words").toDF("text")
     val got = docs.select(native(col("text")).as("n")).collect()
     got.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
+  test("StringHash matches the interpreted reference fold") {
+    val docs = Seq(
+      "", " ", "a", "the quick brown fox", "x  y z",
+      "trailing space ends here ", "unicode-free ascii only 123")
+      .toDF("text")
+    val got = docs.select(
+      TextFns.stringHash(col("text")).as("k"),
+      TextFns.stringHashRef(col("text")).as("r")).collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
+  }
+
+  test("StringHash participates in whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.execution.debug.codegenString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val gen = try {
+      val df = spark.range(4)
+        .select(concat(lit("doc "), col("id").cast("string")).as("text"))
+        .select(TextFns.stringHash(col("text")).as("h"))
+        .filter(col("h") >= 0)
+      codegenString(df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(gen.contains("WholeStageCodegen"))
+    assert(gen.contains("TextKernels.stringHash"), gen.take(500))
   }
 
   test("ShingleHash participates in whole-stage codegen (no fallback)") {
