@@ -79,6 +79,22 @@ object StreamQueries {
     s"""SELECT user_id, COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private def t6(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    Streams.viewClickJoin(
+        e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "click"))
+      .orderBy(col("view_id"), col("click_id"))
+  }
+
+  private val t6Sql =
+    """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
+      |FROM events v JOIN events c
+      |  ON v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.user_id = v.user_id
+      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+      |ORDER BY view_id, click_id""".stripMargin
+
   /** X6 — distinct users per event type: the HLL sketch
     * (`approx_count_distinct`, mergeable at 100 TB scale — partial sketches
     * combine across executors without a distinct shuffle) alongside the
@@ -118,6 +134,7 @@ object StreamQueries {
     Q("stream_session", t3, Some(t3Sql)),
     Q("stream_dedup_late", t4, Some(t4Sql)),
     Q("stream_stateful_count", t5, Some(t5Sql)),
+    Q("stream_join", t6, Some(t6Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
   )
 }

@@ -67,6 +67,37 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** T6 — stream-stream interval join: each `view` event joined to the
+    * same user's `click` events in the following hour (attribution-window
+    * shape). In stream mode both inputs are separate streams; the
+    * time-range predicate is what lets Structured Streaming BOUND the join
+    * state — each side's buffered rows are dropped once the other side's
+    * watermark passes the end of their joinable window. In batch mode the
+    * same plan is an ordinary equi-join on user_id with the range as a
+    * join filter.
+    *
+    * Scale notes: the join shuffles both sides by user_id (co-partitioned
+    * state store in stream mode, SMJ/SHJ in batch); state per user is
+    * bounded by event rate × 1 h window, independent of stream length.
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("v_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    v.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("click_id"), col("user_id"))
+  }
+
+  /** Stream-mode [[viewClickJoin]]: both sides watermarked 2 h (≥ the 1 h
+    * join window, so neither side's state can grow unboundedly).
+    */
+  def viewClickJoinStream(views: DataFrame, clicks: DataFrame): DataFrame =
+    viewClickJoin(views.withWatermark("ts", "2 hours"),
+      clicks.withWatermark("ts", "2 hours"))
+
   /** T5 variant with EXPLICIT custom state (`mapGroupsWithState`) — the
     * escape hatch for stateful logic Spark's built-in aggregates can't
     * express (per-key state machines, custom eviction). Here the state is

@@ -74,4 +74,28 @@ class StreamBatchEquivSpec extends GraftSuite {
   test("T5 user counts: cross-batch running state equals batch result") {
     assertEquiv("eq_ucounts", "complete", Streams.userCounts)
   }
+
+  test("T6 interval join: two-stream replay equals batch result") {
+    // Two INDEPENDENT file-source streams over the same replay files (one
+    // per join side), four micro-batches each — matches must be found
+    // across batch boundaries from the buffered join state. Unwatermarked
+    // like the other cases (the replay files are not time-ordered, so a
+    // watermark could legitimately drop out-of-order matches; state-bound
+    // eviction is [[Streams.viewClickJoinStream]]'s production concern,
+    // not the equivalence claim).
+    def side(tpe: String) = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1").parquet(replayPath)
+      .filter(col("event_type") === tpe)
+    val cp = Files.createTempDirectory("graft_cp_join").toString
+    val q = Streams.viewClickJoin(side("view"), side("click"))
+      .writeStream.format("memory").queryName("eq_join")
+      .option("checkpointLocation", cp).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows(spark.table("eq_join"))
+    val want = rows(Streams.viewClickJoin(
+      batchEvents.filter(col("event_type") === "view"),
+      batchEvents.filter(col("event_type") === "click")))
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
