@@ -31,6 +31,12 @@ object Tables {
         // read natively; read it as a nanos Long and convert to a proper
         // TimestampType (µs) with integer division (fp division would lose
         // precision: ns epochs exceed double's 2^53 exact range).
+        // The conf is consulted again when the scan RDD is built, so it
+        // cannot be set-and-restored here — it must hold for the lifetime
+        // of any events frame. Our own entry points (Verify/Bench/tests)
+        // declare it at session construction; this set is the documented
+        // fallback for ad-hoc user sessions (a lasting session-level
+        // side effect of first touching `events`).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$dir/$name.parquet")
           .withColumn("ts", org.apache.spark.sql.functions
