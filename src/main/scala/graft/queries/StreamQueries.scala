@@ -128,6 +128,45 @@ object StreamQueries {
       |  COUNT(*) AS n_events, TRUE AS hll_within_rsd
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** X6b — per-type value quantiles: the approx sketch
+    * (`approx_percentile`, a mergeable rank sketch — partial summaries
+    * combine across executors without a global sort, the production path
+    * at 100 TB) alongside the exact interpolated percentile (a full
+    * per-group sort — the oracle twin, affordable only at test scale).
+    *
+    * Oracle shape (same pattern as X6/`distinct_users_hll`): the exact
+    * p50/p90 are value-compared (quantized); the sketch estimate is
+    * engine-specific, so it is checked through its RANK-error contract
+    * instead — `approx_percentile(p, acc)` guarantees a rank within
+    * n/acc of p·n, so with the generous ±5-percentile band used here the
+    * estimate must land between the exact p±0.05 quantiles; the oracle
+    * pins both booleans TRUE. A broken sketch fails the gate.
+    */
+  private def x6b(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
+          .as("ex"),
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"))
+      .select(col("event_type"),
+        Det.qround(element_at(col("ex"), 2), 6).as("p50"),
+        Det.qround(element_at(col("ex"), 5), 6).as("p90"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 3))
+          .as("approx_p50_in_rank_bounds"),
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 6))
+          .as("approx_p90_in_rank_bounds"))
+      .orderBy(col("event_type"))
+
+  private val x6bSql =
+    s"""SELECT event_type,
+       |  ${Det.qroundSql("quantile_cont(value, 0.5)", 6)} AS p50,
+       |  ${Det.qroundSql("quantile_cont(value, 0.9)", 6)} AS p90,
+       |  TRUE AS approx_p50_in_rank_bounds,
+       |  TRUE AS approx_p90_in_rank_bounds
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
@@ -136,5 +175,6 @@ object StreamQueries {
     Q("stream_stateful_count", t5, Some(t5Sql)),
     Q("stream_join", t6, Some(t6Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
+    Q("value_quantiles", x6b, Some(x6bSql)),
   )
 }
