@@ -27,7 +27,7 @@ object DedupQueries {
     (1, 69069L, 362437L, 134775813L, 1L),
     (2, 1664525L, 1013904223L, 22695477L, 1L),
     (3, 48271L, 0L, 16807L, 0L))
-  private val MaxShingleDf = 50
+  private[graft] val MaxShingleDf = 50
   /** Band-bucket width cap for [[minhash]]: buckets wider than this are
     * dropped before the candidate self-join (HAVING count ≤ cap on the
     * (band, mh1, mh2) key). With exact-dup clusters already collapsed to
@@ -82,7 +82,7 @@ object DedupQueries {
         .persist()
     })
 
-  private val shingleHashesSql =
+  private[graft] val shingleHashesSql =
     s"""sh AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_transform(

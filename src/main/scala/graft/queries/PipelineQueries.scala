@@ -31,11 +31,18 @@ object PipelineQueries {
   private def sampleSplit(s: SparkSession, dir: String): DataFrame = {
     val bucket = TextFns.stringHash(col("text")) % 100
     Tables(s, dir, "documents").select(
-      col("doc_id"), bucket.as("bucket"),
-      when(bucket < TrainPct, "train")
-        .when(bucket < TrainPct + ValPct, "val")
-        .otherwise("test").as("split"))
+      col("doc_id"), bucket.as("bucket"), splitOf(col("text")).as("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The canonical split assignment of a document text (see
+    * [[sampleSplit]]) — shared with [[decontaminate]].
+    */
+  private def splitOf(text: org.apache.spark.sql.Column) = {
+    val bucket = TextFns.stringHash(text) % 100
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "val")
+      .otherwise("test")
   }
 
   private val sampleSplitSql = {
@@ -189,9 +196,99 @@ object PipelineQueries {
        |    END) AS q
        |FROM a ORDER BY vec_id""".stripMargin
 
+  /** Minimum df-capped shared shingles for a near-dup contamination
+    * witness (3 shared rare 3-grams — the [[decontaminate]] sensitivity
+    * knob).
+    */
+  private val MinSharedShingles = 3
+
+  /** decontaminate — train/test contamination report: for every `test`
+    * document that leaks from the `train` split, one row
+    * (test_id, witness, kind) naming the smallest matching train doc.
+    * `kind = exact` means identical text; `kind = near` means ≥
+    * [[MinSharedShingles]] shared df-capped 3-gram shingles (the
+    * [[graft.queries.DedupQueries]] near-dup machinery pointed ACROSS the
+    * split boundary). Decontamination is a first-class pretraining
+    * concern: a test set that overlaps training data invalidates evals.
+    *
+    * Note the content-hash split ([[splitOf]]) already guarantees EXACT
+    * duplicates land in the same split — the exact arm is the safety net
+    * for a user-supplied (non-content-hash) split, while near-dups can
+    * and do cross splits. Scale: the exact arm joins the test side
+    * against a per-text min-id train DICTIONARY (never copy × copy); the
+    * near arm inherits the shingle df cap, so the shared-shingle join's
+    * fan-out is bounded exactly as in `dedup_ngram_jaccard`.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), splitOf(col("text")).as("split"))
+    val trainw = lab.filter(col("split") === "train")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("witness"))
+    val exact = lab.filter(col("split") === "test")
+      .join(trainw, Seq("text"))
+      .select(col("doc_id").as("test_id"), col("witness"),
+        lit("exact").as("kind"))
+    val shd = DedupQueries.shingleFrame(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("shingle"))
+    val rare = shd.join(
+      shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DedupQueries.MaxShingleDf).select(col("shingle")),
+      Seq("shingle"))
+      .join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
+    val tsh = rare.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("shingle"))
+    val rsh = rare.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val near = tsh.join(rsh, Seq("shingle"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .groupBy(col("test_id")).agg(min(col("train_id")).as("witness"))
+      .join(exact.select(col("test_id")), Seq("test_id"), "left_anti")
+      .select(col("test_id"), col("witness"), lit("near").as("kind"))
+    exact.unionByName(near).orderBy(col("test_id"))
+  }
+
+  private val decontaminateSql = {
+    val h = TextFns.stringHashSql("text").replace("\n", " ")
+    s"""WITH ${DedupQueries.shingleHashesSql},
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    CASE WHEN $h % 100 < $TrainPct THEN 'train'
+       |         WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |trainw AS MATERIALIZED (
+       |  SELECT text, MIN(doc_id) AS witness FROM lab
+       |  WHERE split = 'train' GROUP BY text),
+       |exact AS MATERIALIZED (
+       |  SELECT t.doc_id AS test_id, w.witness, 'exact' AS kind
+       |  FROM lab t JOIN trainw w USING (text) WHERE t.split = 'test'),
+       |shd AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
+       |rare AS MATERIALIZED (
+       |  SELECT shd.doc_id, shingle, split
+       |  FROM shd JOIN lab USING (doc_id)
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM shd GROUP BY shingle
+       |    HAVING COUNT(*) <= ${DedupQueries.MaxShingleDf})),
+       |near AS (
+       |  SELECT test_id, MIN(train_id) AS witness, 'near' AS kind FROM (
+       |    SELECT t.doc_id AS test_id, r.doc_id AS train_id
+       |    FROM rare t JOIN rare r
+       |      ON t.shingle = r.shingle
+       |     AND t.split = 'test' AND r.split = 'train'
+       |    GROUP BY 1, 2 HAVING COUNT(*) >= $MinSharedShingles)
+       |  WHERE test_id NOT IN (SELECT test_id FROM exact)
+       |  GROUP BY test_id)
+       |SELECT * FROM exact UNION ALL SELECT * FROM near
+       |ORDER BY test_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
-    Q("emb_quantize", embQuantize, Some(embQuantizeSql)))
+    Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
+    Q("decontaminate", decontaminate, Some(decontaminateSql)))
 }
