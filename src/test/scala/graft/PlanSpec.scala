@@ -70,7 +70,8 @@ class PlanSpec extends GraftSuite {
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar
     "num_vertices_edges",       // edge-count scalar
-    "text_tfidf")               // corpus-size scalar
+    "text_tfidf",               // corpus-size scalar
+    "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
     val offenders = queries.Registry.all.map(_.key).flatMap { key =>
