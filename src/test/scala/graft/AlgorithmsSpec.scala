@@ -58,6 +58,27 @@ class AlgorithmsSpec extends GraftSuite {
     assert(again === ranks)
   }
 
+  test("HITS: L1-normalized, deterministic, highest authority = vertex 5") {
+    val h = GraphAlgorithms.hits(spark, fixture, iterations = 5)
+    val rows = h.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1) === (1L to 5L))
+    // L1 normalization: scaled scores sum to ~1e9 (rounding ±5 ulp-of-1e-9)
+    assert(math.abs(rows.map(_._2).sum - 1000000000L) <= 5)
+    assert(math.abs(rows.map(_._3).sum - 1000000000L) <= 5)
+    val auth = rows.map(t => t._1 -> t._3).toMap
+    // In-degrees: 5←{3,4}, 3←{1,2}, 2←{1}, 4←{3}, 1←{5}; hubs 1 and 3
+    // dominate (each points at two strong authorities), so 5 (fed by hub
+    // 3 twice removed) and 3 (fed by hub 1) lead; vertex 5's feeders
+    // include the strongest hub 3 → max authority.
+    assert(auth(5L) === auth.values.max)
+    // Deterministic: identical rerun
+    val again = GraphAlgorithms.hits(spark, fixture, iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(again === rows)
+  }
+
   test("label propagation: pinned semantics converge to label 1 on fixture") {
     // Hand-derived (ties → smallest label, synchronous rounds on the
     // undirected fixture): round1 = (2,1,1,3,1), round2 = (1,1,1,1,1),
