@@ -186,6 +186,36 @@ object Substrate {
       |  FROM orders) t
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** R9 — ROLLUP / grouping-sets aggregate: the (returnflag, linestatus)
+    * detail, per-returnflag subtotals, and the grand total in ONE pass
+    * (Spark plans an Expand + single shuffled hash agg with map-side
+    * partial combine — not three scans). Rollup NULLs are folded to an
+    * 'ALL' marker plus an explicit grouping-level id computed as
+    * `grouping(flag)·2 + grouping(status)` on BOTH engines (conventions
+    * for grouping_id bit order differ; the explicit formula pins it).
+    */
+  private def r9(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.decSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val r9Sql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+       |       AS BIGINT) AS gid,
+       |  ${Det.decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
@@ -194,5 +224,6 @@ object Substrate {
     Q("substrate_union_distinct", r5, Some(r5Sql)),
     Q("substrate_sort_limit_topk", r6, Some(r6Sql)),
     Q("substrate_window_rank", r7, Some(r7Sql)),
+    Q("substrate_rollup", r9, Some(r9Sql)),
   )
 }
