@@ -230,11 +230,14 @@ object PipelineQueries {
         lit("exact").as("kind"))
     val shd = DedupQueries.shingleFrame(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("hs"))).as("shingle"))
+    // persisted: both sides of the cross-split join read it (same pattern
+    // as ngramJaccard's shared `rare` frame)
     val rare = shd.join(
       shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= DedupQueries.MaxShingleDf).select(col("shingle")),
       Seq("shingle"))
       .join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .persist()
     val tsh = rare.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("shingle"))
     val rsh = rare.filter(col("split") === "train")

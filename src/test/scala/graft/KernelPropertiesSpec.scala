@@ -36,11 +36,10 @@ class KernelPropertiesSpec extends AnyFunSuite {
     */
   test("rolling hash matches BigInt reference and never overflows") {
     val M = graft.functions.TextFns.HashMod
-    def kernel(s: String): Long = {
-      var h = 0L; var j = 0
-      while (j < s.length) { h = (h * 31 + s.charAt(j).toLong) % M; j += 1 }
-      h
-    }
+    // The SHIPPED kernel (behind TextFns.stringHash / ShingleHash), not a
+    // copy — the property pins the actual production arithmetic.
+    def kernel(s: String): Long = graft.functions.TextKernels.stringHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
     def reference(s: String): Long =
       s.foldLeft(BigInt(0))((h, c) => (h * 31 + c.toInt) % M).toLong
     val gen = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
