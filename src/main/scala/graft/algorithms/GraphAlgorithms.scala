@@ -37,30 +37,16 @@ object GraphAlgorithms {
     * [[graft.sources.IdEncoder]] for the generic-key dictionary path).
     */
   def toGraphX(g: graft.Graph, numPartitions: Int = 0): GXGraph[Double, Double] = {
-    val vrdd = g.vertices.select(col("id"), col("value").cast("double"))
-      .rdd.map(r => (r.getLong(0), r.getDouble(1)))
-    val erdd = g.edges.select(col("src"), col("dst"),
-        col("value").cast("double"))
-      .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val gx = GXGraph(vrdd, erdd)
-    // Partition by DATA size, not core count: core-count partitioning
-    // (defaultParallelism) turns every Pregel superstep into a fan of
-    // near-empty tasks at small scale. Default: inherit the source
-    // DataFrame's (AQE-coalesced) partition count; callers that know the
-    // edge count pass an explicit [[sizedParts]] — important when the
-    // source plan collapses to one partition but the iteration itself is
-    // heavy (e.g. PageRank over a joined edge set).
-    val parts =
-      if (numPartitions > 0) numPartitions
-      else math.max(1, erdd.getNumPartitions min
-        gx.edges.sparkContext.defaultParallelism)
-    gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
+    implicit val de: Encoder[Double] = Encoders.scalaDouble
+    toGraphXTyped[Double](g, col("value").cast("double"), numPartitions)
   }
 
   /** [[toGraphX]] with a GENERIC vertex-state type: `stateInit` (a Column
     * over the vertex frame's `id`/`value`) produces the initial VV, decoded
     * through its Dataset encoder — the bridge under
     * [[graft.Graph.pregelTyped]]. Edge values remain Double weights.
+    * (The Double-specialized [[toGraphX]] delegates here — the same
+    * delegation shape as [[pregelOn]]/[[pregelOnTyped]].)
     */
   def toGraphXTyped[VV: ClassTag](g: graft.Graph, stateInit: Column,
                                   numPartitions: Int = 0)(
@@ -74,6 +60,13 @@ object GraphAlgorithms {
         col("value").cast("double"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
     val gx = GXGraph(vrdd, erdd)
+    // Partition by DATA size, not core count: core-count partitioning
+    // (defaultParallelism) turns every Pregel superstep into a fan of
+    // near-empty tasks at small scale. Default: inherit the source
+    // DataFrame's (AQE-coalesced) partition count; callers that know the
+    // edge count pass an explicit [[sizedParts]] — important when the
+    // source plan collapses to one partition but the iteration itself is
+    // heavy (e.g. PageRank over a joined edge set).
     val parts =
       if (numPartitions > 0) numPartitions
       else math.max(1, erdd.getNumPartitions min
@@ -293,13 +286,21 @@ object GraphAlgorithms {
     ends.count()
     // Zero-filled L1 renormalize of per-vertex long sums: one pinned FP
     // division/scale per vertex against the broadcast 1-row normalizer.
+    // `sums` feeds the normalizer aggregate AND the join, so it is
+    // persisted for the duration of the half-round (the localCheckpoint
+    // materializes the result, after which the caller unpersists) —
+    // otherwise the edge-join aggregation runs twice per half-round.
     def renorm(sums: DataFrame, out: String): DataFrame = {
-      val nrm = sums.agg(sum(col("s")).cast("double").as("nrm"))
-      ids.join(sums, Seq("id"), "left_outer")
+      val sm = sums.persist()
+      val nrm = sm.agg(sum(col("s")).cast("double").as("nrm"))
+      val res = ids.join(sm, Seq("id"), "left_outer")
         .crossJoin(broadcast(nrm))
         .select(col("id"),
           floor(coalesce(col("s"), lit(0L)).cast("double") / col("nrm") *
             lit(1000000000.0) + 0.5).as(out))
+        .localCheckpoint()
+      sm.unpersist(blocking = false)
+      res
     }
     var hubs = ids.select(col("id"), lit(One).as("hv")).localCheckpoint()
     var auths = ids.select(col("id"), lit(0L).as("av"))
@@ -307,11 +308,11 @@ object GraphAlgorithms {
       auths = renorm(
         ends.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hv")).as("s")),
-        "av").localCheckpoint()
+        "av")
       hubs = renorm(
         ends.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("av")).as("s")),
-        "hv").localCheckpoint()
+        "hv")
     }
     ends.unpersist(blocking = false)
     hubs.join(auths, Seq("id"))

@@ -127,6 +127,10 @@ object DedupQueries {
                                hs: DataFrame): DataFrame = {
     import s.implicits._
     val bands = BandParams.toDF("band", "a1", "b1", "a2", "b2")
+    // persisted: sigsAll feeds the width-cap aggregate AND the capped
+    // frame, which is itself BOTH sides of the candidate self-join — the
+    // 4-band signature transform would otherwise run up to 4× (the SQL
+    // twin materializes sigs0/sigs once; same fix embSigs got)
     val sigsAll = hs.join(repIds(docs), Seq("doc_id"), "left_semi")
       .crossJoin(broadcast(bands))
       .select(col("doc_id"), col("band"),
@@ -134,10 +138,12 @@ object DedupQueries {
           h => (h * col("a1") % Prime + col("b1")) % Prime)).as("mh1"),
         array_min(transform(col("hs"),
           h => (h * col("a2") % Prime + col("b2")) % Prime)).as("mh2"))
+      .persist()
     val ok = sigsAll.groupBy(col("band"), col("mh1"), col("mh2"))
       .agg(count(lit(1)).as("bw")).filter(col("bw") <= MaxBandDf)
       .select(col("band"), col("mh1"), col("mh2"))
     val sigs = sigsAll.join(ok, Seq("band", "mh1", "mh2"), "left_semi")
+      .persist()
     val l = sigs.as("l"); val r = sigs.as("r")
     l.join(r, col("l.band") === col("r.band") &&
         col("l.mh1") === col("r.mh1") && col("l.mh2") === col("r.mh2") &&

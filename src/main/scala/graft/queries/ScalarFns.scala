@@ -70,9 +70,12 @@ object ScalarFns {
       sqrt(col("l_quantity")).as("qty_sqrt"))
       // Full-row total order: (l_orderkey, l_linenumber) has duplicates in
       // the synthetic data, and engine tie orders diverge at scale (sf1
-      // finding — see the same note on Substrate R1).
+      // finding — see the same note on Substrate R1). The keys must
+      // DETERMINE every output column: ln_price pins l_extendedprice and
+      // qty_sq pins l_quantity (hence qty_sqrt), so rows tied on all five
+      // keys are identical rows.
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
-        col("qty_sq"))
+        col("ln_price"), col("qty_sq"))
 
   private val f3Sql =
     s"""SELECT l_orderkey, l_linenumber,
@@ -82,7 +85,7 @@ object ScalarFns {
        |  l_quantity * l_quantity AS qty_sq,
        |  sqrt(l_quantity) AS qty_sqrt
        |FROM lineitem
-       |ORDER BY l_orderkey, l_linenumber, disc_price, qty_sq""".stripMargin
+       |ORDER BY l_orderkey, l_linenumber, disc_price, ln_price, qty_sq""".stripMargin
 
   /** F4 — array functions on the embedding column. The dot product is a
     * sequential left fold in both engines (Spark `aggregate` HOF; DuckDB

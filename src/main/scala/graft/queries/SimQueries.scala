@@ -341,13 +341,28 @@ object SimQueries {
       p
     })
 
+  /** Bench warm hook: build the on-disk IVF index so `sim_topk_ivf`'s
+    * per-key time measures the PROBE, not the one-off index write (see
+    * Bench's `_build:ivf` entry).
+    */
+  def warmIvf(s: SparkSession, dir: String): Unit = { ivfIndexPath(s, dir); () }
+
   /** Cache-lifecycle hook: unpersist and drop the memoized signature
-    * frames and IVF index paths for `s` (all sfDirs). See [[graft.Caches]].
+    * frames and IVF index paths for `s` (all sfDirs), DELETING the
+    * on-disk index copies — without the delete every session would leak a
+    * full embeddings copy under the temp dir. See [[graft.Caches]].
     */
   def evict(s: SparkSession): Unit = {
     sigCache.keys.filter(_._1 eq s).foreach(
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
-    ivfIndex.keys.filter(_._1 eq s).foreach(ivfIndex.remove(_))
+    ivfIndex.keys.filter(_._1 eq s).foreach { k =>
+      ivfIndex.remove(k).foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
+    }
   }
 
   private val dedupEmbeddingSql = {

@@ -87,12 +87,19 @@ object StreamQueries {
       .orderBy(col("view_id"), col("click_id"))
   }
 
+  /** The comparison runs on MICROSECOND epochs on both sides: Spark's
+    * `ts` is the nanos column floor-truncated to µs (see
+    * [[graft.sources.Tables]]), while DuckDB reads the raw TIMESTAMP_NS —
+    * comparing raw `ts` would classify pairs within 1 µs of the window
+    * boundary differently across engines.
+    */
   private val t6Sql =
     """SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id
       |FROM events v JOIN events c
       |  ON v.event_type = 'view' AND c.event_type = 'click'
       | AND c.user_id = v.user_id
-      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '1 hour'
+      | AND epoch_us(c.ts) > epoch_us(v.ts)
+      | AND epoch_us(c.ts) <= epoch_us(v.ts) + 3600000000
       |ORDER BY view_id, click_id""".stripMargin
 
   /** X6 — distinct users per event type: the HLL sketch
@@ -141,21 +148,31 @@ object StreamQueries {
     * n/acc of p·n, so with the generous ±5-percentile band used here the
     * estimate must land between the exact p±0.05 quantiles; the oracle
     * pins both booleans TRUE. A broken sketch fails the gate.
+    *
+    * The band compares a NEAREST-RANK element against INTERPOLATED
+    * bounds, which is only sound once the ±5-percentile band spans at
+    * least one whole rank — for a tiny group (n < 20) a perfectly correct
+    * sketch element can sit outside the interpolated band (e.g. n = 4
+    * distinct values: the lower-middle element < interpolated p45), so
+    * groups below 20 rows auto-pass the contract.
     */
   private def x6b(s: SparkSession, dir: String): DataFrame =
     events(s, dir).groupBy(col("event_type"))
       .agg(
         expr("percentile(value, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))")
           .as("ex"),
-        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"))
+        expr("approx_percentile(value, array(0.5, 0.9), 10000)").as("ap"),
+        count(lit(1)).as("cnt"))
       .select(col("event_type"),
         Det.qround(element_at(col("ex"), 2), 6).as("p50"),
         Det.qround(element_at(col("ex"), 5), 6).as("p90"),
-        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
-          element_at(col("ap"), 1) <= element_at(col("ex"), 3))
+        (col("cnt") < 20 ||
+          (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("ex"), 3)))
           .as("approx_p50_in_rank_bounds"),
-        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
-          element_at(col("ap"), 2) <= element_at(col("ex"), 6))
+        (col("cnt") < 20 ||
+          (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+            element_at(col("ap"), 2) <= element_at(col("ex"), 6)))
           .as("approx_p90_in_rank_bounds"))
       .orderBy(col("event_type"))
 
