@@ -153,11 +153,15 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val minhashSql = {
+  /** Shared WITH-fragment: shingle hashes → exact-dup reps → banded
+    * signatures → width-capped sigs (the candidate-generation chain;
+    * [[minhashSql]] and [[dedupClustersSql]] both build on it).
+    */
+  private val minhashSigsCte = {
     val bandRows = BandParams
       .map { case (b, a1, b1, a2, b2) => s"($b, $a1, $b1, $a2, $b2)" }
       .mkString(", ")
-    s"""WITH $shingleHashesSql,
+    s"""$shingleHashesSql,
        |$repsSql,
        |bands(band, a1, b1, a2, b2) AS (VALUES $bandRows),
        |sigs0 AS MATERIALIZED (
@@ -168,13 +172,17 @@ object DedupQueries {
        |ok AS MATERIALIZED (
        |  SELECT band, mh1, mh2 FROM sigs0
        |  GROUP BY 1, 2, 3 HAVING COUNT(*) <= $MaxBandDf),
-       |sigs AS MATERIALIZED (SELECT sigs0.* FROM sigs0 JOIN ok USING (band, mh1, mh2))
+       |sigs AS MATERIALIZED (SELECT sigs0.* FROM sigs0 JOIN ok USING (band, mh1, mh2))"""
+      .stripMargin
+  }
+
+  private val minhashSql =
+    s"""WITH $minhashSigsCte
        |SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS n_bands
        |FROM sigs l JOIN sigs r
        |  ON l.band = r.band AND l.mh1 = r.mh1 AND l.mh2 = r.mh2
        | AND l.doc_id < r.doc_id
        |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin
-  }
 
   /** SimHash — 16-bit signature from token hashes: bit b of the signature
     * is the sign of Σ_tokens (±1 by bit b of the token hash).
@@ -288,11 +296,106 @@ object DedupQueries {
     hsCache.keys.filter(_._1 eq s).foreach(
       hsCache.remove(_).foreach(_.unpersist(blocking = false)))
 
+  /** Bounded min-label rounds for [[dedupClusters]] — the same unrolled
+    * count on both engines, so the key is deterministic even if a
+    * pathological duplicate component is wider than the bound.
+    */
+  private val DcRounds = 6
+
+  /** dedup_clusters — the dedup pipeline's CLOSURE step: each document →
+    * the smallest doc_id of its duplicate CLUSTER, where clusters are the
+    * connected components of (exact-duplicate membership edges: every
+    * copy → its per-text min-id representative) ∪ (minhash candidate
+    * pairs between representatives). [[minhash]] emits candidate PAIRS;
+    * a real dedup run must transitively close them to pick one canonical
+    * doc per cluster — this key is that step, and what a keep/drop list
+    * is generated from (`keep = (doc_id == cluster)`).
+    *
+    * Bounded synchronous min-label propagation ([[DcRounds]] rounds, the
+    * I3 connected-components shape) over the candidate graph: per round
+    * one edge join + min aggregation; `localCheckpoint` per round (the
+    * labels frame feeds both the join and the fallback coalesce — the LP
+    * lazy-plan-doubling lesson). Scale: the candidate graph is already
+    * df-capped ([[MaxBandDf]]) and rep-collapsed, so its components are
+    * small by construction; rounds are bounded, not convergence-polled.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    dedupClustersOf(s, docs, shingleHashes(s, dir))
+  }
+
+  /** Testable seam for [[dedupClusters]]: explicit documents + (doc_id,
+    * hs) shingle-hash frames.
+    */
+  private[graft] def dedupClustersOf(s: SparkSession, docs: DataFrame,
+                                     hs: DataFrame): DataFrame = {
+    val repmap = docs.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
+    val exactE = docs.join(repmap, Seq("text"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("a"), col("rep").as("b"))
+    val pairs = minhashOf(s, docs, hs)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    val edges = exactE.unionByName(pairs)
+    val und = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    und.count()
+    var labels = docs
+      .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+      .localCheckpoint()
+    for (_ <- 1 to DcRounds) {
+      val m = und
+        .join(labels.select(col("id").as("a"), col("cluster")), Seq("a"))
+        .groupBy(col("b").as("id")).agg(min(col("cluster")).as("nmin"))
+      labels = labels.join(m, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+    }
+    und.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql = {
+    val rounds = (1 to DcRounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.id, LEAST(l.cluster, COALESCE(m.nmin, l.cluster)) AS cluster
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT e.b AS id, MIN(p.cluster) AS nmin
+         |    FROM und e JOIN l${k - 1} p ON p.id = e.a
+         |    GROUP BY e.b) m ON l.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashSigsCte,
+       |cpairs AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sigs l JOIN sigs r
+       |    ON l.band = r.band AND l.mh1 = r.mh1 AND l.mh2 = r.mh2
+       |   AND l.doc_id < r.doc_id),
+       |repm AS MATERIALIZED (
+       |  SELECT text, MIN(doc_id) AS rep FROM documents GROUP BY text),
+       |exacte AS MATERIALIZED (
+       |  SELECT d.doc_id AS a, r.rep AS b
+       |  FROM documents d JOIN repm r USING (text)
+       |  WHERE d.doc_id <> r.rep),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM cpairs UNION ALL SELECT a, b FROM exacte
+       |  UNION ALL SELECT b AS a, a AS b FROM cpairs
+       |  UNION ALL SELECT b AS a, a AS b FROM exacte),
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, doc_id AS cluster FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, cluster FROM l$DcRounds ORDER BY doc_id"""
+      .stripMargin
+  }
+
   private def qs0 = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_minhash", minhash, Some(minhashSql)),
     Q("dedup_simhash", simhash, Some(simhashSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
   )
 
   val qs: Seq[Q] = qs0

@@ -74,6 +74,26 @@ class DedupClusterSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedup_clusters: transitive closure through exact + near edges") {
+    // Chain: 0 ≈ 1 (near), 1 ≈ 2 (near), plus 3/4 exact copies of 0 and
+    // 5 unrelated. 0–2 may share no bucket directly — the closure must
+    // still place 0,1,2,3,4 in ONE cluster with representative 0.
+    val mid = "alpha beta gamma delta epsilon zeta eta kappa"
+    val far = "alpha beta gamma delta epsilon zeta mu kappa"
+    val docs = docsDF(Seq(near1, mid, far, near1, near1,
+      "totally different words having no overlap whatsoever here"))
+    val got = DedupQueries.dedupClustersOf(spark, docs, hsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 6)
+    // exact copies of doc 0 always join its cluster
+    assert(got(3L) === got(0L) && got(4L) === got(0L))
+    // the near chain is transitively closed
+    assert(got(1L) === got(0L) && got(2L) === got(0L))
+    assert(got(0L) === 0L)
+    // the unrelated doc stays a singleton
+    assert(got(5L) === 5L)
+  }
+
   test("embedding sign-LSH: identical embeddings collapse to one signature") {
     val dim = 64
     def vec(seed: Int): Array[Float] =
