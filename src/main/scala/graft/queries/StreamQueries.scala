@@ -184,6 +184,76 @@ object StreamQueries {
        |  TRUE AS approx_p90_in_rank_bounds
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** X7 — funnel / sequence analytics: per user, how many `view` events
+    * were followed by a `click` within an hour (stage 2), and how many of
+    * those by a `purchase` within an hour of the FIRST qualifying click
+    * (stage 3). The "first click" anchor makes stage 3 deterministic even
+    * when several clicks qualify (MIN over a µs epoch is order-free), and
+    * every comparison runs on integer microsecond epochs on both engines
+    * (see [[t6Sql]]'s ns-vs-µs note).
+    *
+    * Scale: two interval joins co-keyed on user_id (shuffle by user, SMJ
+    * with the range as join filter — the `stream_join` shape) feeding two
+    * small per-user aggregations. State is bounded per user by event rate
+    * × window, the same argument as T6's stream mode.
+    */
+  private def x7(s: SparkSession, dir: String): DataFrame = {
+    val Hour = 3600000000L
+    val e = events(s, dir)
+    def stage(t: String) = e.filter(col("event_type") === t)
+    val v = stage("view").select(col("event_id").as("vid"), col("user_id"),
+      unix_micros(col("ts")).as("v_us"))
+    val c = stage("click").select(col("user_id").as("cu"),
+      unix_micros(col("ts")).as("c_us"))
+    val p = stage("purchase").select(col("user_id").as("pu"),
+      unix_micros(col("ts")).as("p_us"))
+    val fc = v.join(c, col("user_id") === col("cu") &&
+        col("c_us") > col("v_us") && col("c_us") <= col("v_us") + Hour,
+        "left_outer")
+      .groupBy(col("vid"), col("user_id"))
+      .agg(min(col("c_us")).as("first_click"))
+    val conv = fc.filter(col("first_click").isNotNull)
+      .join(p, col("user_id") === col("pu") &&
+        col("p_us") > col("first_click") &&
+        col("p_us") <= col("first_click") + Hour, "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchased"))
+    fc.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        count(col("first_click")).as("n_clicked"))
+      .join(conv, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("n_views"), col("n_clicked"),
+        coalesce(col("n_purchased"), lit(0L)).as("n_purchased"))
+      .orderBy(col("user_id"))
+  }
+
+  private val x7Sql =
+    """WITH v AS (
+      |  SELECT event_id AS vid, user_id, epoch_us(ts) AS v_us
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, epoch_us(ts) AS c_us
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_us(ts) AS p_us
+      |      FROM events WHERE event_type = 'purchase'),
+      |fc AS MATERIALIZED (
+      |  SELECT v.vid, v.user_id, MIN(c.c_us) AS first_click
+      |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |    AND c.c_us > v.v_us AND c.c_us <= v.v_us + 3600000000
+      |  GROUP BY v.vid, v.user_id),
+      |conv AS MATERIALIZED (
+      |  SELECT user_id, COUNT(*) AS n_purchased FROM fc
+      |  WHERE first_click IS NOT NULL AND EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = fc.user_id
+      |      AND p.p_us > fc.first_click
+      |      AND p.p_us <= fc.first_click + 3600000000)
+      |  GROUP BY user_id)
+      |SELECT b.user_id, n_views, n_clicked,
+      |  COALESCE(conv.n_purchased, 0) AS n_purchased
+      |FROM (SELECT user_id, COUNT(*) AS n_views,
+      |        COUNT(first_click) AS n_clicked
+      |      FROM fc GROUP BY user_id) b
+      |LEFT JOIN conv USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
@@ -193,5 +263,6 @@ object StreamQueries {
     Q("stream_join", t6, Some(t6Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
+    Q("events_funnel", x7, Some(x7Sql)),
   )
 }
