@@ -308,6 +308,25 @@ object GraphQueries {
        |  GROUP BY id) d ON v.id = d.id
        |ORDER BY v.id""".stripMargin
 
+  /** A3b (extension) — degree distribution: vertices per total-degree
+    * value. THE summary statistic of a graph's shape (power-law
+    * detection, and the skew evidence behind salting/AQE-skew-join
+    * decisions at 100 TB); two hash aggregations with partial combine,
+    * output |distinct degrees| rows — tiny at any scale.
+    */
+  private def a3b(s: SparkSession, dir: String) =
+    g(s, dir).degrees.groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("degree"))
+  private val a3bSql =
+    s"""$P SELECT degree, COUNT(*) AS n_vertices FROM (
+       |  SELECT v.id, COALESCE(d.n, 0) AS degree
+       |  FROM vertices v LEFT JOIN (
+       |    SELECT id, COUNT(*) AS n FROM (
+       |      SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges) e
+       |    GROUP BY id) d ON v.id = d.id)
+       |GROUP BY degree ORDER BY degree""".stripMargin
+
   /** A4 num_vertices / num_edges — global counts as one row. */
   private def a4(s: SparkSession, dir: String) = {
     val gr = g(s, dir)
@@ -513,6 +532,7 @@ object GraphQueries {
     Q("out_degrees", a1, Some(a1Sql)),
     Q("in_degrees", a2, Some(a2Sql)),
     Q("degrees", a3, Some(a3Sql)),
+    Q("degree_histogram", a3b, Some(a3bSql)),
     Q("num_vertices_edges", a4, Some(a4Sql)),
     Q("reduce_on_edges", a5, Some(a5Sql)),
     Q("reduce_on_edges_all", a5all, Some(a5allSql)),
