@@ -21,6 +21,7 @@ object Caches {
     graft.queries.DedupQueries.evict(spark)
     graft.queries.SimQueries.evict(spark)
     graft.queries.PipelineQueries.evict(spark)
+    graft.queries.StreamQueries.evict(spark)
     graft.sources.Tables.evict(spark)
   }
 }

@@ -118,13 +118,39 @@ object DedupQueries {
     * df-capping idea as [[ngramJaccard]]'s `MaxShingleDf`.
     */
   private def minhash(s: SparkSession, dir: String): DataFrame =
-    minhashOf(s, Tables(s, dir, "documents"), shingleHashes(s, dir))
+    candidatePairs(s, dir)
+
+  /** Memoized candidate-pair frame per session×dir: [[minhash]] and
+    * [[dedupClusters]] both consume it, so the shingle→band→cap→self-join
+    * chain runs ONCE per session; the pair frame is persisted (it is the
+    * small post-cap output) and the signature intermediates are released
+    * as soon as it materializes. Evicted via [[evict]].
+    */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir), {
+      val (pairs, temps) =
+        minhashOfWithTemps(s, Tables(s, dir, "documents"),
+          shingleHashes(s, dir))
+      val p = pairs.persist()
+      p.count() // materialize so the signature intermediates can drop
+      temps.foreach(_.unpersist(blocking = false))
+      p
+    })
 
   /** Testable seam for [[minhash]]: explicit documents + (doc_id, hs)
-    * shingle-hash frames.
+    * shingle-hash frames. (Leaves its two signature intermediates
+    * persisted — production goes through [[candidatePairs]], which
+    * releases them.)
     */
   private[graft] def minhashOf(s: SparkSession, docs: DataFrame,
-                               hs: DataFrame): DataFrame = {
+                               hs: DataFrame): DataFrame =
+    minhashOfWithTemps(s, docs, hs)._1
+
+  private def minhashOfWithTemps(s: SparkSession, docs: DataFrame,
+                                 hs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     val bands = BandParams.toDF("band", "a1", "b1", "a2", "b2")
     // persisted: sigsAll feeds the width-cap aggregate AND the capped
@@ -145,12 +171,13 @@ object DedupQueries {
     val sigs = sigsAll.join(ok, Seq("band", "mh1", "mh2"), "left_semi")
       .persist()
     val l = sigs.as("l"); val r = sigs.as("r")
-    l.join(r, col("l.band") === col("r.band") &&
+    val pairs = l.join(r, col("l.band") === col("r.band") &&
         col("l.mh1") === col("r.mh1") && col("l.mh2") === col("r.mh2") &&
         col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy(col("d1"), col("d2"))
+    (pairs, Seq(sigsAll, sigs))
   }
 
   /** Shared WITH-fragment: shingle hashes → exact-dup reps → banded
@@ -292,9 +319,12 @@ object DedupQueries {
   /** Cache-lifecycle hook: unpersist and drop the memoized shingle-hash
     * frames for `s` (all sfDirs). See [[graft.Caches]].
     */
-  def evict(s: SparkSession): Unit =
+  def evict(s: SparkSession): Unit = {
     hsCache.keys.filter(_._1 eq s).foreach(
       hsCache.remove(_).foreach(_.unpersist(blocking = false)))
+    pairsCache.keys.filter(_._1 eq s).foreach(
+      pairsCache.remove(_).foreach(_.unpersist(blocking = false)))
+  }
 
   /** Bounded min-label rounds for [[dedupClusters]] — the same unrolled
     * count on both engines, so the key is deterministic even if a
@@ -319,27 +349,35 @@ object DedupQueries {
     * df-capped ([[MaxBandDf]]) and rep-collapsed, so its components are
     * small by construction; rounds are bounded, not convergence-polled.
     */
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    dedupClustersOf(s, docs, shingleHashes(s, dir))
-  }
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // shares [[candidatePairs]]'s memoized frame with `dedup_minhash` —
+    // the candidate chain runs once per session, not once per key
+    dedupClustersFrom(s, Tables(s, dir, "documents"), candidatePairs(s, dir))
 
   /** Testable seam for [[dedupClusters]]: explicit documents + (doc_id,
     * hs) shingle-hash frames.
     */
   private[graft] def dedupClustersOf(s: SparkSession, docs: DataFrame,
-                                     hs: DataFrame): DataFrame = {
+                                     hs: DataFrame): DataFrame =
+    dedupClustersFrom(s, docs, minhashOf(s, docs, hs))
+
+  private def dedupClustersFrom(s: SparkSession, docs: DataFrame,
+                                candPairs: DataFrame): DataFrame = {
     val repmap = docs.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
     val exactE = docs.join(repmap, Seq("text"))
       .filter(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("a"), col("rep").as("b"))
-    val pairs = minhashOf(s, docs, hs)
+    val pairs = candPairs
       .select(col("d1").as("a"), col("d2").as("b"))
     val edges = exactE.unionByName(pairs)
     val und = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
     und.count()
+    // Per-round localCheckpoint (the LP loop shape): superseded rounds'
+    // checkpoint blocks are released by the ContextCleaner once the
+    // `labels` var drops its reference — local-checkpoint blocks must NOT
+    // be unpersisted manually (the checkpointed frame's only data copy).
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
       .localCheckpoint()

@@ -207,11 +207,17 @@ object StreamQueries {
       unix_micros(col("ts")).as("c_us"))
     val p = stage("purchase").select(col("user_id").as("pu"),
       unix_micros(col("ts")).as("p_us"))
-    val fc = v.join(c, col("user_id") === col("cu") &&
-        col("c_us") > col("v_us") && col("c_us") <= col("v_us") + Hour,
-        "left_outer")
-      .groupBy(col("vid"), col("user_id"))
-      .agg(min(col("c_us")).as("first_click"))
+    // persisted (memoized per session×dir, released via [[evict]]): fc
+    // feeds BOTH the conversion branch and the n_views/n_clicked rollup —
+    // without it the view-click interval join runs twice (the SQL twin
+    // marks fc MATERIALIZED for the same reason).
+    val fc = fcCache.getOrElseUpdate((s, dir),
+      v.join(c, col("user_id") === col("cu") &&
+          col("c_us") > col("v_us") && col("c_us") <= col("v_us") + Hour,
+          "left_outer")
+        .groupBy(col("vid"), col("user_id"))
+        .agg(min(col("c_us")).as("first_click"))
+        .persist())
     val conv = fc.filter(col("first_click").isNotNull)
       .join(p, col("user_id") === col("pu") &&
         col("p_us") > col("first_click") &&
@@ -253,6 +259,16 @@ object StreamQueries {
       |      FROM fc GROUP BY user_id) b
       |LEFT JOIN conv USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  private val fcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Cache-lifecycle hook: unpersist and drop the memoized funnel
+    * first-click frames for `s` (all sfDirs). See [[graft.Caches]].
+    */
+  def evict(s: SparkSession): Unit =
+    fcCache.keys.filter(_._1 eq s).foreach(
+      fcCache.remove(_).foreach(_.unpersist(blocking = false)))
 
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", t1, Some(t1Sql)),
