@@ -312,6 +312,14 @@ object DedupQueries {
     shingleHashes(s, dir).count(); ()
   }
 
+  /** Bench warm hook: build the shared minhash candidate-pair frame so
+    * whichever of `dedup_minhash`/`dedup_clusters` runs first doesn't
+    * absorb the chain's build cost (see Bench's `_build:pairs` entry).
+    */
+  def warmPairs(s: SparkSession, dir: String): Unit = {
+    candidatePairs(s, dir); ()
+  }
+
   /** The shared persisted (doc_id, hs) frame — plan-inspection seam. */
   private[graft] def shingleFrame(s: SparkSession, dir: String): DataFrame =
     shingleHashes(s, dir)
