@@ -290,6 +290,38 @@ object PipelineQueries {
        |ORDER BY test_id""".stripMargin
   }
 
+  /** doc_shuffle — deterministic global training-order shuffle: every
+    * document gets a dense position in the order of a salted content
+    * hash (ties → doc_id). Training runs need the corpus in a
+    * reproducible pseudo-random order — `rand()` or partition order give
+    * a different epoch every run; a content-hash sort key gives the SAME
+    * permutation on any cluster, any partitioning, any rerun (compose
+    * with [[shardPack]] for shuffled shards).
+    *
+    * Scale: the position is assigned by distributed range sort +
+    * `zipWithIndex` (the [[graft.sources.IdEncoder]] machinery) — no
+    * single-partition global window.
+    */
+  private def docShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(
+        TextFns.stringHash(concat(lit("shuffle:"), col("text"))).as("_1"),
+        col("doc_id").as("_2"))
+      .orderBy(col("_1"), col("_2"))
+      .as[(Long, Long)].rdd
+      .zipWithIndex()
+      .map { case ((h, id), pos) => (pos, id, h) }
+      .toDF("pos", "doc_id", "hkey")
+  }
+
+  private val docShuffleSql = {
+    val h = TextFns.stringHashSql("'shuffle:' || text").replace("\n", " ")
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY $h, doc_id) - 1 AS pos,
+       |  doc_id, $h AS hkey
+       |FROM documents ORDER BY pos""".stripMargin
+  }
+
   private val rareCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
@@ -305,5 +337,6 @@ object PipelineQueries {
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
-    Q("decontaminate", decontaminate, Some(decontaminateSql)))
+    Q("decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("doc_shuffle", docShuffle, Some(docShuffleSql)))
 }

@@ -260,6 +260,47 @@ object StreamQueries {
       |LEFT JOIN conv USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** X8 — day-over-day cohort retention: per UTC day, distinct active
+    * users and how many of them are active again the NEXT day. Day ids
+    * are integer epoch-µs divisions (floor), so both engines bucket
+    * identically; counts are exact integers. Scale: two hash
+    * aggregations over (user, day) distinct pairs + one self-join on
+    * (user, day+1) — all co-keyed shuffles, output |days| rows.
+    */
+  private def x8(s: SparkSession, dir: String): DataFrame = {
+    // `div` is Spark's INTEGER division on longs (DuckDB twin `//`) — a
+    // double `/` + cast would round-trip a ~2e15 epoch through double
+    // division, where a near-boundary quotient can round across the day
+    // edge.
+    val ud = events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val nxt = ud.select(col("user_id"), (col("day") - 1).as("day"))
+    val ret = ud.join(nxt, Seq("user_id", "day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_retained"))
+    ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+      .join(ret, Seq("day"), "left_outer")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .orderBy(col("day"))
+  }
+
+  private val x8Sql =
+    """WITH ud AS MATERIALIZED (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |ret AS MATERIALIZED (
+      |  SELECT a.day, COUNT(*) AS n_retained
+      |  FROM ud a JOIN ud b
+      |    ON b.user_id = a.user_id AND b.day = a.day + 1
+      |  GROUP BY a.day)
+      |SELECT a.day, COUNT(*) AS n_active,
+      |  COALESCE(MAX(ret.n_retained), 0) AS n_retained
+      |FROM ud a LEFT JOIN ret ON ret.day = a.day
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   private val fcCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
@@ -280,5 +321,6 @@ object StreamQueries {
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("events_funnel", x7, Some(x7Sql)),
+    Q("events_retention", x8, Some(x8Sql)),
   )
 }
