@@ -19,6 +19,15 @@ object Bench {
     // Optional comma-separated key filter for targeted profiling; the
     // driver invokes with no args (full run).
     val keys = args.headOption.map(_.split(",").toSet)
+    keys.foreach { kf =>
+      val unknown = kf -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // A typo'd key must not produce an empty-but-clean bench line.
+        System.err.println(
+          s"[bench] unknown key(s) in filter: ${unknown.mkString(", ")}")
+        sys.exit(1)
+      }
+    }
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       val ok = try { body; true } catch {

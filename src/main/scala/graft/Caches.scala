@@ -20,7 +20,6 @@ object Caches {
     graft.queries.IterQueries.evict(spark)
     graft.queries.DedupQueries.evict(spark)
     graft.queries.SimQueries.evict(spark)
-    graft.queries.PipelineQueries.evict(spark)
     graft.queries.StreamQueries.evict(spark)
     graft.sources.Tables.evict(spark)
   }

@@ -22,6 +22,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    keyFilter.foreach { kf =>
+      val unknown = kf -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // A typo'd key must not look like a passing (empty) targeted run.
+        System.err.println(
+          s"[verify] unknown key(s) in filter: ${unknown.mkString(", ")}")
+        sys.exit(1)
+      }
+    }
     SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

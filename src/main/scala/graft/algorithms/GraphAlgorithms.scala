@@ -281,7 +281,12 @@ object GraphAlgorithms {
     val One = 1000000000L
     val ids = g.vertices.select(col("id"))
     val ends0 = g.edges.select(col("src"), col("dst"))
-    val parts = sizedParts(s, ends0.count())
+    val nEdges = ends0.count()
+    // An empty edge set would make every L1 normalizer NULL and silently
+    // NULL out all scores — fail loudly instead (same contract as an
+    // empty-graph Pregel run being meaningless).
+    require(nEdges > 0, "HITS requires a graph with at least one edge")
+    val parts = sizedParts(s, nEdges)
     val ends = ends0.repartition(parts).persist()
     ends.count()
     // Zero-filled L1 renormalize of per-vertex long sums: one pinned FP

@@ -255,15 +255,27 @@ object DedupQueries {
     * frequency cap (df ≤ MaxShingleDf) to bound bucket fan-out, pairwise
     * Jaccard over the shared-shingle join, threshold 0.5.
     */
+  /** Memoized df-capped (doc_id, shingle) frame per session×dir —
+    * [[ngramJaccard]] references it three times (sizes + both join
+    * sides) and `decontaminate` builds its cross-split join on it; one
+    * persisted copy serves all of them. Evicted via [[evict]].
+    */
+  private val rareCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def rareShingles(s: SparkSession, dir: String): DataFrame =
+    rareCache.getOrElseUpdate((s, dir), {
+      val sh = shingleHashes(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(col("hs"))).as("shingle"))
+      sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDf).select(col("shingle")),
+        Seq("shingle")).persist()
+    })
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(col("hs"))).as("shingle"))
-    // persisted: referenced three times below (sizes + both join sides)
-    val rare = sh.join(
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf),
-      Seq("shingle")).persist()
+    val rare = rareShingles(s, dir)
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val l = rare.as("l"); val r = rare.as("r")
     val inter = l.join(r, col("l.shingle") === col("r.shingle") &&
@@ -332,6 +344,8 @@ object DedupQueries {
       hsCache.remove(_).foreach(_.unpersist(blocking = false)))
     pairsCache.keys.filter(_._1 eq s).foreach(
       pairsCache.remove(_).foreach(_.unpersist(blocking = false)))
+    rareCache.keys.filter(_._1 eq s).foreach(
+      rareCache.remove(_).foreach(_.unpersist(blocking = false)))
   }
 
   /** Bounded min-label rounds for [[dedupClusters]] — the same unrolled

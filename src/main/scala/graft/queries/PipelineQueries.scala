@@ -228,18 +228,11 @@ object PipelineQueries {
       .join(trainw, Seq("text"))
       .select(col("doc_id").as("test_id"), col("witness"),
         lit("exact").as("kind"))
-    val shd = DedupQueries.shingleFrame(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("hs"))).as("shingle"))
-    // persisted (memoized per session×dir, released via [[evict]]): both
-    // sides of the cross-split join read it
-    val rare = rareCache.getOrElseUpdate((s, dir),
-      shd.join(
-        shd.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DedupQueries.MaxShingleDf)
-          .select(col("shingle")),
-        Seq("shingle"))
-        .join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
-        .persist())
+    // the df-capped shingle frame is SHARED with dedup_ngram_jaccard
+    // (one memoized persisted copy, [[DedupQueries.rareShingles]]); only
+    // the split column is layered on per query
+    val rare = DedupQueries.rareShingles(s, dir)
+      .join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
     val tsh = rare.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("shingle"))
     val rsh = rare.filter(col("split") === "train")
@@ -321,16 +314,6 @@ object PipelineQueries {
        |  doc_id, $h AS hkey
        |FROM documents ORDER BY pos""".stripMargin
   }
-
-  private val rareCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
-
-  /** Cache-lifecycle hook: unpersist and drop the memoized cross-split
-    * shingle frames for `s` (all sfDirs). See [[graft.Caches]].
-    */
-  def evict(s: SparkSession): Unit =
-    rareCache.keys.filter(_._1 eq s).foreach(
-      rareCache.remove(_).foreach(_.unpersist(blocking = false)))
 
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),

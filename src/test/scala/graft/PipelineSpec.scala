@@ -12,9 +12,11 @@ class PipelineSpec extends GraftSuite {
 
   private def docs(nParts: Int) = {
     import spark.implicits._
-    // 100 docs with varying token counts (1..10 tokens, deterministic).
-    (0L until 100L).map { i =>
-      (i, Seq.fill((i % 10).toInt + 1)("w" + (i % 7)).mkString(" "))
+    // 200 docs, 1..50 tokens each, ~5100 tokens total — several 1000-token
+    // shard boundaries, so the tests exercise boundary straddles and the
+    // cross-partition offset seeding (not just shard 0).
+    (0L until 200L).map { i =>
+      (i, Seq.fill((i % 50).toInt + 1)("w" + (i % 7)).mkString(" "))
     }.toDF("doc_id", "text").repartition(nParts)
   }
 
@@ -54,8 +56,10 @@ class PipelineSpec extends GraftSuite {
       assert(shard === acc / 1000L)
       acc += n
     }
-    // shards are contiguous, non-decreasing, and start at 0
+    // shards are contiguous, non-decreasing, start at 0, and the corpus
+    // actually spans several shards (guards against a vacuous all-zero run)
     assert(rows.head._3 === 0L)
+    assert(rows.map(_._3).max >= 4L)
     assert(rows.map(_._3).sliding(2).forall(p =>
       p.length < 2 || p(1) - p(0) <= 1 && p(1) >= p(0)))
   }

@@ -17,8 +17,9 @@ class PlanSpec extends GraftSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   private def planOf(key: String): SparkPlan = withoutAqe {

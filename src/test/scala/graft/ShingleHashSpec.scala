@@ -56,6 +56,7 @@ class ShingleHashSpec extends GraftSuite {
 
   test("StringHash participates in whole-stage codegen (no fallback)") {
     import org.apache.spark.sql.execution.debug.codegenString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val gen = try {
       val df = spark.range(4)
@@ -63,13 +64,14 @@ class ShingleHashSpec extends GraftSuite {
         .select(TextFns.stringHash(col("text")).as("h"))
         .filter(col("h") >= 0)
       codegenString(df.queryExecution.executedPlan)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(gen.contains("WholeStageCodegen"))
     assert(gen.contains("TextKernels.stringHash"), gen.take(500))
   }
 
   test("ShingleHash participates in whole-stage codegen (no fallback)") {
     import org.apache.spark.sql.execution.debug.codegenString
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val gen = try {
       val df = spark.range(4)
@@ -78,7 +80,7 @@ class ShingleHashSpec extends GraftSuite {
         .select(native(col("text")).as("hs"))
         .filter(size(col("hs")) > 0)
       codegenString(df.queryExecution.executedPlan)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(gen.contains("WholeStageCodegen"))
     assert(gen.contains("shingleHashes"), gen.take(500))
   }
