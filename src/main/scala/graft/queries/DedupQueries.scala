@@ -321,7 +321,10 @@ object DedupQueries {
     * hook; see [[graft.sources.GTrade.warm]]).
     */
   def warmShingles(s: SparkSession, dir: String): Unit = {
-    shingleHashes(s, dir).count(); ()
+    shingleHashes(s, dir).count()
+    // also materialize the shared df-capped frame (ngram_jaccard +
+    // decontaminate) so neither key absorbs its one-off build
+    rareShingles(s, dir).count(); ()
   }
 
   /** Bench warm hook: build the shared minhash candidate-pair frame so
