@@ -220,7 +220,17 @@ object PipelineQueries {
     * fan-out is bounded exactly as in `dedup_ngram_jaccard`.
     */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val lab = Tables(s, dir, "documents")
+    val docs = Tables(s, dir, "documents")
+    decontaminateFrom(docs, DedupQueries.rareShingles(s, dir))
+  }
+
+  /** Testable seam for [[decontaminate]]: explicit documents + df-capped
+    * (doc_id, shingle) frames (production shares the memoized
+    * [[DedupQueries.rareShingles]]).
+    */
+  private[graft] def decontaminateFrom(docs: DataFrame,
+                                       rareSh: DataFrame): DataFrame = {
+    val lab = docs
       .select(col("doc_id"), col("text"), splitOf(col("text")).as("split"))
     val trainw = lab.filter(col("split") === "train")
       .groupBy(col("text")).agg(min(col("doc_id")).as("witness"))
@@ -228,10 +238,8 @@ object PipelineQueries {
       .join(trainw, Seq("text"))
       .select(col("doc_id").as("test_id"), col("witness"),
         lit("exact").as("kind"))
-    // the df-capped shingle frame is SHARED with dedup_ngram_jaccard
-    // (one memoized persisted copy, [[DedupQueries.rareShingles]]); only
-    // the split column is layered on per query
-    val rare = DedupQueries.rareShingles(s, dir)
+    // only the split column is layered on the shared shingle frame
+    val rare = rareSh
       .join(lab.select(col("doc_id"), col("split")), Seq("doc_id"))
     val tsh = rare.filter(col("split") === "test")
       .select(col("doc_id").as("test_id"), col("shingle"))

@@ -30,6 +30,39 @@ class PipelineSpec extends GraftSuite {
       c.map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("decontaminate finds a cross-split near-dup; exact arm empty under content-hash split") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(t: String): Long =
+      graft.functions.TextKernels.stringHash(UTF8String.fromString(t)) % 100
+    // Search the hash space for a train-split base text and a test-split
+    // near-duplicate of it (same first 7 tokens → ≥ 5 shared 3-gram
+    // shingles); the salt suffixes only vary the LAST token.
+    val base7 = "alpha beta gamma delta epsilon zeta eta"
+    val train = (0 until 1000).iterator
+      .map(i => s"$base7 trainsalt$i").find(bucket(_) < 80).get
+    val test = (0 until 1000).iterator
+      .map(i => s"$base7 testsalt$i").find(bucket(_) >= 90).get
+    val noise = "totally unrelated words with zero overlap whatsoever okay"
+    val docs = Seq((0L, train), (1L, test), (2L, noise))
+      .toDF("doc_id", "text")
+    val rareSh = {
+      val sh = docs.select(col("doc_id"),
+        explode(array_distinct(org.apache.spark.sql.graftbridge.SqlBridge
+          .column(graft.functions.ShingleHash(
+            org.apache.spark.sql.graftbridge.SqlBridge
+              .expression(col("text")))))).as("shingle"))
+      sh // tiny corpus: no df cap needed for the seam
+    }
+    val got = PipelineQueries.decontaminateFrom(docs, rareSh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1 (test) leaks from doc 0 (train) via shared shingles — and the
+    // exact arm CANNOT fire: identical texts hash to the same bucket, so
+    // a content-hash split never separates exact copies (the invariant
+    // the docstring claims).
+    assert(got === Array((1L, 0L, "near")))
+  }
+
   test("stratified_sample is invariant under input partitioning") {
     import spark.implicits._
     def corpus(nParts: Int) = (0L until 200L).map { i =>
