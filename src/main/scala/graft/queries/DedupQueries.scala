@@ -351,11 +351,19 @@ object DedupQueries {
       rareCache.remove(_).foreach(_.unpersist(blocking = false)))
   }
 
-  /** Bounded min-label rounds for [[dedupClusters]] — the same unrolled
-    * count on both engines, so the key is deterministic even if a
-    * pathological duplicate component is wider than the bound.
+  /** Bounded hop+pointer-jump rounds for [[dedupClusters]] — the same
+    * unrolled count on both engines, so the key is deterministic. Each
+    * round is one edge-hop (neighbor min) followed by one pointer jump
+    * (label := label's own label). On id-monotone chains — the shape real
+    * dedup components have, because exact-dup representatives are min-ids
+    * by construction — reach doubles per round (r_k = 2·(r_{k-1}+1), so 5
+    * rounds cover diameter ≤ 62 vs 5 for plain hops); an adversarial id
+    * layout can degrade toward one hop per round, which is why the bound
+    * is backed by a fixpoint assertion: components past it fail LOUDLY on
+    * the Spark side (see [[dedupClustersFrom]]) instead of silently
+    * leaving split clusters in the keep-list.
     */
-  private val DcRounds = 6
+  private val DcRounds = 5
 
   /** dedup_clusters — the dedup pipeline's CLOSURE step: each document →
     * the smallest doc_id of its duplicate CLUSTER, where clusters are the
@@ -366,13 +374,19 @@ object DedupQueries {
     * doc per cluster — this key is that step, and what a keep/drop list
     * is generated from (`keep = (doc_id == cluster)`).
     *
-    * Bounded synchronous min-label propagation ([[DcRounds]] rounds, the
-    * I3 connected-components shape) over the candidate graph: per round
-    * one edge join + min aggregation; `localCheckpoint` per round (the
-    * labels frame feeds both the join and the fallback coalesce — the LP
-    * lazy-plan-doubling lesson). Scale: the candidate graph is already
-    * df-capped ([[MaxBandDf]]) and rep-collapsed, so its components are
-    * small by construction; rounds are bounded, not convergence-polled.
+    * Bounded synchronous min-label propagation with a POINTER-JUMP
+    * shortcut ([[DcRounds]] hop+jump rounds — the Shiloach–Vishkin
+    * shortcut step; see [[DcRounds]] for the reach analysis) over the
+    * candidate graph: per round one edge join + min aggregation, then one
+    * label-on-label self-join; `localCheckpoint` per step (each frame
+    * feeds two downstream plans — the LP lazy-plan-doubling lesson). A
+    * final one-hop pass asserts the labels are a fixpoint and THROWS
+    * otherwise (hop-fixpoint ⇒ labels constant per component ⇒ exact CC
+    * min-labels) — a component wider than the bound is a loud error,
+    * never a silent duplicate kept. Scale: the candidate graph is
+    * df-capped ([[MaxBandDf]]) and rep-collapsed, so components are small
+    * by construction; the jump headroom plus the loud guard covers the
+    * pathological rest.
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     // shares [[candidatePairs]]'s memoized frame with `dedup_minhash` —
@@ -386,8 +400,12 @@ object DedupQueries {
                                      hs: DataFrame): DataFrame =
     dedupClustersFrom(s, docs, minhashOf(s, docs, hs))
 
-  private def dedupClustersFrom(s: SparkSession, docs: DataFrame,
-                                candPairs: DataFrame): DataFrame = {
+  /** Core closure step over explicit candidate pairs — also the seam the
+    * chain-length tests drive directly (a path graph of arbitrary length
+    * without having to engineer minhash collisions).
+    */
+  private[graft] def dedupClustersFrom(s: SparkSession, docs: DataFrame,
+                                       candPairs: DataFrame): DataFrame = {
     val repmap = docs.groupBy(col("text")).agg(min(col("doc_id")).as("rep"))
     val exactE = docs.join(repmap, Seq("text"))
       .filter(col("doc_id") =!= col("rep"))
@@ -406,29 +424,58 @@ object DedupQueries {
     var labels = docs
       .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
       .localCheckpoint()
-    for (_ <- 1 to DcRounds) {
+    // one edge-hop: min neighbor label layered onto the current labels
+    def hop(lbl: DataFrame): DataFrame = {
       val m = und
-        .join(labels.select(col("id").as("a"), col("cluster")), Seq("a"))
+        .join(lbl.select(col("id").as("a"), col("cluster")), Seq("a"))
         .groupBy(col("b").as("id")).agg(min(col("cluster")).as("nmin"))
-      labels = labels.join(m, Seq("id"), "left_outer")
+      lbl.join(m, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+    }
+    for (_ <- 1 to DcRounds) {
+      // hop, then pointer-jump (cluster := cluster's own cluster — every
+      // cluster value IS a doc_id, so the self-join always matches)
+      val h = hop(labels).localCheckpoint()
+      labels = h
+        .join(h.select(col("id").as("cluster"), col("cluster").as("pc")),
+          Seq("cluster"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("pc"), col("cluster")))
+            .as("cluster"))
         .localCheckpoint()
     }
+    // fixpoint guard: one more hop must change nothing, else the bound
+    // was too small for this corpus — fail loudly, never emit a keep-list
+    // that silently retains duplicates.
+    val drifted = hop(labels)
+      .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+      .filter(col("cluster") =!= col("prev"))
+      .limit(1).count()
     und.unpersist(blocking = false)
+    if (drifted > 0)
+      throw new IllegalStateException(
+        s"dedup_clusters: min-label propagation did not converge within " +
+          s"$DcRounds hop+jump rounds (reach up to " +
+          s"${(1 to DcRounds).foldLeft(0)((r, _) => 2 * (r + 1))} hops on " +
+          "id-monotone chains); raise DcRounds")
     labels.select(col("id").as("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
   }
 
   private val dedupClustersSql = {
     val rounds = (1 to DcRounds).map { k =>
-      s"""l$k AS MATERIALIZED (
+      // hop (h$k) then pointer-jump (l$k) — mirrors the Spark loop exactly
+      s"""h$k AS MATERIALIZED (
          |  SELECT l.id, LEAST(l.cluster, COALESCE(m.nmin, l.cluster)) AS cluster
          |  FROM l${k - 1} l LEFT JOIN (
          |    SELECT e.b AS id, MIN(p.cluster) AS nmin
          |    FROM und e JOIN l${k - 1} p ON p.id = e.a
-         |    GROUP BY e.b) m ON l.id = m.id)""".stripMargin
+         |    GROUP BY e.b) m ON l.id = m.id),
+         |l$k AS MATERIALIZED (
+         |  SELECT h.id, LEAST(h.cluster, COALESCE(p.cluster, h.cluster)) AS cluster
+         |  FROM h$k h LEFT JOIN h$k p ON h.cluster = p.id)""".stripMargin
     }.mkString(",\n")
     s"""WITH $minhashSigsCte,
        |cpairs AS MATERIALIZED (

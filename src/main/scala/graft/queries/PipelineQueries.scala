@@ -165,7 +165,11 @@ object PipelineQueries {
     * values; `x · (127/amax)` pins the operation order on both engines
     * (one division, one multiply — IEEE ops on identical inputs), and
     * `floor(v + 0.5)` rounds identically in both (see
-    * [[graft.util.Det.qround]]). Scale: pure narrow map, no shuffle.
+    * [[graft.util.Det.qround]]). The result is exploded to one
+    * (vec_id, pos, q) row per component so the oracle gate (which cannot
+    * hash array cells) validates every component exactly — the production
+    * form would keep the packed array. Scale: narrow map + generator, no
+    * shuffle.
     */
   private def embQuantize(s: SparkSession, dir: String): DataFrame = {
     val amax = array_max(transform(col("embedding"),
@@ -173,12 +177,13 @@ object PipelineQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), amax.as("amax"))
       .select(col("vec_id"), col("amax"),
-        transform(col("embedding"), x =>
+        posexplode(transform(col("embedding"), x =>
           when(col("amax") === 0.0, lit(0L)).otherwise(
             greatest(lit(-127L), least(lit(127L),
-              floor(x.cast("double") * (lit(127.0) / col("amax")) + 0.5)))))
-          .as("q"))
-      .orderBy(col("vec_id"))
+              floor(x.cast("double") * (lit(127.0) / col("amax")) + 0.5)))))))
+      .select(col("vec_id"), col("amax"),
+        col("pos").cast("long").as("pos"), col("col").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
   }
 
   private val embQuantizeSql =
@@ -188,13 +193,14 @@ object PipelineQueries {
        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
        |  FROM embeddings)
        |SELECT vec_id, amax,
-       |  list_transform(embedding, x ->
+       |  unnest(range(0, len(embedding))) AS pos,
+       |  unnest(list_transform(embedding, x ->
        |    CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT)
        |         ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
        |           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
        |                AS BIGINT)))
-       |    END) AS q
-       |FROM a ORDER BY vec_id""".stripMargin
+       |    END)) AS q
+       |FROM a ORDER BY vec_id, pos""".stripMargin
 
   /** Minimum df-capped shared shingles for a near-dup contamination
     * witness (3 shared rare 3-grams — the [[decontaminate]] sensitivity

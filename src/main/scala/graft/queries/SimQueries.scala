@@ -332,14 +332,36 @@ object SimQueries {
   private val ivfIndex = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Index directories this JVM created and has not yet deleted — swept
+    * by a shutdown hook so crashed or non-evicting sessions don't leak a
+    * full on-disk embeddings copy per (session, sfDir).
+    */
+  private val liveIndexDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveIndexDirs.forEach(p => rmTree(new java.io.File(p)))))
+  }
+
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndex.getOrElseUpdate((s, dir), {
+    ivfIndex.get((s, dir)).getOrElse {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
         .toString
+      liveIndexDirs.add(p)
       Tables(s, dir, "embeddings").write.partitionBy("label")
         .mode("overwrite").parquet(p)
-      p
-    })
+      // two racers may both build; the loser deletes its own copy and
+      // adopts the winner's (getOrElseUpdate would orphan one on disk)
+      ivfIndex.putIfAbsent((s, dir), p) match {
+        case None => p
+        case Some(winner) =>
+          liveIndexDirs.remove(p); rmTree(new java.io.File(p)); winner
+      }
+    }
 
   /** Bench warm hook: build the on-disk IVF index so `sim_topk_ivf`'s
     * per-key time measures the PROBE, not the one-off index write (see
@@ -357,10 +379,7 @@ object SimQueries {
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
     ivfIndex.keys.filter(_._1 eq s).foreach { k =>
       ivfIndex.remove(k).foreach { p =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(p))
+        liveIndexDirs.remove(p); rmTree(new java.io.File(p))
       }
     }
   }

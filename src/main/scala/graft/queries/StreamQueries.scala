@@ -268,13 +268,17 @@ object StreamQueries {
     * (user, day+1) — all co-keyed shuffles, output |days| rows.
     */
   private def x8(s: SparkSession, dir: String): DataFrame = {
-    // `div` is Spark's INTEGER division on longs (DuckDB twin `//`) — a
-    // double `/` + cast would round-trip a ~2e15 epoch through double
-    // division, where a near-boundary quotient can round across the day
-    // edge.
+    // FLOOR day buckets in pure integer arithmetic: subtracting the
+    // non-negative pmod makes the numerator an exact multiple, so `div`
+    // (truncating) equals floor for ANY timestamp sign — bare `div` (and
+    // DuckDB's integer `//`) truncate toward zero, which would merge the
+    // fractional pre-1970 day into day 0. A double `/` + cast is no
+    // alternative: a ~2e15 epoch round-tripped through double division
+    // can round across the day edge.
     val ud = events(s, dir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"))
+        expr("""(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))
+                 div 86400000000""").as("day"))
       .distinct()
     val nxt = ud.select(col("user_id"), (col("day") - 1).as("day"))
     val ret = ud.join(nxt, Seq("user_id", "day"), "left_semi")
@@ -289,7 +293,8 @@ object StreamQueries {
   private val x8Sql =
     """WITH ud AS MATERIALIZED (
       |  SELECT DISTINCT user_id,
-      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |    CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+      |            % 86400000000) // 86400000000 AS BIGINT) AS day
       |  FROM events),
       |ret AS MATERIALIZED (
       |  SELECT a.day, COUNT(*) AS n_retained

@@ -94,6 +94,33 @@ class DedupClusterSpec extends GraftSuite {
     assert(got(5L) === 5L)
   }
 
+  /** A path graph 0–1–2–…–(n-1) as docs + explicit candidate pairs —
+    * drives [[DedupQueries.dedupClustersFrom]] directly so chain length
+    * is arbitrary (no minhash-collision engineering needed).
+    */
+  private def pathClusters(n: Int): Map[Long, Long] = {
+    val docs = docsDF((0 until n).map(i => s"unique document $i"))
+    val pairs = (0 until n - 1)
+      .map(i => (i.toLong, i.toLong + 1)).toDF("d1", "d2")
+    DedupQueries.dedupClustersFrom(spark, docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("dedup_clusters: pointer jumps close a 40-hop chain in 5 rounds") {
+    // Diameter 39 — far past the 5-hop reach of plain single-hop rounds;
+    // the hop+jump shortcut must still converge to one cluster.
+    val got = pathClusters(40)
+    assert(got.size === 40)
+    assert(got.values.forall(_ === 0L), s"split clusters: $got")
+  }
+
+  test("dedup_clusters: a chain past the round bound fails loudly") {
+    // Diameter 199 > the 62-hop monotone-chain reach: the fixpoint guard
+    // must throw, never silently emit a keep-list with split clusters.
+    val ex = intercept[IllegalStateException](pathClusters(200))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("embedding sign-LSH: identical embeddings collapse to one signature") {
     val dim = 64
     def vec(seed: Int): Array[Float] =
