@@ -51,7 +51,9 @@ object Bench {
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),
-      timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)))
+      timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),
+      timed("_build:copurchase")(
+        queries.NetworkQueries.warmCopurchase(spark, sfDir)))
     // Sorted key order: Map hash order shifts whenever a key is added,
     // moving shared first-touch materialization costs onto different
     // queries and breaking round-over-round comparability.

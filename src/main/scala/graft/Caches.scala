@@ -19,6 +19,7 @@ object Caches {
     graft.sources.GTrade.evict(spark)
     graft.queries.IterQueries.evict(spark)
     graft.queries.DedupQueries.evict(spark)
+    graft.queries.NetworkQueries.evict(spark)
     graft.queries.SimQueries.evict(spark)
     graft.queries.StreamQueries.evict(spark)
     graft.sources.Tables.evict(spark)

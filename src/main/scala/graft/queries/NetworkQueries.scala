@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.sources.GTrade
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** One-mode network analytics over the bipartite G_trade graph: the
+  * supplier CO-PURCHASE projection (suppliers linked by how many customers
+  * they share) and the classic graph-similarity measures computed on it —
+  * per-pair neighbor-set Jaccard (the reference family's Jaccard
+  * similarity example, re-pointed at the projection because a bipartite
+  * graph's adjacent vertices have disjoint neighborhoods) and per-vertex
+  * triangle participation.
+  *
+  * Scale shape: the projection is the one hazard. Pairing suppliers
+  * through their shared customer is O(fan²) per customer — a hub customer
+  * (boilerplate shingles' twin in graph form) blows up the pair join
+  * exactly like an uncapped LSH bucket. [[MaxCustFan]] caps it: customers
+  * with more than that many suppliers are dropped from the PROJECTION
+  * (not the graph), bounding per-customer work at a constant, the same
+  * df-cap pattern as [[DedupQueries.MaxShingleDf]]. One shuffle for the
+  * self-join (co-keyed on the customer), one hash agg with map-side
+  * combine for the pair counts; the projection is persisted and shared by
+  * both keys ([[warmCopurchase]] → bench `_build:copurchase`).
+  */
+object NetworkQueries {
+  /** Projection fan cap: a customer with more suppliers than this
+    * contributes no co-purchase pairs (hub exclusion — at TPC-H shapes the
+    * per-customer supplier fan is ~30, so the cap only engages on
+    * pathological skew).
+    */
+  final val MaxCustFan = 1000
+
+  /** Partners kept per supplier in the sparsified top-k graph that
+    * [[triangleCount]] runs on (strongest by shared-customer count).
+    */
+  final val TopK = 5
+
+  private val pairCache =
+    TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The persisted co-purchase pair frame (s1 < s2, n_shared) — built once
+    * per (session, sfDir), shared by `graph_jaccard` and `triangle_count`.
+    */
+  private[graft] def coPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir), {
+      val df = coPairsOf(GTrade(s, dir).edges).persist()
+      df.count()
+      df
+    })
+
+  /** Testable seam: the projection from an explicit (src, dst, …) edge
+    * frame. Pure function of the edge SET.
+    */
+  private[graft] def coPairsOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val fanOk = e.groupBy(col("src")).agg(count(lit(1)).as("fan"))
+      .filter(col("fan") <= MaxCustFan)
+      .select(col("src"))
+    val capped = e.join(fanOk, Seq("src"), "left_semi")
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
+      .groupBy(col("l.dst").as("s1"), col("r.dst").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Shared SQL CTEs mirroring [[coPairsOf]] (appended to
+    * [[GTrade.SqlPrefix]]).
+    */
+  private val coPairsCte =
+    s"""fanok AS MATERIALIZED (
+       |  SELECT src FROM edges GROUP BY src HAVING COUNT(*) <= $MaxCustFan),
+       |cap AS MATERIALIZED (
+       |  SELECT src, dst FROM edges WHERE src IN (SELECT src FROM fanok)),
+       |cop AS MATERIALIZED (
+       |  SELECT l.dst AS s1, r.dst AS s2, COUNT(*) AS n_shared
+       |  FROM cap l JOIN cap r ON l.src = r.src AND l.dst < r.dst
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** graph_jaccard — neighbor-set Jaccard for every co-purchasing supplier
+    * pair: |customers(s1) ∩ customers(s2)| / |customers(s1) ∪
+    * customers(s2)| = n_shared / (deg(s1) + deg(s2) - n_shared). Reference
+    * parity: the Jaccard-similarity library example (per-edge
+    * neighborhood overlap); on a bipartite graph adjacent vertices have
+    * disjoint neighborhoods, so the meaningful formulation is over the
+    * one-mode projection's pairs. Quantized ([[Det.qround]]) before the
+    * ORDER BY so libm ulps can't flip the comparison.
+    *
+    * Scale: degrees are one hash agg over the edge set; the join of pairs
+    * against the 2-column degree frame is broadcast-able (|suppliers| ≪
+    * |pairs|). No new shuffle beyond the shared projection.
+    */
+  private def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+    val deg = GTrade(s, dir).edges
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("deg"))
+    coPairs(s, dir)
+      .join(broadcast(deg.select(col("id").as("s1"), col("deg").as("d1"))),
+        Seq("s1"))
+      .join(broadcast(deg.select(col("id").as("s2"), col("deg").as("d2"))),
+        Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        Det.qround(col("n_shared").cast("double") /
+          (col("d1") + col("d2") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val graphJaccardSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte,
+       |deg AS MATERIALIZED (
+       |  SELECT dst AS id, COUNT(*) AS deg FROM edges GROUP BY dst)
+       |SELECT s1, s2, n_shared,
+       |  ${Det.qroundSql(
+             "CAST(n_shared AS DOUBLE) / (d1.deg + d2.deg - n_shared)", 6)}
+       |    AS jaccard
+       |FROM cop JOIN deg d1 ON d1.id = s1 JOIN deg d2 ON d2.id = s2
+       |ORDER BY s1, s2""".stripMargin
+
+  /** triangle_count — per-supplier triangle participation on the top-k
+    * partner graph: keep each supplier's [[TopK]] strongest co-purchase
+    * partners (by shared-customer count, partner id as the deterministic
+    * tie-break), canonicalize to undirected edges, and count the triangles
+    * each vertex closes. Suppliers outside any triangle (or any pair)
+    * report 0 — the output covers the full supplier vertex set.
+    *
+    * Scale: the top-k is a per-supplier window (PARTITION BY supplier —
+    * never a global sort) that bounds the triangle input at k·|suppliers|
+    * edges and every vertex degree at 2k, so the two-step edge join
+    * enumerating triangles is O(k²·|suppliers|) with broadcast-able
+    * sides — the sparsify-then-enumerate shape a 100 TB co-occurrence
+    * graph needs, vs the unbounded join a raw projection would feed. The
+    * a<b<c canonical orientation counts each triangle exactly once.
+    */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val off = GTrade.offset(s, dir)
+    triangleCountFrom(coPairs(s, dir),
+      GTrade(s, dir).vertices.filter(col("id") >= off).select(col("id")))
+  }
+
+  /** Testable seam for [[triangleCount]]: explicit (s1, s2, n_shared)
+    * pair frame + vertex-id frame.
+    */
+  private[graft] def triangleCountFrom(pairs: DataFrame,
+                                       vertexIds: DataFrame): DataFrame = {
+    val sym = pairs
+      .select(col("s1").as("s"), col("s2").as("p"), col("n_shared"))
+      .unionByName(pairs
+        .select(col("s2").as("s"), col("s1").as("p"), col("n_shared")))
+    val w = Window.partitionBy(col("s"))
+      .orderBy(col("n_shared").desc, col("p"))
+    val tedges = sym
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(least(col("s"), col("p")).as("a"),
+        greatest(col("s"), col("p")).as("b"))
+      .distinct()
+    val tri = tedges.as("e1")
+      .join(tedges.as("e2"), col("e2.a") === col("e1.b"))
+      .join(tedges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val cnt = tri.select(col("x").as("id"))
+      .unionByName(tri.select(col("y").as("id")))
+      .unionByName(tri.select(col("z").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    vertexIds
+      .join(cnt, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("id"))
+  }
+
+  private val triangleCountSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte,
+       |sym AS (
+       |  SELECT s1 AS s, s2 AS p, n_shared FROM cop
+       |  UNION ALL SELECT s2 AS s, s1 AS p, n_shared FROM cop),
+       |tedges AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(s, p) AS a, GREATEST(s, p) AS b FROM (
+       |    SELECT s, p, ROW_NUMBER() OVER (
+       |      PARTITION BY s ORDER BY n_shared DESC, p) AS rk
+       |    FROM sym) t WHERE rk <= $TopK),
+       |tri AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM tedges e1 JOIN tedges e2 ON e2.a = e1.b
+       |  JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tv AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |       UNION ALL SELECT z FROM tri),
+       |cnt AS (SELECT id, COUNT(*) AS n_tri FROM tv GROUP BY id)
+       |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
+       |FROM vertices v LEFT JOIN cnt ON cnt.id = v.id
+       |WHERE v.id >= ${GTrade.OffSql}
+       |ORDER BY v.id""".stripMargin
+
+  /** Bench warm hook: materialize the shared co-purchase projection so
+    * neither key absorbs the one-off build (`_build:copurchase`).
+    */
+  def warmCopurchase(s: SparkSession, dir: String): Unit = {
+    coPairs(s, dir); ()
+  }
+
+  /** Cache-lifecycle hook: unpersist and drop the memoized projection for
+    * `s` (all sfDirs). See [[graft.Caches]].
+    */
+  def evict(s: SparkSession): Unit =
+    pairCache.keys.filter(_._1 eq s).foreach(
+      pairCache.remove(_).foreach(_.unpersist(blocking = false)))
+
+  val qs: Seq[Q] = Seq(
+    Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("triangle_count", triangleCount, Some(triangleCountSql)))
+}

@@ -15,8 +15,8 @@ case class Q(key: String,
 object Registry {
   lazy val all: Seq[Q] =
     Substrate.qs ++ ScalarFns.qs ++ GraphQueries.qs ++ IterQueries.qs ++
-      TextQueries.qs ++ DedupQueries.qs ++ SimQueries.qs ++
-      StreamQueries.qs ++ PipelineQueries.qs
+      NetworkQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++
+      SimQueries.qs ++ StreamQueries.qs ++ PipelineQueries.qs
 
   lazy val byKey: Map[String, Q] = all.map(q => q.key -> q).toMap
 }

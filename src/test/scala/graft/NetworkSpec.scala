@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.NetworkQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the co-purchase projection machinery behind
+  * `graph_jaccard` / `triangle_count` — the fan cap (hub exclusion) and
+  * the top-k triangle enumeration, on graphs small enough to check by
+  * hand (the oracle keys check the production path end-to-end).
+  */
+class NetworkSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("coPairsOf: shared customers are counted per supplier pair") {
+    // customers 1,2 → suppliers 10,11 both; customer 3 → 10 only.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = NetworkQueries.coPairsOf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 11L, 2L)))
+  }
+
+  test("coPairsOf: a hub customer past the fan cap contributes no pairs") {
+    val hubFan = NetworkQueries.MaxCustFan + 1
+    // hub customer 0 touches `hubFan` suppliers; customer 1 touches two.
+    val hub = (0 until hubFan).map(i => (0L, 100L + i))
+    val ok = Seq((1L, 100L), (1L, 101L))
+    val got = NetworkQueries.coPairsOf((hub ++ ok).toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the in-cap customer's single pair survives — the hub's
+    // O(fan²) pair product is excluded from the projection entirely.
+    assert(got.toSeq === Seq((100L, 101L, 1L)))
+  }
+
+  private def triOf(pairs: Seq[(Long, Long, Long)],
+                    ids: Seq[Long]): Map[Long, Long] =
+    NetworkQueries.triangleCountFrom(
+        pairs.toDF("s1", "s2", "n_shared"),
+        ids.toDF("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("triangleCountFrom: one triangle plus a path, zero-filled isolates") {
+    // triangle 1-2-3, path 4-5, isolate 6 (in the vertex set, no pairs)
+    val pairs = Seq((1L, 2L, 9L), (1L, 3L, 9L), (2L, 3L, 9L), (4L, 5L, 9L))
+    val got = triOf(pairs, Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L))
+  }
+
+  test("triangleCountFrom: weak partners past top-k cannot close triangles") {
+    // vertex 1 has TopK strong partners (100..) plus weak partners 2 and 3;
+    // 2-3 is strong. The 1-2-3 triangle must NOT form: both 1-2 and 1-3
+    // fall outside 1's top-k AND outside 2's/3's (which rank their mutual
+    // strong edge and 1 below their own k-limit only if k is filled)...
+    // here 2 and 3 each have just two partners, so THEIR lists keep 1 —
+    // but an undirected edge is kept when EITHER endpoint ranks it, so
+    // 1-2/1-3 survive via 2/3. To pin the semantics, give 2 and 3 enough
+    // strong partners of their own to evict 1 from every list.
+    val k = NetworkQueries.TopK
+    val strong1 = (0 until k).map(i => (1L, 100L + i, 50L))
+    val strong2 = (0 until k).map(i => (2L, 200L + i, 50L))
+    val strong3 = (0 until k).map(i => (3L, 300L + i, 50L))
+    val weak = Seq((1L, 2L, 1L), (1L, 3L, 1L))
+    val mutual = Seq((2L, 3L, 50L))
+    val got = triOf(strong1 ++ strong2 ++ strong3 ++ weak ++ mutual,
+      Seq(1L, 2L, 3L))
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+}
