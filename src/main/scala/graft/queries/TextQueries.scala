@@ -176,8 +176,137 @@ object TextQueries {
     s"""SELECT doc_id, ${TextFns.stringHashSql("text")} AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** text_repetition — Gopher-style intra-document repetition signals,
+    * the filter that catches boilerplate/spam BEFORE cross-document dedup:
+    * duplicate-token fraction (1 - distinct/total), most-frequent-token
+    * fraction, and most-frequent-bigram fraction (share of adjacent-pair
+    * slots taken by the top 2-gram). All counts are exact integers; the
+    * fractions quantize ([[Det.qround]]) last, so the key is
+    * order-independent. Only the top COUNT is emitted (never the winning
+    * gram itself) — a deliberate choice that removes any tie-break on the
+    * argmax. Scale: explode + two hash aggs keyed on (doc, gram), both
+    * map-side combinable; bigrams derive from one zip of the token array
+    * with itself shifted — no joins, no windows.
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        expr("""zip_with(slice(tk, 1, size(tk) - 1),
+                         slice(tk, 2, size(tk) - 1),
+                         (a, b) -> concat(a, ' ', b))""").as("bg"))
+    val topTok = base.select(col("doc_id"), explode(col("tk")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
+    val topBig = base.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_big"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .join(topTok, Seq("doc_id"), "left_outer")
+      .join(topBig, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        Det.qround(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        Det.qround(coalesce(col("top_tok"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("top_token_frac"),
+        when(col("n_tokens") >= 2,
+          Det.qround(coalesce(col("top_big"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1), 6)).otherwise(0.0)
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |base AS MATERIALIZED (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    len(list_distinct(tk)) AS n_distinct,
+       |    list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i + 1]) AS bg
+       |  FROM tok),
+       |tt AS MATERIALIZED (
+       |  SELECT doc_id, MAX(c) AS top_tok FROM (
+       |    SELECT doc_id, t, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(tk) AS t FROM tok) u
+       |    GROUP BY doc_id, t) g GROUP BY doc_id),
+       |tb AS MATERIALIZED (
+       |  SELECT doc_id, MAX(c) AS top_big FROM (
+       |    SELECT doc_id, b, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(bg) AS b FROM base) u
+       |    GROUP BY doc_id, b) g GROUP BY doc_id)
+       |SELECT base.doc_id, n_tokens, n_distinct,
+       |  ${Det.qroundSql(
+             "1.0 - CAST(n_distinct AS DOUBLE) / n_tokens", 6)}
+       |    AS dup_token_frac,
+       |  ${Det.qroundSql(
+             "CAST(COALESCE(top_tok, 0) AS DOUBLE) / n_tokens", 6)}
+       |    AS top_token_frac,
+       |  CASE WHEN n_tokens >= 2 THEN ${Det.qroundSql(
+             "CAST(COALESCE(top_big, 0) AS DOUBLE) / (n_tokens - 1)", 6)}
+       |       ELSE 0.0 END AS top_bigram_frac
+       |FROM base LEFT JOIN tt ON tt.doc_id = base.doc_id
+       |LEFT JOIN tb ON tb.doc_id = base.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
+  /** text_unigram_nll — unigram language-model quality score (the CCNet
+    * perplexity-filter shape with the corpus itself as the LM): per
+    * document, the mean negative log-likelihood of its tokens under the
+    * corpus unigram distribution. Low = stereotypical text, high = rare
+    * vocabulary; pretraining pipelines bucket documents on exactly this
+    * number.
+    *
+    * Determinism: each token's nll is quantized to 6 dp and SCALED TO AN
+    * EXACT LONG before the per-document sum (the `hits` integer-scaling
+    * trick) — summing doubles would make the result depend on partition
+    * order. The single libm `ln` per vocab entry gets identical double
+    * inputs on both engines (exact long→double division); the ×1e6 floor
+    * masks ulp noise the same way `text_tfidf` does. Scale: the vocab agg
+    * is map-side combinable and its result is small (a token vocabulary,
+    * not the corpus) — broadcast to the token stream; the 1-row total is
+    * the declared scalar cross join.
+    */
+  private def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = tok.select(count(lit(1)).as("total"))
+    val nllq = floor(-log(col("cnt").cast("double") / col("total")) *
+      1000000.0 + 0.5).cast("long")
+    tok.join(broadcast(vocab), Seq("t")).crossJoin(total)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(nllq).as("nllq_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        Det.qround(col("nllq_sum").cast("double") / 1000000.0 /
+          col("n_tokens"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val unigramNllSql =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |vocab AS MATERIALIZED (
+       |  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+       |tot AS (SELECT COUNT(*) AS total FROM tok),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+       |         AS BIGINT) AS nllq
+       |  FROM tok JOIN vocab USING (t) CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  ${Det.qroundSql(
+             "CAST(SUM(nllq) AS BIGINT) / 1000000.0 / COUNT(*)", 6)}
+       |    AS avg_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("text_repetition", repetition, Some(repetitionSql)),
+    Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),
     Q("text_token_count", tokenCount, Some(tokenCountSql)),
     Q("text_quality", quality, Some(qualitySql)),

@@ -72,6 +72,7 @@ class PlanSpec extends GraftSuite {
     "add_vertex_edge",          // edge-count scalar
     "num_vertices_edges",       // edge-count scalar
     "text_tfidf",               // corpus-size scalar
+    "text_unigram_nll",         // corpus-token-total scalar
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
