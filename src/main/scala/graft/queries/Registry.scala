@@ -16,7 +16,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Substrate.qs ++ ScalarFns.qs ++ GraphQueries.qs ++ IterQueries.qs ++
       NetworkQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++
-      SimQueries.qs ++ StreamQueries.qs ++ PipelineQueries.qs
+      SimQueries.qs ++ StreamQueries.qs ++ PipelineQueries.qs ++
+      TemporalQueries.qs
 
   lazy val byKey: Map[String, Q] = all.map(q => q.key -> q).toMap
 }

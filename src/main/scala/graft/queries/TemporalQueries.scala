@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over the events table — the operators a training-data /
+  * analytics pipeline needs that Spark has no native operator for (the
+  * builder mandate names as-of join and range join explicitly). Each is
+  * implemented in its canonical DISTRIBUTED shape — never a per-row probe
+  * or a driver loop:
+  *
+  *  - as-of join: union both sides, one shuffle on the key, and a running
+  *    `last(..., ignoreNulls)` window — the merge-sort formulation. A
+  *    sort-merge as-of is what single-node engines do per key; the union +
+  *    window IS that merge, but partitioned by key across executors.
+  *  - range join: bucket the time axis at the interval width so every
+  *    interval covers ≤ 2 buckets, equi-join on (key, bucket), then filter
+  *    the exact containment — the bucketed-equi-join shape that avoids the
+  *    O(|points|·|intervals|) inequality join a naive plan produces.
+  *  - sessionize: lag + running sum over one per-key window — the batch
+  *    twin of `stream_session`'s session windows.
+  *
+  * Determinism (SURVEY §7.3): all arithmetic is exact integer µs
+  * (`unix_micros` / `epoch_us`); the only doubles are raw `value` sums in
+  * exact decimal ([[Det.decSum]]). Window orderings are totalized with
+  * `event_id` so ties cannot reorder across engines.
+  *
+  * Scale notes (100 TB): each key is one shuffle on `user_id` (plus one
+  * broadcast-free hash agg); the hazard all three share is a hot key — a
+  * bot user with millions of events serializes its partition's window
+  * sort. At production scale, bound per-key rows upstream (the
+  * [[DedupQueries.MaxShingleDf]] df-cap pattern) or pre-split hot users by
+  * day before sessionizing.
+  */
+object TemporalQueries {
+  /** Session gap: a ≥ 30 min silence starts a new session (matches
+    * `stream_session`'s gap).
+    */
+  final val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Attribution window for the range join: a purchase counts toward a
+    * view it follows within 2 hours.
+    */
+  final val AttrWindowUs: Long = 2L * 3600 * 1000000
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+
+  /** asof_join — for every purchase event, the most recent click by the
+    * same user at-or-before the purchase (inclusive), plus the gap in µs;
+    * purchases with no prior click keep NULLs (left as-of join).
+    *
+    * Shape: tag clicks side=0 / purchases side=1, union, then one window
+    * per user ordered by (ts, side, event_id) carrying the last non-null
+    * click forward. side=0 sorting before side=1 at equal ts makes the
+    * match inclusive; event_id totalizes equal-ts clicks (latest id wins)
+    * so both engines pick the same row. One shuffle, no join at all.
+    */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"))
+    val u = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("side"), col("event_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("side"),
+          col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("click_tus",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true)
+          .over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("tus") - col("click_tus")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofJoinSql =
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, 0 AS side, event_id
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts) AS tus, 1 AS side, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, tus, side, event_id,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS click_id,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS click_tus
+      |  FROM u)
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |  tus - click_tus AS gap_us
+      |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin
+
+  /** range_join — view→purchase attribution: for every view event, how
+    * many purchases the same user made in `(view_ts, view_ts + 2 h]`, and
+    * their exact-decimal value sum. Views with no attributed purchase
+    * report (0, 0.0).
+    *
+    * Shape: the time axis is bucketed at exactly the window width, so
+    * every interval covers at most 2 buckets (its endpoints' buckets) and
+    * every point exactly 1 — the candidate join is a plain equi-join on
+    * (user_id, bucket) with no duplicate candidates, followed by the
+    * exact containment filter. The oracle runs the same semantics as a
+    * naive inequality join; at scale the bucketed plan does
+    * O(|views| + |purchases|) shuffle work where the inequality join is a
+    * per-user cross product.
+    */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("tus").as("lo"), (col("tus") + AttrWindowUs).as("hi"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("value"),
+        expr(s"tus div $AttrWindowUs").as("bkt"))
+    val cand = views
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"lo div $AttrWindowUs"), expr(s"hi div $AttrWindowUs")))))
+      .join(purch, Seq("user_id", "bkt"))
+      .filter(col("tus") > col("lo") && col("tus") <= col("hi"))
+    val agg = cand.groupBy(col("view_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        Det.decSum(col("value")).as("sum_value"))
+    views.join(agg, Seq("view_id"), "left_outer")
+      .select(col("view_id"), col("user_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("view_id"))
+  }
+
+  private val rangeJoinSql =
+    s"""WITH v AS (
+       |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS lo,
+       |    epoch_us(ts) + $AttrWindowUs AS hi
+       |  FROM events WHERE event_type = 'view'),
+       |p AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT view_id, COUNT(*) AS n_purchases,
+       |    ${Det.decSumSql("value")} AS sum_value
+       |  FROM v JOIN p ON p.user_id = v.user_id
+       |    AND p.tus > v.lo AND p.tus <= v.hi
+       |  GROUP BY view_id)
+       |SELECT v.view_id, v.user_id,
+       |  COALESCE(c.n_purchases, 0) AS n_purchases,
+       |  COALESCE(c.sum_value, 0.0) AS sum_value
+       |FROM v LEFT JOIN c USING (view_id) ORDER BY v.view_id""".stripMargin
+
+  /** sessionize — batch gap-based sessionization: per user, a ≥ 30 min
+    * silence starts a new session; one output row per session with its
+    * event count, span, and exact-decimal value sum. The batch twin of
+    * `stream_session` (same gap), produced by lag + running-sum windows
+    * instead of state-store session windows.
+    */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_id"), col("value"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val flagged = ev.withColumn("new_s",
+      when(lag(col("tus"), 1).over(ord).isNull ||
+        col("tus") - lag(col("tus"), 1).over(ord) > SessionGapUs, 1L)
+        .otherwise(0L))
+    flagged
+      .withColumn("session_idx", sum(col("new_s")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"), max(col("tus")).as("end_us"),
+        Det.decSum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+       |fl AS (
+       |  SELECT user_id, tus, event_id, value,
+       |    CASE WHEN LAG(tus) OVER
+       |        (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+       |      OR tus - LAG(tus) OVER
+       |        (PARTITION BY user_id ORDER BY tus, event_id)
+       |        > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS new_s
+       |  FROM ev),
+       |sid AS (
+       |  SELECT user_id, tus, value,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_idx
+       |  FROM fl)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       |  MIN(tus) AS start_us, MAX(tus) AS end_us,
+       |  MAX(tus) - MIN(tus) AS duration_us,
+       |  ${Det.decSumSql("value")} AS sum_value
+       |FROM sid GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    Q("asof_join", asofJoin, Some(asofJoinSql)),
+    Q("range_join", rangeJoin, Some(rangeJoinSql)),
+    Q("sessionize", sessionize, Some(sessionizeSql)),
+  )
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.queries.{Registry, TemporalQueries}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join specs: each bucketed/windowed implementation is
+  * cross-checked against its NAIVE formulation (plain inequality join /
+  * per-user scan) on the sf0.001 events table — the strongest property we
+  * can assert without the oracle: same semantics, different plan.
+  */
+class TemporalSpec extends GraftSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private def run(key: String) =
+    Registry.byKey(key).fn(spark, sf)
+
+  private lazy val ev = graft.sources.Tables(spark, sf, "events")
+    .select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+
+  test("asof_join matches the naive greatest-prior-click join") {
+    // Naive: inequality join clicks×purchases, keep per purchase the
+    // click with max (tus, event_id).
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("ctus"),
+        col("event_id").as("cid"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus"), col("event_id").as("purchase_id"))
+    val naive = purch.join(clicks,
+        purch("user_id") === clicks("user_id") &&
+          col("ctus") <= col("tus"), "left_outer")
+      .groupBy(col("purchase_id"))
+      .agg(max_by(col("cid"), struct(col("ctus"), col("cid"))).as("click_id"),
+        max(col("ctus")).as("click_tus"))
+    val got = run("asof_join")
+      .select(col("purchase_id"), col("click_id"), col("gap_us"))
+    val want = purch.join(naive, Seq("purchase_id"))
+      .select(col("purchase_id"), col("click_id"),
+        (col("tus") - col("click_tus")).as("gap_us"))
+    assert(got.count() === purch.count())
+    assert(rows(got) === rows(want))
+  }
+
+  test("range_join matches the naive inequality join, including zeros") {
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("tus").as("lo"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("tus"), col("value"))
+    val naive = views.join(purch,
+        col("pu") === col("user_id") && col("tus") > col("lo") &&
+          col("tus") <= col("lo") + TemporalQueries.AttrWindowUs,
+        "left_outer")
+      .groupBy(col("view_id"))
+      .agg(count(col("tus")).as("n_purchases"))
+    val got = run("range_join").select(col("view_id"), col("n_purchases"))
+    assert(rows(got) === rows(naive))
+  }
+
+  test("range_join window edges: at lo excluded, at hi included") {
+    import spark.implicits._
+    // Interval buckets: a purchase exactly at hi lands in a DIFFERENT
+    // time bucket than lo when hi is bucket-aligned — the exploded
+    // 2-bucket cover must still find it.
+    val w = TemporalQueries.AttrWindowUs
+    val es = Seq(
+      (1L, 0L, "view", 0.0),
+      (2L, 0L, "purchase", 1.0),      // == lo: excluded
+      (3L, w, "purchase", 2.0),       // == hi (next bucket): included
+      (4L, w + 1, "purchase", 4.0))   // past hi: excluded
+      .toDF("event_id", "tus", "user_id_x", "value")
+    // run the same bucket+filter shape inline on a constructed frame
+    val views = es.filter(col("event_id") === 1L)
+      .select(col("event_id").as("view_id"), col("tus").as("lo"),
+        (col("tus") + w).as("hi"))
+    val purch = es.filter(col("event_id") =!= 1L)
+      .select(col("event_id"), col("tus"), expr(s"tus div $w").as("bkt"))
+    val got = views
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"lo div $w"), expr(s"hi div $w")))))
+      .join(purch, Seq("bkt"))
+      .filter(col("tus") > col("lo") && col("tus") <= col("hi"))
+      .select(col("event_id")).as[Long].collect().sorted
+    assert(got.toSeq === Seq(3L))
+  }
+
+  test("sessionize: session count equals naive per-user gap count") {
+    // Naive session count: 1 + (# gaps > SessionGapUs) per user, via lag.
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val naive = ev
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(ord))
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("gap") > TemporalQueries.SessionGapUs, 1L)
+        .otherwise(0L)) + 1L).as("n_sessions"))
+    val got = run("sessionize").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("tot_events"))
+    assert(rows(got.select(col("user_id"), col("n_sessions"))) ===
+      rows(naive))
+    // every event lands in exactly one session
+    val evCount = ev.groupBy(col("user_id")).count()
+    assert(rows(got.select(col("user_id"), col("tot_events"))) ===
+      rows(evCount))
+  }
+
+  test("sessionize: a gap of exactly SessionGapUs stays in-session") {
+    val g = TemporalQueries.SessionGapUs
+    // constructed: two events exactly Gap apart, then one at Gap+1 past.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val es = Seq((1L, 0L), (2L, g), (3L, 2 * g + 1))
+      .toDF("event_id", "tus").withColumn("user_id", lit(7L))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val sid = es.withColumn("new_s",
+        when(lag(col("tus"), 1).over(ord).isNull ||
+          col("tus") - lag(col("tus"), 1).over(ord) > g, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("session_idx")).as[(Long, Long)]
+      .collect().toMap
+    assert(sid === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
