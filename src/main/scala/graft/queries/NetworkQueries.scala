@@ -140,41 +140,50 @@ object NetworkQueries {
       GTrade(s, dir).vertices.filter(col("id") >= off).select(col("id")))
   }
 
-  /** Testable seam for [[triangleCount]]: explicit (s1, s2, n_shared)
-    * pair frame + vertex-id frame.
+  /** The sparsified undirected partner graph: each supplier's [[TopK]]
+    * strongest co-purchase partners, canonicalized to a < b edges.
     */
-  private[graft] def triangleCountFrom(pairs: DataFrame,
-                                       vertexIds: DataFrame): DataFrame = {
+  private def topKEdges(pairs: DataFrame): DataFrame = {
     val sym = pairs
       .select(col("s1").as("s"), col("s2").as("p"), col("n_shared"))
       .unionByName(pairs
         .select(col("s2").as("s"), col("s1").as("p"), col("n_shared")))
     val w = Window.partitionBy(col("s"))
       .orderBy(col("n_shared").desc, col("p"))
-    val tedges = sym
+    sym
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(least(col("s"), col("p")).as("a"),
         greatest(col("s"), col("p")).as("b"))
       .distinct()
+  }
+
+  /** Per-vertex triangle participation counts over an a<b edge frame. */
+  private def triCounts(tedges: DataFrame): DataFrame = {
     val tri = tedges.as("e1")
       .join(tedges.as("e2"), col("e2.a") === col("e1.b"))
       .join(tedges.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val cnt = tri.select(col("x").as("id"))
+    tri.select(col("x").as("id"))
       .unionByName(tri.select(col("y").as("id")))
       .unionByName(tri.select(col("z").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    vertexIds
-      .join(cnt, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .orderBy(col("id"))
   }
 
-  private val triangleCountSql =
-    s"""${GTrade.SqlPrefix}, $coPairsCte,
-       |sym AS (
+  /** Testable seam for [[triangleCount]]: explicit (s1, s2, n_shared)
+    * pair frame + vertex-id frame.
+    */
+  private[graft] def triangleCountFrom(pairs: DataFrame,
+                                       vertexIds: DataFrame): DataFrame =
+    vertexIds
+      .join(triCounts(topKEdges(pairs)), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("id"))
+
+  /** Shared SQL CTEs mirroring [[topKEdges]] + [[triCounts]]. */
+  private val triCtes =
+    s"""sym AS (
        |  SELECT s1 AS s, s2 AS p, n_shared FROM cop
        |  UNION ALL SELECT s2 AS s, s1 AS p, n_shared FROM cop),
        |tedges AS MATERIALIZED (
@@ -188,11 +197,72 @@ object NetworkQueries {
        |  JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b),
        |tv AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
        |       UNION ALL SELECT z FROM tri),
-       |cnt AS (SELECT id, COUNT(*) AS n_tri FROM tv GROUP BY id)
+       |cnt AS (SELECT id, COUNT(*) AS n_tri FROM tv GROUP BY id)""".stripMargin
+
+  private val triangleCountSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte, $triCtes
        |SELECT v.id, COALESCE(cnt.n_tri, 0) AS n_tri
        |FROM vertices v LEFT JOIN cnt ON cnt.id = v.id
        |WHERE v.id >= ${GTrade.OffSql}
        |ORDER BY v.id""".stripMargin
+
+  /** clustering_coeff — local clustering coefficient on the same top-k
+    * partner graph [[triangleCount]] runs on: for each supplier,
+    * `2·tri(v) / (deg(v)·(deg(v)−1))` with deg measured on the sparsified
+    * undirected edge set (so the coefficient is exactly the fraction of
+    * the vertex's closed wedges in that graph). Vertices with deg < 2
+    * report 0.0. Quantized before the ORDER BY.
+    *
+    * Scale: adds one hash agg (degrees) and two broadcast-able joins to
+    * the shared triangle machinery — the top-k sparsification already
+    * bounds every degree at 2·[[TopK]], so the wedge denominator is a
+    * constant-bounded integer.
+    */
+  private def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val off = GTrade.offset(s, dir)
+    clusteringCoeffFrom(coPairs(s, dir),
+      GTrade(s, dir).vertices.filter(col("id") >= off).select(col("id")))
+  }
+
+  /** Testable seam for [[clusteringCoeff]]. */
+  private[graft] def clusteringCoeffFrom(pairs: DataFrame,
+                                         vertexIds: DataFrame): DataFrame = {
+    val tedges = topKEdges(pairs)
+    val deg = tedges.select(col("a").as("id"))
+      .unionByName(tedges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    vertexIds
+      .join(deg, Seq("id"), "left_outer")
+      .join(triCounts(tedges), Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("id"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          Det.qround(lit(2.0) * col("n_tri") /
+            (col("deg") * (col("deg") - 1)), 6))
+          .otherwise(0.0).as("coeff"))
+      .orderBy(col("id"))
+  }
+
+  private val clusteringCoeffSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte, $triCtes,
+       |deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT a AS id FROM tedges UNION ALL SELECT b FROM tedges) d
+       |  GROUP BY id),
+       |base AS (
+       |  SELECT v.id, COALESCE(deg.deg, 0) AS deg,
+       |    COALESCE(cnt.n_tri, 0) AS n_tri
+       |  FROM vertices v
+       |  LEFT JOIN deg ON deg.id = v.id
+       |  LEFT JOIN cnt ON cnt.id = v.id
+       |  WHERE v.id >= ${GTrade.OffSql})
+       |SELECT id, deg, n_tri,
+       |  CASE WHEN deg >= 2 THEN
+       |    ${Det.qroundSql("2.0 * n_tri / (deg * (deg - 1))", 6)}
+       |  ELSE 0.0 END AS coeff
+       |FROM base ORDER BY id""".stripMargin
 
   /** Bench warm hook: materialize the shared co-purchase projection so
     * neither key absorbs the one-off build (`_build:copurchase`).
@@ -210,5 +280,6 @@ object NetworkQueries {
 
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
-    Q("triangle_count", triangleCount, Some(triangleCountSql)))
+    Q("triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)))
 }

@@ -303,8 +303,85 @@ object TextQueries {
        |    AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigrams below this corpus count are not collocation candidates (the
+    * classic low-count PMI instability cutoff).
+    */
+  final val PmiMinCount = 5
+
+  /** Collocations emitted by `pmi_bigrams`. */
+  final val PmiTopK = 100
+
+  /** pmi_bigrams — top-[[PmiTopK]] corpus collocations: adjacent token
+    * pairs with count ≥ [[PmiMinCount]], scored by pointwise mutual
+    * information `ln(c_xy·N / (c_x·c_y))` against the unigram
+    * distribution. The collocation-extraction stage of a pretraining text
+    * pipeline (tokenizer vocab candidates, boilerplate phrase mining).
+    *
+    * Determinism: all counts are exact longs; the single libm `ln` per
+    * candidate gets identical double inputs on both engines (pinned
+    * cast/multiply order) and quantizes to 6 dp before the ORDER BY, whose
+    * (pmi DESC, t1, t2) key is total — so the LIMIT cut is identical.
+    *
+    * Scale: two map-side-combinable hash aggs (bigram + unigram counts);
+    * the unigram vocab joins broadcast (vocabulary ≪ corpus); the final
+    * top-k is TakeOrderedAndProject (per-partition heaps, never a global
+    * sort).
+    */
+  private def pmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val bg = base.select(explode(expr(
+      """zip_with(slice(tk, 1, size(tk) - 1),
+                  slice(tk, 2, size(tk) - 1),
+                  (a, b) -> concat(a, ' ', b))""")).as("b"))
+    val uni = base.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bc = bg.groupBy(col("b")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= PmiMinCount)
+    val tot = bg.select(count(lit(1)).as("n"))
+    bc.select(split(col("b"), " ").getItem(0).as("t1"),
+        split(col("b"), " ").getItem(1).as("t2"), col("c_xy"))
+      .join(broadcast(uni.select(col("t").as("t1"), col("c").as("cx"))),
+        Seq("t1"))
+      .join(broadcast(uni.select(col("t").as("t2"), col("c").as("cy"))),
+        Seq("t2"))
+      .crossJoin(tot)
+      .select(col("t1"), col("t2"), col("c_xy"),
+        Det.qround(log(
+          col("c_xy").cast("double") * col("n").cast("double") /
+            (col("cx").cast("double") * col("cy").cast("double"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(PmiTopK)
+  }
+
+  private val pmiBigramsSql =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i + 1])) AS b FROM tok),
+       |uni AS MATERIALIZED (
+       |  SELECT t, COUNT(*) AS c FROM (
+       |    SELECT unnest(tk) AS t FROM tok) u GROUP BY t),
+       |bc AS MATERIALIZED (
+       |  SELECT b, COUNT(*) AS c_xy FROM bg
+       |  GROUP BY b HAVING COUNT(*) >= $PmiMinCount),
+       |tot AS (SELECT COUNT(*) AS n FROM bg),
+       |sc AS (
+       |  SELECT string_split(b, ' ')[1] AS t1,
+       |    string_split(b, ' ')[2] AS t2, c_xy FROM bc)
+       |SELECT t1, t2, c_xy,
+       |  ${Det.qroundSql(
+             "LN(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE) / " +
+               "(CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)))", 6)} AS pmi
+       |FROM sc JOIN uni cx ON cx.t = sc.t1
+       |JOIN uni cy ON cy.t = sc.t2, tot
+       |ORDER BY pmi DESC, t1, t2 LIMIT $PmiTopK""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),

@@ -67,4 +67,23 @@ class NetworkSpec extends GraftSuite {
       Seq(1L, 2L, 3L))
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("clusteringCoeffFrom: triangle vertices 1.0, wedge center 1/3, " +
+    "pendant and isolate 0.0") {
+    // triangle 1-2-3 plus pendant 4 attached to 1: vertex 1 has deg 3
+    // (one closed wedge of three) → 1/3; vertices 2,3 have deg 2 with
+    // their wedge closed → 1.0; pendant 4 deg 1 → 0; isolate 5 → 0.
+    val pairs = Seq((1L, 2L, 9L), (1L, 3L, 9L), (2L, 3L, 9L), (1L, 4L, 9L))
+    val got = NetworkQueries.clusteringCoeffFrom(
+        pairs.toDF("s1", "s2", "n_shared"),
+        Seq(1L, 2L, 3L, 4L, 5L).toDF("id"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 0.333333)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((2L, 1L, 1.0)),
+      4L -> ((1L, 0L, 0.0)),
+      5L -> ((0L, 0L, 0.0))))
+  }
 }
