@@ -73,6 +73,7 @@ class PlanSpec extends GraftSuite {
     "num_vertices_edges",       // edge-count scalar
     "text_tfidf",               // corpus-size scalar
     "text_unigram_nll",         // corpus-token-total scalar
+    "pmi_bigrams",              // corpus-bigram-total scalar
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
@@ -118,6 +119,26 @@ class PlanSpec extends GraftSuite {
           if !e.outputPartitioning.isInstanceOf[RangePartitioning] => e
       }
       assert(bad.isEmpty, s"$key: ${bad.mkString(", ")}")
+    }
+  }
+
+  test("asof_join and sessionize shuffle once on user_id plus the " +
+    "oracle sort") {
+    // The union+window as-of join and the sessionizer are single-shuffle
+    // by design: one hash exchange on user_id feeding the windows, one
+    // range exchange for the trailing ORDER BY — a second hash exchange
+    // would mean the window specs diverged (scale regression).
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning,
+      RangePartitioning}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for (key <- Seq("asof_join", "sessionize")) {
+      val ex = planOf(key).collect { case e: ShuffleExchangeExec => e }
+      val hashes = ex.filter(
+        _.outputPartitioning.isInstanceOf[HashPartitioning])
+      val ranges = ex.filter(
+        _.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(hashes.size <= 1 && hashes.size + ranges.size == ex.size,
+        s"$key: ${ex.map(_.outputPartitioning).mkString(", ")}")
     }
   }
 
