@@ -363,7 +363,7 @@ object DedupQueries {
     * the Spark side (see [[dedupClustersFrom]]) instead of silently
     * leaving split clusters in the keep-list.
     */
-  private val DcRounds = 5
+  private[graft] val DcRounds = 5
 
   /** dedup_clusters — the dedup pipeline's CLOSURE step: each document →
     * the smallest doc_id of its duplicate CLUSTER, where clusters are the
@@ -412,7 +412,22 @@ object DedupQueries {
       .select(col("doc_id").as("a"), col("rep").as("b"))
     val pairs = candPairs
       .select(col("d1").as("a"), col("d2").as("b"))
-    val edges = exactE.unionByName(pairs)
+    closeMinLabel(docs.select(col("doc_id").as("id")),
+        exactE.unionByName(pairs), "dedup_clusters")
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bounded min-label closure with the pointer-jump shortcut — the
+    * shared CC kernel under `dedup_clusters` and
+    * `dedup_embedding_clusters`: [[DcRounds]] hop+jump rounds over the
+    * symmetrized `edges` frame (directed (a, b) rows; ids and labels are
+    * one id space), then a fixpoint assertion that THROWS on
+    * non-convergence. Returns (id, cluster) with cluster = the component
+    * min id. The DuckDB twin of the round chain is [[closureRoundsSql]].
+    */
+  private[graft] def closeMinLabel(ids: DataFrame, edges: DataFrame,
+                                   keyName: String): DataFrame = {
     val und = edges
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .persist()
@@ -421,8 +436,8 @@ object DedupQueries {
     // checkpoint blocks are released by the ContextCleaner once the
     // `labels` var drops its reference — local-checkpoint blocks must NOT
     // be unpersisted manually (the checkpointed frame's only data copy).
-    var labels = docs
-      .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+    var labels = ids
+      .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     // one edge-hop: min neighbor label layered onto the current labels
     def hop(lbl: DataFrame): DataFrame = {
@@ -436,7 +451,7 @@ object DedupQueries {
     }
     for (_ <- 1 to DcRounds) {
       // hop, then pointer-jump (cluster := cluster's own cluster — every
-      // cluster value IS a doc_id, so the self-join always matches)
+      // cluster value IS an id, so the self-join always matches)
       val h = hop(labels).localCheckpoint()
       labels = h
         .join(h.select(col("id").as("cluster"), col("cluster").as("pc")),
@@ -456,16 +471,19 @@ object DedupQueries {
     und.unpersist(blocking = false)
     if (drifted > 0)
       throw new IllegalStateException(
-        s"dedup_clusters: min-label propagation did not converge within " +
+        s"$keyName: min-label propagation did not converge within " +
           s"$DcRounds hop+jump rounds (reach up to " +
           s"${(1 to DcRounds).foldLeft(0)((r, _) => 2 * (r + 1))} hops on " +
           "id-monotone chains); raise DcRounds")
-    labels.select(col("id").as("doc_id"), col("cluster"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
-  private val dedupClustersSql = {
-    val rounds = (1 to DcRounds).map { k =>
+  /** The h$k/l$k closure round CTE chain shared by the cluster-key
+    * oracles — assumes CTEs `und(a, b)` (symmetrized edges) and
+    * `l0(id, cluster)` are in scope; mirrors [[closeMinLabel]] exactly.
+    */
+  private[graft] def closureRoundsSql(rounds: Int = DcRounds): String =
+    (1 to rounds).map { k =>
       // hop (h$k) then pointer-jump (l$k) — mirrors the Spark loop exactly
       s"""h$k AS MATERIALIZED (
          |  SELECT l.id, LEAST(l.cluster, COALESCE(m.nmin, l.cluster)) AS cluster
@@ -477,6 +495,9 @@ object DedupQueries {
          |  SELECT h.id, LEAST(h.cluster, COALESCE(p.cluster, h.cluster)) AS cluster
          |  FROM h$k h LEFT JOIN h$k p ON h.cluster = p.id)""".stripMargin
     }.mkString(",\n")
+
+  private val dedupClustersSql = {
+    val rounds = closureRoundsSql()
     s"""WITH $minhashSigsCte,
        |cpairs AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b

@@ -384,7 +384,12 @@ object SimQueries {
     }
   }
 
-  private val dedupEmbeddingSql = {
+  /** The shared CTE chain of the sign-LSH near-dup oracle: defines
+    * `scored(v1, v2, cos)` — every bucket-collapsed candidate pair with
+    * its quantized cosine. `dedup_embedding` filters+orders it;
+    * `dedup_embedding_clusters` feeds it into the closure rounds.
+    */
+  private val embScoredCtes = {
     def planeLit(p: Int): String =
       Planes(p).map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
@@ -396,7 +401,7 @@ object SimQueries {
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM cent"
     }.mkString("\n  UNION ALL ")
     val dot = VectorFns.dotSql("a.embedding", "b.embedding")
-    s"""WITH n AS MATERIALIZED (
+    s"""n AS MATERIALIZED (
        |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings),
        |reps AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id FROM embeddings
@@ -421,13 +426,68 @@ object SimQueries {
        |  SELECT DISTINCT l.vec_id AS v1, r.vec_id AS v2
        |  FROM sigs l JOIN sigs r
        |    ON l.band = r.band AND l.bucket = r.bucket
-       |   AND l.vec_id < r.vec_id)
-       |SELECT v1, v2, cos FROM (
+       |   AND l.vec_id < r.vec_id),
+       |scored AS MATERIALIZED (
        |  SELECT v1, v2,
        |    ${Det.qroundSql(s"$dot / (a.nrm * b.nrm)", 6)} AS cos
-       |  FROM cand JOIN n a ON a.vec_id = v1 JOIN n b ON b.vec_id = v2) t
-       |WHERE cos >= $NearThresh ORDER BY v1, v2""".stripMargin
+       |  FROM cand JOIN n a ON a.vec_id = v1 JOIN n b ON b.vec_id = v2)"""
+      .stripMargin
   }
+
+  private val dedupEmbeddingSql =
+    s"""WITH $embScoredCtes
+       |SELECT v1, v2, cos FROM scored
+       |WHERE cos >= $NearThresh ORDER BY v1, v2""".stripMargin
+
+  /** dedup_embedding_clusters — SEMANTIC dedup's closure step: connected
+    * components of (exact-duplicate edges: every vector → its identical
+    * embedding's min-id representative) ∪ (sign-LSH near-dup pairs at
+    * cos ≥ [[NearThresh]]), each vec_id labeled with its cluster's min
+    * id — the frame a semantic keep-list derives from
+    * (`keep = (vec_id == cluster)`), completing the embedding pipeline
+    * the way `dedup_clusters` completes the minhash one.
+    *
+    * Shares the memoized signature frame with `dedup_embedding` and the
+    * bounded hop+jump closure kernel ([[DedupQueries.closeMinLabel]])
+    * with `dedup_clusters` — same loud non-convergence guard, same
+    * unrolled-round oracle ([[DedupQueries.closureRoundsSql]]).
+    */
+  private def dedupEmbeddingClusters(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val sigs = sigCache.getOrElseUpdate((s, dir), embSigs(emb).persist())
+    val npairs = dedupEmbeddingOf(emb, sigs)
+      .select(col("v1").as("a"), col("v2").as("b"))
+    val erepm = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val exacte = emb.join(erepm, Seq("embedding"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("a"), col("rep").as("b"))
+    DedupQueries.closeMinLabel(emb.select(col("vec_id").as("id")),
+        npairs.unionByName(exacte), "dedup_embedding_clusters")
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val dedupEmbeddingClustersSql =
+    s"""WITH $embScoredCtes,
+       |npairs AS MATERIALIZED (
+       |  SELECT v1 AS a, v2 AS b FROM scored WHERE cos >= $NearThresh),
+       |erepm AS MATERIALIZED (
+       |  SELECT embedding, MIN(vec_id) AS rep FROM embeddings
+       |  GROUP BY embedding),
+       |exacte AS MATERIALIZED (
+       |  SELECT e.vec_id AS a, r.rep AS b
+       |  FROM embeddings e JOIN erepm r USING (embedding)
+       |  WHERE e.vec_id <> r.rep),
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM npairs UNION ALL SELECT a, b FROM exacte
+       |  UNION ALL SELECT b AS a, a AS b FROM npairs
+       |  UNION ALL SELECT b AS a, a AS b FROM exacte),
+       |l0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, vec_id AS cluster FROM embeddings),
+       |${DedupQueries.closureRoundsSql()}
+       |SELECT id AS vec_id, cluster FROM l${DedupQueries.DcRounds}
+       |ORDER BY vec_id""".stripMargin
 
   // ---- embedding near-dup: exact all-pairs baseline (test scale) ----
 
@@ -579,6 +639,8 @@ object SimQueries {
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("dedup_embedding_clusters", dedupEmbeddingClusters,
+      Some(dedupEmbeddingClustersSql)),
     Q("dedup_embedding_exact", dedupEmbeddingExact,
       Some(dedupEmbeddingExactSql)),
     Q("multimodal_features", multimodal, Some(multimodalSql)),

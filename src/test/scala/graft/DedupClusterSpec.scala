@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ShingleHash
-import graft.queries.{DedupQueries, SimQueries}
+import graft.queries.{DedupQueries, Registry, SimQueries}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.SqlBridge
@@ -140,5 +140,36 @@ class DedupClusterSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.forall { case (a, b) => !(a >= 1 && a <= 999) &&
       !(b >= 1 && b <= 999) })
+  }
+
+  test("dedup_embedding_clusters: labels are a consistent min-id closure " +
+    "of the near-dup pairs on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = Registry.byKey("dedup_embedding_clusters").fn(spark, sf)
+    val lab = labels.select(col("vec_id"), col("cluster"))
+    // (a) every vector is labeled, exactly once
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    assert(lab.count() === emb.count())
+    // (b) cluster rep IS the min member of its cluster
+    val badRep = lab.groupBy(col("cluster"))
+      .agg(min(col("vec_id")).as("mn"))
+      .filter(col("cluster") =!= col("mn")).count()
+    assert(badRep === 0)
+    // (c) both endpoints of every near-dup pair share a cluster
+    val pairs = Registry.byKey("dedup_embedding").fn(spark, sf)
+    val split = pairs
+      .join(lab.select(col("vec_id").as("v1"), col("cluster").as("c1")),
+        Seq("v1"))
+      .join(lab.select(col("vec_id").as("v2"), col("cluster").as("c2")),
+        Seq("v2"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(split === 0)
+    // (d) identical embeddings share a cluster
+    val splitExact = emb
+      .join(lab, Seq("vec_id"))
+      .groupBy(col("embedding"))
+      .agg(countDistinct(col("cluster")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(splitExact === 0)
   }
 }
