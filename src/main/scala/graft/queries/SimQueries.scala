@@ -80,10 +80,13 @@ object SimQueries {
     * op. Every downstream dot/norm/ratio is then the same sequential fold
     * on both sides, so probe selection and final ranking match exactly.
     */
-  private def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorms(s, dir)
-    // centroids: mean per label via posexplode + re-collect (distributed)
-    val cent = Tables(s, dir, "embeddings")
+  /** Per-label coarse centroids (c_label, centroid, c_nrm) — the
+    * integer-scaled exact means shared by [[simTopkIvf]] and
+    * [[kmeansStep]] (mean per component via posexplode + re-collect,
+    * fully distributed).
+    */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * 1000000.0 + 0.5)
@@ -96,6 +99,10 @@ object SimQueries {
       .select(col("label").as("c_label"),
         transform(col("pv"), p => p.getField("v")).as("centroid"))
       .withColumn("c_nrm", VectorFns.norm(col("centroid")))
+
+  private def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val cent = centroids(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -182,6 +189,87 @@ object SimQueries {
        |  FROM scored)
        |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** kmeans_step — one Lloyd iteration over the embeddings: assign every
+    * vector to its nearest (quantized-cosine) coarse centroid, then
+    * recompute each cluster's centroid as the integer-scaled exact mean;
+    * output one (cluster, pos, v, n) row per centroid component. The
+    * clustering primitive a curation pipeline iterates for topic/quality
+    * bucketing — one full step, SQL-oracled; callers loop it.
+    *
+    * Initial centroids are the per-label means (the IVF coarse centroids
+    * — deterministic, no RNG seeding problem). Assignment ties break
+    * toward the smallest centroid label.
+    *
+    * Scale: the 10-row centroid table broadcasts; assignment is one
+    * map-side-combinable hash agg (`max_by` over the ×K expanded rows —
+    * no per-vector window sort), and the update is the same
+    * posexplode + long-sum agg the centroid build uses. Two shuffles
+    * total, both on compact keys.
+    */
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val cent = centroids(s, dir)
+    val assigned = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        col("c_label"),
+        Det.qround(VectorFns.dot(col("embedding"), col("centroid")) /
+          (col("nrm") * col("c_nrm")), 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("cos"), -col("c_label")))
+        .as("cluster"),
+        first(col("embedding")).as("embedding"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(floor(col("col").cast("double") * 1000000.0 + 0.5)
+        .cast("long")).as("sv"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        (col("sv").cast("double") / (lit(1000000.0) * col("n"))).as("v"),
+        col("n"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+
+  private val kmeansStepSql = {
+    val adot = VectorFns.dotSql("e.embedding", "c.centroid")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |centc AS MATERIALIZED (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM comps GROUP BY label, pos),
+       |centn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM centc GROUP BY label)),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, c_label AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Det.qroundSql(s"$adot / (e.nrm * c.c_nrm)", 6)} DESC,
+       |        c.c_label) AS rk
+       |    FROM n e CROSS JOIN centn c) t
+       |  WHERE rk = 1),
+       |acomps AS (
+       |  SELECT cluster,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM assigned)
+       |SELECT cluster, pos,
+       |  CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |           AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v,
+       |  COUNT(*) AS n
+       |FROM acomps GROUP BY cluster, pos ORDER BY cluster, pos""".stripMargin
   }
 
   // ---- embedding near-dup: LSH-candidate path (the 100 TB shape) ----
@@ -638,6 +726,7 @@ object SimQueries {
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
+    Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_clusters", dedupEmbeddingClusters,
       Some(dedupEmbeddingClustersSql)),

@@ -379,9 +379,96 @@ object TextQueries {
        |JOIN uni cy ON cy.t = sc.t2, tot
        |ORDER BY pmi DESC, t1, t2 LIMIT $PmiTopK""".stripMargin
 
+  /** BPE induction rounds emitted by `bpe_merges`. */
+  final val BpeRounds = 4
+
+  /** bpe_merges — [[BpeRounds]] rounds of byte-pair-encoding vocabulary
+    * induction at the token level: each round counts adjacent token
+    * pairs corpus-wide, merges the most frequent pair (ties toward the
+    * lexicographically smallest) into one `a_b` token everywhere, and
+    * repeats on the merged corpus. Output: one (round, pair, cnt) row
+    * per merge — the merge table a tokenizer trainer produces.
+    *
+    * Merging is a literal `replace` over DOUBLE-space-separated text
+    * (`␣a␣␣b␣` → `␣a_b␣`): after a match consumes the pattern's single
+    * trailing space, the double separator still leaves a leading space
+    * for an immediately following occurrence, so consecutive pairs —
+    * including runs of an identical token, where greedy BPE pairs
+    * alternately — merge exactly left-to-right-greedily, and the
+    * replacement output stays double-separated for the next round
+    * (verified in `PipelineSpec`; a single-space encoding silently skips
+    * every second merge in a run).
+    *
+    * Scale: per round one map-side-combinable bigram count, a
+    * TakeOrdered(1) argmax (never a global sort), and one broadcast
+    * 1-row join feeding the rewrite; `localCheckpoint` per round keeps
+    * the plan from doubling. Rounds are sequential barriers by nature
+    * (BPE is inherently iterative).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[bpeMerges]]: explicit (doc_id, text) frame. */
+  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
+    // double-space separators + single-space sentinels (see scaladoc)
+    var txt = docs.select(col("doc_id"),
+      concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" "))
+        .as("t"))
+    val merges = (1 to BpeRounds).map { r =>
+      val bg = txt.select(explode(expr(
+        """zip_with(slice(split(trim(t), '  '), 1,
+                          size(split(trim(t), '  ')) - 1),
+                    slice(split(trim(t), '  '), 2,
+                          size(split(trim(t), '  ')) - 1),
+                    (a, b) -> concat(a, ' ', b))""")).as("b"))
+      val top = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("b")).limit(1)
+      txt = txt.crossJoin(broadcast(top))
+        .select(col("doc_id"),
+          expr("""replace(t,
+                          concat(' ', replace(b, ' ', '  '), ' '),
+                          concat(' ', replace(b, ' ', '_'), ' '))""")
+            .as("t"))
+        .localCheckpoint()
+      top.select(lit(r).as("round"), col("b").as("pair"), col("cnt"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
+  private val bpeMergesSql = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""bgc$r AS MATERIALIZED (
+         |  SELECT b, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS b
+         |    FROM (SELECT string_split(trim(t), '  ') AS tk
+         |          FROM t${r - 1}) s$r) u$r
+         |  GROUP BY b),
+         |top$r AS MATERIALIZED (
+         |  SELECT b, cnt FROM bgc$r ORDER BY cnt DESC, b LIMIT 1),
+         |t$r AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    replace(t,
+         |      ' ' || replace((SELECT b FROM top$r), ' ', '  ') || ' ',
+         |      ' ' || replace((SELECT b FROM top$r), ' ', '_') || ' ')
+         |      AS t
+         |  FROM t${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT $r AS round, b AS pair, cnt FROM top$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents),
+       |$rounds
+       |SELECT round, pair, cnt FROM (
+       |  $out) m ORDER BY round""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
+    Q("bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),

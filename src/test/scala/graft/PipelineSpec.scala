@@ -96,4 +96,41 @@ class PipelineSpec extends GraftSuite {
     assert(rows.map(_._3).sliding(2).forall(p =>
       p.length < 2 || p(1) - p(0) <= 1 && p(1) >= p(0)))
   }
+
+  test("kmeans_step: complete partition of the vectors, full-dim centroids") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Registry.byKey("kmeans_step").fn(spark, sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    val nVec = graft.sources.Tables(spark, sf, "embeddings").count()
+    val byCluster = out.groupBy(_._1)
+    // every emitted cluster carries all 64 components with one shared n
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0 until 64), s"cluster $c")
+      assert(rows.map(_._4).distinct.length === 1, s"cluster $c")
+    }
+    // assignments partition the vector set exactly
+    assert(byCluster.values.map(_.head._4).sum === nVec)
+    // centroid components stay in the data's value range
+    assert(out.forall(r => r._3 >= -1.5 && r._3 <= 1.5))
+  }
+
+  test("bpe_merges: greedy run pairing, lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "b c"), (3L, "b c"),
+      (4L, "d e d e f")).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.bpeMergesOf(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // round 1: (a,a) counts 3 (adjacent positions, overlap included —
+    // the HF convention); greedy merge pairs the run alternately
+    assert(out(0) === ((1, "a a", 3L)))
+    // round 2: "b c" and "d e" tie at 2 — lexicographic tie-break
+    assert(out(1) === ((2, "b c", 2L)))
+    // round 3: "d e" twice in doc 4
+    assert(out(2) === ((3, "d e", 2L)))
+    // round 4: doc 1 became "a_a a_a" — BOTH run pairs merged in round 1
+    // (the single-space encoding would have left "a_a a a" and this pick
+    // would be "a a"); "a_a a_a" < "d_e d_e" < "d_e f"
+    assert(out(3) === ((4, "a_a a_a", 1L)))
+  }
 }

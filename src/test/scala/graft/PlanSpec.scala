@@ -67,6 +67,7 @@ class PlanSpec extends GraftSuite {
     "dedup_embedding",    // 1-row mean vector
     "sim_topk",           // 10-row query side (declared brute-force baseline)
     "sim_topk_ivf",       // 10-row query side × centroid table
+    "kmeans_step",        // 10-row broadcast centroid table
     // scalar-aggregate crossJoins: the broadcast side is a 1-row count
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar
@@ -74,6 +75,7 @@ class PlanSpec extends GraftSuite {
     "text_tfidf",               // corpus-size scalar
     "text_unigram_nll",         // corpus-token-total scalar
     "pmi_bigrams",              // corpus-bigram-total scalar
+    "bpe_merges",               // 1-row top-pair per merge round
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
