@@ -164,8 +164,12 @@ object TemporalQueries {
   /** sessionize — batch gap-based sessionization: per user, a ≥ 30 min
     * silence starts a new session; one output row per session with its
     * event count, span, and exact-decimal value sum. The batch twin of
-    * `stream_session` (same gap), produced by lag + running-sum windows
-    * instead of state-store session windows.
+    * `stream_session`, produced by lag + running-sum windows instead of
+    * state-store session windows — boundary semantics match Spark's
+    * `session_window` exactly (its per-event [ts, ts+gap) windows are
+    * half-open, so a gap of EXACTLY 30 min starts a new session;
+    * `TemporalSpec` asserts full equivalence against
+    * [[graft.streaming.Streams.sessions]]).
     */
   private def sessionize(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir).select(col("user_id"),
@@ -174,7 +178,7 @@ object TemporalQueries {
       .orderBy(col("tus"), col("event_id"))
     val flagged = ev.withColumn("new_s",
       when(lag(col("tus"), 1).over(ord).isNull ||
-        col("tus") - lag(col("tus"), 1).over(ord) > SessionGapUs, 1L)
+        col("tus") - lag(col("tus"), 1).over(ord) >= SessionGapUs, 1L)
         .otherwise(0L))
     flagged
       .withColumn("session_idx", sum(col("new_s")).over(
@@ -199,7 +203,7 @@ object TemporalQueries {
        |        (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
        |      OR tus - LAG(tus) OVER
        |        (PARTITION BY user_id ORDER BY tus, event_id)
-       |        > $SessionGapUs
+       |        >= $SessionGapUs
        |      THEN 1 ELSE 0 END AS new_s
        |  FROM ev),
        |sid AS (

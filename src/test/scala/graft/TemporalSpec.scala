@@ -91,7 +91,7 @@ class TemporalSpec extends GraftSuite {
     val naive = ev
       .withColumn("gap", col("tus") - lag(col("tus"), 1).over(ord))
       .groupBy(col("user_id"))
-      .agg((sum(when(col("gap") > TemporalQueries.SessionGapUs, 1L)
+      .agg((sum(when(col("gap") >= TemporalQueries.SessionGapUs, 1L)
         .otherwise(0L)) + 1L).as("n_sessions"))
     val got = run("sessionize").groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -104,22 +104,40 @@ class TemporalSpec extends GraftSuite {
       rows(evCount))
   }
 
-  test("sessionize: a gap of exactly SessionGapUs stays in-session") {
+  test("sessionize: a gap of exactly SessionGapUs starts a new session " +
+    "(session_window half-open semantics)") {
     val g = TemporalQueries.SessionGapUs
-    // constructed: two events exactly Gap apart, then one at Gap+1 past.
+    // constructed: second event exactly Gap after the first (new session —
+    // [ts, ts+gap) windows do not overlap), third Gap-1 after (same).
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val es = Seq((1L, 0L), (2L, g), (3L, 2 * g + 1))
+    val es = Seq((1L, 0L), (2L, g), (3L, 2 * g - 1))
       .toDF("event_id", "tus").withColumn("user_id", lit(7L))
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"))
     val sid = es.withColumn("new_s",
         when(lag(col("tus"), 1).over(ord).isNull ||
-          col("tus") - lag(col("tus"), 1).over(ord) > g, 1L).otherwise(0L))
+          col("tus") - lag(col("tus"), 1).over(ord) >= g, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_s")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("event_id"), col("session_idx")).as[(Long, Long)]
       .collect().toMap
-    assert(sid === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    assert(sid === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("sessionize is pointwise equivalent to session_window sessions") {
+    // The batch sessionizer and the streaming transform's session_window
+    // must agree on EVERY session: same (user, start, event count, value
+    // sum) set — one uses lag+running-sum, the other merge-on-overlap
+    // windows, so agreement pins the boundary semantics (gap == 30 min
+    // splits in both).
+    val got = run("sessionize")
+      .select(col("user_id"), col("start_us"), col("n_events"),
+        col("sum_value"))
+    val want = graft.streaming.Streams
+      .sessions(graft.sources.Tables(spark, sf, "events"))
+      .select(col("user_id"), col("session_start").as("start_us"),
+        col("n").as("n_events"), col("sum_value"))
+    assert(rows(got) === rows(want))
   }
 }
