@@ -421,8 +421,13 @@ object TextQueries {
                     slice(split(trim(t), '  '), 2,
                           size(split(trim(t), '  ')) - 1),
                     (a, b) -> concat(a, ' ', b))""")).as("b"))
+      // eager 1-row checkpoint: `top` feeds BOTH the rewrite and the
+      // output row — lazy, the corpus-wide bigram agg would run twice
+      // per round (once inside the next round's checkpoint, once when
+      // the result is collected)
       val top = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("b")).limit(1)
+        .localCheckpoint()
       txt = txt.crossJoin(broadcast(top))
         .select(col("doc_id"),
           expr("""replace(t,
