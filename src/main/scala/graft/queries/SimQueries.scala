@@ -203,10 +203,11 @@ object SimQueries {
     * toward the smallest centroid label.
     *
     * Scale: the 10-row centroid table broadcasts; assignment is one
-    * map-side-combinable hash agg (`max_by` over the ×K expanded rows —
-    * no per-vector window sort), and the update is the same
-    * posexplode + long-sum agg the centroid build uses. Two shuffles
-    * total, both on compact keys.
+    * map-side-combinable aggregation (`max_by` over the ×K expanded
+    * rows — a partial SortAggregate in the plan, so only one row per
+    * vector crosses the shuffle; never a per-vector window over the
+    * expanded set), and the update is the same posexplode + long-sum agg
+    * the centroid build uses. Two shuffles total, both on compact keys.
     */
   private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val e = withNorms(s, dir)
