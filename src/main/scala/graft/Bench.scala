@@ -51,6 +51,7 @@ object Bench {
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),
+      timed("_build:embpairs")(queries.SimQueries.warmEmbPairs(spark, sfDir)),
       timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),
       timed("_build:copurchase")(
         queries.NetworkQueries.warmCopurchase(spark, sfDir)))

@@ -224,13 +224,15 @@ object GraphAlgorithms {
                        maxIterations: Int): DataFrame = {
     var labels = g.vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    // Repartition the persisted edge list by data size: the AQE-coalesced
-    // source can collapse to a couple of partitions, which would serialize
-    // every round's map side; one explicit shuffle here pays for all
-    // maxIterations rounds.
+    // Hash-partition the persisted edge list by `src` — the per-round join
+    // key — and by data size: the AQE-coalesced source can collapse to a
+    // couple of partitions (serializing every round's map side), and a
+    // round-robin layout would reshuffle the |E|-sized side every round;
+    // keyed on src, each round moves only the |V|-sized label frame. One
+    // explicit shuffle here pays for all maxIterations rounds.
     val ends0 = g.edges.select(col("src"), col("dst"))
     val parts = sizedParts(s, ends0.count())
-    val ends = ends0.repartition(parts).persist()
+    val ends = ends0.repartition(parts, col("src")).persist()
     ends.count()
     for (_ <- 1 to maxIterations) {
       val counts = ends
@@ -270,12 +272,17 @@ object GraphAlgorithms {
     * `floor(sum/norm · 10⁹ + 0.5)` — identical IEEE ops in DuckDB's
     * unrolled-CTE twin. No decimal casts of computed doubles anywhere.
     *
-    * Scale notes: same shape as [[labelPropagation]] — per round two
-    * shuffling hash aggregations over the size-partitioned edge list plus
-    * a broadcast 1-row normalizer; `localCheckpoint` per round truncates
-    * lineage. Long sums bound: norm ≤ |E|·10⁹, exact in a double up to
-    * |E| ≈ 2⁵³/10⁹ ≈ 9 × 10⁶ edges per run at this scale constant (raise
-    * the scale constant's split at larger |E|).
+    * Scale notes: the edge list is hash-partitioned BOTH ways once (auth
+    * half-rounds join hub scores on `src`, hub half-rounds join auth
+    * scores on `dst`), so per round only the |V|-sized score frame moves —
+    * the |E|-sized side never reshuffles after the two up-front exchanges
+    * (2·|E| cached endpoint pairs buys `2·iterations` avoided wide
+    * shuffles at 100 TB). One eager `localCheckpoint` per FULL round (the
+    * auth half-round stays lazy with its aggregate persisted) halves the
+    * sequential barrier count vs checkpointing each half-round. Long sums
+    * bound: norm ≤ |E|·10⁹, exact in a double up to |E| ≈ 2⁵³/10⁹ ≈
+    * 9 × 10⁶ edges per run at this scale constant (raise the scale
+    * constant's split at larger |E|).
     */
   def hits(s: SparkSession, g: graft.Graph, iterations: Int): DataFrame = {
     val One = 1000000000L
@@ -287,15 +294,15 @@ object GraphAlgorithms {
     // empty-graph Pregel run being meaningless).
     require(nEdges > 0, "HITS requires a graph with at least one edge")
     val parts = sizedParts(s, nEdges)
-    val ends = ends0.repartition(parts).persist()
-    ends.count()
+    val bySrc = ends0.repartition(parts, col("src")).persist()
+    val byDst = ends0.repartition(parts, col("dst")).persist()
+    bySrc.count(); byDst.count()
     // Zero-filled L1 renormalize of per-vertex long sums: one pinned FP
     // division/scale per vertex against the broadcast 1-row normalizer.
-    // `sums` feeds the normalizer aggregate AND the join, so it is
-    // persisted for the duration of the half-round (the localCheckpoint
-    // materializes the result, after which the caller unpersists) —
-    // otherwise the edge-join aggregation runs twice per half-round.
-    def renorm(sums: DataFrame, out: String): DataFrame = {
+    // `sums` feeds the normalizer aggregate AND the join, so it stays
+    // persisted until the round's eager cut has materialized (the caller
+    // unpersists) — otherwise the edge-join aggregation runs twice.
+    def renorm(sums: DataFrame, out: String): (DataFrame, DataFrame) = {
       val sm = sums.persist()
       val nrm = sm.agg(sum(col("s")).cast("double").as("nrm"))
       val res = ids.join(sm, Seq("id"), "left_outer")
@@ -303,23 +310,29 @@ object GraphAlgorithms {
         .select(col("id"),
           floor(coalesce(col("s"), lit(0L)).cast("double") / col("nrm") *
             lit(1000000000.0) + 0.5).as(out))
-        .localCheckpoint()
-      sm.unpersist(blocking = false)
-      res
+      (res, sm)
     }
     var hubs = ids.select(col("id"), lit(One).as("hv")).localCheckpoint()
     var auths = ids.select(col("id"), lit(0L).as("av"))
-    for (_ <- 1 to iterations) {
-      auths = renorm(
-        ends.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
+    for (k <- 1 to iterations) {
+      val (a, asm) = renorm(
+        bySrc.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hv")).as("s")),
         "av")
-      hubs = renorm(
-        ends.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
+      // The final round's auth frame feeds the output join, so it gets its
+      // own eager cut; intermediate rounds leave it lazy — the hub cut
+      // below evaluates it exactly once through the persisted aggregate.
+      auths = if (k == iterations) a.localCheckpoint() else a
+      val (h, hsm) = renorm(
+        byDst.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("av")).as("s")),
         "hv")
+      hubs = h.localCheckpoint()
+      asm.unpersist(blocking = false)
+      hsm.unpersist(blocking = false)
     }
-    ends.unpersist(blocking = false)
+    bySrc.unpersist(blocking = false)
+    byDst.unpersist(blocking = false)
     hubs.join(auths, Seq("id"))
       .select(col("id"), col("hv").as("hub_scaled"),
         col("av").as("auth_scaled"),

@@ -451,7 +451,11 @@ object DedupQueries {
     }
     for (_ <- 1 to DcRounds) {
       // hop, then pointer-jump (cluster := cluster's own cluster — every
-      // cluster value IS an id, so the self-join always matches)
+      // cluster value IS an id, so the self-join always matches). The hop
+      // frame appears on both sides of the jump's self-join, so it gets
+      // its own eager cut — a lazy persist was measured SLOWER here (the
+      // self-join's two scans race on the same uncomputed cache partitions
+      // and serialize on block locks).
       val h = hop(labels).localCheckpoint()
       labels = h
         .join(h.select(col("id").as("cluster"), col("cluster").as("pc")),

@@ -145,8 +145,23 @@ class PlanSpec extends GraftSuite {
   }
 
   test("array_dot runs inside a whole-stage-codegen region") {
-    val exprs = codegenExprs(planOf("dedup_embedding"))
-    assert(exprs.exists(_.exists(_.isInstanceOf[ArrayDot])))
+    // dedup_embedding's registry entry returns the memoized persisted pair
+    // frame (an in-memory scan at the top level), so the codegen property
+    // is asserted on the underlying scoring chain — the plan the cache
+    // materialization actually executes. The chain is built over a
+    // `limit`-distinguished input: an identical logical plan would be
+    // swapped for the memoized in-memory scan by the CacheManager when an
+    // earlier test has already touched the registry key.
+    val emb = sources.Tables(spark, sfDir, "embeddings").limit(400)
+    val sigs = queries.SimQueries.embSigs(emb).persist()
+    try {
+      val chain = withoutAqe {
+        queries.SimQueries.dedupEmbeddingOf(emb, sigs)
+          .queryExecution.executedPlan
+      }
+      val exprs = codegenExprs(chain)
+      assert(exprs.exists(_.exists(_.isInstanceOf[ArrayDot])))
+    } finally { sigs.unpersist(blocking = false); () }
     val topk = codegenExprs(planOf("sim_topk"))
     assert(topk.exists(_.exists(_.isInstanceOf[ArrayDot])))
   }
