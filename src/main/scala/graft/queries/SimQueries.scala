@@ -191,6 +191,103 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** sim_knn_join — batch k-NN SELF-join over the embeddings (every
+    * vector is a query), the corpus-curation shape behind retrieval-based
+    * filtering and semantic bucketing: each vector probes its 2 nearest
+    * coarse centroids (the [[simTopkIvf]] probe rule, quantized cosine
+    * with label tie-break) and keeps its [[KnnK]] nearest neighbors among
+    * the probed inverted lists (ties → smaller neighbor id).
+    *
+    * Scale notes: probe selection is a broadcast of the K-row centroid
+    * table plus a per-vector top-2 (a row_number window over K rows per
+    * key — never over the corpus); candidates come from a shuffle
+    * equi-join of the ×2-fanned query side against the lists on the
+    * coarse label, so each query scores ~2/K of the corpus and nothing
+    * materializes the full pair product. On a cluster the label key makes
+    * the join embarrassingly parallel, and K grows as √n (the standard
+    * IVF regime) to keep per-list candidate counts flat.
+    *
+    * Oracle parity: centroids, probe ranking, and the final (cos DESC,
+    * id ASC) ranking reuse the bit-exact machinery established for
+    * [[simTopkIvf]] — integer-scaled centroid means, [[Det.qround]]ed
+    * cosines, deterministic row_number ties.
+    */
+  private val KnnK = 3
+
+  private def simKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val cent = centroids(s, dir)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probes = e
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("centroid")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("c_cos"))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= 2)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
+    val scored = e.join(probes,
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
+      .select(col("q_id").as("vec_id"), col("rk"),
+        col("n_id").as("nbr_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  private val simKnnJoinSql = {
+    val cdot = VectorFns.dotSql("q.embedding", "c.centroid")
+    val sdot = VectorFns.dotSql("p.q_emb", "c.embedding")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |centc AS MATERIALIZED (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM comps GROUP BY label, pos),
+       |centn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM centc GROUP BY label)),
+       |probe0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_emb, q.nrm AS q_nrm,
+       |    c.c_label,
+       |    ${Det.qroundSql(s"$cdot / (q.nrm * c.c_nrm)", 6)} AS c_cos
+       |  FROM n q CROSS JOIN centn c),
+       |probes AS MATERIALIZED (
+       |  SELECT q_id, q_emb, q_nrm, c_label FROM (
+       |    SELECT q_id, q_emb, q_nrm, c_label,
+       |      row_number() OVER (PARTITION BY q_id
+       |                         ORDER BY c_cos DESC, c_label) AS c_rk
+       |    FROM probe0) WHERE c_rk <= 2),
+       |scored AS MATERIALIZED (
+       |  SELECT p.q_id, c.vec_id AS n_id,
+       |    ${Det.qroundSql(s"$sdot / (p.q_nrm * c.nrm)", 6)} AS cos
+       |  FROM n c JOIN probes p
+       |    ON c.label = p.c_label AND c.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+       |  FROM scored)
+       |SELECT q_id AS vec_id, rk, n_id AS nbr_id, cos FROM ranked
+       |WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin
+  }
+
   /** kmeans_step — one Lloyd iteration over the embeddings: assign every
     * vector to its nearest (quantized-cosine) coarse centroid, then
     * recompute each cluster's centroid as the integer-scaled exact mean;
@@ -747,6 +844,7 @@ object SimQueries {
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
+    Q("sim_knn_join", simKnnJoin, Some(simKnnJoinSql)),
     Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_clusters", dedupEmbeddingClusters,

@@ -133,4 +133,28 @@ class PipelineSpec extends GraftSuite {
     // would be "a a"); "a_a a_a" < "d_e d_e" < "d_e f"
     assert(out(3) === ((4, "a_a a_a", 1L)))
   }
+
+  test("sim_knn_join: k well-formed self-excluding neighbors per vector") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Registry.byKey("sim_knn_join").fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val nVec = graft.sources.Tables(spark, sf, "embeddings").count()
+    val byQ = out.groupBy(_._1)
+    // every vector gets a neighbor list (probed lists are big enough at
+    // this sf that nothing comes back short)
+    assert(byQ.size.toLong === nVec)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 3, s"vec $q")
+      // ranks are 1..k, never self, neighbors distinct, cosine
+      // non-increasing in rank with the pinned id tie-break
+      assert(rows.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"vec $q")
+      assert(rows.forall(_._3 != q), s"vec $q")
+      assert(rows.map(_._3).distinct.length === 3, s"vec $q")
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.sliding(2).forall(p => p.length < 2 ||
+        p(0)._4 > p(1)._4 ||
+        (p(0)._4 == p(1)._4 && p(0)._3 < p(1)._3)), s"vec $q")
+    }
+  }
 }
