@@ -297,18 +297,23 @@ object GraphAlgorithms {
     val bySrc = ends0.repartition(parts, col("src")).persist()
     val byDst = ends0.repartition(parts, col("dst")).persist()
     bySrc.count(); byDst.count()
-    // Zero-filled L1 renormalize of per-vertex long sums: one pinned FP
+    // SPARSE L1 renormalize of per-vertex long sums: one pinned FP
     // division/scale per vertex against the broadcast 1-row normalizer.
-    // `sums` feeds the normalizer aggregate AND the join, so it stays
-    // persisted until the round's eager cut has materialized (the caller
-    // unpersists) — otherwise the edge-join aggregation runs twice.
+    // Score frames stay sparse through the rounds (only vertices with a
+    // nonzero sum) — an absent vertex contributes nothing to the next
+    // round's sums or normalizer, and an explicit zero renorms to exactly
+    // 0 anyway (`floor(0/nrm·10⁹ + 0.5) = 0`), so the zero-filled twin is
+    // bit-identical; the full-vertex-set join happens ONCE at the output
+    // instead of every half-round. `sums` feeds the normalizer aggregate
+    // AND the projection, so it stays persisted until the round's eager
+    // cut has materialized (the caller unpersists) — otherwise the
+    // edge-join aggregation runs twice.
     def renorm(sums: DataFrame, out: String): (DataFrame, DataFrame) = {
       val sm = sums.persist()
       val nrm = sm.agg(sum(col("s")).cast("double").as("nrm"))
-      val res = ids.join(sm, Seq("id"), "left_outer")
-        .crossJoin(broadcast(nrm))
+      val res = sm.crossJoin(broadcast(nrm))
         .select(col("id"),
-          floor(coalesce(col("s"), lit(0L)).cast("double") / col("nrm") *
+          floor(col("s").cast("double") / col("nrm") *
             lit(1000000000.0) + 0.5).as(out))
       (res, sm)
     }
@@ -333,10 +338,15 @@ object GraphAlgorithms {
     }
     bySrc.unpersist(blocking = false)
     byDst.unpersist(blocking = false)
-    hubs.join(auths, Seq("id"))
-      .select(col("id"), col("hv").as("hub_scaled"),
-        col("av").as("auth_scaled"),
-        (col("hv").cast("double") / lit(1000000000.0)).as("hub"),
-        (col("av").cast("double") / lit(1000000000.0)).as("auth"))
+    // single zero-fill against the vertex set (scores were kept sparse)
+    ids.join(hubs, Seq("id"), "left_outer")
+      .join(auths, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("hv"), lit(0L)).as("hub_scaled"),
+        coalesce(col("av"), lit(0L)).as("auth_scaled"),
+        (coalesce(col("hv"), lit(0L)).cast("double") /
+          lit(1000000000.0)).as("hub"),
+        (coalesce(col("av"), lit(0L)).cast("double") /
+          lit(1000000000.0)).as("auth"))
   }
 }
