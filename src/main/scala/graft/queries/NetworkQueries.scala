@@ -264,6 +264,86 @@ object NetworkQueries {
        |  ELSE 0.0 END AS coeff
        |FROM base ORDER BY id""".stripMargin
 
+  /** degree_assortativity — Pearson correlation of endpoint degrees over
+    * the symmetrized edge list (Newman's degree assortativity): one row
+    * `(m_edges, assortativity)`. Negative on G_trade (high-degree
+    * suppliers attach to lower-degree customers — the disassortative
+    * bipartite signature).
+    *
+    * Determinism: every aggregate (`m`, Σx, Σy, Σxy, Σx², Σy²) is an
+    * exact BIGINT sum of products of integer degrees — at bench scales
+    * all sums < 2⁵³, so the cast to double is exact and the pinned FP
+    * epilogue (the covariance/variance ratio written in the same op
+    * order on both engines) is bit-identical. At corpus scales where
+    * Σxy approaches 2⁵³, switch the accumulators to DECIMAL ([[Det]]
+    * pattern) — the shape (two hash aggs + one scalar epilogue) is
+    * unchanged.
+    *
+    * Scale: one map-side-combinable degree agg, one join of the edge
+    * list against the (broadcastable) degree table on each endpoint,
+    * one global 6-sum agg — no window, no sort, nothing driver-side.
+    */
+  private def degreeAssortativity(s: SparkSession, dir: String): DataFrame =
+    degreeAssortativityOf(
+      GTrade(s, dir).undirected.edges.select(col("src"), col("dst")))
+
+  /** [[degreeAssortativity]] over an explicit symmetrized edge frame
+    * `(src, dst)` — the testable seam (NetworkSpec checks the P₃ path
+    * graph's textbook r = −1).
+    */
+  private[graft] def degreeAssortativityOf(u: DataFrame): DataFrame = {
+    val deg = u.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val xy = u
+      .join(deg.select(col("id").as("src"), col("deg").as("x")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("y")), Seq("dst"))
+    val sums = xy.agg(
+      count(lit(1)).as("m"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val m = col("m").cast("double")
+    val mx = col("sx").cast("double") / m
+    val my = col("sy").cast("double") / m
+    val r = (col("sxy").cast("double") / m - mx * my) /
+      (sqrt(col("sxx").cast("double") / m - mx * mx) *
+        sqrt(col("syy").cast("double") / m - my * my))
+    // A degree-regular graph has zero variance → r = 0/0, undefined.
+    // Under ANSI (Spark 4 default) the division THROWS DIVIDE_BY_ZERO —
+    // the loud contract for a statistic with no defined value (the DuckDB
+    // twin yields NaN on the same input; G_trade is never degree-regular,
+    // so the engines only diverge where the Spark side refuses to answer
+    // at all). NaN from a well-defined-but-unrepresentable ratio cannot
+    // occur: variances are nonnegative and finite at bench scales.
+    sums.select(col("m").as("m_edges"),
+      when(isnan(r), r).otherwise(Det.qround(r, 6)).as("assortativity"))
+  }
+
+  private val degreeAssortativitySql = {
+    val r = """(CAST(sxy AS DOUBLE) / CAST(m AS DOUBLE)
+      - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+        * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)))
+      / (sqrt(CAST(sxx AS DOUBLE) / CAST(m AS DOUBLE)
+          - CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)
+            * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+        * sqrt(CAST(syy AS DOUBLE) / CAST(m AS DOUBLE)
+          - CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+            * (CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))))"""
+      .replaceAll("\\s+", " ")
+    s"""${GTrade.SqlPrefixUndirected},
+       |deg AS MATERIALIZED (
+       |  SELECT src AS id, COUNT(*) AS deg FROM uedges GROUP BY 1),
+       |xy AS MATERIALIZED (
+       |  SELECT a.deg AS x, b.deg AS y
+       |  FROM uedges e JOIN deg a ON e.src = a.id
+       |  JOIN deg b ON e.dst = b.id),
+       |s AS MATERIALIZED (
+       |  SELECT COUNT(*) AS m, SUM(x * y) AS sxy, SUM(x) AS sx,
+       |    SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM xy)
+       |SELECT m AS m_edges, ${Det.qroundSql(r, 6)} AS assortativity
+       |FROM s""".stripMargin
+  }
+
   /** Bench warm hook: materialize the shared co-purchase projection so
     * neither key absorbs the one-off build (`_build:copurchase`).
     */
@@ -281,5 +361,7 @@ object NetworkQueries {
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
-    Q("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)))
+    Q("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
+    Q("degree_assortativity", degreeAssortativity,
+      Some(degreeAssortativitySql)))
 }

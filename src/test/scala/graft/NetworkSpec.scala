@@ -86,4 +86,26 @@ class NetworkSpec extends GraftSuite {
       4L -> ((1L, 0L, 0.0)),
       5L -> ((0L, 0L, 0.0))))
   }
+
+  test("degree_assortativity: P3 path graph has textbook r = -1") {
+    // a-b, b-c symmetrized; endpoint degrees correlate perfectly
+    // negatively (every edge links the hub to a leaf)
+    val u = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val out = NetworkQueries.degreeAssortativityOf(u).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 4L)
+    assert(out.head.getDouble(1) === -1.0)
+  }
+
+  test("degree_assortativity: regular graph fails loudly (0/0 variance)") {
+    // a 2-cycle is 1-regular: zero degree variance, the ratio is 0/0 —
+    // the documented ANSI contract is a loud DIVIDE_BY_ZERO, never a
+    // silent 0
+    val u = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      NetworkQueries.degreeAssortativityOf(u).collect()
+    }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
 }
