@@ -303,6 +303,67 @@ object TextQueries {
        |    AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** text_entropy — per-document Shannon entropy of the document's OWN
+    * word distribution, in bits: the internal-diversity quality signal
+    * (complement of `text_repetition`'s boilerplate ratio and of
+    * `text_unigram_nll`'s corpus-relative rarity — a spammy
+    * low-vocabulary page scores near 0, diverse prose near log₂ of its
+    * distinct-word count). Output: (doc_id, n_tokens, n_distinct,
+    * entropy).
+    *
+    * Determinism: each −p·ln(p) term is quantized to an exact long
+    * (the [[unigramNll]] ×10⁶ floor trick) before the per-document sum,
+    * so the result never depends on aggregation order; `ln` gets
+    * identical double inputs on both engines (exact long/long division),
+    * and the nats→bits conversion divides by the PINNED double literal
+    * 0.6931471805599453 (= ln 2) instead of calling a second libm
+    * function. Scale: two map-side-combinable hash aggs keyed by
+    * (doc, word) and doc — the same shuffle profile as `text_repetition`.
+    */
+  private val Ln2 = 0.6931471805599453
+
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    textEntropyOf(Tables(s, dir, "documents"))
+
+  /** [[textEntropy]] over an explicit (doc_id, text) frame — the testable
+    * seam (PipelineSpec checks hand-computable uniform distributions).
+    */
+  private[graft] def textEntropyOf(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val wc = tok.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val n = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val p = col("c").cast("double") / col("n")
+    val termq = floor(-(p * log(p)) * 1000000.0 + 0.5).cast("long")
+    wc.join(n, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(termq).as("hq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        Det.qround(col("hq").cast("double") / 1000000.0 / Ln2, 6)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textEntropySql =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |n AS MATERIALIZED (
+       |  SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+       |terms AS (
+       |  SELECT w.doc_id, n.n,
+       |    CAST(FLOOR(-(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS hq
+       |  FROM wc w JOIN n USING (doc_id))
+       |SELECT doc_id, MIN(n) AS n_tokens, COUNT(*) AS n_distinct,
+       |  ${Det.qroundSql(
+            s"CAST(SUM(hq) AS DOUBLE) / 1000000.0 / $Ln2", 6)} AS entropy
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Bigrams below this corpus count are not collocation candidates (the
     * classic low-count PMI instability cutoff).
     */
@@ -476,6 +537,7 @@ object TextQueries {
     Q("bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
+    Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),
     Q("text_token_count", tokenCount, Some(tokenCountSql)),
     Q("text_quality", quality, Some(qualitySql)),

@@ -134,6 +134,24 @@ class PipelineSpec extends GraftSuite {
     assert(out(3) === ((4, "a_a a_a", 1L)))
   }
 
+  test("text_entropy: uniform and degenerate distributions are exact") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a a b b"), (3L, "a b c d"),
+      (4L, "a a a b")).toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.textEntropyOf(docs)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // counts are exact; entropies carry the per-term 1e-6 quantization
+    // (each -p·ln p term floors to 6 dp before the sum)
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, 4L, 1L), (2L, 4L, 2L), (3L, 4L, 4L), (4L, 4L, 2L)))
+    val want = Seq(0.0, 1.0, 2.0, 0.811278) // H in bits; doc 4 = 2 - 0.75·log2(3)
+    out.map(_._4).zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) <= 5e-6, s"$got vs $w")
+    }
+  }
+
   test("sim_knn_join: k well-formed self-excluding neighbors per vector") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.queries.Registry.byKey("sim_knn_join").fn(spark, sf)
