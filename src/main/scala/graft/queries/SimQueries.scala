@@ -370,6 +370,56 @@ object SimQueries {
        |FROM acomps GROUP BY cluster, pos ORDER BY cluster, pos""".stripMargin
   }
 
+  /** emb_power_iter — one power-iteration step of the embedding Gram
+    * matrix from a pinned unit start vector: w = Σᵢ xᵢ·(xᵢ·v₀) with
+    * v₀ = (1/8, …, 1/8) (unit norm at d = 64). The distributed
+    * matrix-vector product under PCA whitening, spectral embedding, and
+    * power-iteration clustering — callers iterate it (normalize, repeat)
+    * exactly like `kmeans_step`. Output: one (pos, w, n) row per
+    * component of the unnormalized iterate.
+    *
+    * Determinism: xᵢ·v₀ is the sequential [[VectorFns.dot]] fold over a
+    * pinned literal (bit-identical both engines); each per-(vector,
+    * component) term `xᵢⱼ·(xᵢ·v₀)` quantizes to an exact long before the
+    * per-component sum, so the result never depends on row order.
+    *
+    * Scale: one narrow projection computes the dots, then a single
+    * map-side-combinable hash agg over d = 64 keys — the classic
+    * tall-skinny Gramian shape; only 64 partial rows per task cross the
+    * shuffle, and nothing is ever collected to the driver.
+    */
+  private def embPowerIter(s: SparkSession, dir: String): DataFrame = {
+    val v0 = typedLit((0 until EmbDim).map(_ => 0.125))
+    Tables(s, dir, "embeddings")
+      .select(col("embedding"),
+        VectorFns.dot(col("embedding"), v0).as("xv"))
+      .select(col("xv"), posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("col").cast("double") * col("xv") * 1000000.0
+        + 0.5).cast("long")).as("sw"), count(lit(1)).as("n"))
+      .select(col("pos"), (col("sw").cast("double") / 1000000.0).as("w"),
+        col("n"))
+      .orderBy(col("pos"))
+  }
+
+  // lazy: EmbDim is declared further down the object — an eager val here
+  // would capture its pre-initialization 0 and emit an empty v0 literal
+  private lazy val embPowerIterSql = {
+    val v0 = (0 until EmbDim).map(_ => "0.125").mkString("[", ", ", "]")
+    val dot = VectorFns.dotSql("embedding", v0)
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT embedding, $dot AS xv FROM embeddings),
+       |terms AS (
+       |  SELECT xv, unnest(range(0, len(embedding))) AS pos,
+       |         unnest(embedding) AS comp
+       |  FROM scored)
+       |SELECT pos,
+       |  CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * xv * 1000000.0 + 0.5)
+       |       AS BIGINT)) AS DOUBLE) / 1000000.0 AS w,
+       |  COUNT(*) AS n
+       |FROM terms GROUP BY pos ORDER BY pos""".stripMargin
+  }
+
   // ---- embedding near-dup: LSH-candidate path (the 100 TB shape) ----
 
   private val EmbDim   = 64
@@ -845,6 +895,7 @@ object SimQueries {
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("sim_knn_join", simKnnJoin, Some(simKnnJoinSql)),
+    Q("emb_power_iter", embPowerIter, Some(embPowerIterSql)),
     Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_clusters", dedupEmbeddingClusters,
