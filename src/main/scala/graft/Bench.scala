@@ -52,6 +52,7 @@ object Bench {
         queries.DedupQueries.warmShingles(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),
       timed("_build:embpairs")(queries.SimQueries.warmEmbPairs(spark, sfDir)),
+      timed("_build:bpe")(queries.TextQueries.warmBpe(spark, sfDir)),
       timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),
       timed("_build:copurchase")(
         queries.NetworkQueries.warmCopurchase(spark, sfDir)))

@@ -22,6 +22,7 @@ object Caches {
     graft.queries.NetworkQueries.evict(spark)
     graft.queries.SimQueries.evict(spark)
     graft.queries.StreamQueries.evict(spark)
+    graft.queries.TextQueries.evict(spark)
     graft.sources.Tables.evict(spark)
   }
 }

@@ -467,10 +467,19 @@ object TextQueries {
     * (BPE is inherently iterative).
     */
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    bpeMergesOf(Tables(s, dir, "documents"))
+    bpeChain(s, dir)._1
 
   /** Testable seam for [[bpeMerges]]: explicit (doc_id, text) frame. */
-  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame =
+    bpeChainOf(docs)._1
+
+  /** The full BPE round chain: runs the [[BpeRounds]] count→merge→rewrite
+    * rounds ONCE and returns (merge table, final rewritten corpus) — the
+    * merge table feeds `bpe_merges`, the rewritten corpus feeds
+    * `bpe_encode`. Every intermediate frame is checkpointed inside, so
+    * both results are cheap projections.
+    */
+  private[graft] def bpeChainOf(docs: DataFrame): (DataFrame, DataFrame) = {
     // double-space separators + single-space sentinels (see scaladoc)
     var txt = docs.select(col("doc_id"),
       concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" "))
@@ -498,10 +507,62 @@ object TextQueries {
         .localCheckpoint()
       top.select(lit(r).as("round"), col("b").as("pair"), col("cnt"))
     }
-    merges.reduce(_.unionByName(_)).orderBy(col("round"))
+    (merges.reduce(_.unionByName(_)).orderBy(col("round")), txt)
   }
 
-  private val bpeMergesSql = {
+  // Memoized per (session, sfDir): `bpe_merges` and `bpe_encode` share
+  // one run of the 4-pass chain (every frame inside is checkpointed;
+  // evict drops the references and the ContextCleaner reclaims blocks).
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def bpeChain(s: SparkSession,
+                       dir: String): (DataFrame, DataFrame) =
+    bpeCache.getOrElseUpdate((s, dir),
+      bpeChainOf(Tables(s, dir, "documents")))
+
+  /** Bench warm hook: run the shared BPE chain once so neither key's
+    * per-key time absorbs the 4 sequential corpus passes
+    * (Bench `_build:bpe`).
+    */
+  def warmBpe(s: SparkSession, dir: String): Unit = {
+    bpeChain(s, dir)._1.count(); ()
+  }
+
+  /** Cache-lifecycle hook (see [[graft.Caches]]): the chain's frames are
+    * localCheckpoint blocks, reclaimed by the ContextCleaner once the
+    * references drop.
+    */
+  def evict(s: SparkSession): Unit =
+    bpeCache.keys.filter(_._1 eq s).foreach(bpeCache.remove(_))
+
+  /** bpe_encode — APPLY the learned merge table: the tokenize step a
+    * pipeline runs after `bpe_merges` trains the vocabulary. Output per
+    * document: the encoded token count and how many tokens are merged
+    * pairs (`a_b…`) — the compression a tokenizer audit tracks
+    * (originals per merged token = underscores + 1).
+    *
+    * Shares the memoized round chain with `bpe_merges`; its own work is
+    * one split + two array counts per document (embarrassingly
+    * parallel, no shuffle beyond the oracle sort).
+    */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeStats(bpeChain(s, dir)._2)
+
+  /** Testable seam for [[bpeEncode]]: stats over an explicit rewritten
+    * double-spaced corpus frame (doc_id, t).
+    */
+  private[graft] def bpeEncodeStats(rewritten: DataFrame): DataFrame =
+    rewritten
+      .select(col("doc_id"), split(trim(col("t")), "  ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        size(filter(col("tk"), t => t.contains("_"))).as("n_merged"))
+      .orderBy(col("doc_id"))
+
+  /** The t0 + per-round CTE chain shared by the two BPE oracles —
+    * mirrors [[bpeChainOf]] exactly.
+    */
+  private val bpeRoundsCtes = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""bgc$r AS MATERIALIZED (
          |  SELECT b, COUNT(*) AS cnt FROM (
@@ -520,21 +581,34 @@ object TextQueries {
          |      AS t
          |  FROM t${r - 1})""".stripMargin
     }.mkString(",\n")
+    s"""t0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeMergesSql = {
     val out = (1 to BpeRounds).map(r =>
       s"SELECT $r AS round, b AS pair, cnt FROM top$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH t0 AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents),
-       |$rounds
+    s"""WITH $bpeRoundsCtes
        |SELECT round, pair, cnt FROM (
        |  $out) m ORDER BY round""".stripMargin
   }
+
+  private val bpeEncodeSql =
+    s"""WITH $bpeRoundsCtes
+       |SELECT doc_id,
+       |  len(string_split(trim(t), '  ')) AS n_tokens,
+       |  len(list_filter(string_split(trim(t), '  '),
+       |      x -> contains(x, '_'))) AS n_merged
+       |FROM t$BpeRounds ORDER BY doc_id""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     Q("bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_entropy", textEntropy, Some(textEntropySql)),

@@ -134,6 +134,20 @@ class PipelineSpec extends GraftSuite {
     assert(out(3) === ((4, "a_a a_a", 1L)))
   }
 
+  test("bpe_encode: stats over the rewritten corpus match the merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "b c"), (3L, "b c"),
+      (4L, "d e d e f")).toDF("doc_id", "text")
+    val (_, rewritten) = graft.queries.TextQueries.bpeChainOf(docs)
+    val out = graft.queries.TextQueries.bpeEncodeStats(rewritten)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // merges: r1 "a a", r2 "b c", r3 "d e", r4 "a_a a_a" (see the
+    // bpe_merges test) ⇒ doc 1 collapses to the single token a_a_a_a,
+    // docs 2/3 to b_c, doc 4 to "d_e d_e f" (3 tokens, 2 merged)
+    assert(out.toSeq === Seq((1L, 1, 1), (2L, 1, 1), (3L, 1, 1),
+      (4L, 3, 2)))
+  }
+
   test("text_entropy: uniform and degenerate distributions are exact") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "a a b b"), (3L, "a b c d"),
