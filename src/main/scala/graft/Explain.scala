@@ -15,7 +15,8 @@ object Explain {
       if (args.length > 1) args.tail.toSeq
       else Seq("substrate_scan_filter_project", "substrate_hash_join",
         "out_degrees", "triplets", "filter_on_vertices", "sim_topk",
-        "dedup_minhash", "substrate_window_rank")
+        "dedup_minhash", "substrate_window_rank", "sim_knn_join",
+        "asof_join", "degree_assortativity", "emb_power_iter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
