@@ -281,8 +281,9 @@ object GraphAlgorithms {
     * auth half-round stays lazy with its aggregate persisted) halves the
     * sequential barrier count vs checkpointing each half-round. Long sums
     * bound: norm ≤ |E|·10⁹, exact in a double up to |E| ≈ 2⁵³/10⁹ ≈
-    * 9 × 10⁶ edges per run at this scale constant (raise the scale
-    * constant's split at larger |E|).
+    * 9 × 10⁶ edges per run at this scale constant — GUARDED by a
+    * `require` below (a larger graph must lower the scale constant in
+    * both engines rather than silently lose oracle bit-parity).
     */
   def hits(s: SparkSession, g: graft.Graph, iterations: Int): DataFrame = {
     val One = 1000000000L
@@ -293,9 +294,24 @@ object GraphAlgorithms {
     // NULL out all scores — fail loudly instead (same contract as an
     // empty-graph Pregel run being meaningless).
     require(nEdges > 0, "HITS requires a graph with at least one edge")
+    // Exactness guard, house style (fail loudly like the CC fixpoint): the
+    // L1 normalizer is an exact long sum ≤ |E|·10⁹ that gets cast to
+    // double for the one pinned division; past 2⁵³ that cast rounds and
+    // the DuckDB twin's bit-parity would degrade SILENTLY.
+    val maxExactEdges = (1L << 53) / One
+    require(nEdges <= maxExactEdges,
+      s"HITS scaled-integer exactness holds only to |E| <= $maxExactEdges " +
+        s"(norm <= |E|*$One must stay under 2^53); got |E| = $nEdges - " +
+        "lower the scale constant in hits AND its oracle twin")
     val parts = sizedParts(s, nEdges)
-    val bySrc = ends0.repartition(parts, col("src")).persist()
-    val byDst = ends0.repartition(parts, col("dst")).persist()
+    // 2·|E| endpoint pairs stay cached for the whole run; MEMORY_AND_DISK
+    // (not the MEMORY_ONLY default) so a large graph spills these two
+    // rather than evicting the session's other memoized frames (sigs,
+    // near-pairs, BPE checkpoints) from the shared block store.
+    val bySrc = ends0.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byDst = ends0.repartition(parts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bySrc.count(); byDst.count()
     // SPARSE L1 renormalize of per-vertex long sums: one pinned FP
     // division/scale per vertex against the broadcast 1-row normalizer.

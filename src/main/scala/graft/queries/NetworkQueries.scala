@@ -313,8 +313,10 @@ object NetworkQueries {
     // the loud contract for a statistic with no defined value (the DuckDB
     // twin yields NaN on the same input; G_trade is never degree-regular,
     // so the engines only diverge where the Spark side refuses to answer
-    // at all). NaN from a well-defined-but-unrepresentable ratio cannot
-    // occur: variances are nonnegative and finite at bench scales.
+    // at all). The isnan branch below is therefore NOT the 0/0 guard (ANSI
+    // throws before isnan could see it); it covers only the
+    // asserted-impossible sqrt-of-negative-variance FP edge, where
+    // propagating raw NaN beats qround feeding NaN into a decimal cast.
     sums.select(col("m").as("m_edges"),
       when(isnan(r), r).otherwise(Det.qround(r, 6)).as("assortativity"))
   }

@@ -219,15 +219,21 @@ object SimQueries {
     val cent = centroids(s, dir)
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_label"))
-    val probes = e
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
+    // The probe ranking's window exchange carries only (q_id, c_label,
+    // c_cos) — ranking through the 64-dim q_emb payload would widen that
+    // |V|·K-row shuffle K-fold; the embedding re-joins on q_id AFTER the
+    // top-2 cut, so the wide payload crosses the wire once per query.
+    val qn = e.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val probes = qn
       .crossJoin(broadcast(cent))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+      .select(col("q_id"), col("c_label"),
         Det.qround(VectorFns.dot(col("q_emb"), col("centroid")) /
           (col("q_nrm") * col("c_nrm")), 6).as("c_cos"))
       .withColumn("c_rk", row_number().over(probeW))
       .filter(col("c_rk") <= 2)
+      .select(col("q_id"), col("c_label"))
+      .join(qn, Seq("q_id"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
     val scored = e.join(probes,
         col("label") === col("c_label") && col("vec_id") =!= col("q_id"))

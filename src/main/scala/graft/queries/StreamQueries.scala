@@ -184,7 +184,7 @@ object StreamQueries {
        |  TRUE AS approx_p90_in_rank_bounds
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** X7 — funnel / sequence analytics: per user, how many `view` events
+  /** X16 — funnel / sequence analytics: per user, how many `view` events
     * were followed by a `click` within an hour (stage 2), and how many of
     * those by a `purchase` within an hour of the FIRST qualifying click
     * (stage 3). The "first click" anchor makes stage 3 deterministic even
@@ -260,7 +260,7 @@ object StreamQueries {
       |LEFT JOIN conv USING (user_id)
       |ORDER BY user_id""".stripMargin
 
-  /** X8 — day-over-day cohort retention: per UTC day, distinct active
+  /** X18 — day-over-day cohort retention: per UTC day, distinct active
     * users and how many of them are active again the NEXT day. Day ids
     * are integer epoch-µs divisions (floor), so both engines bucket
     * identically; counts are exact integers. Scale: two hash

@@ -480,6 +480,18 @@ object TextQueries {
     * both results are cheap projections.
     */
   private[graft] def bpeChainOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (m, t, _) = bpeChainTracked(docs)
+    (m, t)
+  }
+
+  /** [[bpeChainOf]] plus every frame it checkpointed, so [[evict]] can
+    * unpersist those blocks explicitly (same discipline as the sig /
+    * near-pair caches) instead of waiting for a GC to trigger the
+    * ContextCleaner.
+    */
+  private def bpeChainTracked(docs: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val cps = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // double-space separators + single-space sentinels (see scaladoc)
     var txt = docs.select(col("doc_id"),
       concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" "))
@@ -498,6 +510,7 @@ object TextQueries {
       val top = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("b")).limit(1)
         .localCheckpoint()
+      cps += top
       txt = txt.crossJoin(broadcast(top))
         .select(col("doc_id"),
           expr("""replace(t,
@@ -505,21 +518,24 @@ object TextQueries {
                           concat(' ', replace(b, ' ', '_'), ' '))""")
             .as("t"))
         .localCheckpoint()
+      cps += txt
       top.select(lit(r).as("round"), col("b").as("pair"), col("cnt"))
     }
-    (merges.reduce(_.unionByName(_)).orderBy(col("round")), txt)
+    (merges.reduce(_.unionByName(_)).orderBy(col("round")), txt, cps.toSeq)
   }
 
   // Memoized per (session, sfDir): `bpe_merges` and `bpe_encode` share
-  // one run of the 4-pass chain (every frame inside is checkpointed;
-  // evict drops the references and the ContextCleaner reclaims blocks).
+  // one run of the 4-pass chain; the checkpointed frames ride along so
+  // evict can release their blocks deterministically.
   private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
 
   private def bpeChain(s: SparkSession,
-                       dir: String): (DataFrame, DataFrame) =
-    bpeCache.getOrElseUpdate((s, dir),
-      bpeChainOf(Tables(s, dir, "documents")))
+                       dir: String): (DataFrame, DataFrame) = {
+    val (m, t, _) = bpeCache.getOrElseUpdate((s, dir),
+      bpeChainTracked(Tables(s, dir, "documents")))
+    (m, t)
+  }
 
   /** Bench warm hook: run the shared BPE chain once so neither key's
     * per-key time absorbs the 4 sequential corpus passes
@@ -529,12 +545,26 @@ object TextQueries {
     bpeChain(s, dir)._1.count(); ()
   }
 
-  /** Cache-lifecycle hook (see [[graft.Caches]]): the chain's frames are
-    * localCheckpoint blocks, reclaimed by the ContextCleaner once the
-    * references drop.
+  /** Cache-lifecycle hook (see [[graft.Caches]]): unpersists the chain's
+    * localCheckpoint blocks EXPLICITLY (walking each tracked frame's RDD
+    * lineage for persisted nodes) before dropping the references — a
+    * long-lived session cycling sfDirs must not accumulate checkpoint
+    * blocks until a GC happens to run the ContextCleaner.
     */
   def evict(s: SparkSession): Unit =
-    bpeCache.keys.filter(_._1 eq s).foreach(bpeCache.remove(_))
+    bpeCache.keys.filter(_._1 eq s).foreach { k =>
+      bpeCache.remove(k).foreach { case (_, _, cps) =>
+        cps.foreach { df =>
+          def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+            if (r.getStorageLevel !=
+                org.apache.spark.storage.StorageLevel.NONE)
+              r.unpersist(blocking = false)
+            r.dependencies.foreach(d => walk(d.rdd))
+          }
+          walk(df.rdd)
+        }
+      }
+    }
 
   /** bpe_encode — APPLY the learned merge table: the tokenize step a
     * pipeline runs after `bpe_merges` trains the vocabulary. Output per

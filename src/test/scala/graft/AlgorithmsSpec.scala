@@ -79,6 +79,19 @@ class AlgorithmsSpec extends GraftSuite {
     assert(again === rows)
   }
 
+  test("HITS fails loudly past the scaled-integer exactness bound") {
+    // norm ≤ |E|·10⁹ must stay under 2⁵³ for the pinned double division to
+    // be exact; one edge past the bound must throw, never silently round.
+    val bound = (1L << 53) / 1000000000L
+    val e = spark.range(bound + 1)
+      .selectExpr("id AS src", "id + 1 AS dst", "1L AS value")
+    val v = Seq((0L, 0L)).toDF("id", "value")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgorithms.hits(spark, Graph(v, e), iterations = 1)
+    }
+    assert(ex.getMessage.contains("exactness"))
+  }
+
   test("label propagation: pinned semantics converge to label 1 on fixture") {
     // Hand-derived (ties → smallest label, synchronous rounds on the
     // undirected fixture): round1 = (2,1,1,3,1), round2 = (1,1,1,1,1),

@@ -171,18 +171,28 @@ class PipelineSpec extends GraftSuite {
     val out = graft.queries.Registry.byKey("sim_knn_join").fn(spark, sf)
       .collect().map(r =>
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    val nVec = graft.sources.Tables(spark, sf, "embeddings").count()
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+    val nVec = emb.count()
+    // The exact-k expectation is a property of the FIXTURE, not the code:
+    // it holds iff every inverted list can fill k slots on its own
+    // (list minus a possible self ≥ k). Derive it so a regenerated or
+    // smaller fixture degrades this test to ≤ k + well-formedness
+    // instead of failing without a code bug.
+    val minList = emb.groupBy("label").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    val fillable = minList - 1 >= 3
     val byQ = out.groupBy(_._1)
-    // every vector gets a neighbor list (probed lists are big enough at
-    // this sf that nothing comes back short)
+    // every vector gets a neighbor list (its own list is always probed,
+    // so the candidate pool is nonempty whenever any list has ≥ 2)
     assert(byQ.size.toLong === nVec)
     byQ.foreach { case (q, rows) =>
-      assert(rows.length === 3, s"vec $q")
-      // ranks are 1..k, never self, neighbors distinct, cosine
+      if (fillable) assert(rows.length === 3, s"vec $q")
+      else assert(rows.length <= 3 && rows.nonEmpty, s"vec $q")
+      // ranks are 1..len, never self, neighbors distinct, cosine
       // non-increasing in rank with the pinned id tie-break
-      assert(rows.map(_._2).sorted.toSeq === Seq(1, 2, 3), s"vec $q")
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length), s"vec $q")
       assert(rows.forall(_._3 != q), s"vec $q")
-      assert(rows.map(_._3).distinct.length === 3, s"vec $q")
+      assert(rows.map(_._3).distinct.length === rows.length, s"vec $q")
       val byRank = rows.sortBy(_._2)
       assert(byRank.sliding(2).forall(p => p.length < 2 ||
         p(0)._4 > p(1)._4 ||
