@@ -47,6 +47,7 @@ object Bench {
     val builds = if (keys.isDefined) Seq.empty else Seq(
       timed("_build:gtrade")(sources.GTrade.warm(spark, sfDir)),
       timed("_build:graphx")(queries.IterQueries.warmGraphX(spark, sfDir)),
+      timed("_build:guser")(queries.UserGraphQueries.warm(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),

@@ -18,6 +18,7 @@ object Caches {
   def evict(spark: SparkSession): Unit = {
     graft.sources.GTrade.evict(spark)
     graft.queries.IterQueries.evict(spark)
+    graft.queries.UserGraphQueries.evict(spark)
     graft.queries.DedupQueries.evict(spark)
     graft.queries.NetworkQueries.evict(spark)
     graft.queries.SimQueries.evict(spark)

@@ -15,9 +15,9 @@ case class Q(key: String,
 object Registry {
   lazy val all: Seq[Q] =
     Substrate.qs ++ ScalarFns.qs ++ GraphQueries.qs ++ IterQueries.qs ++
-      NetworkQueries.qs ++ TextQueries.qs ++ DedupQueries.qs ++
-      SimQueries.qs ++ StreamQueries.qs ++ PipelineQueries.qs ++
-      TemporalQueries.qs
+      UserGraphQueries.qs ++ NetworkQueries.qs ++ TextQueries.qs ++
+      DedupQueries.qs ++ SimQueries.qs ++ StreamQueries.qs ++
+      PipelineQueries.qs ++ TemporalQueries.qs
 
   lazy val byKey: Map[String, Q] = all.map(q => q.key -> q).toMap
 }

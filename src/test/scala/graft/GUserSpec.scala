@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.GUser
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The G_user two-phase successor construction (range partition + stitch)
+  * must produce EXACTLY the graph the textbook `lead()` window defines —
+  * on any partition count, including partition boundaries that split a
+  * type run. The oracle hash-match proves this once per dataset; these
+  * tests prove it structurally on adversarial shapes.
+  */
+class GUserSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Synthetic event log: 3 types × interleaved users, event_id dense. */
+  private def mkEvents(rows: Seq[(Long, String, Long)]) =
+    rows.toDF("event_id", "event_type", "user_id")
+
+  private def windowEdges(events: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    events.select(col("user_id").as("src"),
+        lead(col("user_id"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("double").as("value"))
+  }
+
+  private def assertSameGraph(events: org.apache.spark.sql.DataFrame,
+                              parts: Int): Unit = {
+    val got = GUser.fromEvents(spark, events, forcedParts = parts)
+      .edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val want = windowEdges(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got === want, s"parts=$parts")
+  }
+
+  test("two-phase edges == window edges across partition counts") {
+    // 120 events, 3 types interleaved, users cycle with repeats so
+    // self-loops and multi-edges both occur.
+    val rows = (0L until 120L).map { i =>
+      (i, "t" + (i % 3), (i * i + i / 7) % 5)
+    }
+    val ev = mkEvents(rows)
+    // 1 partition (no stitch), 4 (each type spans partitions), 13 (more
+    // partitions than needed — empty ranges and single-run partitions).
+    Seq(1, 4, 13).foreach(assertSameGraph(ev, _))
+  }
+
+  test("a type confined to one row yields no edge; self-loops survive") {
+    val ev = mkEvents(Seq(
+      (0L, "a", 1L), (1L, "a", 1L), (2L, "b", 2L), (3L, "a", 3L)))
+    val g = GUser.fromEvents(spark, ev, forcedParts = 3)
+    val edges = g.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // a: 1→1 (self-loop), 1→3; b: single event, no successor.
+    assert(edges === Seq((1L, 1L, 1.0), (1L, 3L, 1.0)))
+    val verts = g.vertices.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(verts === Seq((1L, 2.0), (2L, 1.0), (3L, 1.0)))
+  }
+
+  test("real fixture has self-loops and cycles (what G_trade lacks)") {
+    val g = GUser(spark, "/root/testdata/sf0.001")
+    val loops = g.edges.filter(col("src") === col("dst")).count()
+    assert(loops > 0)
+    // succession is mutual somewhere: at least one 2-cycle src↔dst
+    val e = g.edges.select("src", "dst")
+    val cycles = e.as("a").join(e.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src") &&
+        col("a.src") < col("a.dst")).count()
+    assert(cycles > 0)
+  }
+}

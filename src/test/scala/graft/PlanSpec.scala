@@ -90,6 +90,28 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("reduce_on_neighbors_user: skew mitigation is structural — " +
+    "partial agg + broadcast vertex join") {
+    // The G_user succession graph concentrates in-edges on active users
+    // (DESIGN.md skew principle): the plan must (a) partial-combine the
+    // per-dst aggregation map-side, so a hub's raw edge rows never
+    // collect on one reducer — only one partial row per (task, hub)
+    // crosses the wire; (b) broadcast the |V|-sized vertex values, so
+    // the |E| side is never reshuffled by vertex id. AQE skew-split
+    // stays enabled in production as the runtime backstop.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = planOf("reduce_on_neighbors_user")
+    val partials = p.collect {
+      case h: HashAggregateExec
+        if h.aggregateExpressions.exists(_.mode == Partial) => h
+    }
+    assert(partials.nonEmpty, p.toString.take(1500))
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      p.toString.take(1500))
+  }
+
   test("shingle_hash runs inside a whole-stage-codegen region") {
     // The production pipeline evaluates shingle_hash ONCE, inside the
     // persisted frame's cached plan (the materialization boundary the r3
