@@ -77,6 +77,8 @@ class PlanSpec extends GraftSuite {
     "text_unigram_nll",         // corpus-token-total scalar
     "pmi_bigrams",              // corpus-bigram-total scalar
     "bpe_merges",               // 1-row top-pair per merge round
+    "bpe_merges_sampled",       // same chain over the sampled corpus
+    "dedup_metrics",            // 1-row n_reps / n_pairs / bucket-stats scalars
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
