@@ -16,7 +16,9 @@ object Explain {
       else Seq("substrate_scan_filter_project", "substrate_hash_join",
         "out_degrees", "triplets", "filter_on_vertices", "sim_topk",
         "dedup_minhash", "substrate_window_rank", "sim_knn_join",
-        "asof_join", "degree_assortativity", "emb_power_iter")
+        "asof_join", "degree_assortativity", "emb_power_iter",
+        "scan_graph_user", "reduce_on_neighbors_user", "dedup_metrics",
+        "bpe_merges_sampled")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -61,6 +61,25 @@ class GUserSpec extends GraftSuite {
     assert(verts === Seq((1L, 2.0), (2L, 1.0), (3L, 1.0)))
   }
 
+  test("property: random event logs × partition counts, two-phase == " +
+    "window") {
+    // Deterministic pseudo-random logs (seeded) — denser user reuse than
+    // the hand-built cases, uneven type frequencies, and partition counts
+    // chosen to land boundaries inside and between type runs.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 5) {
+      val nTypes = 1 + rnd.nextInt(4)
+      val nUsers = 1 + rnd.nextInt(8)
+      val n = 30 + rnd.nextInt(170)
+      val rows = (0L until n.toLong).map { i =>
+        (i, "t" + rnd.nextInt(nTypes), rnd.nextInt(nUsers).toLong)
+      }
+      val ev = mkEvents(rows)
+      assertSameGraph(ev, 1 + rnd.nextInt(16))
+      assertSameGraph(ev, n) // more partitions than rows
+    }
+  }
+
   test("real fixture has self-loops and cycles (what G_trade lacks)") {
     val g = GUser(spark, "/root/testdata/sf0.001")
     val loops = g.edges.filter(col("src") === col("dst")).count()
