@@ -897,6 +897,162 @@ object SimQueries {
        |    c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT) AS checksum
        |FROM fx ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- Product quantization (X38/X39 — the embedding COMPRESSION scale
+  // path). At 100 TB the embedding column itself is the storage/IO
+  // bottleneck: 64 float32 components = 256 B/vector. PQ splits each
+  // vector into PqM subvectors and replaces each with the id of its
+  // nearest codeword from a per-subspace codebook → PqM bytes/vector
+  // (32× smaller), and approximate distances are computed from codes
+  // alone (ADC), so the re-ranking scan never touches the raw floats.
+  // The codebook here is the deterministic seed rule shared with
+  // kmeans_step (codewords = subvectors of the PqK smallest-id vectors):
+  // one Lloyd refinement would reuse the kmeans_step machinery verbatim,
+  // and keeping the codebook closed-form keeps both keys bit-exact
+  // SQL-oracleable.
+  private val PqM   = 8  // subspaces (64 dims / 8 per subspace)
+  private val PqDim = 8
+  private val PqK   = 16 // codewords per subspace
+
+  /** Codebook (sub, code, cw): subvectors of the PqK smallest-id vectors.
+    * PqM·PqK = 128 rows — always broadcast.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("code"), col("embedding"),
+        explode(array((0 until PqM).map(lit): _*)).as("sub"))
+      .select(col("sub"), col("code"),
+        slice(col("embedding"), col("sub") * PqDim + lit(1), lit(PqDim))
+          .as("cw"))
+
+  /** PQ assignment (vec_id, sub, code): one broadcast join + hash agg.
+    * Argmin is encoded as an exact BIGINT priority
+    * `floor(d2·10⁶ + 0.5)·PqK + code` so MIN is a plain map-side-combining
+    * aggregate with the (d2 ASC, code ASC) tie rule built in — no window
+    * over the |V|·PqM·PqK assignment rows, and both engines take the MIN
+    * of identical integers (the d2 chain `daa − 2·dab + dbb` is the same
+    * left-fold IEEE ops on both sides).
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val subv = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * PqDim + lit(1), lit(PqDim))
+          .as("subv"))
+    subv.join(broadcast(pqCodebook(s, dir)), "sub")
+      .select(col("vec_id"), col("sub"),
+        (floor((VectorFns.dot(col("subv"), col("subv"))
+          - lit(2.0) * VectorFns.dot(col("subv"), col("cw"))
+          + VectorFns.dot(col("cw"), col("cw"))) * 1000000.0 + 0.5)
+          .cast("long") * PqK + col("code")).as("pri"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("pri")).as("pri"))
+      .select(col("vec_id"), col("sub"),
+        (col("pri") % PqK).cast("int").as("code"))
+  }
+
+  // Shared SQL prefix: codebook + per-vector subvectors + assignment.
+  private def pqCodesSqlWith: String = {
+    val dvv = VectorFns.dotSql("v.subv", "v.subv")
+    val dvc = VectorFns.dotSql("v.subv", "c.cw")
+    val dcc = VectorFns.dotSql("c.cw", "c.cw")
+    s"""subs AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS sub),
+       |cb AS MATERIALIZED (
+       |  SELECT s.sub, CAST(d.vec_id AS INT) AS code,
+       |    list_slice(d.embedding, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS cw
+       |  FROM embeddings d CROSS JOIN subs s WHERE d.vec_id < $PqK),
+       |vsub AS MATERIALIZED (
+       |  SELECT e.vec_id, s.sub,
+       |    list_slice(e.embedding, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS subv
+       |  FROM embeddings e CROSS JOIN subs s),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, CAST(pri % $PqK AS INT) AS code FROM (
+       |    SELECT v.vec_id, v.sub,
+       |      MIN(CAST(FLOOR(($dvv - 2.0 * $dvc + $dcc) * 1000000.0 + 0.5)
+       |          AS BIGINT) * $PqK + c.code) AS pri
+       |    FROM vsub v JOIN cb c ON v.sub = c.sub
+       |    GROUP BY v.vec_id, v.sub))""".stripMargin
+  }
+
+  /** X38 — emb_pq_encode: the compressed representation itself,
+    * (vec_id, sub, code). This is what a 100 TB pipeline persists instead
+    * of the raw floats; [[simTopkPq]] then searches over it.
+    */
+  private def embPqEncode(s: SparkSession, dir: String): DataFrame =
+    pqCodes(s, dir).orderBy(col("vec_id"), col("sub"))
+
+  private val embPqEncodeSql =
+    s"""WITH $pqCodesSqlWith
+       |SELECT vec_id, sub, code FROM codes ORDER BY vec_id, sub""".stripMargin
+
+  /** X39 — sim_topk_pq: ADC (asymmetric distance computation) top-k. Each
+    * query builds a PqM·PqK lookup table of exact subvector→codeword
+    * distances (integer-scaled BIGINTs); a candidate's approximate
+    * distance is then the SUM of PqM table entries selected by its codes —
+    * the scan touches only the 8-byte codes, never the 256-byte floats.
+    * The LUT join is a broadcast (NQueries·PqM·PqK = 1 280 rows) against
+    * the codes frame, the per-candidate sum is a map-side-combining hash
+    * agg of exact BIGINTs (order-independent), and only the |V|·NQueries
+    * aggregated rows reach the top-k window.
+    */
+  private def simTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val lut = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("sub"),
+        col("embedding"))
+      .select(col("q_id"), col("sub"),
+        slice(col("embedding"), col("sub") * PqDim + lit(1), lit(PqDim))
+          .as("qsub"))
+      .join(pqCodebook(s, dir), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        floor((VectorFns.dot(col("qsub"), col("qsub"))
+          - lit(2.0) * VectorFns.dot(col("qsub"), col("cw"))
+          + VectorFns.dot(col("cw"), col("cw"))) * 1000000.0 + 0.5)
+          .cast("long").as("d2i"))
+    val scored = pqCodes(s, dir)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg((sum(col("d2i")).cast("double") / 1000000.0).as("ad"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("ad"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("ad"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val simTopkPqSql = {
+    val dqq = VectorFns.dotSql("q.qsub", "q.qsub")
+    val dqc = VectorFns.dotSql("q.qsub", "c.cw")
+    val dcc = VectorFns.dotSql("c.cw", "c.cw")
+    s"""WITH $pqCodesSqlWith,
+       |qsub AS MATERIALIZED (
+       |  SELECT e.vec_id AS q_id, s.sub,
+       |    list_slice(e.embedding, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS qsub
+       |  FROM embeddings e CROSS JOIN subs s WHERE e.vec_id < $NQueries),
+       |lut AS MATERIALIZED (
+       |  SELECT q.q_id, q.sub, c.code,
+       |    CAST(FLOOR(($dqq - 2.0 * $dqc + $dcc) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d2i
+       |  FROM qsub q JOIN cb c ON q.sub = c.sub),
+       |scored AS MATERIALIZED (
+       |  SELECT l.q_id, k.vec_id AS c_id,
+       |    CAST(SUM(l.d2i) AS DOUBLE) / 1000000.0 AS ad
+       |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, ad,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, ad FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
@@ -910,5 +1066,7 @@ object SimQueries {
       Some(dedupEmbeddingExactSql)),
     Q("multimodal_features", multimodal, Some(multimodalSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    Q("emb_pq_encode", embPqEncode, Some(embPqEncodeSql)),
+    Q("sim_topk_pq", simTopkPq, Some(simTopkPqSql)),
   )
 }

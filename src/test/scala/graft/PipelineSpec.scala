@@ -199,4 +199,69 @@ class PipelineSpec extends GraftSuite {
         (p(0)._4 == p(1)._4 && p(0)._3 < p(1)._3)), s"vec $q")
     }
   }
+
+  // ---- Product quantization: exact local golden model. Recomputes the
+  // codebook/assignment/ADC chain with the same sequential-left-fold
+  // arithmetic the Catalyst expressions use, so every code and every
+  // approximate distance must match BIT-EXACTLY (not approximately) —
+  // any drift in slicing bounds, fold order, or the integer-priority
+  // argmin encoding fails loudly.
+  private val PqM = 8; private val PqDim = 8; private val PqK = 16
+
+  private def pqModel(sf: String) = {
+    val emb = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def subv(v: Array[Float], m: Int): Array[Float] =
+      v.slice(m * PqDim, m * PqDim + PqDim)
+    val cb: Map[(Int, Int), Array[Float]] = (for {
+      (id, v) <- emb.takeWhile(_._1 < PqK); m <- 0 until PqM
+    } yield (m, id.toInt) -> subv(v, m)).toMap
+    def d2i(a: Array[Float], b: Array[Float]): Long =
+      math.floor((dot(a, a) - 2.0 * dot(a, b) + dot(b, b)) * 1000000.0
+        + 0.5).toLong
+    val codes: Map[(Long, Int), Int] = (for {
+      (id, v) <- emb; m <- 0 until PqM
+    } yield (id, m) -> (0 until PqK).map(c =>
+        d2i(subv(v, m), cb((m, c))) * PqK + c).min.toInt % PqK).toMap
+    (emb, cb, codes, d2i _, subv _)
+  }
+
+  test("emb_pq_encode matches the exact local PQ model") {
+    val sf = "/root/testdata/sf0.001"
+    val (emb, _, codes, _, _) = pqModel(sf)
+    val out = graft.queries.Registry.byKey("emb_pq_encode").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out.size === emb.length * PqM)
+    assert(out === codes)
+    // seeds quantize to themselves (their own codeword is at distance 0)
+    for (m <- 0 until PqM; c <- 0 until PqK)
+      assert(out((c.toLong, m)) === c, s"seed $c sub $m")
+  }
+
+  test("sim_topk_pq matches the exact local ADC model") {
+    val sf = "/root/testdata/sf0.001"
+    val (emb, cb, codes, d2i, subv) = pqModel(sf)
+    val nq = 10; val topK = 5
+    val expected = (0L until nq.toLong).flatMap { q =>
+      val qv = emb(q.toInt)._2
+      val lut = (for (m <- 0 until PqM; c <- 0 until PqK)
+        yield (m, c) -> d2i(subv(qv, m), cb((m, c)))).toMap
+      emb.filter(_._1 != q).map { case (id, _) =>
+        val ad = (0 until PqM).map(m => lut((m, codes((id, m))))).sum
+          .toDouble / 1000000.0
+        (q, id, ad)
+      }.sortBy(t => (t._3, t._2)).take(topK).zipWithIndex
+        .map { case ((qq, id, ad), i) => (qq, i + 1, id, ad) }
+    }
+    val out = graft.queries.Registry.byKey("sim_topk_pq").fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === expected)
+  }
 }
