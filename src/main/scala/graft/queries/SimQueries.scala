@@ -935,21 +935,24 @@ object SimQueries {
     */
   private def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val subv = Tables(s, dir, "embeddings")
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         explode(array((0 until PqM).map(lit): _*)).as("sub"),
         col("embedding"))
-      .select(col("vec_id"), col("sub"),
+      .select(col("vec_id"), col("label"), col("sub"),
         slice(col("embedding"), col("sub") * PqDim + lit(1), lit(PqDim))
           .as("subv"))
+    // label rides along (functionally dependent on vec_id, so adding it
+    // to the grouping key changes nothing) — [[simTopkIvfPq]] needs it to
+    // route codes to probed inverted lists without a second |V|-sized join.
     subv.join(broadcast(pqCodebook(s, dir)), "sub")
-      .select(col("vec_id"), col("sub"),
+      .select(col("vec_id"), col("label"), col("sub"),
         (floor((VectorFns.dot(col("subv"), col("subv"))
           - lit(2.0) * VectorFns.dot(col("subv"), col("cw"))
           + VectorFns.dot(col("cw"), col("cw"))) * 1000000.0 + 0.5)
           .cast("long") * PqK + col("code")).as("pri"))
-      .groupBy(col("vec_id"), col("sub"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
       .agg(min(col("pri")).as("pri"))
-      .select(col("vec_id"), col("sub"),
+      .select(col("vec_id"), col("label"), col("sub"),
         (col("pri") % PqK).cast("int").as("code"))
   }
 
@@ -964,16 +967,16 @@ object SimQueries {
        |    list_slice(d.embedding, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS cw
        |  FROM embeddings d CROSS JOIN subs s WHERE d.vec_id < $PqK),
        |vsub AS MATERIALIZED (
-       |  SELECT e.vec_id, s.sub,
+       |  SELECT e.vec_id, e.label, s.sub,
        |    list_slice(e.embedding, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS subv
        |  FROM embeddings e CROSS JOIN subs s),
        |codes AS MATERIALIZED (
-       |  SELECT vec_id, sub, CAST(pri % $PqK AS INT) AS code FROM (
-       |    SELECT v.vec_id, v.sub,
+       |  SELECT vec_id, label, sub, CAST(pri % $PqK AS INT) AS code FROM (
+       |    SELECT v.vec_id, v.label, v.sub,
        |      MIN(CAST(FLOOR(($dvv - 2.0 * $dvc + $dcc) * 1000000.0 + 0.5)
        |          AS BIGINT) * $PqK + c.code) AS pri
        |    FROM vsub v JOIN cb c ON v.sub = c.sub
-       |    GROUP BY v.vec_id, v.sub))""".stripMargin
+       |    GROUP BY v.vec_id, v.label, v.sub))""".stripMargin
   }
 
   /** X38 — emb_pq_encode: the compressed representation itself,
@@ -981,7 +984,8 @@ object SimQueries {
     * of the raw floats; [[simTopkPq]] then searches over it.
     */
   private def embPqEncode(s: SparkSession, dir: String): DataFrame =
-    pqCodes(s, dir).orderBy(col("vec_id"), col("sub"))
+    pqCodes(s, dir).select(col("vec_id"), col("sub"), col("code"))
+      .orderBy(col("vec_id"), col("sub"))
 
   private val embPqEncodeSql =
     s"""WITH $pqCodesSqlWith
@@ -1053,6 +1057,116 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** X40 — sim_topk_ivfpq: the composed IVF+PQ layout (the standard
+    * billion-scale ANN architecture). The coarse stage reuses
+    * [[simTopkIvf]]'s probe rule (quantized centroid cosine, top-2 labels
+    * per query) to restrict the search to ~2/K of the corpus; the fine
+    * stage reuses [[simTopkPq]]'s ADC rule to rank the probed lists from
+    * 8-byte codes. The two reductions compose multiplicatively: at 100 TB
+    * the scan touches (2/K of the rows) × (1/32 of the column bytes),
+    * which is why every production vector store pairs a coarse inverted
+    * index WITH code compression rather than choosing one. Plan shape:
+    * probes and the per-query LUT are both tiny broadcasts against the
+    * codes frame; the only wide exchanges are the two-phase assignment
+    * agg and the |probed|-row ADC sum.
+    */
+  private def simTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val cent = centroids(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("c_label"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("centroid")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("c_cos"))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= 2)
+      .select(col("q_id"), col("c_label"))
+    val lut = q.select(col("q_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("sub"),
+        col("q_emb"))
+      .select(col("q_id"), col("sub"),
+        slice(col("q_emb"), col("sub") * PqDim + lit(1), lit(PqDim))
+          .as("qsub"))
+      .join(pqCodebook(s, dir), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        floor((VectorFns.dot(col("qsub"), col("qsub"))
+          - lit(2.0) * VectorFns.dot(col("qsub"), col("cw"))
+          + VectorFns.dot(col("cw"), col("cw"))) * 1000000.0 + 0.5)
+          .cast("long").as("d2i"))
+    val scored = pqCodes(s, dir)
+      .join(broadcast(probes), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg((sum(col("d2i")).cast("double") / 1000000.0).as("ad"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("ad"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("ad"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val simTopkIvfPqSql = {
+    val cdot = VectorFns.dotSql("q.q_emb", "c.centroid")
+    val dqq = VectorFns.dotSql("q.qsub", "q.qsub")
+    val dqc = VectorFns.dotSql("q.qsub", "c.cw")
+    val dcc = VectorFns.dotSql("c.cw", "c.cw")
+    s"""WITH $pqCodesSqlWith,
+       |nq AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    ${VectorFns.normSql("embedding")} AS q_nrm
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |comps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |centc AS MATERIALIZED (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM comps GROUP BY label, pos),
+       |centn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM centc GROUP BY label)),
+       |probes AS MATERIALIZED (
+       |  SELECT q_id, c_label FROM (
+       |    SELECT q.q_id, c.c_label,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        ${Det.qroundSql(s"$cdot / (q.q_nrm * c.c_nrm)", 6)} DESC,
+       |        c.c_label) AS c_rk
+       |    FROM nq q CROSS JOIN centn c) WHERE c_rk <= 2),
+       |qsub AS MATERIALIZED (
+       |  SELECT q.q_id, s.sub,
+       |    list_slice(q.q_emb, s.sub*$PqDim + 1, s.sub*$PqDim + $PqDim) AS qsub
+       |  FROM nq q CROSS JOIN subs s),
+       |lut AS MATERIALIZED (
+       |  SELECT q.q_id, q.sub, c.code,
+       |    CAST(FLOOR(($dqq - 2.0 * $dqc + $dcc) * 1000000.0 + 0.5)
+       |         AS BIGINT) AS d2i
+       |  FROM qsub q JOIN cb c ON q.sub = c.sub),
+       |scored AS MATERIALIZED (
+       |  SELECT p.q_id, k.vec_id AS c_id,
+       |    CAST(SUM(l.d2i) AS DOUBLE) / 1000000.0 AS ad
+       |  FROM codes k
+       |  JOIN probes p ON k.label = p.c_label AND k.vec_id <> p.q_id
+       |  JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.code = k.code
+       |  GROUP BY p.q_id, k.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, ad,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, ad FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
@@ -1068,5 +1182,6 @@ object SimQueries {
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("emb_pq_encode", embPqEncode, Some(embPqEncodeSql)),
     Q("sim_topk_pq", simTopkPq, Some(simTopkPqSql)),
+    Q("sim_topk_ivfpq", simTopkIvfPq, Some(simTopkIvfPqSql)),
   )
 }

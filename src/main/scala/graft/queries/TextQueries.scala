@@ -678,6 +678,80 @@ object TextQueries {
        |  $out) m ORDER BY round""".stripMargin
   }
 
+  /** X41 — doc_filter: the composed keep/drop curation decision — the
+    * single-pass shape every corpus pipeline (C4-style) runs before
+    * training: length gate → language gate → repetition gate → exact-dup
+    * gate, with the FIRST failing rule recorded as the reason (so drop
+    * counts per reason are directly aggregable into a curation report).
+    * Reuses the declared single-signal keys' exact expressions (token
+    * split, stopword vote, dup fraction, rolling-hash fingerprint), so
+    * the composite can never drift from its audited components.
+    *
+    * Scale: every gate except dedup is a per-row Column expression inside
+    * one scan (whole-stage codegen, no shuffle); the exact-dup gate is the
+    * dedup_exact discipline — group the 64-bit fingerprint, keep min
+    * doc_id as representative — one hash agg plus an equi-join on fp,
+    * both linear and AQE-splittable. The filter DECISION stays with the
+    * row; no per-reason sub-pipelines re-scan the corpus.
+    */
+  private def docFilter(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    val nTok = size(tok)
+    val cEn = TextFns.stopwordCount(tok, EnStop)
+    val cDe = TextFns.stopwordCount(tok, DeStop)
+    val cFr = TextFns.stopwordCount(tok, FrStop)
+    val base = Tables(s, dir, "documents").select(
+      col("doc_id"), nTok.as("n_tokens"),
+      Det.qround(lit(1.0) -
+        size(array_distinct(tok)).cast("double") / nTok, 6).as("dup_frac"),
+      when(cEn >= cDe && cEn >= cFr, "en")
+        .when(cDe >= cFr, "de").otherwise("fr").as("pred_lang"),
+      TextFns.stringHash(col("text")).as("fp"))
+    val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+    val reason = when(col("n_tokens") < 10, "too_short")
+      .when(col("pred_lang") =!= "en", "wrong_lang")
+      .when(col("dup_frac") > 0.6, "repetitive")
+      .when(col("doc_id") =!= col("rep_id"), "duplicate")
+      .otherwise("keep")
+    base.join(reps, Seq("fp"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        col("pred_lang"),
+        (col("doc_id") === col("rep_id")).cast("int").as("is_rep"),
+        reason.as("reason"),
+        (reason === "keep").cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docFilterSql = {
+    val tok = "string_split(text, ' ')"
+    val (cEn, cDe, cFr) = (TextFns.stopwordCountSql(tok, EnStop),
+      TextFns.stopwordCountSql(tok, DeStop),
+      TextFns.stopwordCountSql(tok, FrStop))
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, len($tok) AS n_tokens,
+       |    ${Det.qroundSql(
+              s"1.0 - CAST(len(list_distinct($tok)) AS DOUBLE) / len($tok)",
+              6)} AS dup_frac,
+       |    CASE WHEN $cEn >= $cDe AND $cEn >= $cFr THEN 'en'
+       |         WHEN $cDe >= $cFr THEN 'de' ELSE 'fr' END AS pred_lang,
+       |    ${TextFns.stringHashSql("text")} AS fp
+       |  FROM documents),
+       |reps AS MATERIALIZED (
+       |  SELECT fp, MIN(doc_id) AS rep_id FROM base GROUP BY fp),
+       |dec AS (
+       |  SELECT b.doc_id, b.n_tokens, b.dup_frac, b.pred_lang,
+       |    CAST(b.doc_id = r.rep_id AS INT) AS is_rep,
+       |    CASE WHEN b.n_tokens < 10 THEN 'too_short'
+       |         WHEN b.pred_lang <> 'en' THEN 'wrong_lang'
+       |         WHEN b.dup_frac > 0.6 THEN 'repetitive'
+       |         WHEN b.doc_id <> r.rep_id THEN 'duplicate'
+       |         ELSE 'keep' END AS reason
+       |  FROM base b JOIN reps r ON b.fp = r.fp)
+       |SELECT doc_id, n_tokens, dup_frac, pred_lang, is_rep, reason,
+       |  CAST(reason = 'keep' AS INT) AS keep
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
@@ -692,5 +766,7 @@ object TextQueries {
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("doc_filter", docFilter, Some(docFilterSql)),
   )
+
 }

@@ -264,4 +264,49 @@ class PipelineSpec extends GraftSuite {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out === expected)
   }
+
+  test("sim_topk_ivfpq = IVF probe rule ∘ ADC rule (local model)") {
+    val sf = "/root/testdata/sf0.001"
+    val (emb, cb, codes, d2i, subv) = pqModel(sf)
+    val labels = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // integer-scaled per-label centroid means (the centroids() contract)
+    val byLabel = emb.groupBy { case (id, _) => labels(id) }
+    val cents: Map[Long, Array[Double]] = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(64) { p =>
+        vs.map { case (_, v) =>
+          math.floor(v(p).toDouble * 1000000.0 + 0.5).toLong
+        }.sum.toDouble / (1000000.0 * vs.length)
+      }
+    }
+    def qr(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val nq = 10; val topK = 5
+    val expected = (0L until nq.toLong).flatMap { q =>
+      val qv = emb(q.toInt)._2.map(_.toDouble)
+      val qn = math.sqrt(dot(qv, qv))
+      val probed = cents.toSeq.map { case (l, c) =>
+        (qr(dot(qv, c) / (qn * math.sqrt(dot(c, c)))), l)
+      }.sortBy { case (cos, l) => (-cos, l) }.take(2).map(_._2).toSet
+      val qvf = emb(q.toInt)._2
+      val lut = (for (m <- 0 until PqM; c <- 0 until PqK)
+        yield (m, c) -> d2i(subv(qvf, m), cb((m, c)))).toMap
+      emb.filter { case (id, _) => id != q && probed(labels(id)) }
+        .map { case (id, _) =>
+          val ad = (0 until PqM).map(m => lut((m, codes((id, m))))).sum
+            .toDouble / 1000000.0
+          (q, id, ad)
+        }.sortBy(t => (t._3, t._2)).take(topK).zipWithIndex
+        .map { case ((qq, id, ad), i) => (qq, i + 1, id, ad) }
+    }
+    val out = graft.queries.Registry.byKey("sim_topk_ivfpq").fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === expected)
+  }
 }
