@@ -1167,6 +1167,59 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** X42 — sim_recall_metrics: the ANN recall contract as one audited
+    * frame — the similarity-search sibling of `dedup_metrics`. Each
+    * approximate method (IVF probe, full-scan ADC over PQ codes, composed
+    * IVF+PQ) is scored against the brute-force [[simTopk]] rule:
+    * recall@k = |approx ∩ exact| / (NQueries·k). The speed keys answer
+    * "how fast"; this key is the standing answer to "at what recall" —
+    * when a codebook, probe count, or list layout change starts losing
+    * neighbors, this row moves and the oracle catches it.
+    *
+    * Scale: the exact arm is the declared quadratic recall BASELINE (same
+    * isolation contract as `dedup_embedding_exact` — never the production
+    * path; at 100 TB the exact arm runs on a sampled query set, which is
+    * exactly how production ANN recall dashboards are built). The
+    * comparison itself is a |methods|·NQueries·k-row join — trivial at
+    * any corpus size because both sides are top-k RESULTS, not corpora.
+    */
+  private def simRecallMetrics(s: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(s, dir).select(col("q_id"), col("c_id"))
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("q_id"), col("c_id"))
+    val approx = arm("ivf", simTopkIvf(s, dir))
+      .unionByName(arm("ivfpq", simTopkIvfPq(s, dir)))
+      .unionByName(arm("pq", simTopkPq(s, dir)))
+    val exactR = exact.select(col("q_id").as("e_q"), col("c_id").as("e_id"))
+    approx
+      .join(exactR,
+        col("q_id") === col("e_q") && col("c_id") === col("e_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("e_id")).as("n_hits"))
+      .select(col("method"), col("n_pairs"), col("n_hits"),
+        Det.qround(col("n_hits").cast("double") / (NQueries * TopK), 6)
+          .as("recall"))
+      .orderBy(col("method"))
+  }
+
+  // lazy: references the four query SQL vals above (object-init order —
+  // an eager val here would capture them pre-init if ever reordered).
+  private lazy val simRecallMetricsSql =
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT q_id, c_id FROM ($simTopkSql)),
+       |ap AS MATERIALIZED (
+       |  SELECT 'ivf' AS method, q_id, c_id FROM ($simTopkIvfSql)
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS method, q_id, c_id FROM ($simTopkIvfPqSql)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, q_id, c_id FROM ($simTopkPqSql))
+       |SELECT ap.method, COUNT(*) AS n_pairs, COUNT(e.c_id) AS n_hits,
+       |  ${Det.qroundSql(
+            s"CAST(COUNT(e.c_id) AS DOUBLE) / ${NQueries * TopK}", 6)}
+       |    AS recall
+       |FROM ap LEFT JOIN exact e ON ap.q_id = e.q_id AND ap.c_id = e.c_id
+       |GROUP BY ap.method ORDER BY ap.method""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
@@ -1183,5 +1236,6 @@ object SimQueries {
     Q("emb_pq_encode", embPqEncode, Some(embPqEncodeSql)),
     Q("sim_topk_pq", simTopkPq, Some(simTopkPqSql)),
     Q("sim_topk_ivfpq", simTopkIvfPq, Some(simTopkIvfPqSql)),
+    Q("sim_recall_metrics", simRecallMetrics, Some(simRecallMetricsSql)),
   )
 }

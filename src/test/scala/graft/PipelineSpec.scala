@@ -309,4 +309,29 @@ class PipelineSpec extends GraftSuite {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out === expected)
   }
+
+  test("sim_recall_metrics: audit row per method, recall = hits/(nq*k)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Registry.byKey("sim_recall_metrics")
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // one row per approximate method, deterministic order
+    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "pq"))
+    val exact = graft.queries.Registry.byKey("sim_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { case (m, nPairs, nHits, recall) =>
+      // every method emits a full top-k result set (10 queries × k=5)
+      assert(nPairs === 50L, m)
+      assert(nHits >= 0L && nHits <= nPairs, m)
+      assert(recall ===
+        math.floor(nHits.toDouble / 50 * 1e6 + 0.5) / 1e6, m)
+      // cross-check one arm against an independent recount
+      if (m == "ivf") {
+        val ivf = graft.queries.Registry.byKey("sim_topk_ivf").fn(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+        assert(nHits === ivf.count(exact.contains).toLong)
+      }
+    }
+  }
 }
