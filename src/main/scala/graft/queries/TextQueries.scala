@@ -694,19 +694,30 @@ object TextQueries {
     * both linear and AQE-splittable. The filter DECISION stays with the
     * row; no per-reason sub-pipelines re-scan the corpus.
     */
-  private def docFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The per-row gate signals of [[docFilter]] over a `(doc_id, text)`
+    * frame — shared with the streaming curation twin
+    * ([[graft.streaming.Streams.docFilterKeep]]) so the two passes can
+    * never disagree on a signal. Pure per-row Column expressions: usable
+    * unchanged on a streaming source.
+    */
+  private[graft] def docGateSignals(docs: DataFrame): DataFrame = {
     val tok = TextFns.tokens(col("text"))
     val nTok = size(tok)
     val cEn = TextFns.stopwordCount(tok, EnStop)
     val cDe = TextFns.stopwordCount(tok, DeStop)
     val cFr = TextFns.stopwordCount(tok, FrStop)
-    val base = Tables(s, dir, "documents").select(
+    docs.select(
       col("doc_id"), nTok.as("n_tokens"),
       Det.qround(lit(1.0) -
         size(array_distinct(tok)).cast("double") / nTok, 6).as("dup_frac"),
       when(cEn >= cDe && cEn >= cFr, "en")
         .when(cDe >= cFr, "de").otherwise("fr").as("pred_lang"),
       TextFns.stringHash(col("text")).as("fp"))
+  }
+
+  private def docFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = docGateSignals(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
     val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
     val reason = when(col("n_tokens") < 10, "too_short")
       .when(col("pred_lang") =!= "en", "wrong_lang")

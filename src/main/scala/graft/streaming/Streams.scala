@@ -67,6 +67,34 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** T7 — streaming curation: the `doc_filter` keep decision as a stream
+    * pass over a `(doc_id, text)` source. The stateless gates (length,
+    * language, repetition) are the batch key's EXACT per-row expressions
+    * ([[graft.queries.TextQueries.docGateSignals]] — shared, so the two
+    * passes cannot drift); the exact-dup gate becomes first-seen-wins
+    * keyed dedup state on the text fingerprint. Filtering BEFORE the
+    * dedup is equivalent to the batch rule because identical text ⇒
+    * identical fingerprint ⇒ identical gate outcomes: an fp group is
+    * either all gate-passing or all gate-failing, so the state never
+    * admits a row the batch side calls non-representative. The kept
+    * doc_id set equals the batch key's `keep = 1` set whenever arrival
+    * order is doc_id order (the batch representative rule is min doc_id)
+    * — asserted end-to-end in StreamBatchEquivSpec.
+    *
+    * Scale notes: the gates are map-only (no shuffle, codegen'd); the
+    * dedup state is keyed by the 64-bit fp, partitioned across the state
+    * store — bounded by |distinct documents|, which is the floor for ANY
+    * exact streaming dedup. A deployment that cannot hold that attaches
+    * an ingestion timestamp + `dropDuplicatesWithinWatermark` (the T4
+    * discipline) to window the guarantee.
+    */
+  def docFilterKeep(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.docGateSignals(docs)
+      .filter(col("n_tokens") >= 10 && col("pred_lang") === "en" &&
+        col("dup_frac") <= 0.6)
+      .dropDuplicates("fp")
+      .select(col("doc_id"))
+
   /** T6 — stream-stream interval join: each `view` event joined to the
     * same user's `click` events in the following hour (attribution-window
     * shape). In stream mode both inputs are separate streams; the

@@ -136,4 +136,31 @@ class StreamBatchEquivSpec extends GraftSuite {
     assert(rows(spark.table("eq_anow")) ===
       rows(Streams.sessions(batchEvents)))
   }
+
+  test("T7 doc_filter: streamed curation keep set equals the batch key") {
+    // Replay `documents` in doc_id order (range-partitioned files, sorted
+    // within, one file per micro-batch) so the stream's first-seen-wins
+    // dedup state picks the same representative as the batch key's
+    // min-doc_id rule; the stateless gates are the shared expressions and
+    // order-independent by construction.
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft_docs_replay").toString
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val cp = Files.createTempDirectory("graft_cp_docf").toString
+    val q = Streams.docFilterKeep(src).writeStream.format("memory")
+      .queryName("eq_docf").option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("eq_docf").collect().map(_.getLong(0)).sorted
+    val want = graft.queries.Registry.byKey("doc_filter")
+      .fn(spark, sfDir).filter(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
 }
