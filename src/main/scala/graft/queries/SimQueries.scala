@@ -640,6 +640,8 @@ object SimQueries {
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
     nearPairCache.keys.filter(_._1 eq s).foreach(
       nearPairCache.remove(_).foreach(_.unpersist(blocking = false)))
+    pqCodesCache.keys.filter(_._1 eq s).foreach(
+      pqCodesCache.remove(_).foreach(_.unpersist(blocking = false)))
     ivfIndex.keys.filter(_._1 eq s).foreach { k =>
       ivfIndex.remove(k).foreach { p =>
         liveIndexDirs.remove(p); rmTree(new java.io.File(p))
@@ -933,7 +935,28 @@ object SimQueries {
     * of identical integers (the d2 chain `daa − 2·dab + dbb` is the same
     * left-fold IEEE ops on both sides).
     */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+  private val pqCodesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized [[pqCodesOf]], persisted and EAGER-CUT at first touch: the
+    * codes frame backs four keys, and inside `sim_recall_metrics` it sits
+    * on two subtrees of ONE plan — the lazy-persist shape where both
+    * scans race on the same uncomputed cache partitions and serialize on
+    * block locks. Counting at build makes later references pure cache
+    * reads. Bench separates this one-off as `_build:pqcodes`.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesCache.getOrElseUpdate((s, dir), {
+      val f = pqCodesOf(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    })
+
+  /** Bench warm hook (`_build:pqcodes`). */
+  def warmPqCodes(s: SparkSession, dir: String): Unit = { pqCodes(s, dir); () }
+
+  private def pqCodesOf(s: SparkSession, dir: String): DataFrame = {
     val subv = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         explode(array((0 until PqM).map(lit): _*)).as("sub"),
