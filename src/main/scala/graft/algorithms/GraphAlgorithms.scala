@@ -176,9 +176,45 @@ object GraphAlgorithms {
     * quantizing the final rank to 6 decimals.
     */
   def pageRank(s: SparkSession, g: graft.Graph, iterations: Int,
-               beta: Double): DataFrame = {
+               beta: Double): DataFrame =
+    pageRankKernel(s, g, iterations, beta, srcBound = None)
+
+  /** Personalized PageRank: identical power iteration, but the teleport
+    * mass lands only on the source set {id < srcBound} (1/|S| each)
+    * instead of uniformly — ranks become proximity-to-S scores (the
+    * recommendation / local-graph-feature shape). Vertices with no path
+    * from S get exactly 0.0: the teleport term is the only rank source,
+    * so sparsity of the result mirrors reachability.
+    */
+  def personalizedPageRank(s: SparkSession, g: graft.Graph,
+                           iterations: Int, beta: Double,
+                           srcBound: Long): DataFrame =
+    pageRankKernel(s, g, iterations, beta, Some(srcBound))
+
+  /** Shared kernel: `srcBound = None` is uniform teleport over all n
+    * vertices (classic PageRank — the arithmetic below reduces to the
+    * pre-generalization code bit-for-bit); `Some(b)` teleports only to
+    * {id < b}. The predicate is evaluated on the GraphX vertex id inside
+    * the join closures, so personalization adds no extra frame or join.
+    */
+  private def pageRankKernel(s: SparkSession, g: graft.Graph,
+                             iterations: Int, beta: Double,
+                             srcBound: Option[Long]): DataFrame = {
     import s.implicits._
-    val n = g.vertices.count().toDouble
+    val nT = srcBound match {
+      case None => g.vertices.count().toDouble
+      case Some(b) =>
+        val nS = g.vertices.filter(col("id") < b).count().toDouble
+        // An empty source set would zero every rank silently — the same
+        // loud-failure contract as the empty-graph HITS require.
+        require(nS > 0,
+          s"personalized PageRank needs a non-empty source set " +
+            s"(no vertex has id < $b)")
+        nS
+    }
+    val bound = srcBound.getOrElse(Long.MaxValue)
+    val inS: Long => Boolean =
+      if (srcBound.isEmpty) _ => true else _ < bound
     val ow = g.edges.groupBy(col("src"))
       .agg(Det.decSum(col("value")).as("w"))
     val normalized = graft.Graph(g.vertices,
@@ -190,13 +226,14 @@ object GraphAlgorithms {
     // through the normalizing join).
     val parts = sizedParts(s, g.edges.count())
     var ranks = toGraphX(normalized, parts)
-      .mapVertices((_, _) => 1.0 / n).cache()
+      .mapVertices((vid, _) => if (inS(vid)) 1.0 / nT else 0.0).cache()
     ranks.vertices.count()
     for (_ <- 1 to iterations) {
       val msgs = ranks.aggregateMessages[Double](
         ctx => ctx.sendToDst(ctx.srcAttr * ctx.attr), _ + _)
-      val next = ranks.outerJoinVertices(msgs)((_, _, m) =>
-        (1.0 - beta) / n + beta * m.getOrElse(0.0)).cache()
+      val next = ranks.outerJoinVertices(msgs)((vid, _, m) =>
+        (if (inS(vid)) (1.0 - beta) / nT else 0.0) +
+          beta * m.getOrElse(0.0)).cache()
       next.vertices.count()
       ranks.unpersist(blocking = false)
       ranks = next

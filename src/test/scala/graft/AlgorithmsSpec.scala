@@ -58,6 +58,29 @@ class AlgorithmsSpec extends GraftSuite {
     assert(again === ranks)
   }
 
+  test("personalized pageRank: teleport only to {id < 2}, mass conserved") {
+    val pr = GraphAlgorithms.personalizedPageRank(spark, fixture,
+      iterations = 10, beta = 0.85, srcBound = 2L)
+    val ranks = pr.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ranks.size === 5)
+    // No dangling vertices ⇒ total mass still 1 (teleport just lands on
+    // the single source instead of uniformly).
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+    // The fixture cycle makes every vertex reachable from 1, but the
+    // source holds the whole teleport share plus 5→1's return flow:
+    // strictly the max, and strictly above its uniform-teleport rank.
+    assert(ranks(1L) === ranks.values.max)
+    val uniform = GraphAlgorithms.pageRank(spark, fixture, iterations = 10,
+      beta = 0.85).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(ranks(1L) > uniform(1L))
+    // Empty source set fails loudly, never silently zeroes every rank.
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgorithms.personalizedPageRank(spark, fixture,
+        iterations = 2, beta = 0.85, srcBound = -1L)
+    }
+    assert(e.getMessage.contains("source set"))
+  }
+
   test("HITS: L1-normalized, deterministic, highest authority = vertex 5") {
     val h = GraphAlgorithms.hits(spark, fixture, iterations = 5)
     val rows = h.collect()
