@@ -137,6 +137,45 @@ class StreamBatchEquivSpec extends GraftSuite {
       rows(Streams.sessions(batchEvents)))
   }
 
+  test("T7 under RocksDB: the production state backend yields the same " +
+    "keep set") {
+    // The default in-memory HDFSBackedStateStore holds every state row on
+    // the JVM heap — fine for tests, not for a 100 TB dedup state. The
+    // production backend is RocksDB (spilling, incremental checkpoints);
+    // this case re-runs the curation stream under it to prove the state
+    // path — keyed lookups, commit, recovery metadata — is
+    // backend-agnostic, not an artifact of the default provider.
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft_docs_replay_rdb").toString
+    docs.repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val cp = Files.createTempDirectory("graft_cp_docf_rdb").toString
+      val q = Streams.docFilterKeep(src).writeStream.format("memory")
+        .queryName("eq_docf_rdb").option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("eq_docf_rdb").collect()
+        .map(_.getLong(0)).sorted
+      val want = graft.queries.Registry.byKey("doc_filter")
+        .fn(spark, sfDir).filter(col("keep") === 1)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      assert(got.nonEmpty)
+      assert(got.toSeq === want.toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("T7 doc_filter: streamed curation keep set equals the batch key") {
     // Replay `documents` in doc_id order (range-partitioned files, sorted
     // within, one file per micro-batch) so the stream's first-seen-wins
