@@ -19,7 +19,8 @@ object Explain {
         "asof_join", "degree_assortativity", "emb_power_iter",
         "scan_graph_user", "reduce_on_neighbors_user", "dedup_metrics",
         "bpe_merges_sampled", "sim_topk_pq", "sim_topk_ivfpq", "doc_filter",
-        "sim_recall_metrics", "pagerank_personalized")
+        "sim_recall_metrics", "pagerank_personalized", "lang_id_confusion",
+        "corpus_mixture")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

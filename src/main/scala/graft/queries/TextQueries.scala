@@ -763,6 +763,101 @@ object TextQueries {
        |FROM dec ORDER BY doc_id""".stripMargin
   }
 
+  /** X44 — lang_id_confusion: metadata-vs-content language agreement as
+    * one audited confusion matrix — doc counts per (declared `lang`
+    * column, content-predicted lang) with each cell's share of its
+    * declared-lang row. On this corpus it documents a DATA property the
+    * per-doc X5e rows bury: the synthetic text is English-like under
+    * every label (zero de/fr stopwords anywhere), so the content
+    * classifier says `en` across all five declared langs — exactly the
+    * "label says de, content says en" mismatch a curation pipeline runs
+    * this audit to catch. A stopword-list, tie-rule, or corpus change
+    * moves cells and the oracle catches it. Same standing-audit family
+    * as `dedup_metrics` and `sim_recall_metrics`.
+    *
+    * Scale: one codegen'd scan + a ≤|langs|²-cell hash agg; the
+    * per-lang totals join is a broadcast against ≤ |langs| rows.
+    */
+  private def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    val cEn = TextFns.stopwordCount(tok, EnStop)
+    val cDe = TextFns.stopwordCount(tok, DeStop)
+    val cFr = TextFns.stopwordCount(tok, FrStop)
+    val preds = Tables(s, dir, "documents").select(col("lang"),
+      when(cEn >= cDe && cEn >= cFr, "en")
+        .when(cDe >= cFr, "de").otherwise("fr").as("pred_lang"))
+    val conf = preds.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = preds.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    conf.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        Det.qround(col("n").cast("double") / col("n_lang"), 6).as("share"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val langIdConfusionSql = {
+    val tok = "string_split(text, ' ')"
+    val (cEn, cDe, cFr) = (TextFns.stopwordCountSql(tok, EnStop),
+      TextFns.stopwordCountSql(tok, DeStop),
+      TextFns.stopwordCountSql(tok, FrStop))
+    s"""WITH preds AS MATERIALIZED (
+       |  SELECT lang,
+       |    CASE WHEN $cEn >= $cDe AND $cEn >= $cFr THEN 'en'
+       |         WHEN $cDe >= $cFr THEN 'de' ELSE 'fr' END AS pred_lang
+       |  FROM documents),
+       |conf AS (SELECT lang, pred_lang, COUNT(*) AS n
+       |         FROM preds GROUP BY lang, pred_lang),
+       |tot AS (SELECT lang, COUNT(*) AS n_lang FROM preds GROUP BY lang)
+       |SELECT c.lang, c.pred_lang, c.n,
+       |  ${Det.qroundSql("CAST(c.n AS DOUBLE) / CAST(t.n_lang AS DOUBLE)",
+            6)} AS share
+       |FROM conf c JOIN tot t ON c.lang = t.lang
+       |ORDER BY c.lang, c.pred_lang""".stripMargin
+  }
+
+  /** X45 — corpus_mixture: per-source token accounting plus the
+    * uniform-target resampling weight — the domain-mixing step every
+    * training pipeline runs before sampling (rebalance web/books/code
+    * so no source dominates). `weight` is target_share / actual_share
+    * with a uniform target (1/|sources|); a sampler multiplies each
+    * source's inclusion probability by it. Emitting the WEIGHT rather
+    * than resampled rows keeps the op deterministic and oracle-checkable
+    * while composing with X9/X10's samplers downstream.
+    *
+    * Scale: one scan + per-source hash agg; the corpus-total side is a
+    * 1-row broadcast (the declared scalar-aggregate crossJoin pattern).
+    */
+  private def corpusMixture(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("t_tokens"),
+      count(lit(1)).cast("double").as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("t_tokens")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        Det.qround(share, 6).as("share"),
+        Det.qround((lit(1.0) / col("n_sources")) / share, 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusMixtureSql = {
+    val share = "(CAST(n_tokens AS DOUBLE) / t_tokens)"
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t_tokens,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  ${Det.qroundSql(share, 6)} AS share,
+       |  ${Det.qroundSql(s"(1.0 / n_sources) / $share", 6)} AS weight
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
@@ -778,6 +873,8 @@ object TextQueries {
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("doc_filter", docFilter, Some(docFilterSql)),
+    Q("lang_id_confusion", langIdConfusion, Some(langIdConfusionSql)),
+    Q("corpus_mixture", corpusMixture, Some(corpusMixtureSql)),
   )
 
 }

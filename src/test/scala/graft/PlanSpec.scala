@@ -81,6 +81,7 @@ class PlanSpec extends GraftSuite {
     "bpe_merges",               // 1-row top-pair per merge round
     "bpe_merges_sampled",       // same chain over the sampled corpus
     "dedup_metrics",            // 1-row n_reps / n_pairs / bucket-stats scalars
+    "corpus_mixture",           // 1-row corpus-total scalar
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
