@@ -216,6 +216,46 @@ object Substrate {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** R10 — star join with a broadcast dimension (TPC-H Q5 shape):
+    * revenue per (region, nation) through region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem. The composite dimension (nation ⋈ region,
+    * 25 rows) is EXPLICITLY broadcast, so the fact chain shuffles only
+    * on its own join keys and every dim lookup rides map-side — the
+    * canonical warehouse plan at any scale: dims stay cluster-small
+    * while facts grow, so the shape survives 100 TB unchanged
+    * (PlanSpec asserts the dim side arrives as a BroadcastHashJoin).
+    * The aggregate keys on the 25-value (r_name, n_name) pair, so
+    * partial combine collapses each task's rows to ≤ 25 partials
+    * before the final exchange.
+    */
+  private def r10(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(s, dir, "nation")
+      .join(Tables(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    Tables(s, dir, "customer")
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.sumDec(Det.discPrice(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val r10Sql =
+    s"""SELECT r_name, n_name,
+       |  ${Det.sumDecSql(Det.discPriceSql)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM region JOIN nation ON r_regionkey = n_regionkey
+       |JOIN customer ON c_nationkey = n_nationkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
@@ -225,5 +265,6 @@ object Substrate {
     Q("substrate_sort_limit_topk", r6, Some(r6Sql)),
     Q("substrate_window_rank", r7, Some(r7Sql)),
     Q("substrate_rollup", r9, Some(r9Sql)),
+    Q("substrate_star_join", r10, Some(r10Sql)),
   )
 }

@@ -95,6 +95,19 @@ class PlanSpec extends GraftSuite {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("substrate_star_join: the dimension lookup is a broadcast join") {
+    // The 25-row nation⋈region composite must ride map-side against the
+    // customer scan — a dim lookup that shuffles the fact side by
+    // nationkey would be the classic warehouse anti-plan.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = planOf("substrate_star_join").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.exists(b =>
+      (b.leftKeys ++ b.rightKeys).exists(_.toString.contains("nationkey"))),
+      bhj.map(b => (b.leftKeys, b.rightKeys)).mkString("; "))
+  }
+
   test("reduce_on_neighbors_user: skew mitigation is structural — " +
     "partial agg + broadcast vertex join") {
     // The G_user succession graph concentrates in-edges on active users
