@@ -20,7 +20,7 @@ object Explain {
         "scan_graph_user", "reduce_on_neighbors_user", "dedup_metrics",
         "bpe_merges_sampled", "sim_topk_pq", "sim_topk_ivfpq", "doc_filter",
         "sim_recall_metrics", "pagerank_personalized", "lang_id_confusion",
-        "corpus_mixture", "substrate_star_join")
+        "corpus_mixture", "substrate_star_join", "events_zscore")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

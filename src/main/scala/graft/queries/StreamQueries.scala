@@ -316,6 +316,54 @@ object StreamQueries {
     fcCache.keys.filter(_._1 eq s).foreach(
       fcCache.remove(_).foreach(_.unpersist(blocking = false)))
 
+  /** X46 — events_zscore: per-type standardization + outlier flag — the
+    * telemetry data-quality gate (drop or down-weight anomalous rows
+    * before they reach a training aggregate). Population moments per
+    * event_type from exact decimal sums (Σv, Σv² — order-independent),
+    * then z = (v − μ)/σ per row with the |z| > 3 flag. Both engines
+    * derive μ and σ from identical doubles, so z is bit-stable under
+    * qround. A zero-variance type would make the division throw under
+    * ANSI — the loud contract (same stance as degree_assortativity):
+    * a z-score over a constant signal has no defined value.
+    *
+    * Scale: one hash agg to ≤ |types| moment rows, broadcast back over
+    * the scan — two passes, no wide shuffle; the flag stays WITH the
+    * row, ready for a filter pushdown into whatever consumes it.
+    */
+  private def eventsZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      Det.decSum(col("value")).as("sv"),
+      Det.decSum(col("value") * col("value")).as("sv2"))
+    val mu = col("sv") / col("n")
+    val z = Det.qround((col("value") - mu) /
+      sqrt(col("sv2") / col("n") - mu * mu), 6)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.as("z"))
+      .withColumn("is_outlier", (abs(col("z")) > 3.0).cast("int"))
+      .orderBy(col("event_id"))
+  }
+
+  private val eventsZscoreSql = {
+    val mu = "(sv / n)"
+    val z = Det.qroundSql(
+      s"(value - $mu) / sqrt(sv2 / n - $mu * $mu)", 6)
+    s"""WITH stats AS MATERIALIZED (
+       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${Det.decSumSql("value")} AS sv,
+       |    ${Det.decSumSql("value * value")} AS sv2
+       |  FROM events GROUP BY event_type)
+       |SELECT event_id, event_type, value, z,
+       |  CAST(ABS(z) > 3.0 AS INT) AS is_outlier
+       |FROM (
+       |  SELECT e.event_id, e.event_type, e.value, $z AS z
+       |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
@@ -327,5 +375,6 @@ object StreamQueries {
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("events_funnel", x7, Some(x7Sql)),
     Q("events_retention", x8, Some(x8Sql)),
+    Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),
   )
 }
