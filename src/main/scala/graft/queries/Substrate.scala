@@ -256,6 +256,51 @@ object Substrate {
        |JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  /** R11 — pivot (wide reshape): per-user event counts and exact value
+    * sums, one column pair per event type. The `RelationalGroupedDataset
+    * .pivot` operator with a PINNED value list — never the values-discovery
+    * overload, which runs an extra distinct job and (at 100 TB) would make
+    * the output schema data-dependent; with pinned values the whole reshape
+    * is ONE hash aggregation over `user_id` (each task partial-combines to
+    * one wide row per user — the per-type conditional aggregates ride the
+    * same exchange, there is no per-type join or union).
+    *
+    * Pivot's empty cells are NULL for both count and sum; counts are
+    * coalesced to 0 to match SQL's `COUNT(*) FILTER`, while empty sums stay
+    * NULL on both engines.
+    */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def r11(s: SparkSession, dir: String): DataFrame =
+    pivotOf(Tables(s, dir, "events"))
+
+  /** Unit-test seam: the pivot reshape over an explicit
+    * `(user_id, event_type, value)` frame.
+    */
+  private[graft] def pivotOf(events: DataFrame): DataFrame = {
+    val wide = events
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)).as("n"), Det.decSum(col("value")).as("val"))
+    wide.select(col("user_id") +:
+        PivotTypes.flatMap(t => Seq(
+          coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+          col(s"${t}_val"))): _*)
+      .orderBy(col("user_id"))
+  }
+
+  private val r11Sql = {
+    val cols = PivotTypes.map { t =>
+      s"""  COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+         |       FILTER (WHERE event_type = '$t') AS DOUBLE) AS ${t}_val"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
@@ -266,5 +311,6 @@ object Substrate {
     Q("substrate_window_rank", r7, Some(r7Sql)),
     Q("substrate_rollup", r9, Some(r9Sql)),
     Q("substrate_star_join", r10, Some(r10Sql)),
+    Q("substrate_pivot", r11, Some(r11Sql)),
   )
 }

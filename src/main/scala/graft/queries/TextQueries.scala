@@ -858,6 +858,96 @@ object TextQueries {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** X47 — text_span_dedup: repeated-span removal accounting, the C4
+    * curation step ("any span occurring more than once in the corpus is
+    * removed, keeping one occurrence") that exact/near doc-level dedup
+    * cannot express — it catches boilerplate SHARED ACROSS otherwise
+    * distinct documents. The corpus has no sentence boundaries, so the
+    * span unit is the token window: each document is cut into
+    * non-overlapping [[SpanW]]-token spans (partial tail included — every
+    * token belongs to exactly one span), a span is DUP if its text occurs
+    * ≥ 2 times corpus-wide, and the single kept occurrence is the first
+    * by (doc_id, span_id) — the same min-id keeper rule as X1. Output is
+    * the per-document audit (span/removal counts, tokens before/after)
+    * rather than rewritten text, keeping the op deterministic and
+    * hash-checkable while a rewriter downstream would just drop the
+    * flagged windows.
+    *
+    * Scale: span construction is pure map-side Column work — `transform`
+    * over a `sequence` of span indices slicing the token array, no
+    * groupBy to reassemble windows. The only exchange is the hash
+    * partition on the span key for the count/keeper window pair (one
+    * shuffle; count and row_number share it), then a per-doc hash agg.
+    * At 100 TB the span key would be an 8-byte `xxhash64` fingerprint
+    * rather than raw text (C4 does exactly that); here the raw text is
+    * the key so the DuckDB twin is collision-free bit-identical — the
+    * plan shape is unchanged, only the key width.
+    */
+  private val SpanW = 10
+
+  private def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables(s, dir, "documents"))
+
+  /** Unit-test seam: span-dedup accounting over an explicit
+    * `(doc_id, text)` frame.
+    */
+  private[graft] def spanDedupOf(docs: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nSpansM1 = floor((size(toks) + lit(SpanW - 1)) / lit(SpanW))
+      .cast("int") - 1
+    val spans = transform(sequence(lit(0), nSpansM1),
+      i => array_join(slice(toks, i * SpanW + 1, lit(SpanW)), " "))
+    val sp = docs
+      .select(col("doc_id"), size(toks).as("n_tok"),
+        posexplode(spans).as(Seq("span_id", "span")))
+    val part = Window.partitionBy(col("span"))
+    val marked = sp
+      .withColumn("cnt", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(
+        part.orderBy(col("doc_id"), col("span_id"))))
+      .withColumn("tok_cnt",
+        least(lit(SpanW), col("n_tok") - col("span_id") * SpanW))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup_spans"),
+        sum(when(col("cnt") >= 2 && col("rn") > 1, 1L).otherwise(0L))
+          .as("removed_spans"),
+        sum(col("tok_cnt").cast("long")).as("tokens_total"),
+        sum(when(col("cnt") === 1 || col("rn") === 1,
+          col("tok_cnt").cast("long")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanDedupSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ex AS (
+       |  SELECT doc_id, len(toks) AS n_tok, toks,
+       |    unnest(range(0, (len(toks) + ${SpanW - 1}) // $SpanW)) AS i
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id, CAST(i AS INT) AS span_id, n_tok,
+       |    array_to_string(
+       |      list_slice(toks, i * $SpanW + 1, i * $SpanW + $SpanW),
+       |      ' ') AS span
+       |  FROM ex),
+       |marked AS (
+       |  SELECT doc_id, span_id,
+       |    least($SpanW, n_tok - span_id * $SpanW) AS tok_cnt,
+       |    COUNT(*) OVER (PARTITION BY span) AS cnt,
+       |    row_number() OVER (PARTITION BY span
+       |                       ORDER BY doc_id, span_id) AS rn
+       |  FROM sp)
+       |SELECT doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_spans,
+       |  CAST(SUM(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS removed_spans,
+       |  CAST(SUM(tok_cnt) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN cnt = 1 OR rn = 1 THEN tok_cnt ELSE 0 END)
+       |       AS BIGINT) AS tokens_kept
+       |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
@@ -875,6 +965,7 @@ object TextQueries {
     Q("doc_filter", docFilter, Some(docFilterSql)),
     Q("lang_id_confusion", langIdConfusion, Some(langIdConfusionSql)),
     Q("corpus_mixture", corpusMixture, Some(corpusMixtureSql)),
+    Q("text_span_dedup", spanDedup, Some(spanDedupSql)),
   )
 
 }

@@ -189,6 +189,59 @@ object UserGraphQueries {
        |ORDER BY user_key""".stripMargin
   }
 
+  /** graph_reciprocity — directed-graph reciprocity on G_user: of the
+    * non-loop edges, the share whose REVERSE edge also exists, plus loop
+    * accounting. The standard digraph structure summary (Newman §7.10's
+    * r), and inherently a G_user key: on bipartite one-way G_trade it is
+    * identically 0, while the succession graph's mutual-follow pairs give
+    * it signal. Complements X32 (assortativity, undirected symmetrized)
+    * and X17 (degree histogram) as the third audited structure metric.
+    *
+    * Scale: one |E| self-join on the reversed key — LEFT SEMI, so the
+    * probe side carries no payload and nothing is duplicated; both sides
+    * hash-exchange the two-long edge key once. The three counters are
+    * 1-row aggregates combined by crossJoin (the declared
+    * scalar-aggregate broadcast-nest pattern). The fraction divides two
+    * exactly-representable integers — bit-identical IEEE division on
+    * both engines — and is qrounded only for uniformity with the other
+    * audit keys.
+    */
+  private def reciprocity(s: SparkSession, dir: String): DataFrame =
+    reciprocityOf(GUser(s, dir).edges)
+
+  /** Unit-test seam: reciprocity over an explicit `(src, dst, …)` edge
+    * frame (distinct pairs assumed, as the G_user builder guarantees).
+    */
+  private[graft] def reciprocityOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nl = e.filter(col("src") =!= col("dst"))
+    val rec = nl.as("a").join(nl.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val tot = e.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_loops"))
+    tot.crossJoin(rec).select(col("n_edges"), col("n_loops"), col("n_recip"),
+      graft.util.Det.qround(col("n_recip").cast("double") /
+        (col("n_edges") - col("n_loops")).cast("double"), 6)
+        .as("recip_frac"))
+  }
+
+  private val reciprocitySql =
+    s"""$SqlPrefix, nl AS (SELECT src, dst FROM edges WHERE src <> dst),
+       |r AS (SELECT COUNT(*) AS n_recip FROM nl a
+       |      WHERE EXISTS (SELECT 1 FROM nl b
+       |                    WHERE b.src = a.dst AND b.dst = a.src)),
+       |t AS (SELECT COUNT(*) AS n_edges,
+       |        CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_loops
+       |      FROM edges)
+       |SELECT n_edges, n_loops, n_recip,
+       |  ${graft.util.Det.qroundSql(
+             "CAST(n_recip AS DOUBLE) / CAST(n_edges - n_loops AS DOUBLE)",
+             6)} AS recip_frac
+       |FROM t CROSS JOIN r""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -196,5 +249,6 @@ object UserGraphQueries {
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,
       Some(reduceOnNeighborsUserSql)),
     Q("cc_string_ids", ccStringIds, Some(ccStringIdsSql)),
+    Q("graph_reciprocity", reciprocity, Some(reciprocitySql)),
   )
 }

@@ -91,4 +91,15 @@ class GUserSpec extends GraftSuite {
         col("a.src") < col("a.dst")).count()
     assert(cycles > 0)
   }
+
+  test("graph_reciprocity: loops excluded, mutual pairs counted both ways") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = graft.queries.UserGraphQueries.reciprocityOf(e).collect()(0)
+    assert(r.getLong(0) === 5L) // n_edges
+    assert(r.getLong(1) === 1L) // n_loops
+    assert(r.getLong(2) === 2L) // 1→2 and 2→1 each reciprocated
+    assert(r.getDouble(3) === 0.5) // 2 of 4 non-loop edges
+  }
 }

@@ -334,4 +334,44 @@ class PipelineSpec extends GraftSuite {
       }
     }
   }
+
+  test("text_span_dedup: min-id keeper, partial tails, within-doc repeats") {
+    import spark.implicits._
+    val boiler = (0 until 10).map("b" + _).mkString(" ")   // one full span
+    val docs = Seq(
+      (1L, boiler + " t1a t1b"),  // [boiler][t1a t1b] — boiler's keeper
+      (2L, boiler + " t2a t2b"),  // boiler dup, not keeper → removed
+      (3L, "u0 u1 u2 u3 u4 u5 u6"), // single partial span, unique
+      (4L, boiler + " " + boiler))  // within-doc repeat: dup 2, keep 1st
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.spanDedupOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // (doc_id, n_spans, dup_spans, removed_spans, tokens_total, tokens_kept)
+    assert(out === Array(
+      (1L, 2L, 1L, 0L, 12L, 12L),
+      (2L, 2L, 1L, 1L, 12L, 2L),
+      (3L, 1L, 0L, 0L, 7L, 7L),
+      (4L, 2L, 2L, 2L, 20L, 0L)))
+    // doc 4's spans both lose to doc 1's keeper occurrence (min doc_id)
+  }
+
+  test("substrate_pivot: pinned wide schema, zero counts, NULL empty sums") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 1.5), (1L, "click", 2.25), (1L, "view", 4.0),
+      (2L, "error", 3.0)).toDF("user_id", "event_type", "value")
+    val out = graft.queries.Substrate.pivotOf(ev)
+    assert(out.columns.toSeq === Seq("user_id",
+      "click_n", "click_val", "error_n", "error_val", "purchase_n",
+      "purchase_val", "signup_n", "signup_val", "view_n", "view_val"))
+    val rows = out.collect()
+    val u1 = rows.find(_.getLong(0) == 1L).get
+    assert(u1.getLong(1) === 2L && u1.getDouble(2) === 3.75)
+    assert(u1.getLong(3) === 0L && u1.isNullAt(4)) // no error events
+    assert(u1.getLong(9) === 1L && u1.getDouble(10) === 4.0)
+    val u2 = rows.find(_.getLong(0) == 2L).get
+    assert(u2.getLong(1) === 0L && u2.isNullAt(2))
+    assert(u2.getLong(3) === 1L && u2.getDouble(4) === 3.0)
+  }
 }

@@ -82,6 +82,7 @@ class PlanSpec extends GraftSuite {
     "bpe_merges_sampled",       // same chain over the sampled corpus
     "dedup_metrics",            // 1-row n_reps / n_pairs / bucket-stats scalars
     "corpus_mixture",           // 1-row corpus-total scalar
+    "graph_reciprocity",        // 1-row × 1-row counter combine
     "hits")                     // 1-row L1 normalizer per round
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
