@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.sources.GTrade
+import graft.sources.{GTrade, Tables}
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -39,6 +39,14 @@ object NetworkQueries {
     */
   final val TopK = 5
 
+  /** Quantization scale for the Adamic–Adar 1/ln(fan) weight: each shared
+    * customer's weight is snapped to `floor(AaScale/ln(fan) + 0.5)` as a
+    * BIGINT *before* the per-pair sum, so the aggregate is an exact integer
+    * sum (order-independent, bit-identical cross-engine) — the same
+    * quantize-then-sum discipline as `text_unigram_nll`'s per-token NLL.
+    */
+  final val AaScale = 1000000L
+
   private val pairCache =
     TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -53,19 +61,30 @@ object NetworkQueries {
     })
 
   /** Testable seam: the projection from an explicit (src, dst, …) edge
-    * frame. Pure function of the edge SET.
+    * frame. Pure function of the edge SET. Output: `(s1, s2, n_shared,
+    * aa_q)` — the pair's shared-customer count plus its [[AaScale]]-scaled
+    * Adamic–Adar sum Σ 1/ln(fan(c)) over the shared customers, both riding
+    * the SAME pair shuffle (the weight is one extra long per row; no
+    * second projection pass for `graph_adamic_adar`).
+    *
+    * The fan gate is an inner join carrying `fan` (was LEFT SEMI) so the
+    * weight can be computed map-side after it; fan = 1 customers
+    * contribute no pairs (no l.dst < r.dst partner), so their undefined
+    * 1/ln(1) weight is pinned to 0 rather than ever evaluated.
     */
   private[graft] def coPairsOf(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val fanOk = e.groupBy(col("src")).agg(count(lit(1)).as("fan"))
       .filter(col("fan") <= MaxCustFan)
-      .select(col("src"))
-    val capped = e.join(fanOk, Seq("src"), "left_semi")
+    val capped = e.join(fanOk, Seq("src"))
+      .withColumn("wq", when(col("fan") >= 2,
+        floor(lit(AaScale.toDouble) / log(col("fan").cast("double")) + 0.5)
+          .cast("long")).otherwise(0L))
     capped.as("l")
       .join(capped.as("r"),
         col("l.src") === col("r.src") && col("l.dst") < col("r.dst"))
       .groupBy(col("l.dst").as("s1"), col("r.dst").as("s2"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("l.wq")).as("aa_q"))
   }
 
   /** Shared SQL CTEs mirroring [[coPairsOf]] (appended to
@@ -73,11 +92,17 @@ object NetworkQueries {
     */
   private val coPairsCte =
     s"""fanok AS MATERIALIZED (
-       |  SELECT src FROM edges GROUP BY src HAVING COUNT(*) <= $MaxCustFan),
+       |  SELECT src, COUNT(*) AS fan FROM edges
+       |  GROUP BY src HAVING COUNT(*) <= $MaxCustFan),
        |cap AS MATERIALIZED (
-       |  SELECT src, dst FROM edges WHERE src IN (SELECT src FROM fanok)),
+       |  SELECT e.src, e.dst,
+       |    CASE WHEN fan >= 2 THEN CAST(FLOOR(
+       |      $AaScale.0 / ln(CAST(fan AS DOUBLE)) + 0.5) AS BIGINT)
+       |    ELSE 0 END AS wq
+       |  FROM edges e JOIN fanok USING (src)),
        |cop AS MATERIALIZED (
-       |  SELECT l.dst AS s1, r.dst AS s2, COUNT(*) AS n_shared
+       |  SELECT l.dst AS s1, r.dst AS s2, COUNT(*) AS n_shared,
+       |    CAST(SUM(l.wq) AS BIGINT) AS aa_q
        |  FROM cap l JOIN cap r ON l.src = r.src AND l.dst < r.dst
        |  GROUP BY 1, 2)""".stripMargin
 
@@ -346,6 +371,101 @@ object NetworkQueries {
        |FROM s""".stripMargin
   }
 
+  /** graph_adamic_adar — Adamic–Adar link-prediction score for every
+    * co-purchasing supplier pair: AA(s1,s2) = Σ_c 1/ln(fan(c)) over the
+    * shared customers c, the classic common-neighbor weighting that
+    * discounts promiscuous neighbors (a hub customer says little about
+    * supplier affinity; a 2-supplier customer says a lot). The standard
+    * similarity sibling of `graph_jaccard` in the Gelly-family library
+    * lineage the reference grew into — Jaccard normalizes by union size,
+    * Adamic–Adar re-weights each witness by its rarity.
+    *
+    * Determinism: the per-customer weight is quantized to an [[AaScale]]
+    * integer BEFORE summation (see [[AaScale]]), so the per-pair aggregate
+    * is an exact integer sum — order-independent on both engines; the
+    * single double division at output is qrounded.
+    *
+    * Scale: FREE beyond the shared projection — the weight is one extra
+    * long riding [[coPairsOf]]'s existing pair shuffle, and this key is a
+    * projection of the persisted frame (`_build:copurchase`), no new
+    * shuffle at all.
+    */
+  private def adamicAdar(s: SparkSession, dir: String): DataFrame =
+    coPairs(s, dir)
+      .select(col("s1"), col("s2"), col("n_shared"),
+        Det.qround(col("aa_q").cast("double") / AaScale, 6)
+          .as("adamic_adar"))
+      .orderBy(col("s1"), col("s2"))
+
+  private val adamicAdarSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte
+       |SELECT s1, s2, n_shared,
+       |  ${Det.qroundSql(s"CAST(aa_q AS DOUBLE) / $AaScale.0", 6)}
+       |    AS adamic_adar
+       |FROM cop ORDER BY s1, s2""".stripMargin
+
+  /** graph_summarize — structural graph summarization (the Gelly-family
+    * `Summarization` library op): vertices grouped by an attribute, edges
+    * collapsed to super-edges between the groups. Here the grouping
+    * attribute is the NATION of each endpoint (customer and supplier dims
+    * both carry a nationkey), so the 100 TB bipartite purchase graph
+    * coarsens to a ≤ 25×25 nation-flow super-graph: per (src_nation,
+    * dst_nation), the edge count, the distinct-member counts on each side,
+    * and the exact-decimal total traded value.
+    *
+    * Scale: the group-attribute joins are the star-join shape — nation
+    * (25 rows) is EXPLICITLY broadcast onto each dim; the dim→edge joins
+    * shuffle on the edge's own keys (customer/supplier dims are NOT
+    * broadcast — at 100 TB they are billions of rows; AQE may still choose
+    * broadcast at test scale, which is exactly the right call there). The
+    * final agg has ≤ 625 groups, so map-side partials collapse it to
+    * nothing; the two distinct-counts ride one Expand over the same
+    * exchange.
+    */
+  private def graphSummarize(s: SparkSession, dir: String): DataFrame = {
+    val off = GTrade.offset(s, dir)
+    val nat = Tables(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val custNat = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("src"), col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("src"), col("n_name").as("src_nation"))
+    val suppNat = Tables(s, dir, "supplier")
+      .select((col("s_suppkey") + off).as("dst"), col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("dst"), col("n_name").as("dst_nation"))
+    summarizeOf(GTrade(s, dir).edges, custNat, suppNat)
+  }
+
+  /** Testable seam: super-graph collapse of an explicit edge frame given
+    * `(src, src_nation)` / `(dst, dst_nation)` group assignments.
+    */
+  private[graft] def summarizeOf(edges: DataFrame, srcGroups: DataFrame,
+                                 dstGroups: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("value"))
+      .join(srcGroups, Seq("src"))
+      .join(dstGroups, Seq("dst"))
+      .groupBy(col("src_nation"), col("dst_nation"))
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"),
+        Det.decSum(col("value")).as("total_value"))
+      .orderBy(col("src_nation"), col("dst_nation"))
+
+  private val graphSummarizeSql =
+    s"""${GTrade.SqlPrefix},
+       |cn AS MATERIALIZED (
+       |  SELECT c_custkey AS src, n_name AS src_nation
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       |sn AS MATERIALIZED (
+       |  SELECT ${GTrade.OffSql} + s_suppkey AS dst, n_name AS dst_nation
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT src_nation, dst_nation, COUNT(*) AS n_edges,
+       |  COUNT(DISTINCT e.src) AS n_src, COUNT(DISTINCT e.dst) AS n_dst,
+       |  ${Det.decSumSql("value")} AS total_value
+       |FROM edges e JOIN cn ON e.src = cn.src JOIN sn ON e.dst = sn.dst
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Bench warm hook: materialize the shared co-purchase projection so
     * neither key absorbs the one-off build (`_build:copurchase`).
     */
@@ -362,6 +482,8 @@ object NetworkQueries {
 
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
+    Q("graph_summarize", graphSummarize, Some(graphSummarizeSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
     Q("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     Q("degree_assortativity", degreeAssortativity,

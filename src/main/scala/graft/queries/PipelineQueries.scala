@@ -329,11 +329,86 @@ object PipelineQueries {
        |FROM documents ORDER BY pos""".stripMargin
   }
 
+  /** corpus_resample gate resolution: keep-probabilities are expressed as
+    * integer thresholds out of this scale (1e-5 resolution). Kept small
+    * enough that `MixScale · total_tokens` stays inside BIGINT up to
+    * ~9·10¹³ tokens (several hundred TB of text); past that both engines
+    * fail LOUDLY (Spark ANSI overflow / DuckDB BIGINT overflow error) —
+    * never a silently wrapped threshold.
+    */
+  private val MixScale = 100000L
+
+  /** corpus_resample — APPLY the domain-mixture weights that
+    * `corpus_mixture` (X45) audits: per-source keep-thresholds toward a
+    * uniform token share, gated per document by a salted content hash.
+    * `thresh(s) = min(MixScale, MixScale·tok_total / (K·tok_s))` — a
+    * filter can only DOWN-sample, so over-represented sources are thinned
+    * to the uniform target and under-represented ones keep everything
+    * (the standard single-pass downsampling story; upsampling is an epoch
+    * -repetition decision downstream, not a filter's). The keep flag stays
+    * WITH the row (the events_zscore convention) so the output is both
+    * the resampled corpus (filter on `keep`) and its audit.
+    *
+    * Determinism: the threshold is PURE INTEGER arithmetic (one integer
+    * multiply + integer divide of exact token sums — bit-identical in
+    * both engines, no FP share ever computed), and the gate hash is the
+    * cross-engine [[TextFns.stringHash]] salted with "mix:" so decisions
+    * are decorrelated from sample_split's and stratified_sample's gates.
+    *
+    * Scale: one scan + per-source hash agg for the thresholds (a
+    * ≤|sources|-row frame, broadcast back), then a pure map over the
+    * corpus — the decision survives repartitioning and re-runs exactly
+    * like the other content-hash samplers.
+    */
+  private def corpusResample(s: SparkSession, dir: String): DataFrame =
+    corpusResampleOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[corpusResample]]: explicit documents frame. */
+  private[graft] def corpusResampleOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), col("text"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val per = d.groupBy(col("source")).agg(sum(col("n_tokens")).as("tok_s"))
+    val tot = per.agg(sum(col("tok_s")).as("tok_tot"),
+      count(lit(1)).as("k_sources"))
+    val thr = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(MixScale),
+          expr(s"($MixScale * tok_tot) div (k_sources * tok_s)"))
+          .as("thresh"))
+    d.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("thresh"),
+        (TextFns.stringHash(concat(lit("mix:"), col("text"))) % MixScale
+          < col("thresh")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val corpusResampleSql = {
+    val h = TextFns.stringHashSql("'mix:' || text").replace("\n", " ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |per AS MATERIALIZED (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tok_s
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_tot,
+       |          COUNT(*) AS k_sources FROM per),
+       |thr AS (SELECT source, CAST(LEAST($MixScale,
+       |          ($MixScale * tok_tot) // (k_sources * tok_s))
+       |          AS BIGINT) AS thresh
+       |        FROM per CROSS JOIN tot)
+       |SELECT d.doc_id, d.source, d.n_tokens, thresh,
+       |  ($h) % $MixScale < thresh AS keep
+       |FROM d JOIN thr ON d.source = thr.source
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
-    Q("doc_shuffle", docShuffle, Some(docShuffleSql)))
+    Q("doc_shuffle", docShuffle, Some(docShuffleSql)),
+    Q("corpus_resample", corpusResample, Some(corpusResampleSql)))
 }

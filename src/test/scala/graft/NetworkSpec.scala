@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
 class NetworkSpec extends GraftSuite {
   import spark.implicits._
 
-  test("coPairsOf: shared customers are counted per supplier pair") {
+  test("coPairsOf: shared customers are counted per supplier pair, " +
+    "with the quantized Adamic-Adar weight riding the same row") {
     // customers 1,2 → suppliers 10,11 both; customer 3 → 10 only.
     val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
       .toDF("src", "dst")
     val got = NetworkQueries.coPairsOf(edges)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq === Seq((10L, 11L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // both witnesses have fan 2: wq = floor(1e6/ln(2) + 0.5) = 1442695
+    assert(got.toSeq === Seq((10L, 11L, 2L, 2 * 1442695L)))
   }
 
   test("coPairsOf: a hub customer past the fan cap contributes no pairs") {
@@ -31,6 +34,35 @@ class NetworkSpec extends GraftSuite {
     // only the in-cap customer's single pair survives — the hub's
     // O(fan²) pair product is excluded from the projection entirely.
     assert(got.toSeq === Seq((100L, 101L, 1L)))
+  }
+
+  test("coPairsOf: fan-3 witnesses weigh less than fan-2 witnesses") {
+    // pair (10,11) shared by fan-2 customer 1; pair (20,21) shared by
+    // fan-3 customer 2 — rarer witness ⇒ larger Adamic-Adar weight.
+    val edges = Seq((1L, 10L), (1L, 11L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("src", "dst")
+    val got = NetworkQueries.coPairsOf(edges)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      .toMap
+    assert(got((10L, 11L)) === 1442695L)          // 1/ln(2)
+    val w3 = math.floor(1e6 / math.log(3.0) + 0.5).toLong
+    assert(got((20L, 21L)) === w3 && w3 < 1442695L)
+  }
+
+  test("summarizeOf: super-edges carry counts, distinct members, " +
+    "exact value sums") {
+    // groups: src 1,2 → A; src 3 → B; dst 10 → X; dst 11 → Y
+    val edges = Seq((1L, 10L, 5.25), (2L, 10L, 4.75), (1L, 11L, 1.0),
+      (3L, 10L, 2.5)).toDF("src", "dst", "value")
+    val sg = Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("src", "src_nation")
+    val dg = Seq((10L, "X"), (11L, "Y")).toDF("dst", "dst_nation")
+    val got = NetworkQueries.summarizeOf(edges, sg, dg)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("A", "X", 2L, 2L, 1L, 10.0),
+      ("A", "Y", 1L, 1L, 1L, 1.0),
+      ("B", "X", 1L, 1L, 1L, 2.5)))
   }
 
   private def triOf(pairs: Seq[(Long, Long, Long)],

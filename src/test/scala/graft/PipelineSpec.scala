@@ -356,6 +356,31 @@ class PipelineSpec extends GraftSuite {
     // doc 4's spans both lose to doc 1's keeper occurrence (min doc_id)
   }
 
+  test("corpus_resample: integer thresholds, under-represented sources " +
+    "keep everything") {
+    import spark.implicits._
+    // source A: 30 tokens (over-represented), source B: 10 tokens.
+    // tok_tot=40, K=2 → thresh_A = 1e5*40 div (2*30) = 66666 (thinned
+    // toward uniform), thresh_B = 1e5*40 div (2*10) = 200000 → capped
+    // at MixScale (a filter cannot upsample).
+    val docs = Seq(
+      (1L, "A", (1 to 12).map("a" + _).mkString(" ")),
+      (2L, "A", (1 to 18).map("b" + _).mkString(" ")),
+      (3L, "B", (1 to 4).map("c" + _).mkString(" ")),
+      (4L, "B", (1 to 6).map("d" + _).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.queries.PipelineQueries.corpusResampleOf(docs)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "source", "n_tokens", "thresh", "keep"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length === 4)
+    assert(rows.filter(_._2 == "A").forall(_._4 == 66666L))
+    assert(rows.filter(_._2 == "B").forall(r =>
+      r._4 == 100000L && r._5)) // thresh = MixScale ⇒ every doc kept
+  }
+
   test("substrate_pivot: pinned wide schema, zero counts, NULL empty sums") {
     import spark.implicits._
     val ev = Seq(

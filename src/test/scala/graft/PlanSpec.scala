@@ -82,6 +82,7 @@ class PlanSpec extends GraftSuite {
     "bpe_merges_sampled",       // same chain over the sampled corpus
     "dedup_metrics",            // 1-row n_reps / n_pairs / bucket-stats scalars
     "corpus_mixture",           // 1-row corpus-total scalar
+    "corpus_resample",          // 1-row token-total scalar → thresholds
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "hits")                     // 1-row L1 normalizer per round
 
