@@ -364,6 +364,56 @@ object StreamQueries {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** X47 — events_markov: the first-order behavior transition matrix —
+    * for every ordered pair of event types, how often type B immediately
+    * follows type A on some user's timeline, plus the row-normalized
+    * transition probability. The standard behavioral-analytics /
+    * session-modeling primitive (and the sufficient statistic for a
+    * Markov-chain user simulator).
+    *
+    * Determinism (SURVEY §7.3): successor pairing is the same totalized
+    * `lead() OVER (PARTITION BY user_id ORDER BY ts, event_id)` window as
+    * [[graft.sources.GUser]]; counts are exact longs and the probability
+    * is the INTEGER ppm ratio `n·10⁶ div from_total` — no FP anywhere.
+    *
+    * Scale: one shuffle on user_id for the window, then a map-side-
+    * combining hash agg down to ≤ |types|² rows; the row-normalizing
+    * window runs on that tiny frame, not the events. A bot user with
+    * millions of events serializes one partition's window sort — same
+    * hazard + mitigation as [[TemporalQueries]] (pre-split hot users by
+    * day upstream).
+    */
+  private def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    tr.withColumn("from_total", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div from_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val eventsMarkovSql =
+    """WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |agg AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+      |       AS BIGINT) AS p_ppm
+      |FROM agg ORDER BY from_type, to_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
@@ -376,5 +426,6 @@ object StreamQueries {
     Q("events_funnel", x7, Some(x7Sql)),
     Q("events_retention", x8, Some(x8Sql)),
     Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),
+    Q("events_markov", eventsMarkov, Some(eventsMarkovSql)),
   )
 }

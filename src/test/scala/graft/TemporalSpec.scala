@@ -125,6 +125,29 @@ class TemporalSpec extends GraftSuite {
     assert(sid === Map(1L -> 1L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("events_markov: transitions conserve mass and ppm rows sum to ~1e6") {
+    val m = run("events_markov")
+    // Every consecutive pair on some user timeline is exactly one
+    // transition: Σn = |events| − |users with ≥1 event|.
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val total = m.agg(sum(col("n"))).head().getLong(0)
+    assert(total === nEvents - nUsers)
+    // Integer ppm floors: each from-row sums to 1e6 − (rounding loss),
+    // loss bounded by the row's fan-out.
+    val perFrom = m.groupBy(col("from_type"))
+      .agg(sum(col("p_ppm")).as("s"), count(lit(1)).as("k"))
+      .select(col("s"), col("k")).as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect()
+    assert(perFrom.nonEmpty)
+    perFrom.foreach { case (s, k) =>
+      assert(s <= 1000000L && s > 1000000L - k)
+    }
+  }
+
   test("sessionize is pointwise equivalent to session_window sessions") {
     // The batch sessionizer and the streaming transform's session_window
     // must agree on EVERY session: same (user, start, event count, value
