@@ -242,6 +242,64 @@ object UserGraphQueries {
              6)} AS recip_frac
        |FROM t CROSS JOIN r""".stripMargin
 
+  /** triangle_census — directed triad census on G_user: the count of
+    * directed 3-cycles (a→b→c→a, each cycle counted once at its
+    * minimum-id rotation) and of transitive triads (ordered triples with
+    * a→b, b→c and the shortcut a→c). Their ratio is the classic local
+    * hierarchy-vs-feedback signal (a pure hierarchy has no cycles; a
+    * reciprocal clique maximizes them) — the directed complement of X21's
+    * undirected triangle count, and inherently a G_user key: bipartite
+    * G_trade has no triangles of either kind. Self-loops are excluded
+    * (a loop is not a triad edge).
+    *
+    * Determinism: pure integer counts over the distinct-edge frame the
+    * G_user builder guarantees; no FP anywhere.
+    *
+    * Scale: the hazard is the 2-path frame e1⋈e2 — a hub vertex
+    * contributes in·out pairs. The closing e3 join is a plain equi-join
+    * on both endpoints (shuffle-hash on the edge key), so the plan is
+    * the standard edge-iterator triangle enumeration; at 100 TB the
+    * mitigation is structural sparsification upstream (the TopK
+    * per-vertex cap [[NetworkQueries]] uses for X21) or degree-ordered
+    * orientation — both compose with this query unchanged.
+    */
+  private def triangleCensus(s: SparkSession, dir: String): DataFrame =
+    triangleCensusOf(GUser(s, dir).edges)
+
+  /** Unit-test seam: the census over an explicit `(src, dst, …)` edge
+    * frame (distinct pairs assumed).
+    */
+  private[graft] def triangleCensusOf(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val cyc = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e2.dst") && col("e3.dst") === col("e1.src"))
+      .filter(col("e1.src") < col("e1.dst") && col("e1.src") < col("e2.dst"))
+      .agg(count(lit(1)).as("n_cyclic"))
+    val tr = e.as("e1")
+      .join(e.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .filter(col("e1.src") =!= col("e2.dst"))
+      .agg(count(lit(1)).as("n_transitive"))
+    cyc.crossJoin(tr)
+  }
+
+  private val triangleCensusSql =
+    s"""$SqlPrefix,
+       |e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |cyc AS (SELECT COUNT(*) AS n_cyclic FROM e e1
+       |        JOIN e e2 ON e2.src = e1.dst
+       |        JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+       |        WHERE e1.src < e1.dst AND e1.src < e2.dst),
+       |tr AS (SELECT COUNT(*) AS n_transitive FROM e e1
+       |       JOIN e e2 ON e2.src = e1.dst
+       |       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       |       WHERE e1.src <> e2.dst)
+       |SELECT n_cyclic, n_transitive FROM cyc CROSS JOIN tr""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -250,5 +308,6 @@ object UserGraphQueries {
       Some(reduceOnNeighborsUserSql)),
     Q("cc_string_ids", ccStringIds, Some(ccStringIdsSql)),
     Q("graph_reciprocity", reciprocity, Some(reciprocitySql)),
+    Q("triangle_census", triangleCensus, Some(triangleCensusSql)),
   )
 }

@@ -102,4 +102,26 @@ class GUserSpec extends GraftSuite {
     assert(r.getLong(2) === 2L) // 1→2 and 2→1 each reciprocated
     assert(r.getDouble(3) === 0.5) // 2 of 4 non-loop edges
   }
+
+  test("triangle_census: fixture graph has 1 cycle and 2 transitive triads") {
+    // Reference fixture (FIXTURES.md §2): 1→2,1→3,2→3,3→4,3→5,4→5,5→1.
+    // Directed 3-cycles: 1→3→5→1 only. Transitive triads: (1,2,3) via
+    // shortcut 1→3 and (3,4,5) via shortcut 3→5.
+    val r = graft.queries.UserGraphQueries
+      .triangleCensusOf(fixture.edges).collect()(0)
+    assert(r.getLong(0) === 1L) // n_cyclic
+    assert(r.getLong(1) === 2L) // n_transitive
+  }
+
+  test("triangle_census: loops and double cycles handled") {
+    import spark.implicits._
+    // K3 with all 6 edges + a loop: both rotations-of-3 distinct directed
+    // 3-cycles exist (abc and acb), and every ordered distinct triple
+    // (3! = 6) is transitive.
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L), (2L, 2L)).toDF("src", "dst")
+    val r = graft.queries.UserGraphQueries.triangleCensusOf(e).collect()(0)
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 6L)
+  }
 }
