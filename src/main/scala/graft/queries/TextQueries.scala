@@ -948,6 +948,74 @@ object TextQueries {
        |       AS BIGINT) AS tokens_kept
        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** text_bigram_nll — bigram language-model quality score: per document,
+    * the mean negative log-likelihood of its token bigrams under the
+    * corpus CONDITIONAL bigram distribution p(w₂|w₁) = c(w₁w₂)/c(w₁·).
+    * The second rung of the CCNet perplexity-filter ladder above
+    * `text_unigram_nll`: a document of common words in uncommon ORDER
+    * (shuffled boilerplate, keyword stuffing) scores high here while the
+    * unigram score stays low. Documents with a single token have no
+    * bigrams and are absent, by definition.
+    *
+    * Determinism: same ×10⁶-floor-to-long trick as [[unigramNll]]; every
+    * observed bigram appears in the corpus counts, so p > 0 always and
+    * `ln` gets identical exact-long-ratio doubles on both engines.
+    *
+    * Scale: bigram expansion is a NARROW map (array slice + zip on the
+    * already-split token array — no shuffle to form pairs); then two
+    * map-side-combinable hash aggs build the model and two equi-joins
+    * score the stream. The model tables are vocab-sized, not
+    * corpus-sized, but a bigram table outgrows the unigram vocab — the
+    * joins carry no broadcast hint so Catalyst/AQE picks broadcast while
+    * it fits and falls back to a shuffle join at 100 TB vocabularies.
+    */
+  private def bigramNll(s: SparkSession, dir: String): DataFrame =
+    bigramNllOf(Tables(s, dir, "documents"))
+
+  /** [[bigramNll]] over an explicit (doc_id, text) frame — the testable
+    * seam (PipelineSpec checks a hand-computed conditional LM).
+    */
+  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nllq = floor(-log(col("c12").cast("double") / col("c1")) *
+      1000000.0 + 0.5).cast("long")
+    bg.join(cnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllq).as("nllq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Det.qround(col("nllq_sum").cast("double") / 1000000.0 /
+          col("n_bigrams"), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramNllSql =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM (
+       |    SELECT doc_id, l,
+       |      unnest(generate_series(1, len(l) - 1)) AS i FROM tk)),
+       |ctx AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |cnt AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(-ln(CAST(c12 AS DOUBLE) / c1) * 1000000 + 0.5)
+       |         AS BIGINT) AS nllq
+       |  FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1))
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ${Det.qroundSql(
+             "CAST(SUM(nllq) AS BIGINT) / 1000000.0 / COUNT(*)", 6)}
+       |    AS avg_nll
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
@@ -956,6 +1024,7 @@ object TextQueries {
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
+    Q("text_bigram_nll", bigramNll, Some(bigramNllSql)),
     Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),
     Q("text_token_count", tokenCount, Some(tokenCountSql)),

@@ -166,6 +166,19 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("text_bigram_nll: hand-computed conditional LM; 1-token docs absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "x")).toDF("doc_id", "text")
+    // doc 1 bigrams: (a,b) (b,a) (a,c); ctx a=2, b=1 ⇒
+    // p(b|a)=p(c|a)=1/2, p(a|b)=1 ⇒ Σnll = 2·ln2, avg = 2·ln2/3.
+    // doc 2 has no bigram and must be absent.
+    val out = graft.queries.TextQueries.bigramNllOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 1)
+    assert(out(0)._1 === 1L && out(0)._2 === 3L)
+    assert(math.abs(out(0)._3 - 2 * math.log(2) / 3) <= 5e-6)
+  }
+
   test("sim_knn_join: k well-formed self-excluding neighbors per vector") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.queries.Registry.byKey("sim_knn_join").fn(spark, sf)
