@@ -402,4 +402,35 @@ object GraphAlgorithms {
         (coalesce(col("av"), lit(0L)).cast("double") /
           lit(1000000000.0)).as("auth"))
   }
+
+  /** Multi-source bounded BFS: hop distances from every landmark to every
+    * vertex reachable within `iters` hops, as a sparse
+    * `(lm, id, dist: long)` frame — the kernel under landmark closeness /
+    * harmonic centrality. Frontier state is the FULL visited set keyed
+    * (lm, id) with min-dist semantics (the bounded-CC relaxation pattern,
+    * per-landmark), so each round is one |E|-join + one map-side-
+    * combinable min-agg; `localCheckpoint` every round cuts the doubled
+    * lineage exactly like the CC/PageRank loops above.
+    *
+    * Scale: state is O(|L|·|V|) rows of three longs — the standard
+    * landmark trade-off (exact closeness is all-pairs BFS; the sketch
+    * path is HyperBall-style registers). |L| is a constant knob, so the
+    * per-round shuffle is |L|× the CC shuffle with the same key
+    * distribution — hub skew mitigations (AQE skew-split) carry over
+    * unchanged.
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var d = landmarks.select(col("id").as("lm"), col("id"),
+      lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val hop = d.join(e, d("id") === e("src"))
+        .select(col("lm"), e("dst").as("id"), (col("dist") + 1L).as("dist"))
+      d = d.unionByName(hop)
+        .groupBy(col("lm"), col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d
+  }
 }

@@ -300,6 +300,80 @@ object UserGraphQueries {
        |       WHERE e1.src <> e2.dst)
        |SELECT n_cyclic, n_transitive FROM cyc CROSS JOIN tr""".stripMargin
 
+  /** graph_closeness landmark count and BFS hop bound. */
+  private val ClosenessLandmarks = 8
+  private val ClosenessIters = 4
+
+  /** graph_closeness — landmark harmonic centrality on undirected G_user:
+    * hop distances from the [[ClosenessLandmarks]] smallest user ids
+    * (the pinned deterministic landmark set) to every vertex, bounded at
+    * [[ClosenessIters]] hops, folded per vertex into
+    * `(n_reached, sum_dist, harm_q)` where harm_q = Σ ⌊10⁶/dist⌋ over
+    * landmarks at dist > 0 — the landmark estimator of harmonic
+    * centrality (Boldi–Vigna's preferred closeness variant: defined even
+    * on disconnected graphs). Vertices reaching no landmark report 0s.
+    *
+    * Determinism: hop distances and all three outputs are pure integers —
+    * min/count/sum over exact longs, no FP anywhere.
+    *
+    * Scale: exact closeness is all-pairs BFS (off the table at 100 TB);
+    * landmarks make the state O(|L|·|V|) with |L| a constant knob, and
+    * the sketch escalation path (HyperBall registers per vertex) drops in
+    * behind the same per-round join+min-agg kernel
+    * ([[GraphAlgorithms.landmarkDistances]]). The landmark pick (LIMIT L
+    * over the sorted id frame) is a |V|-row top-k, not a data scan.
+    */
+  private def closeness(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    closenessOf(g.undirected.edges, g.vertices)
+  }
+
+  /** Unit-test seam: closeness over explicit undirected edge + vertex
+    * frames.
+    */
+  private[graft] def closenessOf(uedges: DataFrame,
+                                 vertices: DataFrame): DataFrame = {
+    val lms = vertices.select(col("id")).orderBy(col("id"))
+      .limit(ClosenessLandmarks)
+    val d = GraphAlgorithms.landmarkDistances(uedges, lms, ClosenessIters)
+    val agg = d.filter(col("dist") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
+        sum(expr("1000000 div dist")).as("harm_q"))
+    vertices.select(col("id")).join(agg, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        coalesce(col("harm_q"), lit(0L)).as("harm_q"))
+      .orderBy(col("id"))
+  }
+
+  private val closenessSql = {
+    val levels = (1 to ClosenessIters).map { k =>
+      s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
+         |  SELECT lm, id, dist FROM h${k - 1}
+         |  UNION ALL
+         |  SELECT h.lm, e.dst AS id, h.dist + 1 AS dist
+         |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$SqlPrefixUndirected,
+       |lms AS (SELECT id FROM vertices ORDER BY id
+       |        LIMIT $ClosenessLandmarks),
+       |h0 AS MATERIALIZED (
+       |  SELECT id AS lm, id, CAST(0 AS BIGINT) AS dist FROM lms),
+       |$levels,
+       |agg AS (
+       |  SELECT id, COUNT(*) AS n_reached, SUM(dist) AS sum_dist,
+       |    CAST(SUM(1000000 // dist) AS BIGINT) AS harm_q
+       |  FROM h$ClosenessIters WHERE dist > 0 GROUP BY id)
+       |SELECT v.id, COALESCE(a.n_reached, 0) AS n_reached,
+       |  CAST(COALESCE(a.sum_dist, 0) AS BIGINT) AS sum_dist,
+       |  COALESCE(a.harm_q, 0) AS harm_q
+       |FROM vertices v LEFT JOIN agg a ON a.id = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -309,5 +383,6 @@ object UserGraphQueries {
     Q("cc_string_ids", ccStringIds, Some(ccStringIdsSql)),
     Q("graph_reciprocity", reciprocity, Some(reciprocitySql)),
     Q("triangle_census", triangleCensus, Some(triangleCensusSql)),
+    Q("graph_closeness", closeness, Some(closenessSql)),
   )
 }

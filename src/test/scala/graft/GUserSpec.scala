@@ -124,4 +124,19 @@ class GUserSpec extends GraftSuite {
     assert(r.getLong(0) === 2L)
     assert(r.getLong(1) === 6L)
   }
+
+  test("graph_closeness: fixture harmonic sums match hand-computed BFS") {
+    // All 5 fixture vertices are landmarks (L=8 > |V|). Undirected
+    // distances: d(1,·)=[2:1,3:1,4:2,5:1], d(2,·)=[3:1,4:2,5:2],
+    // d(3,·)=[4:1,5:1], d(4,5)=1.
+    val g = fixture
+    val out = graft.queries.UserGraphQueries
+      .closenessOf(g.undirected.edges, g.vertices)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 5L, 3500000L), (2L, 4L, 6L, 3000000L),
+      (3L, 4L, 4L, 4000000L), (4L, 4L, 6L, 3000000L),
+      (5L, 4L, 5L, 3500000L)))
+  }
 }
