@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// JSON (BENCH_r*.json "parsed"). Two things defeated that through round 6:
+// sbt's trailing "[success] Total time ..." line, and the logger's
+// "[info] " prefix on every forked-process line. Pass the forked run's
+// stdout/stderr through verbatim and drop the success banner so the
+// bench's compact JSON line is genuinely last and genuinely bare.
+showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,8 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): declare the nanos-as-long
-      // read policy at session construction (see Tables.apply's fallback).
+      // Older fixture generations shipped events.ts as parquet
+      // TIMESTAMP(NANOS): declare the nanos-as-long read policy at session
+      // construction (harmless for µs fixtures; see Tables.apply).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -31,6 +32,11 @@ object Verify {
         sys.exit(1)
       }
     }
+    // Collect per-key failures so a broken key can never masquerade as
+    // silent absence in the driver's correctness artifact (the round-6
+    // lesson: 25 keys threw at plan time and simply vanished from the
+    // comparison). Dumped as _failed.json next to oracle_sql.json.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -38,6 +44,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +62,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} key(s) FAILED: " +
+        failed.keys.mkString(", "))
     Caches.evict(spark) // release memoized graphs/frames before teardown
     spark.stop()
   }

@@ -364,7 +364,7 @@ object StreamQueries {
        |ORDER BY event_id""".stripMargin
   }
 
-  /** X47 — events_markov: the first-order behavior transition matrix —
+  /** X51 — events_markov: the first-order behavior transition matrix —
     * for every ordered pair of event types, how often type B immediately
     * follows type A on some user's timeline, plus the row-normalized
     * transition probability. The standard behavioral-analytics /

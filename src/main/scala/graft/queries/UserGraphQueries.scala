@@ -256,15 +256,43 @@ object UserGraphQueries {
     * G_user builder guarantees; no FP anywhere.
     *
     * Scale: the hazard is the 2-path frame e1⋈e2 — a hub vertex
-    * contributes in·out pairs. The closing e3 join is a plain equi-join
-    * on both endpoints (shuffle-hash on the edge key), so the plan is
-    * the standard edge-iterator triangle enumeration; at 100 TB the
-    * mitigation is structural sparsification upstream (the TopK
-    * per-vertex cap [[NetworkQueries]] uses for X21) or degree-ordered
-    * orientation — both compose with this query unchanged.
+    * contributes in·out pairs. Since round 7 the registry key APPLIES the
+    * X21 sparsification discipline rather than citing it: the census runs
+    * over [[censusTopKEdges]] (per-vertex in/out degree capped at
+    * [[CensusTopK]], weight-ranked, deterministic tie-break), so the
+    * 2-path fan per middle vertex is ≤K² regardless of hubs and the
+    * closing e3 equi-join is bounded — the sparsify-then-enumerate shape
+    * a 100 TB behavior graph needs. The oracle applies the identical cap
+    * (lockstep CTE). [[triangleCensusOf]] remains the EXACT census over
+    * whatever edge frame it is handed (the unit-test seam).
     */
   private def triangleCensus(s: SparkSession, dir: String): DataFrame =
-    triangleCensusOf(GUser(s, dir).edges)
+    triangleCensusOf(censusTopKEdges(GUser(s, dir).edges))
+
+  /** Partners kept per vertex side in the census' sparsified input —
+    * the [[NetworkQueries.TopK]] discipline on a directed graph.
+    */
+  final val CensusTopK = 8
+
+  /** The X21 top-k cap applied to a DIRECTED weighted edge frame: an edge
+    * survives iff it ranks within its source's top-[[CensusTopK]]
+    * out-edges AND its target's top-[[CensusTopK]] in-edges (weight
+    * descending, partner id ascending as the deterministic tie-break).
+    * Both ranks are per-vertex windows (PARTITION BY one endpoint — never
+    * a global sort); output degree is bounded at K on both sides, so any
+    * downstream triad enumeration is O(K²·|V|).
+    */
+  private[graft] def censusTopKEdges(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("value").desc, col("dst"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("value").desc, col("src"))
+    e.withColumn("rko", row_number().over(wOut))
+      .withColumn("rki", row_number().over(wIn))
+      .filter(col("rko") <= CensusTopK && col("rki") <= CensusTopK)
+      .select(col("src"), col("dst"))
+  }
 
   /** Unit-test seam: the census over an explicit `(src, dst, …)` edge
     * frame (distinct pairs assumed).
@@ -289,7 +317,15 @@ object UserGraphQueries {
 
   private val triangleCensusSql =
     s"""$SqlPrefix,
-       |e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |                         ORDER BY value DESC, dst) AS rko,
+       |      ROW_NUMBER() OVER (PARTITION BY dst
+       |                         ORDER BY value DESC, src) AS rki
+       |    FROM edges WHERE src <> dst)
+       |  WHERE rko <= $CensusTopK AND rki <= $CensusTopK),
        |cyc AS (SELECT COUNT(*) AS n_cyclic FROM e e1
        |        JOIN e e2 ON e2.src = e1.dst
        |        JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src

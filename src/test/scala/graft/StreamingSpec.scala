@@ -83,34 +83,24 @@ class StreamingSpec extends GraftSuite {
   }
 
   test("file-source stream over events.parquet matches the batch twin") {
-    // Real readStream file source over the driver's parquet (TIMESTAMP
-    // NANOS → read as Long via nanosAsLong, converted like
-    // graft.sources.Tables). Complete mode: one replay batch aggregates
-    // the whole file; result must equal the batch-mode computation the
-    // DuckDB oracle checks.
+    // Real readStream file source over the driver's parquet, normalized
+    // with the SAME schema-adaptive helper the batch read uses
+    // (Tables.normalizeEventsTs — fixture generations have shipped ts as
+    // both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)/NTZ). Complete mode: one
+    // replay batch aggregates the whole file; result must equal the
+    // batch-mode computation the DuckDB oracle checks.
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val sfDir = "/root/testdata/sf0.001"
     val dir = Files.createTempDirectory("graft_stream_src")
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    val streamed = spark.readStream.schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // readStream needs an explicit schema: infer the as-shipped one from a
+    // batch scan of the same file (NOT a hand-coded literal — the round-6
+    // fixture regression proved literals rot).
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamed = graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val q = Streams.tumbling(streamed)
       .writeStream.format("memory").queryName("t_file")
       .outputMode("complete").start()
