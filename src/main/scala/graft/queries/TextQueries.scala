@@ -858,6 +858,77 @@ object TextQueries {
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
   }
 
+  /** X55 — corpus_temperature: temperature-scaled LANGUAGE sampling
+    * weights — the multilingual-pretraining standard (XLM-R / mT5
+    * "α-sampling"): raw language shares p_l = tok_l / tok_tot are
+    * flattened to q_l ∝ p_l^α so low-resource languages are up-weighted
+    * without letting any one dominate; the emitted `weight` = q_l / p_l
+    * is the per-language inclusion multiplier a sampler applies
+    * (X45's uniform-target sibling — uniform is the α→0 limit, raw
+    * proportional is α=1; this key is the tunable middle).
+    *
+    * α is pinned at 0.5 so the flattening is `sqrt` — IEEE
+    * correctly-rounded in BOTH engines, hence bit-identical on the
+    * identical exact-long-ratio doubles (an arbitrary α would go through
+    * `pow`, whose last-ulp rounding differs between java.lang.Math and
+    * libm; plugging one in requires quantizing pow's OUTPUT before any
+    * cross-row arithmetic, exactly as done here for the denominator).
+    * The flattened mass Σ√p is summed as ×10⁹-quantized longs (the X23
+    * NLL discipline), never as raw doubles, so the normalizer is an
+    * order-independent exact integer on both engines.
+    *
+    * Scale: one scan + a ≤|langs|-row agg; the two scalar totals are
+    * 1-row broadcasts (the declared scalar-aggregate crossJoin pattern).
+    */
+  private def corpusTemperature(s: SparkSession, dir: String): DataFrame =
+    corpusTemperatureOf(Tables(s, dir, "documents"))
+
+  /** [[corpusTemperature]] over an explicit (lang, text) frame — the
+    * testable seam.
+    */
+  private[graft] def corpusTemperatureOf(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("t_tokens"))
+    val p = col("n_tokens").cast("double") / col("t_tokens")
+    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("sq",
+        floor(sqrt(p) * 1000000000.0 + 0.5).cast("long"))
+    val den = scaled.agg(sum(col("sq")).cast("double").as("t_sq"))
+    val q = col("sq").cast("double") / col("t_sq")
+    scaled.crossJoin(broadcast(den))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        Det.qround(p, 6).as("share"),
+        Det.qround(q, 6).as("t_share"),
+        Det.qround(q / p, 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
+  private val corpusTemperatureSql = {
+    val p = "(CAST(n_tokens AS DOUBLE) / t_tokens)"
+    val q = "(CAST(sq AS DOUBLE) / t_sq)"
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t_tokens FROM per),
+       |scaled AS MATERIALIZED (
+       |  SELECT lang, n_docs, n_tokens, t_tokens,
+       |    CAST(FLOOR(SQRT($p) * 1000000000.0 + 0.5) AS BIGINT) AS sq
+       |  FROM per CROSS JOIN tot),
+       |den AS MATERIALIZED (
+       |  SELECT CAST(SUM(sq) AS DOUBLE) AS t_sq FROM scaled)
+       |SELECT lang, n_docs, n_tokens,
+       |  ${Det.qroundSql(p, 6)} AS share,
+       |  ${Det.qroundSql(q, 6)} AS t_share,
+       |  ${Det.qroundSql(s"$q / $p", 6)} AS weight
+       |FROM scaled CROSS JOIN den ORDER BY lang""".stripMargin
+  }
+
   /** X47 — text_span_dedup: repeated-span removal accounting, the C4
     * curation step ("any span occurring more than once in the corpus is
     * removed, keeping one occurrence") that exact/near doc-level dedup
@@ -1034,6 +1105,7 @@ object TextQueries {
     Q("doc_filter", docFilter, Some(docFilterSql)),
     Q("lang_id_confusion", langIdConfusion, Some(langIdConfusionSql)),
     Q("corpus_mixture", corpusMixture, Some(corpusMixtureSql)),
+    Q("corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),
     Q("text_span_dedup", spanDedup, Some(spanDedupSql)),
   )
 

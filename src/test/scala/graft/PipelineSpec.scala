@@ -166,6 +166,26 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("corpus_temperature: sqrt-flattened shares and weights are exact") {
+    import spark.implicits._
+    // en: 3 tokens of 4 (p=0.75), de: 1 of 4 (p=0.25). α=0.5 flattening:
+    // sq = floor(√p·1e9 + 0.5) → en 866025404, de 500000000;
+    // q = sq/Σsq; weight = q/p — de (low-resource) up-weighted > 1,
+    // en down-weighted < 1, all reproduced with the same quantization.
+    val docs = Seq(("en", "a b c"), ("de", "x")).toDF("lang", "text")
+    val out = graft.queries.TextQueries.corpusTemperatureOf(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sqEn = math.floor(math.sqrt(0.75) * 1e9 + 0.5)
+    val sqDe = math.floor(math.sqrt(0.25) * 1e9 + 0.5)
+    val t = sqEn + sqDe
+    assert(out.toSeq === Seq(
+      ("de", 1L, 1L, q6(0.25), q6(sqDe / t), q6((sqDe / t) / 0.25)),
+      ("en", 1L, 3L, q6(0.75), q6(sqEn / t), q6((sqEn / t) / 0.75))))
+    assert(out(0)._6 > 1.0 && out(1)._6 < 1.0) // flattening direction
+  }
+
   test("text_bigram_nll: hand-computed conditional LM; 1-token docs absent") {
     import spark.implicits._
     val docs = Seq((1L, "a b a c"), (2L, "x")).toDF("doc_id", "text")

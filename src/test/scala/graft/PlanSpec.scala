@@ -82,6 +82,7 @@ class PlanSpec extends GraftSuite {
     "bpe_merges_sampled",       // same chain over the sampled corpus
     "dedup_metrics",            // 1-row n_reps / n_pairs / bucket-stats scalars
     "corpus_mixture",           // 1-row corpus-total scalar
+    "corpus_temperature",       // 1-row token-total + 1-row √p-mass scalars
     "corpus_resample",          // 1-row token-total scalar → thresholds
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive

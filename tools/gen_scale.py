@@ -5,8 +5,9 @@ foreign-key relationships stay consistent within a copy and disjoint across
 copies). Dimension tables region/nation are copied unchanged.
 
 pyarrow is used (not DuckDB) so physical parquet types round-trip exactly —
-in particular events.ts stays TIMESTAMP(NANOS), which both the Spark read
-path (nanosAsLong) and the DuckDB oracle depend on.
+whatever encoding the current fixture generation ships for events.ts
+(TIMESTAMP(NANOS) historically, TIMESTAMP(MICROS) since 2026-08-13) is
+preserved bit-for-bit, so the scaled copy exercises the same read path.
 
 Usage: python3 tools/gen_scale.py <srcDir> <dstDir> [factor=10]
 """
