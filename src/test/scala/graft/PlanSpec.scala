@@ -85,8 +85,9 @@ class PlanSpec extends GraftSuite {
     "corpus_temperature",       // 1-row token-total + 1-row √p-mass scalars
     "corpus_resample",          // 1-row token-total scalar → thresholds
     "graph_reciprocity",        // 1-row × 1-row counter combine
-    "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
-    "hits")                     // 1-row L1 normalizer per round
+    "triangle_census")          // 1-row n_cyclic × 1-row n_transitive
+  // (hits left the list in r8: its L1 normalizer is now a driver-side
+  // scalar — no crossJoin remains in the plan.)
 
   test("no cartesian/nested-loop joins outside the declared literal joins") {
     val offenders = queries.Registry.all.map(_.key).flatMap { key =>
