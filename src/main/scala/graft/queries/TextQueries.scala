@@ -733,12 +733,17 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val docFilterSql = {
+  /** The `base` CTE of [[docFilterSql]] — the SQL twin of
+    * [[docGateSignals]], shared with `stream_doc_filter`'s oracle
+    * ([[docFilterKeepSql]]) so the streamed and batch curation oracles
+    * can never drift on a signal.
+    */
+  private val docGateBaseSql = {
     val tok = "string_split(text, ' ')"
     val (cEn, cDe, cFr) = (TextFns.stopwordCountSql(tok, EnStop),
       TextFns.stopwordCountSql(tok, DeStop),
       TextFns.stopwordCountSql(tok, FrStop))
-    s"""WITH base AS MATERIALIZED (
+    s"""base AS MATERIALIZED (
        |  SELECT doc_id, len($tok) AS n_tokens,
        |    ${Det.qroundSql(
               s"1.0 - CAST(len(list_distinct($tok)) AS DOUBLE) / len($tok)",
@@ -746,7 +751,22 @@ object TextQueries {
        |    CASE WHEN $cEn >= $cDe AND $cEn >= $cFr THEN 'en'
        |         WHEN $cDe >= $cFr THEN 'de' ELSE 'fr' END AS pred_lang,
        |    ${TextFns.stringHashSql("text")} AS fp
-       |  FROM documents),
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Oracle for `stream_doc_filter` ([[graft.streaming.Streams
+    * .docFilterKeepBatch]]): the gate-passing docs collapsed to
+    * min-doc_id per fingerprint — first-seen-wins under the contract's
+    * doc_id arrival order.
+    */
+  private[graft] val docFilterKeepSql: String =
+    s"""WITH $docGateBaseSql
+       |SELECT MIN(doc_id) AS doc_id FROM base
+       |WHERE n_tokens >= 10 AND pred_lang = 'en' AND dup_frac <= 0.6
+       |GROUP BY fp ORDER BY doc_id""".stripMargin
+
+  private val docFilterSql = {
+    s"""WITH $docGateBaseSql,
        |reps AS MATERIALIZED (
        |  SELECT fp, MIN(doc_id) AS rep_id FROM base GROUP BY fp),
        |dec AS (

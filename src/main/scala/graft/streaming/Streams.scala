@@ -89,10 +89,36 @@ object Streams {
     * discipline) to window the guarantee.
     */
   def docFilterKeep(docs: DataFrame): DataFrame =
+    docGatePass(docs)
+      .dropDuplicates("fp")
+      .select(col("doc_id"))
+
+  /** The stateless gate prefix of [[docFilterKeep]] — shared with the
+    * batch twin below so the two passes run the EXACT same thresholds
+    * over the exact same signal expressions.
+    */
+  private def docGatePass(docs: DataFrame): DataFrame =
     graft.queries.TextQueries.docGateSignals(docs)
       .filter(col("n_tokens") >= 10 && col("pred_lang") === "en" &&
         col("dup_frac") <= 0.6)
-      .dropDuplicates("fp")
+
+  /** Batch materialization of [[docFilterKeep]]'s kept set — the
+    * `stream_doc_filter` registry key. The streaming pass keeps the
+    * FIRST-seen doc per fingerprint; under the contract's arrival order
+    * (doc_id order — the same representative rule as the batch
+    * `doc_filter` key) first-seen-wins IS `min(doc_id)` per fingerprint,
+    * which is what this twin computes — deterministically, where a bare
+    * batch `dropDuplicates` would keep a partition-order-dependent row.
+    * StreamBatchEquivSpec proves the actual `writeStream` run produces
+    * this exact set.
+    *
+    * Scale: the gates are one codegen'd scan; the representative pick is
+    * a single min hash-agg on the 64-bit fingerprint (map-side
+    * combinable, AQE-splittable) — the dedup_exact discipline.
+    */
+  def docFilterKeepBatch(docs: DataFrame): DataFrame =
+    docGatePass(docs)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
 
   /** T6 — stream-stream interval join: each `view` event joined to the

@@ -201,5 +201,11 @@ class StreamBatchEquivSpec extends GraftSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(got.nonEmpty)
     assert(got.toSeq === want.toSeq)
+    // ...and the oracled registry key (stream_doc_filter, the batch
+    // materialization of this stream) produces the same set — the full
+    // triangle: writeStream run == registry key == doc_filter keep set.
+    val keyed = graft.queries.Registry.byKey("stream_doc_filter")
+      .fn(spark, sfDir).collect().map(_.getLong(0)).sorted
+    assert(keyed.toSeq === got.toSeq)
   }
 }
