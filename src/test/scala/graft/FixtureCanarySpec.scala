@@ -17,7 +17,12 @@ import org.apache.spark.sql.types._
   * be accompanied by a matching branch in Tables.apply.
   */
 class FixtureCanarySpec extends GraftSuite {
-  private val sfDir = "/root/testdata/sf0.001"
+  // Every scale dir present is checked (ADVICE r7): bench/verify run
+  // against sf0.1, so a regeneration that drifts only the larger dirs
+  // (or ships a new one) must fail here too, not just at sf0.001.
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(d => s"/root/testdata/$d")
+    .filter(d => new java.io.File(d).isDirectory)
 
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -81,11 +86,22 @@ class FixtureCanarySpec extends GraftSuite {
       "label" -> Integral)
   )
 
-  for ((table, cols) <- contract.toSeq.sortBy(_._1))
-    test(s"$table footer matches the engine's schema contract") {
+  for ((table, cols) <- contract.toSeq.sortBy(_._1); sfDir <- sfDirs)
+    test(s"$table footer matches the engine's schema contract ($sfDir)") {
       // Raw scan, NOT Tables.apply — the canary must see the footer as
-      // shipped, before any adaptive normalization.
-      val actual = spark.read.parquet(s"$sfDir/$table.parquet").schema
+      // shipped, before any adaptive normalization. The scan itself is
+      // guarded: the 'readable message' guarantee must hold even for a
+      // physical encoding the raw read refuses at plan time (e.g. a
+      // NANOS revert with the legacy conf dropped from TestBase).
+      val actual =
+        try spark.read.parquet(s"$sfDir/$table.parquet").schema
+        catch {
+          case e: Exception => fail(
+            s"FIXTURE DRIFT: $table.parquet in $sfDir is no longer " +
+              s"readable by a raw scan under the test session's read " +
+              s"policy — update Tables.apply AND FIXTURES.md together; " +
+              s"original error: ${e.getMessage}", e)
+        }
       val byName = actual.fields.map(f => f.name -> f.dataType).toMap
       for ((name, kind) <- cols) {
         assert(byName.contains(name),
@@ -99,9 +115,10 @@ class FixtureCanarySpec extends GraftSuite {
       }
     }
 
-  test("events.ts normalizes to session-UTC TimestampType via Tables") {
-    val t = Tables(spark, sfDir, "events").schema("ts").dataType
-    assert(t == TimestampType,
-      s"Tables.apply must deliver TimestampType for events.ts, got $t")
-  }
+  for (sfDir <- sfDirs)
+    test(s"events.ts normalizes to session-UTC TimestampType ($sfDir)") {
+      val t = Tables(spark, sfDir, "events").schema("ts").dataType
+      assert(t == TimestampType,
+        s"Tables.apply must deliver TimestampType for events.ts, got $t")
+    }
 }
