@@ -410,6 +410,88 @@ object UserGraphQueries {
        |ORDER BY v.id""".stripMargin
   }
 
+  /** graph_hyperball radius bound — matches [[ClosenessIters]] so the
+    * two centrality estimators describe the same ball.
+    */
+  private val HyperballIters = 4
+
+  /** graph_hyperball (X56) — the approximate NEIGHBORHOOD FUNCTION via
+    * iterated per-vertex HLL sketches (the HyperBall/HyperANF scheme,
+    * Boldi–Vigna): sketch₀(v) = {v}; sketchₜ₊₁(v) = sketchₜ(v) ∪
+    * ⋃_{(v,u)∈E} sketchₜ(u); NF(t) = Σ_v |B(v,t)| estimated as the sum
+    * of per-vertex sketch estimates. This is the declared scale path of
+    * `graph_closeness` (X53 scaladoc), now implemented behind the same
+    * join+merge-agg kernel — per round one |E| equi-join plus one
+    * map-side-combinable `hll_union_agg`, state O(|V|) sketches of a few
+    * KB each, vs the exact neighborhood function's O(|V|²) pair state.
+    *
+    * Oracle shape (the X6/X13 sketch pattern): the EXACT per-radius pair
+    * counts — computed by the quadratic distinct-pairs expansion, the
+    * test-scale twin exactly like `dedup_embedding_exact` — are
+    * value-compared against DuckDB's unrolled expansion; the sketch sum,
+    * engine-specific by nature, is checked through its accuracy contract
+    * (`hll_within_bound`: within 20% of exact — Datasketches HLL at
+    * lgConfigK=12 is near-exact below ~4k distinct, so a pass is
+    * meaningful and a broken union fails loudly), pinned TRUE by the
+    * oracle. Driver-side state is ≤ `HyperballIters`+1 scalar pairs —
+    * bounded metadata, not a data collect.
+    */
+  private def hyperball(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    hyperballOf(s, g.undirected.edges, g.vertices)
+  }
+
+  private[graft] def hyperballOf(s: SparkSession, uedges: DataFrame,
+                                 vertices: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = uedges.select(col("src"), col("dst"))
+    val ids = vertices.select(col("id"))
+    // Exact twin state: the distinct (vertex, ball-member) pair set.
+    var pairs = ids.select(col("id"), col("id").as("m")).localCheckpoint()
+    // Sketch state: one HLL register set per vertex.
+    var sk = ids.groupBy(col("id"))
+      .agg(hll_sketch_agg(col("id")).as("sk")).localCheckpoint()
+    def measure(radius: Int): (Int, Long, Boolean) = {
+      val exact = pairs.count()
+      val est = sk.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+      (radius, exact, math.abs(est - exact).toDouble <= 0.2 * exact)
+    }
+    val out = scala.collection.mutable.ArrayBuffer(measure(0))
+    for (r <- 1 to HyperballIters) {
+      pairs = pairs.join(e, pairs("id") === e("dst"))
+        .select(e("src").as("id"), col("m"))
+        .unionByName(pairs.select(col("id"), col("m")))
+        .distinct().localCheckpoint()
+      sk = e.join(sk.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("sk"))
+        .unionByName(sk.select(col("id"), col("sk")))
+        .groupBy(col("id")).agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+      out += measure(r)
+    }
+    out.toSeq.toDF("radius", "nf_pairs", "hll_within_bound")
+      .orderBy(col("radius"))
+  }
+
+  private val hyperballSql = {
+    val levels = (1 to HyperballIters).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT DISTINCT id, m FROM (
+         |  SELECT id, m FROM p${k - 1}
+         |  UNION ALL
+         |  SELECT e.src AS id, p.m FROM p${k - 1} p
+         |  JOIN uedges e ON e.dst = p.id))""".stripMargin
+    }.mkString(",\n")
+    val counts = (0 to HyperballIters).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS radius, COUNT(*) AS nf_pairs,
+         |  TRUE AS hll_within_bound FROM p$k""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$SqlPrefixUndirected,
+       |p0 AS MATERIALIZED (SELECT id, id AS m FROM vertices),
+       |$levels
+       |SELECT radius, nf_pairs, hll_within_bound FROM (
+       |  $counts) ORDER BY radius""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -420,5 +502,6 @@ object UserGraphQueries {
     Q("graph_reciprocity", reciprocity, Some(reciprocitySql)),
     Q("triangle_census", triangleCensus, Some(triangleCensusSql)),
     Q("graph_closeness", closeness, Some(closenessSql)),
+    Q("graph_hyperball", hyperball, Some(hyperballSql)),
   )
 }

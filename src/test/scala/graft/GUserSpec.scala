@@ -139,4 +139,18 @@ class GUserSpec extends GraftSuite {
       (3L, 4L, 4L, 4000000L), (4L, 4L, 6L, 3000000L),
       (5L, 4L, 5L, 3500000L)))
   }
+
+  test("graph_hyperball: fixture neighborhood function matches hand BFS") {
+    // Undirected degrees: 1:{2,3,5}, 2:{1,3}, 3:{1,2,4,5}, 4:{3,5},
+    // 5:{1,3,4} → NF(1) = Σ(1+deg) = 4+3+5+3+4 = 19; every distance ≤ 2
+    // (same BFS as the closeness test) → NF(2..4) = 5² = 25. The sketch
+    // bound must hold trivially at these cardinalities (HLL is exact in
+    // its sparse regime).
+    val g = fixture
+    val out = graft.queries.UserGraphQueries
+      .hyperballOf(spark, g.undirected.edges, g.vertices)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((0, 5L, true), (1, 19L, true),
+      (2, 25L, true), (3, 25L, true), (4, 25L, true)))
+  }
 }
