@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Per-key bench-band regression guard (judge r7 item #8).
+
+Compares a fresh bench.json against the last committed one and flags any
+key whose time moved by more than BAND x in either direction — triaging
+contention spikes / genuine regressions before a judge has to adjudicate
+them. Run in the round close-out, after the full-board bench:
+
+    python3 tools/bench_band.py [fresh_bench.json] [--band 3.0]
+
+Exit code 1 when at least one key is out of band (new/removed keys and
+sub-threshold moves are informational only). Keys measured at -1 (failed)
+on either side are always flagged.
+"""
+import json
+import subprocess
+import sys
+
+FLOOR = 0.15  # seconds; below this, ratios are scheduler noise, not signal
+
+
+def load_committed(path="bench.json", ref="HEAD"):
+    out = subprocess.run(["git", "show", f"{ref}:{path}"],
+                         capture_output=True, text=True, cwd=".")
+    if out.returncode != 0:
+        sys.exit(f"bench_band: cannot read {ref}:{path}: {out.stderr.strip()}")
+    return json.loads(out.stdout)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    band = 3.0
+    if "--band" in sys.argv:
+        band = float(sys.argv[sys.argv.index("--band") + 1])
+    fresh_path = args[0] if args else "bench.json"
+    with open(fresh_path) as f:
+        fresh = json.load(f)
+    base = load_committed()
+    fq, bq = fresh["queries"], base["queries"]
+
+    flagged = []
+    for key in sorted(set(fq) & set(bq)):
+        f_t, b_t = fq[key], bq[key]
+        if f_t < 0 or b_t < 0:
+            flagged.append((key, b_t, f_t, "FAILED run"))
+            continue
+        if max(f_t, b_t) < FLOOR:
+            continue
+        ratio = f_t / max(b_t, 1e-9)
+        if ratio > band or ratio < 1 / band:
+            flagged.append((key, b_t, f_t, f"{ratio:.2f}x"))
+
+    for key in sorted(set(fq) - set(bq)):
+        print(f"  new key (no band yet): {key} = {fq[key]:.2f}s")
+    for key in sorted(set(bq) - set(fq)):
+        print(f"  key gone from fresh run: {key}")
+
+    if flagged:
+        print(f"{len(flagged)} key(s) outside the {band}x band "
+              f"(committed -> fresh):")
+        for key, b_t, f_t, why in flagged:
+            print(f"  {key}: {b_t:.2f}s -> {f_t:.2f}s  [{why}]")
+        sys.exit(1)
+    print(f"all {len(set(fq) & set(bq))} shared keys within the {band}x band "
+          f"(total {base.get('value')}s -> {fresh.get('value')}s)")
+
+
+if __name__ == "__main__":
+    main()
