@@ -141,11 +141,12 @@ class GUserSpec extends GraftSuite {
   }
 
   test("graph_hyperball: fixture neighborhood function matches hand BFS") {
-    // Undirected degrees: 1:{2,3,5}, 2:{1,3}, 3:{1,2,4,5}, 4:{3,5},
-    // 5:{1,3,4} → NF(1) = Σ(1+deg) = 4+3+5+3+4 = 19; every distance ≤ 2
-    // (same BFS as the closeness test) → NF(2..4) = 5² = 25. The sketch
-    // bound must hold trivially at these cardinalities (HLL is exact in
-    // its sparse regime).
+    // All 5 fixture vertices are probes (P=16 > |V|), so nf_probes is
+    // the full neighborhood function. Undirected degrees: 1:{2,3,5},
+    // 2:{1,3}, 3:{1,2,4,5}, 4:{3,5}, 5:{1,3,4} → NF(1) = Σ(1+deg) =
+    // 4+3+5+3+4 = 19; every distance ≤ 2 (same BFS as the closeness
+    // test) → NF(2..4) = 5² = 25. The sketch bound must hold trivially
+    // at these cardinalities (HLL is exact in its sparse regime).
     val g = fixture
     val out = graft.queries.UserGraphQueries
       .hyperballOf(spark, g.undirected.edges, g.vertices)
