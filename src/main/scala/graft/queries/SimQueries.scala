@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
 object SimQueries {
   private val TopK       = 5
   private val NQueries   = 10
+  /** sim_topk_ivfpq_rerank: ADC candidates kept per query for the exact
+    * re-rank pass (4× the final k — the usual serving over-fetch).
+    */
+  private val RerankC    = 20
   private val NearThresh = 0.45 // synthetic embeddings are near-orthogonal;
                                 // max pairwise cosine ≈ 0.51 (measured)
 
@@ -1094,6 +1098,19 @@ object SimQueries {
     * agg and the |probed|-row ADC sum.
     */
   private def simTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val scored = ivfPqAdcScored(s, dir)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ad"), col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("ad"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The IVF+PQ candidate stage shared by [[simTopkIvfPq]] and the
+    * re-rank key: every probed-list vector ADC-scored from its 8-byte
+    * code, as `(q_id, c_id, ad)`.
+    */
+  private def ivfPqAdcScored(s: SparkSession, dir: String): DataFrame = {
     val e = withNorms(s, dir)
     val cent = centroids(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
@@ -1120,26 +1137,65 @@ object SimQueries {
           - lit(2.0) * VectorFns.dot(col("qsub"), col("cw"))
           + VectorFns.dot(col("cw"), col("cw"))) * 1000000.0 + 0.5)
           .cast("long").as("d2i"))
-    val scored = pqCodes(s, dir)
+    pqCodes(s, dir)
       .join(broadcast(probes), col("label") === col("c_label"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg((sum(col("d2i")).cast("double") / 1000000.0).as("ad"))
       .select(col("q_id"), col("vec_id").as("c_id"), col("ad"))
-    val w = Window.partitionBy(col("q_id"))
+  }
+
+  /** X57 — sim_topk_ivfpq_rerank: the production ANN END-TO-END shape —
+    * IVF+PQ candidate generation (the multiplicative scan cut of X40)
+    * followed by an EXACT re-rank of the top-[[RerankC]] ADC candidates
+    * per query against their full vectors. Compressed codes find the
+    * shortlist; original vectors decide the final order — the standard
+    * two-tier serving layout, because ADC quantization error is what
+    * costs recall at the top of the list and a C-row exact pass per
+    * query erases most of it for NQueries·C vector fetches (bounded,
+    * id-keyed — at 100 TB this is a point-lookup join against the
+    * vector store, never a scan; here the fetch join broadcasts the
+    * tiny candidate list against the embeddings table so the scan is
+    * one map-side pass).
+    *
+    * Determinism: candidate cut ordered by (quantized ad, c_id); final
+    * order by (qround-6 cosine DESC, c_id) — both total.
+    */
+  private def simTopkIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val wAd = Window.partitionBy(col("q_id"))
       .orderBy(col("ad"), col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
-      .select(col("q_id"), col("rk"), col("c_id"), col("ad"))
+    val cand = ivfPqAdcScored(s, dir)
+      .withColumn("crk", row_number().over(wAd))
+      .filter(col("crk") <= RerankC)
+      .select(col("q_id"), col("c_id"))
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cv = e.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val rer = cv.join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    rer.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private val simTopkIvfPqSql = {
+  /** CTE chain through `scored` (the ADC-scored candidates), shared by
+    * the ivfpq and ivfpq_rerank oracles.
+    */
+  private def ivfPqScoredSqlWith = {
     val cdot = VectorFns.dotSql("q.q_emb", "c.centroid")
     val dqq = VectorFns.dotSql("q.qsub", "q.qsub")
     val dqc = VectorFns.dotSql("q.qsub", "c.cw")
     val dcc = VectorFns.dotSql("c.cw", "c.cw")
-    s"""WITH $pqCodesSqlWith,
+    s"""$pqCodesSqlWith,
        |nq AS MATERIALIZED (
        |  SELECT vec_id AS q_id, embedding AS q_emb,
        |    ${VectorFns.normSql("embedding")} AS q_nrm
@@ -1181,12 +1237,38 @@ object SimQueries {
        |  FROM codes k
        |  JOIN probes p ON k.label = p.c_label AND k.vec_id <> p.q_id
        |  JOIN lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.code = k.code
-       |  GROUP BY p.q_id, k.vec_id),
+       |  GROUP BY p.q_id, k.vec_id)""".stripMargin
+  }
+
+  private lazy val simTopkIvfPqSql =
+    s"""WITH $ivfPqScoredSqlWith,
        |ranked AS (
        |  SELECT q_id, c_id, ad,
        |    row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS rk
        |  FROM scored)
        |SELECT q_id, rk, c_id, ad FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+
+  private lazy val simTopkIvfPqRerankSql = {
+    val dot = VectorFns.dotSql("q.q_emb", "e.embedding")
+    val cn = VectorFns.normSql("e.embedding")
+    s"""WITH $ivfPqScoredSqlWith,
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS crk
+       |    FROM scored) WHERE crk <= $RerankC),
+       |rer AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |    ${Det.qroundSql(s"$dot / (q.q_nrm * $cn)", 6)} AS cos
+       |  FROM cand JOIN nq q ON q.q_id = cand.q_id
+       |  JOIN embeddings e ON e.vec_id = cand.c_id),
+       |ranked2 AS (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+       |      AS rk
+       |  FROM rer)
+       |SELECT q_id, rk, c_id, cos FROM ranked2 WHERE rk <= $TopK
        |ORDER BY q_id, rk""".stripMargin
   }
 
@@ -1212,6 +1294,7 @@ object SimQueries {
       df.select(lit(name).as("method"), col("q_id"), col("c_id"))
     val approx = arm("ivf", simTopkIvf(s, dir))
       .unionByName(arm("ivfpq", simTopkIvfPq(s, dir)))
+      .unionByName(arm("ivfpq_rerank", simTopkIvfPqRerank(s, dir)))
       .unionByName(arm("pq", simTopkPq(s, dir)))
     val exactR = exact.select(col("q_id").as("e_q"), col("c_id").as("e_id"))
     approx
@@ -1234,6 +1317,9 @@ object SimQueries {
        |  SELECT 'ivf' AS method, q_id, c_id FROM ($simTopkIvfSql)
        |  UNION ALL
        |  SELECT 'ivfpq' AS method, q_id, c_id FROM ($simTopkIvfPqSql)
+       |  UNION ALL
+       |  SELECT 'ivfpq_rerank' AS method, q_id, c_id
+       |  FROM ($simTopkIvfPqRerankSql)
        |  UNION ALL
        |  SELECT 'pq' AS method, q_id, c_id FROM ($simTopkPqSql))
        |SELECT ap.method, COUNT(*) AS n_pairs, COUNT(e.c_id) AS n_hits,
@@ -1259,6 +1345,8 @@ object SimQueries {
     Q("emb_pq_encode", embPqEncode, Some(embPqEncodeSql)),
     Q("sim_topk_pq", simTopkPq, Some(simTopkPqSql)),
     Q("sim_topk_ivfpq", simTopkIvfPq, Some(simTopkIvfPqSql)),
+    Q("sim_topk_ivfpq_rerank", simTopkIvfPqRerank,
+      Some(simTopkIvfPqRerankSql)),
     Q("sim_recall_metrics", simRecallMetrics, Some(simRecallMetricsSql)),
   )
 }

@@ -350,7 +350,8 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3)))
     // one row per approximate method, deterministic order
-    assert(rows.map(_._1).toSeq === Seq("ivf", "ivfpq", "pq"))
+    assert(rows.map(_._1).toSeq ===
+      Seq("ivf", "ivfpq", "ivfpq_rerank", "pq"))
     val exact = graft.queries.Registry.byKey("sim_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     rows.foreach { case (m, nPairs, nHits, recall) =>

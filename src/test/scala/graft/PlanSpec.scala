@@ -68,6 +68,7 @@ class PlanSpec extends GraftSuite {
     "sim_topk",           // 10-row query side (declared brute-force baseline)
     "sim_topk_ivf",       // 10-row query side × centroid table
     "sim_topk_ivfpq",     // same 10-row probe stage as sim_topk_ivf
+    "sim_topk_ivfpq_rerank", // composes the ivfpq probe stage above
     "sim_recall_metrics", // composes the four sim_topk* arms above
     "sim_knn_join",       // 10-row broadcast centroid table (probe ranking)
     "kmeans_step",        // 10-row broadcast centroid table
