@@ -489,6 +489,78 @@ object UserGraphQueries {
       .orderBy(col("radius"))
   }
 
+  /** graph_eff_diameter (X58) — the statistic HyperANF exists to
+    * compute: the EFFECTIVE DIAMETER (smallest radius t whose
+    * neighborhood function reaches 90% of its bounded plateau) plus the
+    * mean pairwise hop distance, over the same pinned probe set and
+    * bounded BFS as [[hyperball]]. At 100 TB the same numbers come
+    * straight from the X56 sketch estimates; here the exact landmark
+    * kernel doubles as both twin and implementation, so every output is
+    * an exact integer: the 90% cut is the integer predicate
+    * `10·NF(t) ≥ 9·NF(max)` and the mean is the ×10⁶-floored ratio
+    * `1000000·Σdist div n` — no FP anywhere (SURVEY §7.3). All driver
+    * state is the ≤(iters+1)-row distance histogram.
+    */
+  private def effDiameter(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    effDiameterOf(s, g.undirected.edges, g.vertices)
+  }
+
+  private[graft] def effDiameterOf(s: SparkSession, uedges: DataFrame,
+                                   vertices: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = uedges.select(col("src"), col("dst"))
+    val probes = vertices.select(col("id")).orderBy(col("id"))
+      .limit(HyperballProbes)
+    val hist = GraphAlgorithms.landmarkDistances(e, probes, HyperballIters)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nf = (0 to HyperballIters).map(t =>
+      (0 to t).map(h => hist.getOrElse(h.toLong, 0L)).sum)
+    val nfMax = nf.last
+    val eff = (0 to HyperballIters)
+      .find(t => 10L * nf(t) >= 9L * nfMax).get
+    val reach = hist.filter(_._1 > 0)
+    val sumD = reach.map { case (dd, n) => dd * n }.sum
+    val nPos = reach.values.sum
+    val meanQ = if (nPos == 0) 0L else 1000000L * sumD / nPos
+    Seq((hist.getOrElse(0L, 0L), nfMax, eff, meanQ))
+      .toDF("n_probes", "nf_max", "eff_diameter", "mean_dist_q")
+  }
+
+  private val effDiameterSql = {
+    val levels = (1 to HyperballIters).map { k =>
+      s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
+         |  SELECT lm, id, dist FROM h${k - 1}
+         |  UNION ALL
+         |  SELECT h.lm, e.dst AS id, h.dist + 1 AS dist
+         |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
+        .stripMargin
+    }.mkString(",\n")
+    val ts = (0 to HyperballIters).map(t => s"($t)").mkString(",")
+    s"""$SqlPrefixUndirected,
+       |lms AS (SELECT id FROM vertices ORDER BY id
+       |        LIMIT $HyperballProbes),
+       |h0 AS MATERIALIZED (
+       |  SELECT id AS lm, id, CAST(0 AS BIGINT) AS dist FROM lms),
+       |$levels,
+       |nf AS (SELECT t.t AS t,
+       |         (SELECT COUNT(*) FROM h$HyperballIters WHERE dist <= t.t)
+       |           AS n
+       |       FROM (VALUES $ts) t(t)),
+       |m AS (SELECT MAX(n) AS nfmax FROM nf)
+       |SELECT
+       |  (SELECT COUNT(*) FROM h$HyperballIters WHERE dist = 0)
+       |    AS n_probes,
+       |  (SELECT nfmax FROM m) AS nf_max,
+       |  CAST((SELECT MIN(t) FROM nf
+       |        WHERE 10*n >= 9*(SELECT nfmax FROM m)) AS INTEGER)
+       |    AS eff_diameter,
+       |  CAST(COALESCE((SELECT 1000000 * SUM(dist) // COUNT(*)
+       |                 FROM h$HyperballIters WHERE dist > 0), 0)
+       |       AS BIGINT) AS mean_dist_q""".stripMargin
+  }
+
   private val hyperballSql = {
     val levels = (1 to HyperballIters).map { k =>
       s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
@@ -524,5 +596,6 @@ object UserGraphQueries {
     Q("triangle_census", triangleCensus, Some(triangleCensusSql)),
     Q("graph_closeness", closeness, Some(closenessSql)),
     Q("graph_hyperball", hyperball, Some(hyperballSql)),
+    Q("graph_eff_diameter", effDiameter, Some(effDiameterSql)),
   )
 }

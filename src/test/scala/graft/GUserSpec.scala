@@ -154,4 +154,16 @@ class GUserSpec extends GraftSuite {
     assert(out.toSeq === Seq((0, 5L, true), (1, 19L, true),
       (2, 25L, true), (3, 25L, true), (4, 25L, true)))
   }
+
+  test("graph_eff_diameter: fixture distances give d_eff=2, mean 1.3") {
+    // From the hyperball histogram: dist-0 pairs 5, dist-1 pairs 14
+    // (2×7 undirected edges), dist-2 pairs 6 → NF = [5,19,25,25,25].
+    // 90% plateau cut: first t with 10·NF(t) ≥ 9·25=225 → t=2. Mean
+    // positive distance: (14·1 + 6·2)/20 = 1.3 → ×10⁶ floor 1300000.
+    val g = fixture
+    val r = graft.queries.UserGraphQueries
+      .effDiameterOf(spark, g.undirected.edges, g.vertices).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)) ===
+      ((5L, 25L, 2, 1300000L)))
+  }
 }
