@@ -75,6 +75,7 @@ object UserGraphQueries {
   def evict(s: SparkSession): Unit = {
     gxCache.keys.filter(_._1 eq s).foreach(
       gxCache.remove(_).foreach(_.unpersist(blocking = false)))
+    probeHistCache.keys.filter(_._1 eq s).foreach(probeHistCache.remove)
     GUser.evict(s)
   }
 
@@ -449,22 +450,44 @@ object UserGraphQueries {
     * histogram collect plus per-radius 1-row estimate sums — bounded
     * metadata, not a data collect.
     */
+  // The ≤(iters+1)-row probe distance histogram is shared by
+  // graph_hyperball and graph_eff_diameter — memoized per (session,
+  // sfDir) so the landmark BFS runs once for the pair, same discipline
+  // as the gxCache above.
+  private val probeHistCache =
+    TrieMap.empty[(SparkSession, String), Map[Long, Long]]
+
+  /** Exact probe-ball distance histogram: the bounded multi-source BFS
+    * shared with graph_closeness, folded to `dist -> n_pairs`.
+    */
+  private def probeHistOf(e: DataFrame,
+                          vertices: DataFrame): Map[Long, Long] = {
+    val probes = vertices.select(col("id")).orderBy(col("id"))
+      .limit(HyperballProbes)
+    GraphAlgorithms.landmarkDistances(e, probes, HyperballIters)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def dirProbeHist(s: SparkSession, dir: String,
+                           g: graft.Graph): Map[Long, Long] =
+    probeHistCache.getOrElseUpdate((s, dir), probeHistOf(
+      g.undirected.edges.select(col("src"), col("dst")), g.vertices))
+
   private def hyperball(s: SparkSession, dir: String): DataFrame = {
     val g = GUser(s, dir)
-    hyperballOf(s, g.undirected.edges, g.vertices)
+    hyperballOf(s, g.undirected.edges, g.vertices,
+      Some(dirProbeHist(s, dir, g)))
   }
 
   private[graft] def hyperballOf(s: SparkSession, uedges: DataFrame,
-                                 vertices: DataFrame): DataFrame = {
+      vertices: DataFrame,
+      histOpt: Option[Map[Long, Long]] = None): DataFrame = {
     import s.implicits._
     val e = uedges.select(col("src"), col("dst"))
     val ids = vertices.select(col("id"))
     val probes = ids.orderBy(col("id")).limit(HyperballProbes)
-    // Exact probe-ball sizes: the bounded multi-source BFS shared with
-    // graph_closeness; one ≤(iters+1)-row histogram collect.
-    val hist = GraphAlgorithms.landmarkDistances(e, probes, HyperballIters)
-      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = histOpt.getOrElse(probeHistOf(e, vertices))
     val exact = (0 to HyperballIters).map(t =>
       (0 to t).map(h => hist.getOrElse(h.toLong, 0L)).sum)
     // Sketch state: one HLL register set per vertex, FULL graph.
@@ -503,18 +526,16 @@ object UserGraphQueries {
     */
   private def effDiameter(s: SparkSession, dir: String): DataFrame = {
     val g = GUser(s, dir)
-    effDiameterOf(s, g.undirected.edges, g.vertices)
+    effDiameterOf(s, g.undirected.edges, g.vertices,
+      Some(dirProbeHist(s, dir, g)))
   }
 
   private[graft] def effDiameterOf(s: SparkSession, uedges: DataFrame,
-                                   vertices: DataFrame): DataFrame = {
+      vertices: DataFrame,
+      histOpt: Option[Map[Long, Long]] = None): DataFrame = {
     import s.implicits._
     val e = uedges.select(col("src"), col("dst"))
-    val probes = vertices.select(col("id")).orderBy(col("id"))
-      .limit(HyperballProbes)
-    val hist = GraphAlgorithms.landmarkDistances(e, probes, HyperballIters)
-      .groupBy(col("dist")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist = histOpt.getOrElse(probeHistOf(e, vertices))
     val nf = (0 to HyperballIters).map(t =>
       (0 to t).map(h => hist.getOrElse(h.toLong, 0L)).sum)
     val nfMax = nf.last
