@@ -379,7 +379,11 @@ object GraphAlgorithms {
       // nrm as a plain literal: measured against the codegen-stable
       // broadcast-1-row-relation alternative (19.9 s vs 22.4 s same-box
       // A/B, r8) — the avoided BroadcastNestedLoopJoin outweighs the
-      // per-round codegen recompile at every scale tried.
+      // per-round codegen recompile at every scale tried. A
+      // rollup(id) variant that folds the total row into the sum
+      // exchange was also measured SLOWER (19.0 s vs 22.8–23.1 s
+      // same-box A/B, r8): doubling the map-side agg groups costs more
+      // than the avoided 1-row exchange on the persisted frame.
       (sm.select(col("id"),
         floor(col("s").cast("double") / lit(nrm) *
           lit(1000000000.0) + 0.5).as(out)), sm)
