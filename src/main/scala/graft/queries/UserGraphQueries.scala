@@ -494,9 +494,14 @@ object UserGraphQueries {
     var sk = ids.groupBy(col("id"))
       .agg(hll_sketch_agg(col("id"), HyperballLgK).as("sk"))
       .localCheckpoint()
-    def probeEst(): Long =
-      sk.join(broadcast(probes), Seq("id"), "left_semi")
-        .agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+    def probeEst(): Long = {
+      // null-safe: an empty probe set (degenerate empty graph) sums to
+      // NULL, which must read as 0 — the exact side is 0 there too, so
+      // the 20% bound holds as 0 ≤ 0 instead of throwing.
+      val r = sk.join(broadcast(probes), Seq("id"), "left_semi")
+        .agg(sum(hll_sketch_estimate(col("sk")))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     val ests = scala.collection.mutable.ArrayBuffer(probeEst())
     for (_ <- 1 to HyperballIters) {
       sk = e.join(sk.withColumnRenamed("id", "dst"), Seq("dst"))

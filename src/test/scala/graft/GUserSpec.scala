@@ -155,6 +155,19 @@ class GUserSpec extends GraftSuite {
       (2, 25L, true), (3, 25L, true), (4, 25L, true)))
   }
 
+  test("graph_hyperball/eff_diameter: empty graph degenerates to zeros") {
+    import spark.implicits._
+    val noE = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noV = Seq.empty[(Long, Double)].toDF("id", "value")
+    val hb = graft.queries.UserGraphQueries.hyperballOf(spark, noE, noV)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    assert(hb.toSeq === (0 to 4).map(t => (t, 0L, true)))
+    val ed = graft.queries.UserGraphQueries.effDiameterOf(spark, noE, noV)
+      .collect()(0)
+    assert((ed.getLong(0), ed.getLong(1), ed.getInt(2), ed.getLong(3)) ===
+      ((0L, 0L, 0, 0L)))
+  }
+
   test("graph_eff_diameter: fixture distances give d_eff=2, mean 1.3") {
     // From the hyperball histogram: dist-0 pairs 5, dist-1 pairs 14
     // (2×7 undirected edges), dist-2 pairs 6 → NF = [5,19,25,25,25].
