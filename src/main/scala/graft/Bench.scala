@@ -51,6 +51,8 @@ object Bench {
       timed("_build:gtrade")(sources.GTrade.warm(spark, sfDir)),
       timed("_build:graphx")(queries.IterQueries.warmGraphX(spark, sfDir)),
       timed("_build:guser")(queries.UserGraphQueries.warm(spark, sfDir)),
+      timed("_build:probehist")(
+        queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),

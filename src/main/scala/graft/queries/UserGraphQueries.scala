@@ -71,6 +71,13 @@ object UserGraphQueries {
     gx.edges.count(); gx.vertices.count(); ()
   }
 
+  /** Bench `_build:probehist` hook: the 16-probe landmark BFS histogram
+    * shared by graph_hyperball and graph_eff_diameter.
+    */
+  def warmProbeHist(s: SparkSession, dir: String): Unit = {
+    dirProbeHist(s, dir, GUser(s, dir)); ()
+  }
+
   /** Cache-lifecycle hook (see [[graft.Caches]]). */
   def evict(s: SparkSession): Unit = {
     gxCache.keys.filter(_._1 eq s).foreach(
