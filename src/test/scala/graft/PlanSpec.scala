@@ -50,6 +50,16 @@ class PlanSpec extends GraftSuite {
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(s).isDefined, s.take(800))
   }
 
+  test("stream_doc_filter prunes the documents scan to doc_id + text") {
+    // The curation gates are pure Column expressions over text, so
+    // column pruning must reach the parquet footer — a scan that drags
+    // lang/source/n_chars along would read ~2× the bytes at 100 TB.
+    val s = formatted("stream_doc_filter")
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(s).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text"), rs)
+    assert(!rs.contains("n_chars") && !rs.contains("source"), rs)
+  }
+
   test("sim_topk_ivf probes via a real partition filter on the lists") {
     val s = formatted("sim_topk_ivf")
     assert("PartitionFilters: \\[[^\\]]*label[^\\]]*\\]".r
