@@ -331,6 +331,11 @@ object GraphAlgorithms {
     */
   def hits(s: SparkSession, g: graft.Graph, iterations: Int): DataFrame = {
     val One = 1000000000L
+    // The loop below assigns the score frames; zero iterations would
+    // leave them null and NPE at the output join — reject the
+    // meaningless call loudly (same stance as the empty-edge guard).
+    require(iterations >= 1,
+      s"HITS needs at least one iteration, got $iterations")
     val ids = g.vertices.select(col("id"))
     val ends0 = g.edges.select(col("src"), col("dst"))
     val nEdges = ends0.count()

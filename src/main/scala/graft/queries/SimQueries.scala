@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.VectorFns
 import graft.sources.Tables
 import graft.util.Det
+import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -642,6 +643,8 @@ object SimQueries {
   def evict(s: SparkSession): Unit = {
     sigCache.keys.filter(_._1 eq s).foreach(
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
+    adcScoredCache.keys.filter(_._1 eq s).foreach(
+      adcScoredCache.remove(_).foreach(_.unpersist(blocking = false)))
     nearPairCache.keys.filter(_._1 eq s).foreach(
       nearPairCache.remove(_).foreach(_.unpersist(blocking = false)))
     pqCodesCache.keys.filter(_._1 eq s).foreach(
@@ -1106,11 +1109,23 @@ object SimQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // The ADC stage is the expensive half of both ivfpq keys, and
+  // sim_recall_metrics evaluates both arms in one frame — memoized +
+  // persisted per (session, sfDir) so the probe/LUT/group-by chain runs
+  // once per dataset, not once per arm (Spark does not dedup identical
+  // subplans across union arms). Released in [[evict]].
+  private val adcScoredCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The IVF+PQ candidate stage shared by [[simTopkIvfPq]] and the
     * re-rank key: every probed-list vector ADC-scored from its 8-byte
     * code, as `(q_id, c_id, ad)`.
     */
-  private def ivfPqAdcScored(s: SparkSession, dir: String): DataFrame = {
+  private def ivfPqAdcScored(s: SparkSession, dir: String): DataFrame =
+    adcScoredCache.getOrElseUpdate((s, dir), ivfPqAdcScoredBuild(s, dir)
+      .persist())
+
+  private def ivfPqAdcScoredBuild(s: SparkSession,
+                                  dir: String): DataFrame = {
     val e = withNorms(s, dir)
     val cent = centroids(s, dir)
     val q = e.filter(col("vec_id") < NQueries)

@@ -392,8 +392,14 @@ object UserGraphQueries {
       .orderBy(col("id"))
   }
 
-  private val closenessSql = {
-    val levels = (1 to ClosenessIters).map { k =>
+  /** Unrolled min-dist closure CTEs `h1..h<iters>` over `uedges`
+    * (caller defines `h0`) — the SQL twin of
+    * [[GraphAlgorithms.landmarkDistances]], shared by the closeness,
+    * hyperball, and eff_diameter oracles so the BFS unrolling cannot
+    * drift between them.
+    */
+  private def landmarkLevelsSql(iters: Int): String =
+    (1 to iters).map { k =>
       s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
          |  SELECT lm, id, dist FROM h${k - 1}
          |  UNION ALL
@@ -401,6 +407,9 @@ object UserGraphQueries {
          |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
         .stripMargin
     }.mkString(",\n")
+
+  private val closenessSql = {
+    val levels = landmarkLevelsSql(ClosenessIters)
     s"""$SqlPrefixUndirected,
        |lms AS (SELECT id FROM vertices ORDER BY id
        |        LIMIT $ClosenessLandmarks),
@@ -562,14 +571,7 @@ object UserGraphQueries {
   }
 
   private val effDiameterSql = {
-    val levels = (1 to HyperballIters).map { k =>
-      s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
-         |  SELECT lm, id, dist FROM h${k - 1}
-         |  UNION ALL
-         |  SELECT h.lm, e.dst AS id, h.dist + 1 AS dist
-         |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
-        .stripMargin
-    }.mkString(",\n")
+    val levels = landmarkLevelsSql(HyperballIters)
     val ts = (0 to HyperballIters).map(t => s"($t)").mkString(",")
     s"""$SqlPrefixUndirected,
        |lms AS (SELECT id FROM vertices ORDER BY id
@@ -595,14 +597,7 @@ object UserGraphQueries {
   }
 
   private val hyperballSql = {
-    val levels = (1 to HyperballIters).map { k =>
-      s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
-         |  SELECT lm, id, dist FROM h${k - 1}
-         |  UNION ALL
-         |  SELECT h.lm, e.dst AS id, h.dist + 1 AS dist
-         |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
-        .stripMargin
-    }.mkString(",\n")
+    val levels = landmarkLevelsSql(HyperballIters)
     val counts = (0 to HyperballIters).map { t =>
       s"""SELECT CAST($t AS INTEGER) AS radius, COUNT(*) AS nf_probes,
          |  TRUE AS hll_within_bound

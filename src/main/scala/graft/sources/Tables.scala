@@ -42,8 +42,13 @@ object Tables {
         // rethrow below instead of a bare plan-time type error.
         try normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
         catch {
+          // match the NANOS-policy signature specifically — a corrupt
+          // file or schema-merge failure must surface as itself, not as
+          // conf advice ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS"
+          // is Spark 4's refusal message for unconfigured nanos).
           case e: Exception if Option(e.getMessage)
-              .exists(m => m.contains("NANOS") || m.contains("Parquet")) =>
+              .exists(m => m.contains("NANOS") ||
+                m.contains("Illegal Parquet type")) =>
             throw new IllegalStateException(
               "events.parquet appears to use TIMESTAMP(NANOS), which " +
                 "Spark 4 only reads with " +

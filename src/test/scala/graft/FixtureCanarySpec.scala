@@ -24,6 +24,15 @@ class FixtureCanarySpec extends GraftSuite {
     .map(d => s"/root/testdata/$d")
     .filter(d => new java.io.File(d).isDirectory)
 
+  test("at least one scale dir exists under /root/testdata") {
+    // Without this, a wiped/renamed testdata mount would generate ZERO
+    // per-table tests and the canary would pass vacuously — the silent
+    // green this spec exists to prevent.
+    assert(sfDirs.nonEmpty,
+      "FIXTURE DRIFT: no sf* scale dirs found under /root/testdata — " +
+        "the fixture mount moved or was regenerated with new names")
+  }
+
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _                                             => false

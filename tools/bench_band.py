@@ -28,11 +28,17 @@ def load_committed(path="bench.json", ref="HEAD"):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     band = 3.0
-    if "--band" in sys.argv:
-        band = float(sys.argv[sys.argv.index("--band") + 1])
-    fresh_path = args[0] if args else "bench.json"
+    if "--band" in argv:
+        i = argv.index("--band")
+        if i + 1 >= len(argv):
+            sys.exit("bench_band: --band needs a value")
+        band = float(argv[i + 1])
+        del argv[i:i + 2]  # the value must not leak into positionals
+    if any(a.startswith("--") for a in argv):
+        sys.exit(f"bench_band: unknown flag in {argv}")
+    fresh_path = argv[0] if argv else "bench.json"
     with open(fresh_path) as f:
         fresh = json.load(f)
     base = load_committed()
