@@ -58,6 +58,8 @@ object Bench {
         queries.DedupQueries.warmShingles(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),
       timed("_build:pqcodes")(queries.SimQueries.warmPqCodes(spark, sfDir)),
+      timed("_build:adcscored")(
+        queries.SimQueries.warmAdcScored(spark, sfDir)),
       timed("_build:embpairs")(queries.SimQueries.warmEmbPairs(spark, sfDir)),
       timed("_build:bpe")(queries.TextQueries.warmBpe(spark, sfDir)),
       timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),

@@ -1124,6 +1124,13 @@ object SimQueries {
     adcScoredCache.getOrElseUpdate((s, dir), ivfPqAdcScoredBuild(s, dir)
       .persist())
 
+  /** Bench `_build:adcscored` hook: the shared IVF+PQ ADC candidate
+    * frame (see [[ivfPqAdcScored]]).
+    */
+  def warmAdcScored(s: SparkSession, dir: String): Unit = {
+    ivfPqAdcScored(s, dir).count(); ()
+  }
+
   private def ivfPqAdcScoredBuild(s: SparkSession,
                                   dir: String): DataFrame = {
     val e = withNorms(s, dir)
