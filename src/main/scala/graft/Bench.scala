@@ -1,5 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+
+/** Accumulates executor task CPU time across all jobs on the session.
+  *
+  * Wall-clock alone cannot separate a code regression from box contention
+  * (judge rounds 7 and 8 both spent adjudication time on exactly that), so
+  * each bench entry also records `executorCpuTime` deltas: on-CPU
+  * thread time, which other tenants' load does not inflate. Listener events
+  * arrive on an async bus, but every timed body blocks on job completion,
+  * so quiesce() only has to wait for the bus to drain (started == ended),
+  * not for running work.
+  */
+private final class CpuListener extends SparkListener {
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val started = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val ended = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+    started.incrementAndGet()
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    ended.incrementAndGet()
+  }
+  /** CPU seconds accumulated so far, after draining in-flight bus events. */
+  def snapshot(): Double = {
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (started.get() != ended.get() && System.nanoTime() < deadline)
+      Thread.sleep(5)
+    cpuNs.get() / 1e9
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,7 +63,11 @@ object Bench {
         sys.exit(1)
       }
     }
-    def timed(name: String)(body: => Unit): (String, Double) = {
+    val cpuListener = new CpuListener
+    spark.sparkContext.addSparkListener(cpuListener)
+    // (name, wall sec, executor-CPU sec); both -1 on failure.
+    def timed(name: String)(body: => Unit): (String, Double, Double) = {
+      val c0 = cpuListener.snapshot()
       val t0 = System.nanoTime()
       val ok = try { body; true } catch {
         case e: Throwable =>
@@ -40,7 +76,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = cpuListener.snapshot() - c0
+      if (ok) (name, wall, cpu) else (name, -1.0, -1.0)
     }
     // Shared first-touch builds, timed as explicit `_build:` entries so the
     // per-key numbers profile the QUERY, not whichever key is first in
@@ -76,14 +114,18 @@ object Bench {
     // Millisecond precision keeps the full line ~40% shorter (a raw Double
     // prints 15+ digits); sub-ms noise is far below box variance anyway.
     // math.round (not %f) so the output is locale-independent JSON.
-    val qs = results
-      .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
+    def jsonMap(get: ((String, Double, Double)) => Double): String = results
+      .map { r => s""""${r._1}":${math.round(get(r) * 1000) / 1000.0}""" }
       .mkString("{", ",", "}")
+    val qs = jsonMap(_._2)
+    val cpuQs = jsonMap(_._3)
     val failed = results.count(_._2 < 0)
-    val total =
-      math.round(results.map(_._2).filter(_ >= 0).sum * 1000) / 1000.0
+    def total(get: ((String, Double, Double)) => Double): Double =
+      math.round(results.map(get).filter(_ >= 0).sum * 1000) / 1000.0
+    val wallTotal = total(_._2)
+    val cpuTotal = total(_._3)
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wallTotal,"unit":"sec","queries":$qs,"cpu":$cpuQs,"cpu_total":$cpuTotal,"failed":$failed,"sf":"$sfDir"}"""
     // The full per-query line outgrew the driver's captured stdout tail
     // (BENCH_r03..r05 all landed "parsed": null), so the durable per-query
     // record goes to a file and stdout ends with a short always-parseable
@@ -98,6 +140,6 @@ object Bench {
     // LAST stdout line: compact enough to survive any tail capture. Keys
     // count excludes the timed `_build:` warm entries.
     val nKeys = results.count(!_._1.startsWith("_build:"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","keys":$nKeys,"failed":$failed,"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":$wallTotal,"unit":"sec","cpu_total":$cpuTotal,"keys":$nKeys,"failed":$failed,"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
   }
 }

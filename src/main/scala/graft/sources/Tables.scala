@@ -44,11 +44,12 @@ object Tables {
         catch {
           // match the NANOS-policy signature specifically — a corrupt
           // file or schema-merge failure must surface as itself, not as
-          // conf advice ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS"
-          // is Spark 4's refusal message for unconfigured nanos).
+          // conf advice. "Illegal Parquet type: INT64 (TIMESTAMP(NANOS"
+          // is Spark 4's refusal message for unconfigured nanos; other
+          // illegal-type refusals (e.g. UINT64) must NOT be relabeled as
+          // nanosAsLong advice (ADVICE r8), so require "NANOS" itself.
           case e: Exception if Option(e.getMessage)
-              .exists(m => m.contains("NANOS") ||
-                m.contains("Illegal Parquet type")) =>
+              .exists(_.contains("NANOS")) =>
             throw new IllegalStateException(
               "events.parquet appears to use TIMESTAMP(NANOS), which " +
                 "Spark 4 only reads with " +

@@ -19,10 +19,13 @@ import org.apache.spark.sql.types._
 class FixtureCanarySpec extends GraftSuite {
   // Every scale dir present is checked (ADVICE r7): bench/verify run
   // against sf0.1, so a regeneration that drifts only the larger dirs
-  // (or ships a new one) must fail here too, not just at sf0.001.
-  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
-    .map(d => s"/root/testdata/$d")
-    .filter(d => new java.io.File(d).isDirectory)
+  // must fail here too, not just at sf0.001. Enumerated from the live
+  // mount, not hardcoded (ADVICE r8): a regeneration that ships a NEW
+  // scale dir (sf1, sf10, ...) is covered the moment it appears.
+  private val sfDirs = Option(new java.io.File("/root/testdata").listFiles())
+    .getOrElse(Array.empty)
+    .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+    .map(_.getAbsolutePath).sorted.toSeq
 
   test("at least one scale dir exists under /root/testdata") {
     // Without this, a wiped/renamed testdata mount would generate ZERO

@@ -6,11 +6,19 @@ key whose time moved by more than BAND x in either direction — triaging
 contention spikes / genuine regressions before a judge has to adjudicate
 them. Run in the round close-out, after the full-board bench:
 
-    python3 tools/bench_band.py [fresh_bench.json] [--band 3.0]
+    python3 tools/bench_band.py [fresh_bench.json] [--band 3.0] [--wall]
 
-Exit code 1 when at least one key is out of band (new/removed keys and
-sub-threshold moves are informational only). Keys measured at -1 (failed)
-on either side are always flagged.
+When BOTH records carry a per-key "cpu" map (Bench emits executor task
+CPU time since round 9), the band compares CPU seconds — on-CPU thread
+time that box contention does not inflate — so a contended wall-clock run
+no longer false-flags unchanged keys (the round-7/8 adjudication burden).
+Pass --wall to force the old wall-clock comparison.
+
+Exit code 1 when at least one key is out of band. Keys measured at -1
+(failed) on either side are always flagged, including keys that are NEW
+in the fresh run (a failed new key must not slip through as
+informational, ADVICE r8). Removed keys and sub-threshold moves stay
+informational.
 """
 import json
 import subprocess
@@ -36,13 +44,23 @@ def main():
             sys.exit("bench_band: --band needs a value")
         band = float(argv[i + 1])
         del argv[i:i + 2]  # the value must not leak into positionals
+    force_wall = "--wall" in argv
+    if force_wall:
+        argv.remove("--wall")
     if any(a.startswith("--") for a in argv):
         sys.exit(f"bench_band: unknown flag in {argv}")
     fresh_path = argv[0] if argv else "bench.json"
     with open(fresh_path) as f:
         fresh = json.load(f)
     base = load_committed()
-    fq, bq = fresh["queries"], base["queries"]
+
+    use_cpu = (not force_wall) and "cpu" in fresh and "cpu" in base
+    metric = "cpu" if use_cpu else "queries"
+    fq, bq = fresh[metric], base[metric]
+    # Wall -1 and cpu -1 are set together by Bench, so failure detection is
+    # metric-independent; keep using whichever map we compare on.
+    print(f"comparing {'executor-CPU' if use_cpu else 'wall'} seconds "
+          f"({len(set(fq) & set(bq))} shared keys, band {band}x)")
 
     flagged = []
     for key in sorted(set(fq) & set(bq)):
@@ -57,7 +75,12 @@ def main():
             flagged.append((key, b_t, f_t, f"{ratio:.2f}x"))
 
     for key in sorted(set(fq) - set(bq)):
-        print(f"  new key (no band yet): {key} = {fq[key]:.2f}s")
+        if fq[key] < 0:
+            # A key that is new AND failed must trip the gate, not print an
+            # informational "-1.00s" line (ADVICE r8).
+            flagged.append((key, float("nan"), fq[key], "FAILED run (new key)"))
+        else:
+            print(f"  new key (no band yet): {key} = {fq[key]:.2f}s")
     for key in sorted(set(bq) - set(fq)):
         print(f"  key gone from fresh run: {key}")
 
