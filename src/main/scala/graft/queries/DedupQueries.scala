@@ -611,11 +611,83 @@ object DedupQueries {
        |FROM bs CROSS JOIN nr CROSS JOIN np""".stripMargin
   }
 
+  /** dedup_containment keep threshold on the larger directional
+    * containment of a pair.
+    */
+  private val ContainThresh = 0.8
+
+  /** X61 — dedup_containment: asymmetric shingle CONTAINMENT,
+    * C(A→B) = |A∩B| / |A| — the quote/truncation/expansion detector
+    * Jaccard structurally misses: a short document wholly embedded in a
+    * much longer one has tiny Jaccard (union is dominated by the long
+    * side) but containment ≈ 1 on the short side. This is the standard
+    * second axis of near-dup curation (Broder's resemblance vs
+    * containment): `dedup_ngram_jaccard` finds same-size near-copies,
+    * this key finds subset relationships, emitting both directions plus
+    * sizes so the audit can tell "A quotes B" from "mutual overlap".
+    *
+    * Scale: identical shape to [[ngramJaccard]] — the pair join rides the
+    * SAME persisted df-capped [[rareShingles]] frame (zero new shuffles
+    * beyond the shared build; the df cap bounds bucket fan-out exactly as
+    * there), and the containment ratios are two extra projections on the
+    * pair aggregate. At 100 TB the capped-pair discipline is what keeps
+    * this linear — never an uncapped all-pairs join.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val rare = rareShingles(s, dir)
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val l = rare.as("l"); val r = rare.as("r")
+    val inter = l.join(r, col("l.shingle") === col("r.shingle") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_sh", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_sh", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        Det.qround(col("inter").cast("double") / col("n1"), 6)
+          .as("contain_fwd"),
+        Det.qround(col("inter").cast("double") / col("n2"), 6)
+          .as("contain_rev"))
+      .filter(greatest(col("contain_fwd"), col("contain_rev"))
+        >= ContainThresh)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH $shingleHashesSql,
+       |shd AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
+       |rare AS MATERIALIZED (
+       |  SELECT doc_id, shingle FROM shd
+       |  WHERE shingle IN (
+       |    SELECT shingle FROM shd GROUP BY shingle
+       |    HAVING COUNT(*) <= $MaxShingleDf)),
+       |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS inter
+       |  FROM rare l JOIN rare r
+       |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter, n1, n2,
+       |  ${Det.qroundSql("CAST(inter AS DOUBLE) / n1", 6)} AS contain_fwd,
+       |  ${Det.qroundSql("CAST(inter AS DOUBLE) / n2", 6)} AS contain_rev
+       |FROM (
+       |  SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id) t
+       |WHERE GREATEST(${Det.qroundSql("CAST(inter AS DOUBLE) / n1", 6)},
+       |               ${Det.qroundSql("CAST(inter AS DOUBLE) / n2", 6)})
+       |      >= $ContainThresh
+       |ORDER BY d1, d2""".stripMargin
+
   private def qs0 = Seq(
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_minhash", minhash, Some(minhashSql)),
     Q("dedup_simhash", simhash, Some(simhashSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_metrics", dedupMetrics, Some(dedupMetricsSql)),
   )

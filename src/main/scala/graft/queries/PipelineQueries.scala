@@ -403,6 +403,164 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** corpus_pack_sequences fixed training-sequence length in tokens. */
+  private val SeqLen = 256L
+
+  /** X59 — corpus_pack_sequences: concat-and-chunk sequence packing, the
+    * step that turns a curated corpus into the fixed-length training
+    * sequences an LLM actually consumes (GPT-style packing: the token
+    * streams of consecutive documents are concatenated and cut every
+    * [[SeqLen]] tokens, so a document may span sequences and a sequence
+    * may hold many documents). Emitted per sequence: contributing-doc
+    * count, docs that continue into the next sequence (the boundary-
+    * fragmentation statistic packing efficiency is judged by), and the
+    * token fill (== SeqLen everywhere except the final partial sequence).
+    *
+    * [[shardPack]] answers "which FILE does a whole document land in"
+    * (budgeted bin assignment, documents never split); this key answers
+    * "which TRAINING ROWS does each token land in" — the two ends of the
+    * batch-construction pipeline.
+    *
+    * Scale: the document start offset is the same two-phase distributed
+    * prefix sum as [[shardPackOf]] (range sort + P partition totals to
+    * the driver + partition-local scan — never a global single-partition
+    * window); each document then expands to its ≤ n/L + 1 overlapped
+    * sequence ids (bounded fan-out) and one seq_id hash-agg finishes. All
+    * arithmetic integer, bit-identical to the oracle's window form.
+    */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(s, Tables(s, dir, "documents"))
+
+  /** Testable seam for [[packSequences]]: explicit documents frame (the
+    * result is a pure function of the (doc_id, text) set — asserted
+    * partitioning-independent in `PipelineSpec`).
+    */
+  private[graft] def packSequencesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sorted = docs
+      .select(col("doc_id").as("_1"),
+        size(TextFns.tokens(col("text"))).cast("long").as("_2"))
+      .orderBy(col("_1"))
+      .as[(Long, Long)].rdd
+    val partSums = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive, length P+1
+    val spans = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { case (id, n) => val st = acc; acc += n; (id, n, st) }
+    }.toDF("doc_id", "n_tokens", "start")
+    val lastSeq = expr(s"(start + n_tokens - 1) DIV $SeqLen")
+    spans.filter(col("n_tokens") > 0)
+      .select(col("start"), col("n_tokens"),
+        explode(sequence(expr(s"start DIV $SeqLen"), lastSeq)).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(lastSeq > col("seq_id"), 1L).otherwise(0L))
+          .as("n_spanning"),
+        sum(least(col("start") + col("n_tokens"),
+            (col("seq_id") + 1) * SeqLen) -
+          greatest(col("start"), col("seq_id") * SeqLen)).as("seq_fill"))
+      .orderBy(col("seq_id"))
+  }
+
+  private val packSequencesSql =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |         - n_tokens AS BIGINT) AS start
+       |  FROM toks WHERE n_tokens > 0),
+       |spans AS MATERIALIZED (
+       |  SELECT start, n_tokens,
+       |    unnest(generate_series(start // $SeqLen,
+       |                           (start + n_tokens - 1) // $SeqLen)) AS seq_id
+       |  FROM pos)
+       |SELECT seq_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN (start + n_tokens - 1) // $SeqLen > seq_id
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+       |  CAST(SUM(LEAST(start + n_tokens, (seq_id + 1) * $SeqLen)
+       |      - GREATEST(start, seq_id * $SeqLen)) AS BIGINT) AS seq_fill
+       |FROM spans GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** corpus_epoch_plan: planned corpus size as a multiple of the total
+    * token count, and the max full passes over any one source
+    * (data-constrained scaling: ~4 epochs of repeated data is the
+    * last point still worth nearly fresh-data loss).
+    */
+  private val EpochBudgetX = 2L
+  private val MaxEpochs    = 4L
+
+  /** X62 — corpus_epoch_plan: epoch-repetition planning — the UPSAMPLING
+    * decision `corpus_resample` deliberately does not make (a filter can
+    * only down-sample; repeating a small high-quality source is an epoch
+    * decision made here, downstream). Against a pinned token budget of
+    * [[EpochBudgetX]]× the corpus with a uniform per-source target, each
+    * source gets: full passes `min(MaxEpochs, target div tokens)` and the
+    * partial-pass remainder tokens (0 when the epoch cap binds, never
+    * more than one extra partial pass otherwise). Pure integer
+    * arithmetic throughout — no FP shares are ever computed, matching
+    * X50's discipline — so the plan is bit-exact on both engines and
+    * reproducible at any scale.
+    *
+    * Scale: one scan + per-source hash agg; the corpus total is a 1-row
+    * broadcast (the declared scalar-aggregate crossJoin pattern).
+    */
+  private def corpusEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "documents")
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tok_tot"),
+      count(lit(1)).as("k_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"($EpochBudgetX * tok_tot) DIV k_sources"))
+      .withColumn("full_epochs",
+        least(lit(MaxEpochs), expr("target_tokens DIV n_tokens")))
+      .withColumn("partial_tokens",
+        when(col("full_epochs") < MaxEpochs,
+          least(col("n_tokens"),
+            col("target_tokens") - col("full_epochs") * col("n_tokens")))
+          .otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("full_epochs"), col("partial_tokens"),
+        (col("full_epochs") * col("n_tokens") + col("partial_tokens"))
+          .as("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusEpochPlanSql =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_tot,
+       |    COUNT(*) AS k_sources FROM per),
+       |plan AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    ($EpochBudgetX * tok_tot) // k_sources AS target_tokens,
+       |    LEAST($MaxEpochs,
+       |      (($EpochBudgetX * tok_tot) // k_sources) // n_tokens)
+       |      AS full_epochs
+       |  FROM per CROSS JOIN tot)
+       |SELECT source, n_docs, n_tokens, target_tokens, full_epochs,
+       |  CASE WHEN full_epochs < $MaxEpochs
+       |       THEN LEAST(n_tokens, target_tokens - full_epochs * n_tokens)
+       |       ELSE 0 END AS partial_tokens,
+       |  full_epochs * n_tokens +
+       |  CASE WHEN full_epochs < $MaxEpochs
+       |       THEN LEAST(n_tokens, target_tokens - full_epochs * n_tokens)
+       |       ELSE 0 END AS planned_tokens
+       |FROM plan ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
@@ -410,5 +568,7 @@ object PipelineQueries {
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("doc_shuffle", docShuffle, Some(docShuffleSql)),
-    Q("corpus_resample", corpusResample, Some(corpusResampleSql)))
+    Q("corpus_resample", corpusResample, Some(corpusResampleSql)),
+    Q("corpus_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("corpus_epoch_plan", corpusEpochPlan, Some(corpusEpochPlanSql)))
 }

@@ -1294,10 +1294,68 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** sim_topk_mrl truncation width: leading dims kept (of 64). */
+  private val MrlDims = 16
+
+  /** X60 — sim_topk_mrl: Matryoshka-style truncated-dimension top-k —
+    * the DIMENSION-reduction serving path next to PQ's quantization path
+    * (MRL-trained embedding stacks serve the first d' dims as a cheap
+    * first tier; here the leading [[MrlDims]] of 64 dims, a 4× scan-byte
+    * cut that composes multiplicatively with IVF's row cut and needs no
+    * codebook at all — truncation is free at write time). Ranked exactly
+    * like [[simTopk]] but over `embedding[1:16]` with its own norms, so
+    * the key doubles as the measured answer to "what does dropping 48
+    * dims cost in recall" via its arm in [[simRecallMetrics]].
+    *
+    * Scale: same embarrassingly-parallel broadcast-query scan as
+    * [[simTopk]], over 1/4 of the column bytes; at 100 TB the truncated
+    * copy is a separate narrow parquet column read in place of the full
+    * vector (column pruning does the byte cut for free).
+    */
+  private def simTopkMrl(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, MrlDims).as("embedding"))
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val simTopkMrlSql = {
+    val dot = VectorFns.dotSql("q.embedding", "c.embedding")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding[1:$MrlDims] AS embedding,
+       |    ${VectorFns.normSql(s"embedding[1:$MrlDims]")} AS nrm
+       |  FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${Det.qroundSql(s"$dot / (q.nrm * c.nrm)", 6)} AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries
+       |   AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** X42 — sim_recall_metrics: the ANN recall contract as one audited
     * frame — the similarity-search sibling of `dedup_metrics`. Each
     * approximate method (IVF probe, full-scan ADC over PQ codes, composed
-    * IVF+PQ) is scored against the brute-force [[simTopk]] rule:
+    * IVF+PQ, its exact re-rank, MRL dim-truncation) is scored against the
+    * brute-force [[simTopk]] rule:
     * recall@k = |approx ∩ exact| / (NQueries·k). The speed keys answer
     * "how fast"; this key is the standing answer to "at what recall" —
     * when a codebook, probe count, or list layout change starts losing
@@ -1317,6 +1375,7 @@ object SimQueries {
     val approx = arm("ivf", simTopkIvf(s, dir))
       .unionByName(arm("ivfpq", simTopkIvfPq(s, dir)))
       .unionByName(arm("ivfpq_rerank", simTopkIvfPqRerank(s, dir)))
+      .unionByName(arm("mrl", simTopkMrl(s, dir)))
       .unionByName(arm("pq", simTopkPq(s, dir)))
     val exactR = exact.select(col("q_id").as("e_q"), col("c_id").as("e_id"))
     approx
@@ -1342,6 +1401,8 @@ object SimQueries {
        |  UNION ALL
        |  SELECT 'ivfpq_rerank' AS method, q_id, c_id
        |  FROM ($simTopkIvfPqRerankSql)
+       |  UNION ALL
+       |  SELECT 'mrl' AS method, q_id, c_id FROM ($simTopkMrlSql)
        |  UNION ALL
        |  SELECT 'pq' AS method, q_id, c_id FROM ($simTopkPqSql))
        |SELECT ap.method, COUNT(*) AS n_pairs, COUNT(e.c_id) AS n_hits,
@@ -1369,6 +1430,7 @@ object SimQueries {
     Q("sim_topk_ivfpq", simTopkIvfPq, Some(simTopkIvfPqSql)),
     Q("sim_topk_ivfpq_rerank", simTopkIvfPqRerank,
       Some(simTopkIvfPqRerankSql)),
+    Q("sim_topk_mrl", simTopkMrl, Some(simTopkMrlSql)),
     Q("sim_recall_metrics", simRecallMetrics, Some(simRecallMetricsSql)),
   )
 }

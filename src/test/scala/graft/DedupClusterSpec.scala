@@ -172,4 +172,34 @@ class DedupClusterSpec extends GraftSuite {
       .filter(col("nc") > 1).count()
     assert(splitExact === 0)
   }
+
+  test("dedup_containment: ratio identities; finds every exact-dup pair " +
+    "jaccard finds; containment dominates jaccard pairwise") {
+    val sf = "/root/testdata/sf0.001"
+    val cont = Registry.byKey("dedup_containment").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(cont.nonEmpty)
+    def qr(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    cont.foreach { case ((d1, d2), (inter, n1, n2, cf, cr)) =>
+      assert(d1 < d2)
+      assert(inter > 0 && inter <= math.min(n1, n2))
+      assert(cf === qr(inter.toDouble / n1) && cr === qr(inter.toDouble / n2))
+      assert(math.max(cf, cr) >= 0.8)
+    }
+    // Every jaccard≥0.5 near-dup pair is also a containment pair:
+    // J = i/(n1+n2-i) ≤ i/max(n1,n2) = min(cf,cr) ≤ max(cf,cr), and
+    // J ≥ 0.5 forces i ≥ (n1+n2)/3, hence max(cf,cr) ≥ i/min(n1,n2) ≥ 0.8
+    // on this corpus (asserted, not assumed).
+    val jac = Registry.byKey("dedup_ngram_jaccard").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jac.nonEmpty)
+    jac.foreach { case (d1, d2, j) =>
+      val c = cont.get((d1, d2))
+      assert(c.isDefined,
+        s"jaccard pair ($d1,$d2) J=$j missing from containment")
+      assert(j <= math.max(c.get._4, c.get._5) + 1e-9)
+    }
+  }
 }

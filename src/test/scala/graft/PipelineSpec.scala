@@ -30,6 +30,35 @@ class PipelineSpec extends GraftSuite {
       c.map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("corpus_pack_sequences: invariant under partitioning; exact " +
+    "local concat-and-chunk model") {
+    val a = PipelineQueries.packSequencesOf(spark, docs(1)).collect().toSeq
+    val b = PipelineQueries.packSequencesOf(spark, docs(13)).collect().toSeq
+    assert(a.map(_.toSeq) === b.map(_.toSeq)) // ordered output, same rows
+    // Local model: lay out the 200 docs' token counts in doc_id order and
+    // chunk every 256 tokens.
+    val lens = (0L until 200L).map(i => (i % 50) + 1)
+    val starts = lens.scanLeft(0L)(_ + _)
+    val L = 256L
+    val total = lens.sum
+    val nSeq = (total + L - 1) / L
+    val model = (0L until nSeq).map { s =>
+      val docsIn = lens.indices.filter { i =>
+        starts(i) < (s + 1) * L && starts(i) + lens(i) > s * L
+      }
+      val spanning = docsIn.count(i => starts(i) + lens(i) > (s + 1) * L)
+      val fill = docsIn.map { i =>
+        math.min(starts(i) + lens(i), (s + 1) * L) -
+          math.max(starts(i), s * L)
+      }.sum
+      Seq(s, docsIn.size.toLong, spanning.toLong, fill)
+    }
+    assert(a.map(_.toSeq) === model)
+    // Every sequence is exactly full except possibly the last.
+    val fills = a.map(_.getLong(3))
+    assert(fills.init.forall(_ === L) && fills.last === total - (nSeq - 1) * L)
+  }
+
   test("decontaminate finds a cross-split near-dup; exact arm empty under content-hash split") {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
@@ -351,7 +380,7 @@ class PipelineSpec extends GraftSuite {
         r.getDouble(3)))
     // one row per approximate method, deterministic order
     assert(rows.map(_._1).toSeq ===
-      Seq("ivf", "ivfpq", "ivfpq_rerank", "pq"))
+      Seq("ivf", "ivfpq", "ivfpq_rerank", "mrl", "pq"))
     val exact = graft.queries.Registry.byKey("sim_topk").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     rows.foreach { case (m, nPairs, nHits, recall) =>
@@ -432,5 +461,48 @@ class PipelineSpec extends GraftSuite {
     val u2 = rows.find(_.getLong(0) == 2L).get
     assert(u2.getLong(1) === 0L && u2.isNullAt(2))
     assert(u2.getLong(3) === 1L && u2.getDouble(4) === 3.0)
+  }
+
+  test("corpus_epoch_plan: integer budget identities per source") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Registry.byKey("corpus_epoch_plan")
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, target, full, partial, planned) = (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(full >= 0L && full <= 4L)
+      assert(partial >= 0L && partial <= tok)
+      assert(planned === full * tok + partial)
+      if (full < 4L) {
+        // the budget binds: the plan fills the per-source target exactly,
+        // and the remainder is a strict partial pass
+        assert(planned === target && partial < tok)
+      } else {
+        // the repetition cap binds: no partial pass past 4 full epochs
+        assert(partial === 0L && planned === 4L * tok)
+      }
+    }
+    // All sources see the same uniform target.
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+  }
+
+  test("sim_topk_mrl: k rows per query; truncation visibly reorders") {
+    val sf = "/root/testdata/sf0.001"
+    val mrl = graft.queries.Registry.byKey("sim_topk_mrl").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val full = graft.queries.Registry.byKey("sim_topk").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val perQ = mrl.groupBy(_._1)
+    assert(perQ.size === 10 && perQ.values.forall(_.length === 5))
+    perQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted === (1 to 5)) // dense ranks
+      assert(rows.forall(_._3 !== q))            // self excluded
+    }
+    // On near-orthogonal synthetic embeddings, dropping 48 of 64 dims
+    // must change at least one query's top-5 set (recall < 1 is the
+    // measured, oracle-checked fact in sim_recall_metrics).
+    assert(mrl.map(t => (t._1, t._3)).toSet !==
+      full.map(t => (t._1, t._3)).toSet)
   }
 }
