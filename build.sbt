@@ -17,7 +17,14 @@ run / fork := true
 // "[info] " prefix on every forked-process line. Pass the forked run's
 // stdout/stderr through verbatim and drop the success banner so the
 // bench's compact JSON line is genuinely last and genuinely bare.
+// DELIBERATELY GLOBAL (ADVICE r7 #4 decision): sbt evaluates showSuccess
+// per top-level command, not per task, so a `run`-scoped setting would
+// not reach the driver's `sbt "runMain graft.Bench"` invocation — and
+// every sbt entry point here (driver bench/verify, CI-style test runs)
+// wants machine-parseable output. The lint exclusion below records that
+// the key is consumed by sbt's command loop, not by another task.
 showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -428,8 +428,51 @@ object StreamQueries {
         Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
 
+  /** T8 — stream_funnel: the windowed per-(user, hour) funnel
+    * ([[Streams.windowFunnelBatch]]) on the official board in its batch
+    * formulation; the `flatMapGroupsWithState` + event-time-timeout
+    * stream run ([[Streams.windowFunnelStream]]) is proven equal to this
+    * frame on watermark-complete windows by StreamBatchEquivSpec — the
+    * T7 evidence pattern applied to the one state shape T1–T7 left
+    * uncovered.
+    */
+  private def t8(s: SparkSession, dir: String): DataFrame =
+    Streams.windowFunnelBatch(events(s, dir))
+
+  private val t8Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type,
+      |    epoch_us(ts) // 3600000000 AS wid
+      |  FROM events),
+      |a1 AS MATERIALIZED (
+      |  SELECT user_id, wid, COUNT(*) AS n_events,
+      |    MIN(CASE WHEN event_type = 'view' THEN us END) AS v_us
+      |  FROM ev GROUP BY 1, 2),
+      |a2 AS MATERIALIZED (
+      |  SELECT a1.user_id, a1.wid, a1.n_events, a1.v_us, MIN(c.us) AS c_us
+      |  FROM a1 LEFT JOIN ev c ON c.user_id = a1.user_id
+      |    AND c.wid = a1.wid AND c.event_type = 'click' AND c.us > a1.v_us
+      |  GROUP BY 1, 2, 3, 4),
+      |a3 AS (
+      |  SELECT a2.user_id, a2.wid, a2.n_events, a2.v_us, a2.c_us,
+      |    MIN(p.us) AS p_us
+      |  FROM a2 LEFT JOIN ev p ON p.user_id = a2.user_id
+      |    AND p.wid = a2.wid AND p.event_type = 'purchase'
+      |    AND p.us > a2.c_us
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT user_id, wid * 3600 AS window_start, n_events,
+      |  CAST(CASE WHEN p_us IS NOT NULL THEN 3
+      |            WHEN c_us IS NOT NULL THEN 2
+      |            WHEN v_us IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+      |    AS stage,
+      |  COALESCE(v_us, -1) AS first_view_us,
+      |  COALESCE(c_us, -1) AS first_click_us,
+      |  COALESCE(p_us, -1) AS first_purchase_us
+      |FROM a3 ORDER BY user_id, window_start""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
+    Q("stream_funnel", t8, Some(t8Sql)),
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
     Q("stream_session", t3, Some(t3Sql)),

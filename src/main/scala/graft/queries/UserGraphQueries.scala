@@ -613,6 +613,106 @@ object UserGraphQueries {
        |  $counts) ORDER BY radius""".stripMargin
   }
 
+  /** graph_walks: walks started per vertex / hops per walk. */
+  private val WalksPerVertex = 2L
+  private val WalkHops = 4
+
+  /** graph_walks salted-rank multipliers over [[TextFns.HashMod]].
+    * Intermediate bound: `(M-1)·1000003 ≈ 10¹⁵ < 2⁶³`, and the walk-id
+    * side stays exact up to `walk_id ≈ 9·10¹⁵` — DuckDB's checked BIGINT
+    * arithmetic would fail loudly past either, not wrap.
+    */
+  private val WalkSaltA = 1009L
+  private val WalkSaltB = 1000003L
+  private val WalkMod = graft.functions.TextFns.HashMod
+
+  /** graph_walks (X63) — deterministic random-walk corpus generation, the
+    * DeepWalk/node2vec input shape: [[WalksPerVertex]] fixed-length walks
+    * from every vertex of DIRECTED G_user, the next hop chosen by
+    * salted-hash rank argmin over the out-neighborhood —
+    * `min_{(cur,dst)∈E} (hash(walk_id, step, dst), dst)` with the same
+    * mod-prime polynomial family as [[graft.functions.TextFns.stringHash]].
+    * Because the choice is a pure function of (walk_id, step, candidate),
+    * the corpus is bit-reproducible across re-runs and repartitioning —
+    * the X9/X19 salted-hash reproducibility contract applied to graph
+    * traversal (a `rand()` walk would be neither oracle-able nor
+    * resumable). Dead ends (no out-edges) terminate the walk; the output
+    * keeps the achieved prefix, so downstream skip-gram windows see real
+    * trajectories, not padding.
+    *
+    * Scale: per hop ONE keyed |E| equi-join (frontier hash-partitioned by
+    * `cur`, edges by `src` — AQE broadcasts the frontier when small) plus
+    * one map-side-combinable `min(struct)` per walk_id; state is the
+    * O(W·|V|) frontier, checkpointed per hop like
+    * [[GraphAlgorithms.landmarkDistances]]. No window over the
+    * neighborhood (the argmin is an aggregate, so a hub's candidate rows
+    * partial-combine in the map stage instead of sorting on one reducer)
+    * and no cartesian anywhere (asserted in PlanSpec).
+    */
+  private def graphWalks(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    graphWalksOf(g.edges, g.vertices)
+  }
+
+  /** Unit-test seam: walks over explicit directed edge + vertex frames.
+    * `checkpoint = false` keeps the full hop lineage in one plan so
+    * PlanSpec can inspect the per-hop join strategy (localCheckpoint
+    * truncates the plan the blanket cartesian sweep sees).
+    */
+  private[graft] def graphWalksOf(edges: DataFrame, vertices: DataFrame,
+                                  checkpoint: Boolean = true): DataFrame = {
+    def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
+    val e = edges.select(col("src"), col("dst"))
+    var frontier = cp(vertices.select(col("id"))
+      .withColumn("w", explode(sequence(lit(0L), lit(WalksPerVertex - 1L))))
+      .select((col("id") * WalksPerVertex + col("w")).as("walk_id"),
+        col("id").as("cur")))
+    val acc = scala.collection.mutable.Buffer(
+      frontier.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("vertex")))
+    for (t <- 1 to WalkHops) {
+      val rank = (((col("walk_id") * WalkSaltA + t) % WalkMod) * WalkSaltB +
+        col("dst")) % WalkMod
+      frontier = cp(frontier.join(e, frontier("cur") === e("src"))
+        .select(col("walk_id"), rank.as("rnk"), col("dst"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("rnk"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("cur")))
+      acc += frontier.select(col("walk_id"), lit(t).as("step"),
+        col("cur").as("vertex"))
+    }
+    acc.reduce(_ unionByName _).orderBy(col("walk_id"), col("step"))
+  }
+
+  /** DuckDB twin: the identical argmin unrolled as one CTE per hop — the
+    * `row_number() ... ORDER BY rank, dst = 1` window is the textbook
+    * formulation (fine at oracle scale; the Spark side deliberately uses
+    * the combinable aggregate instead).
+    */
+  private val graphWalksSql = {
+    val hops = (1 to WalkHops).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT walk_id, dst AS cur FROM (
+         |    SELECT f.walk_id, e.dst,
+         |      row_number() OVER (PARTITION BY f.walk_id
+         |        ORDER BY (((f.walk_id * $WalkSaltA + $t) % $WalkMod)
+         |                  * $WalkSaltB + e.dst) % $WalkMod, e.dst) AS rn
+         |    FROM w${t - 1} f JOIN edges e ON e.src = f.cur) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val outs = (0 to WalkHops).map(t =>
+      s"SELECT walk_id, CAST($t AS INTEGER) AS step, cur AS vertex FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""$SqlPrefix,
+       |ws AS (SELECT UNNEST(range($WalksPerVertex)) AS w),
+       |w0 AS MATERIALIZED (
+       |  SELECT v.id * $WalksPerVertex + ws.w AS walk_id, v.id AS cur
+       |  FROM vertices v CROSS JOIN ws),
+       |$hops
+       |SELECT walk_id, step, vertex FROM (
+       |  $outs) ORDER BY walk_id, step""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -625,5 +725,6 @@ object UserGraphQueries {
     Q("graph_closeness", closeness, Some(closenessSql)),
     Q("graph_hyperball", hyperball, Some(hyperballSql)),
     Q("graph_eff_diameter", effDiameter, Some(effDiameterSql)),
+    Q("graph_walks", graphWalks, Some(graphWalksSql)),
   )
 }

@@ -152,6 +152,152 @@ object Streams {
     viewClickJoin(views.withWatermark("ts", "2 hours"),
       clicks.withWatermark("ts", "2 hours"))
 
+  /** T8 — stream_funnel window length in µs / output epoch-µs sentinel
+    * for a stage never reached.
+    */
+  private val FunnelWindowUs = 3600000000L
+  private[graft] val FunnelMissing = -1L
+
+  /** The T8 per-window funnel kernel the streaming timeout handler
+    * replays buffered windows through: first view, first
+    * click strictly after it, first purchase strictly after that —
+    * all MIN over integer µs epochs, so the result is a pure function of
+    * the event SET (arrival order free). [[FunnelMissing]] marks a stage
+    * never reached.
+    */
+  private[graft] def funnelReduce(
+      events: Seq[(String, Long)]): (Long, Long, Long) = {
+    def first(tpe: String, after: Long): Long = {
+      val c = events.collect { case (t, us) if t == tpe && us > after => us }
+      if (c.isEmpty) FunnelMissing else c.min
+    }
+    val v = first("view", Long.MinValue)
+    val c = if (v == FunnelMissing) FunnelMissing else first("click", v)
+    val p = if (c == FunnelMissing) FunnelMissing else first("purchase", c)
+    (v, c, p)
+  }
+
+  /** T8 — per-(user, 1 h event-time window) funnel: the stage a user
+    * reached INSIDE the window (view → first later click → first later
+    * purchase), with the anchoring epochs emitted. This is the
+    * windowed-funnel complement of the cross-window `events_funnel`
+    * (X16): that key attributes conversions across a sliding hour from
+    * each view; this one is the tumbling-window state-machine shape that
+    * Structured Streaming can retire incrementally — a window's verdict
+    * is final the moment the watermark passes its end, which is exactly
+    * how [[windowFunnelStream]] emits it.
+    *
+    * Batch formulation (the oracle-checked registry key): a three-phase
+    * conditional aggregation — per-window first view, then min click
+    * strictly after it (one co-keyed self-join + re-agg), then min
+    * purchase strictly after that. All comparisons on integer µs epochs;
+    * missing stages surface as [[FunnelMissing]] so the output hashes
+    * deterministically.
+    *
+    * Scale: three aggs and two joins ALL keyed on (user_id, window) —
+    * one shuffle family, no interval join state here (the window bounds
+    * the candidate set instead); partial aggregation absorbs per-user
+    * event skew map-side.
+    */
+  def windowFunnelBatch(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("wid", expr(s"us div $FunnelWindowUs"))
+    val a1 = ev.groupBy(col("user_id"), col("wid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("wid").as("cw"),
+        col("us").as("c"))
+    val a2 = a1.join(clicks, col("user_id") === col("cu") &&
+        col("wid") === col("cw") && col("c") > col("v_us"), "left_outer")
+      .groupBy(col("user_id"), col("wid"), col("n_events"), col("v_us"))
+      .agg(min(col("c")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("wid").as("pw"),
+        col("us").as("p"))
+    a2.join(purchases, col("user_id") === col("pu") &&
+        col("wid") === col("pw") && col("p") > col("c_us"), "left_outer")
+      .groupBy(col("user_id"), col("wid"), col("n_events"), col("v_us"),
+        col("c_us"))
+      .agg(min(col("p")).as("p_us"))
+      .select(col("user_id"), (col("wid") * 3600L).as("window_start"),
+        col("n_events"),
+        when(col("p_us").isNotNull, 3).when(col("c_us").isNotNull, 2)
+          .when(col("v_us").isNotNull, 1).otherwise(0).as("stage"),
+        coalesce(col("v_us"), lit(FunnelMissing)).as("first_view_us"),
+        coalesce(col("c_us"), lit(FunnelMissing)).as("first_click_us"),
+        coalesce(col("p_us"), lit(FunnelMissing)).as("first_purchase_us"))
+      .orderBy(col("user_id"), col("window_start"))
+  }
+
+  /** Stream-mode T8: `flatMapGroupsWithState` with an EVENT-TIME timeout
+    * — the one Structured-Streaming state shape T1–T7 don't exercise
+    * (windowed agg, dedup state, join buffers, processing-time running
+    * state are covered; this is buffer-until-watermark-retires-the-window
+    * with an explicit per-group alarm clock). Events buffer per
+    * (user, window) group; the group's timeout is pinned to the window
+    * end, and when the WATERMARK crosses it the handler replays the
+    * buffer through [[funnelReduce]] — the same kernel the batch twin's
+    * aggregation is equivalence-tested against — emits the finished row
+    * once, and drops the state. Late rows can never resurrect a retired
+    * window: anything later than the watermark was already filtered
+    * upstream of the operator.
+    *
+    * Scale: state is keyed by (user, window) across the state store —
+    * bounded by active windows × events per user-hour, independent of
+    * stream length; emission is append-mode (each row exactly once), so
+    * the sink never rewrites history.
+    */
+  def windowFunnelStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._3 / FunnelWindowUs))
+      .flatMapGroupsWithState[List[(String, Long)],
+        (Long, Long, Long, Int, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, wid), it, state) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val (v, c, p) = funnelReduce(buf)
+            val stage = if (p != FunnelMissing) 3
+              else if (c != FunnelMissing) 2
+              else if (v != FunnelMissing) 1 else 0
+            Iterator.single((user, wid * 3600L, buf.size.toLong, stage,
+              v, c, p))
+          } else {
+            val end = (wid + 1) * FunnelWindowUs / 1000L
+            if (end <= state.getCurrentWatermarkMs()) {
+              // flatMapGroupsWithState does NOT filter late input the way
+              // built-in stateful aggs do (measured: the replay spec's
+              // first draft crashed arming a timeout below the
+              // watermark), so the watermark contract is enforced HERE:
+              // data for a window the watermark has already retired is
+              // late and is dropped. If the group still holds buffered
+              // state its pending timeout fires in this same batch's
+              // timeout phase — emitting exactly the pre-watermark
+              // buffer, never resurrecting a retired window.
+              Iterator.empty
+            } else {
+              val buf = state.getOption.getOrElse(Nil) :::
+                it.map(r => (r._2, r._3)).toList
+              state.update(buf)
+              // Retire the window when the watermark passes its end —
+              // `end > watermark` was just checked, so arming is legal.
+              state.setTimeoutTimestamp(end)
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("user_id", "window_start", "n_events", "stage",
+        "first_view_us", "first_click_us", "first_purchase_us")
+  }
+
   /** T5 variant with EXPLICIT custom state (`mapGroupsWithState`) — the
     * escape hatch for stateful logic Spark's built-in aggregates can't
     * express (per-key state machines, custom eviction). Here the state is

@@ -179,4 +179,52 @@ class GUserSpec extends GraftSuite {
     assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)) ===
       ((5L, 25L, 2, 1300000L)))
   }
+
+  test("graph_walks: fixture walks match an independent simulation") {
+    // Independent reference: drive the same salted-rank argmin with a
+    // plain Scala fold over the collected adjacency — the same
+    // spec-vs-kernel discipline as stringHashRef.
+    val M = 1000000007L
+    val g = fixture
+    val adj = Fixture.edgeRows.groupBy(_._1)
+      .map { case (s0, es) => s0 -> es.map(_._2).sorted }
+    val want = scala.collection.mutable.Buffer.empty[(Long, Int, Long)]
+    for (v <- Fixture.vertexRows.map(_._1); w <- 0L until 2L) {
+      val walkId = v * 2 + w
+      var cur = v
+      want += ((walkId, 0, cur))
+      var t = 1
+      var alive = true
+      while (t <= 4 && alive) {
+        adj.get(cur) match {
+          case Some(cands) =>
+            cur = cands.minBy(d =>
+              ((((walkId * 1009L + t) % M) * 1000003L + d) % M, d))
+            want += ((walkId, t, cur)); t += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = graft.queries.UserGraphQueries
+      .graphWalksOf(g.edges, g.vertices)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("graph_walks: dead ends truncate, walks are partitioning-invariant") {
+    import spark.implicits._
+    // 1→2→3, 3 has no out-edges: every walk from 1 is (1,2,3) then stops.
+    val v = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "value")
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "value")
+    def run(parts: Int) = graft.queries.UserGraphQueries
+      .graphWalksOf(e.repartition(parts), v.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val one = run(1)
+    assert(one === run(7), "walks must not depend on partitioning")
+    // Walk 2 (start=1, w=0): steps 0..2 = 1,2,3 then dead end.
+    assert(one.filter(_._1 == 2L) === Seq((2L, 0, 1L), (2L, 1, 2L),
+      (2L, 2, 3L)))
+    // Walks from 3 emit only their start row.
+    assert(one.filter(_._1 == 6L) === Seq((6L, 0, 3L)))
+  }
 }

@@ -79,7 +79,8 @@ class PlanSpec extends GraftSuite {
     "sim_topk_ivf",       // 10-row query side × centroid table
     "sim_topk_ivfpq",     // same 10-row probe stage as sim_topk_ivf
     "sim_topk_ivfpq_rerank", // composes the ivfpq probe stage above
-    "sim_recall_metrics", // composes the four sim_topk* arms above
+    "sim_topk_mrl",       // 10-row query side over truncated dims (X60)
+    "sim_recall_metrics", // composes the five sim_topk* arms above
     "sim_knn_join",       // 10-row broadcast centroid table (probe ranking)
     "kmeans_step",        // 10-row broadcast centroid table
     // scalar-aggregate crossJoins: the broadcast side is a 1-row count
@@ -95,6 +96,7 @@ class PlanSpec extends GraftSuite {
     "corpus_mixture",           // 1-row corpus-total scalar
     "corpus_temperature",       // 1-row token-total + 1-row √p-mass scalars
     "corpus_resample",          // 1-row token-total scalar → thresholds
+    "corpus_epoch_plan",        // 1-row (tok_tot, k_sources) scalar
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "triangle_census")          // 1-row n_cyclic × 1-row n_transitive
   // (hits left the list in r8: its L1 normalizer is now a driver-side
@@ -109,6 +111,31 @@ class PlanSpec extends GraftSuite {
       if (bad.nonEmpty && !crossJoinAllowed(key)) Some(key -> bad) else None
     }
     assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("graph_walks: per-hop joins are keyed, argmin is an aggregate") {
+    // Inspect the UN-checkpointed lineage (localCheckpoint truncates the
+    // plan the blanket sweep above sees): every hop must be an equi-join
+    // on cur=src — a cartesian over the neighborhood would be the
+    // quadratic trap — and the salted-rank argmin must be a combinable
+    // aggregate, not a per-walk window sort (a hub's candidates would
+    // all land on one reducer).
+    val g = Fixture.graph(spark)
+    val plan = withoutAqe {
+      queries.UserGraphQueries
+        .graphWalksOf(g.edges, g.vertices, checkpoint = false)
+        .queryExecution.executedPlan
+    }
+    val bad = plan.collect {
+      case c: CartesianProductExec        => c.nodeName
+      case b: BroadcastNestedLoopJoinExec => b.nodeName
+    }
+    assert(bad.isEmpty, bad.mkString(", "))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      "argmin must be min(struct) aggregate, not a window sort")
   }
 
   test("substrate_star_join: the dimension lookup is a broadcast join") {

@@ -117,6 +117,53 @@ class StreamBatchEquivSpec extends GraftSuite {
       rows(Streams.tumbling(batchEvents)))
   }
 
+  test("T8 funnel: event-time-timeout state equals batch on completed " +
+    "windows") {
+    // The funnel stream declares the watermark contract (data for a
+    // retired window is late and dropped), so the replay must respect
+    // event-time order ACROSS micro-batches for stream==batch to be
+    // exact: the events are split into four time QUARTILES written
+    // sequentially (mod-time order is the file source's processing
+    // order), unlike the shared random 4-file replay. Two sentinel
+    // events (user -1) 3 h and 4 h past the last real event then close
+    // the stream: the first advances the watermark beyond every real
+    // window, the second guarantees a LATER data micro-batch in which
+    // all pending event-time timeouts fire (no reliance on the
+    // no-data-batch race with processAllAvailable). The sentinels' own
+    // windows never retire and are filtered from the comparison.
+    val dir = Files.createTempDirectory("graft_replay_funnel").toString
+    val quartiled = batchEvents.withColumn("qt",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { qt =>
+      quartiled.filter(col("qt") === qt).drop("qt")
+        .write.mode("append").parquet(dir)
+      Thread.sleep(50) // strictly later mod-time ⇒ processed in order
+    }
+    val maxTs = batchEvents.agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0)
+    Seq(3, 4).foreach { h =>
+      val ts = new java.sql.Timestamp(maxTs.getTime + h * 3600000L)
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(-1L, ts, -1L, "noop", 0.0)),
+        batchEvents.schema).write.mode("append").parquet(dir)
+      Thread.sleep(50)
+    }
+    val src = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val cp = Files.createTempDirectory("graft_cp_funnel").toString
+    val q = Streams.windowFunnelStream(src).writeStream.format("memory")
+      .queryName("eq_funnel").option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows(spark.table("eq_funnel").filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("window_start")))
+    val want = rows(Streams.windowFunnelBatch(batchEvents))
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("Trigger.AvailableNow drains the source, terminates itself, and " +
     "equals batch result") {
     // The production backfill shape: process everything currently

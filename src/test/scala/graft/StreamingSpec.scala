@@ -153,4 +153,39 @@ class StreamingSpec extends GraftSuite {
       assert(sess.toSeq === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("windowFunnelStream: ordering rules hold across out-of-order " +
+    "micro-batches, windows emit exactly once on timeout") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.windowFunnelStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("append").start()
+    try {
+      // User 1, hour-0 window, delivered OUT OF ORDER across two
+      // batches: the click at 00:05 precedes the first view (must not
+      // anchor the funnel), the purchase at 00:20 precedes the first
+      // qualifying click (must not convert) — the kernel must pick
+      // view 00:10 → click 00:30 → purchase 00:45 whatever the arrival
+      // order, because state buffers the window until the watermark
+      // retires it.
+      mem.addData(Ev(1, t("00:45"), 1, "purchase", 0),
+        Ev(2, t("00:10"), 1, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t("00:05"), 1, "click", 0),
+        Ev(4, t("00:20"), 1, "purchase", 0), Ev(5, t("00:30"), 1, "click", 0))
+      q.processAllAvailable()
+      assert(spark.table("t_funnel").count() === 0,
+        "window must not emit before the watermark passes its end")
+      mem.addData(Ev(6, t("03:00"), 9, "view", 0)) // watermark → 02:00
+      q.processAllAvailable()
+      mem.addData(Ev(7, t("05:00"), 9, "view", 0)) // fire pending timeout
+      q.processAllAvailable()
+      val got = spark.table("t_funnel").filter($"user_id" === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      def us(hhmm: String) = t(hhmm).getTime * 1000L
+      assert(got.toSeq === Seq((1L, t("00:00").getTime / 1000, 5L, 3,
+        us("00:10"), us("00:30"), us("00:45"))))
+    } finally q.stop()
+  }
 }
