@@ -86,11 +86,21 @@ object SimQueries {
     * on both sides, so probe selection and final ranking match exactly.
     */
   /** Per-label coarse centroids (c_label, centroid, c_nrm) — the
-    * integer-scaled exact means shared by [[simTopkIvf]] and
-    * [[kmeansStep]] (mean per component via posexplode + re-collect,
-    * fully distributed).
+    * integer-scaled exact means shared by [[simTopkIvf]], [[simKnnJoin]],
+    * [[kmeansStep]] and the ADC probe stage (mean per component via
+    * posexplode + re-collect, fully distributed). MEMOIZED per
+    * (session, sfDir) + persisted: four consumers each re-ran the
+    * posexplode + two-level agg (|V|·64 rows shuffled per call) before
+    * round 9's fixed-cost audit; one K-row persisted frame serves them
+    * all, and the first bench toucher is the `_build:adcscored` line, so
+    * per-key attribution stays clean. Released via [[evict]].
     */
+  private val centroidCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidCache.getOrElseUpdate((s, dir), centroidsBuild(s, dir).persist())
+
+  private def centroidsBuild(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
@@ -641,6 +651,8 @@ object SimQueries {
     * full embeddings copy under the temp dir. See [[graft.Caches]].
     */
   def evict(s: SparkSession): Unit = {
+    centroidCache.keys.filter(_._1 eq s).foreach(
+      centroidCache.remove(_).foreach(_.unpersist(blocking = false)))
     sigCache.keys.filter(_._1 eq s).foreach(
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
     adcScoredCache.keys.filter(_._1 eq s).foreach(
