@@ -91,6 +91,7 @@ object Bench {
       timed("_build:guser")(queries.UserGraphQueries.warm(spark, sfDir)),
       timed("_build:probehist")(
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
+      timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),

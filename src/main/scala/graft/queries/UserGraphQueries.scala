@@ -83,6 +83,9 @@ object UserGraphQueries {
     gxCache.keys.filter(_._1 eq s).foreach(
       gxCache.remove(_).foreach(_.unpersist(blocking = false)))
     probeHistCache.keys.filter(_._1 eq s).foreach(probeHistCache.remove)
+    // the walk hops are localCheckpointed RDDs — dropping the reference
+    // lets the ContextCleaner reclaim them
+    walksCache.keys.filter(_._1 eq s).foreach(walksCache.remove)
     GUser.evict(s)
   }
 
@@ -649,9 +652,24 @@ object UserGraphQueries {
     * partial-combine in the map stage instead of sorting on one reducer)
     * and no cartesian anywhere (asserted in PlanSpec).
     */
-  private def graphWalks(s: SparkSession, dir: String): DataFrame = {
-    val g = GUser(s, dir)
-    graphWalksOf(g.edges, g.vertices)
+  private def graphWalks(s: SparkSession, dir: String): DataFrame =
+    walksFrame(s, dir).orderBy(col("walk_id"), col("step"))
+
+  // The un-ordered walk frame is shared by graph_walks and
+  // graph_walk_pairs — memoized per (session, sfDir) so the hop joins run
+  // once (the probehist discipline; bench `_build:walks` hook below).
+  // The hops are localCheckpointed, so no extra persist is needed.
+  private val walksCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def walksFrame(s: SparkSession, dir: String): DataFrame =
+    walksCache.getOrElseUpdate((s, dir), {
+      val g = GUser(s, dir)
+      walksUnionOf(g.edges, g.vertices)
+    })
+
+  /** Bench `_build:walks` hook: the shared hop-join walk corpus. */
+  def warmWalks(s: SparkSession, dir: String): Unit = {
+    walksFrame(s, dir).count(); ()
   }
 
   /** Unit-test seam: walks over explicit directed edge + vertex frames.
@@ -660,7 +678,12 @@ object UserGraphQueries {
     * truncates the plan the blanket cartesian sweep sees).
     */
   private[graft] def graphWalksOf(edges: DataFrame, vertices: DataFrame,
-                                  checkpoint: Boolean = true): DataFrame = {
+                                  checkpoint: Boolean = true): DataFrame =
+    walksUnionOf(edges, vertices, checkpoint)
+      .orderBy(col("walk_id"), col("step"))
+
+  private def walksUnionOf(edges: DataFrame, vertices: DataFrame,
+                           checkpoint: Boolean = true): DataFrame = {
     def cp(df: DataFrame) = if (checkpoint) df.localCheckpoint() else df
     val e = edges.select(col("src"), col("dst"))
     var frontier = cp(vertices.select(col("id"))
@@ -681,15 +704,17 @@ object UserGraphQueries {
       acc += frontier.select(col("walk_id"), lit(t).as("step"),
         col("cur").as("vertex"))
     }
-    acc.reduce(_ unionByName _).orderBy(col("walk_id"), col("step"))
+    acc.reduce(_ unionByName _)
   }
 
-  /** DuckDB twin: the identical argmin unrolled as one CTE per hop — the
-    * `row_number() ... ORDER BY rank, dst = 1` window is the textbook
-    * formulation (fine at oracle scale; the Spark side deliberately uses
-    * the combinable aggregate instead).
+  /** DuckDB CTE chain defining `walks(walk_id, step, vertex)` — the
+    * identical argmin unrolled as one CTE per hop (the `row_number()
+    * ... ORDER BY rank, dst = 1` window is the textbook formulation,
+    * fine at oracle scale; the Spark side deliberately uses the
+    * combinable aggregate instead). Shared by the `graph_walks` and
+    * `graph_walk_pairs` oracles so the unrolling cannot drift.
     */
-  private val graphWalksSql = {
+  private val walksCtes = {
     val hops = (1 to WalkHops).map { t =>
       s"""w$t AS MATERIALIZED (
          |  SELECT walk_id, dst AS cur FROM (
@@ -708,10 +733,52 @@ object UserGraphQueries {
        |w0 AS MATERIALIZED (
        |  SELECT v.id * $WalksPerVertex + ws.w AS walk_id, v.id AS cur
        |  FROM vertices v CROSS JOIN ws),
-       |$hops
-       |SELECT walk_id, step, vertex FROM (
-       |  $outs) ORDER BY walk_id, step""".stripMargin
+       |$hops,
+       |walks AS MATERIALIZED (
+       |  $outs)""".stripMargin
   }
+
+  private val graphWalksSql =
+    s"""$walksCtes
+       |SELECT walk_id, step, vertex FROM walks
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** graph_walk_pairs skip-gram window (steps either side). */
+  private val SkipWindow = 2
+
+  /** X64 — graph_walk_pairs: skip-gram (center, context) pair counts
+    * over the X63 walk corpus — the actual DeepWalk/node2vec TRAINING
+    * INPUT (word2vec over walks): every ordered pair of vertices
+    * co-occurring within [[SkipWindow]] steps on the same walk, with its
+    * multiplicity. Rides the SAME memoized walk frame as `graph_walks`
+    * (zero new hop joins — the walks build is the shared
+    * `_build:walks` bench line).
+    *
+    * Scale: the self-join is keyed on walk_id (≤ L+1 rows per group, so
+    * the expansion is the bounded ≤ L·2w per walk — linear in corpus
+    * size), and the (center, context) count is a map-side-combinable
+    * hash agg. At 100 TB this is exactly the pair-generation pass a
+    * word2vec trainer shuffles by center vertex.
+    */
+  private def graphWalkPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = walksFrame(s, dir)
+    val a = w.select(col("walk_id"), col("step").as("s1"),
+      col("vertex").as("center"))
+    val b = w.select(col("walk_id").as("wid2"), col("step").as("s2"),
+      col("vertex").as("context"))
+    a.join(b, col("walk_id") === col("wid2") && col("s2") =!= col("s1") &&
+        abs(col("s2") - col("s1")) <= SkipWindow)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  private val graphWalkPairsSql =
+    s"""$walksCtes
+       |SELECT a.vertex AS center, b.vertex AS context, COUNT(*) AS n
+       |FROM walks a JOIN walks b ON b.walk_id = a.walk_id
+       |  AND b.step <> a.step AND abs(b.step - a.step) <= $SkipWindow
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
@@ -726,5 +793,6 @@ object UserGraphQueries {
     Q("graph_hyperball", hyperball, Some(hyperballSql)),
     Q("graph_eff_diameter", effDiameter, Some(effDiameterSql)),
     Q("graph_walks", graphWalks, Some(graphWalksSql)),
+    Q("graph_walk_pairs", graphWalkPairs, Some(graphWalkPairsSql)),
   )
 }

@@ -227,4 +227,27 @@ class GUserSpec extends GraftSuite {
     // Walks from 3 emit only their start row.
     assert(one.filter(_._1 == 6L) === Seq((6L, 0, 3L)))
   }
+
+  test("graph_walk_pairs: skip-gram counts match the hand expansion") {
+    import spark.implicits._
+    // Same 1→2→3 line graph: both walks from 1 are (1,2,3), both from 2
+    // are (2,3), both from 3 are (3). With window 2, each (1,2,3) walk
+    // contributes ordered pairs (1,2),(1,3),(2,1),(2,3),(3,1),(3,2);
+    // each (2,3) walk contributes (2,3),(3,2). Two walks per start
+    // double every count.
+    val v = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "value")
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "value")
+    val walks = graft.queries.UserGraphQueries.graphWalksOf(e, v)
+    val a = walks.select(col("walk_id"), col("step").as("s1"),
+      col("vertex").as("center"))
+    val b = walks.select(col("walk_id").as("wid2"), col("step").as("s2"),
+      col("vertex").as("context"))
+    val got = a.join(b, col("walk_id") === col("wid2") &&
+        col("s2") =!= col("s1") && abs(col("s2") - col("s1")) <= 2)
+      .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 1L, 2L),
+      (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
+  }
 }
