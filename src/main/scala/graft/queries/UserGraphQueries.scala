@@ -780,6 +780,107 @@ object UserGraphQueries {
        |  AND b.step <> a.step AND abs(b.step - a.step) <= $SkipWindow
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** graph_walks_biased rank multipliers — the INVERSE node2vec weights
+    * as exact integers (lower biased rank wins): returning to the
+    * previous vertex is discouraged 1/p with p=4, staying in the
+    * previous vertex's neighborhood is favored (weight 1), leaving it is
+    * discouraged 1/q with q=2. `rank·m` stays < 4·10⁹ ≪ 2⁶³, so the
+    * arithmetic is exact on both engines.
+    */
+  private val BiasReturn = 4L
+  private val BiasNear   = 1L
+  private val BiasFar    = 2L
+
+  /** X65 — graph_walks_biased: SECOND-ORDER (node2vec) deterministic
+    * walks — X63's salted-hash-rank argmin with the candidate rank
+    * scaled by the inverse of the node2vec bias weight, so the walk
+    * remembers ONE hop of history: candidates returning to `prev` rank
+    * ×[[BiasReturn]] worse, candidates inside prev's out-neighborhood
+    * keep their rank (×[[BiasNear]]), candidates leaving it rank
+    * ×[[BiasFar]] worse. The p/q knob is what lets one walk corpus
+    * interpolate between BFS-like (community) and DFS-like (structural)
+    * embeddings — the reason node2vec beats DeepWalk on mixed graphs.
+    *
+    * Scale: the second-order state is just the (prev, cur) pair in the
+    * frontier — NOT the O(|V|·d²) transition-triple materialization the
+    * naive node2vec preprocessing builds; the neighborhood test is one
+    * extra |E| equi-join per hop on (prev, dst) against the
+    * (src, dst)-unique edge set (no row multiplication), and the argmin
+    * stays the map-side-combinable `min(struct)`. First hop has no
+    * prev: every candidate classifies "far", a uniform ×2 that cannot
+    * change the argmin.
+    */
+  private def graphWalksBiased(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    graphWalksBiasedOf(g.edges, g.vertices)
+  }
+
+  private[graft] def graphWalksBiasedOf(edges: DataFrame,
+                                        vertices: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val e2 = edges.select(col("src").as("p2"), col("dst").as("d2"))
+    var frontier = vertices.select(col("id"))
+      .withColumn("w", explode(sequence(lit(0L), lit(WalksPerVertex - 1L))))
+      .select((col("id") * WalksPerVertex + col("w")).as("walk_id"),
+        lit(-1L).as("prev"), col("id").as("cur"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.Buffer(
+      frontier.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("vertex")))
+    for (t <- 1 to WalkHops) {
+      val rank = (((col("walk_id") * WalkSaltA + t) % WalkMod) * WalkSaltB +
+        col("dst")) % WalkMod
+      val m = when(col("dst") === col("prev"), BiasReturn)
+        .when(col("p2").isNotNull, BiasNear)
+        .otherwise(BiasFar)
+      frontier = frontier.join(e, frontier("cur") === e("src"))
+        .select(col("walk_id"), col("prev"), frontier("cur").as("cur"),
+          col("dst"), rank.as("rnk"))
+        .join(e2, col("prev") === col("p2") && col("dst") === col("d2"),
+          "left_outer")
+        .select(col("walk_id"), col("cur"), col("dst"),
+          (col("rnk") * m).as("brnk"))
+        .groupBy(col("walk_id"), col("cur"))
+        .agg(min(struct(col("brnk"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("cur").as("prev"),
+          col("m.dst").as("cur"))
+        .localCheckpoint()
+      acc += frontier.select(col("walk_id"), lit(t).as("step"),
+        col("cur").as("vertex"))
+    }
+    acc.reduce(_ unionByName _).orderBy(col("walk_id"), col("step"))
+  }
+
+  private val graphWalksBiasedSql = {
+    val hops = (1 to WalkHops).map { t =>
+      s"""b$t AS MATERIALIZED (
+         |  SELECT walk_id, cur AS prev, dst AS cur FROM (
+         |    SELECT f.walk_id, f.cur, e.dst,
+         |      row_number() OVER (PARTITION BY f.walk_id
+         |        ORDER BY ((((f.walk_id * $WalkSaltA + $t) % $WalkMod)
+         |                   * $WalkSaltB + e.dst) % $WalkMod)
+         |                  * (CASE WHEN e.dst = f.prev THEN $BiasReturn
+         |                          WHEN e2.src IS NOT NULL THEN $BiasNear
+         |                          ELSE $BiasFar END),
+         |                  e.dst) AS rn
+         |    FROM b${t - 1} f JOIN edges e ON e.src = f.cur
+         |    LEFT JOIN edges e2 ON e2.src = f.prev AND e2.dst = e.dst)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val outs = (0 to WalkHops).map(t =>
+      s"SELECT walk_id, CAST($t AS INTEGER) AS step, cur AS vertex FROM b$t")
+      .mkString("\n  UNION ALL ")
+    s"""$SqlPrefix,
+       |ws AS (SELECT UNNEST(range($WalksPerVertex)) AS w),
+       |b0 AS MATERIALIZED (
+       |  SELECT v.id * $WalksPerVertex + ws.w AS walk_id,
+       |    CAST(-1 AS BIGINT) AS prev, v.id AS cur
+       |  FROM vertices v CROSS JOIN ws),
+       |$hops
+       |SELECT walk_id, step, vertex FROM (
+       |  $outs) ORDER BY walk_id, step""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
@@ -794,5 +895,6 @@ object UserGraphQueries {
     Q("graph_eff_diameter", effDiameter, Some(effDiameterSql)),
     Q("graph_walks", graphWalks, Some(graphWalksSql)),
     Q("graph_walk_pairs", graphWalkPairs, Some(graphWalkPairsSql)),
+    Q("graph_walks_biased", graphWalksBiased, Some(graphWalksBiasedSql)),
   )
 }

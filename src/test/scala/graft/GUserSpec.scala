@@ -228,6 +228,61 @@ class GUserSpec extends GraftSuite {
     assert(one.filter(_._1 == 6L) === Seq((6L, 0, 3L)))
   }
 
+  test("graph_walks_biased: fixture walks match an independent " +
+    "second-order simulation") {
+    val M = 1000000007L
+    val g = fixture
+    val adjSet = Fixture.edgeRows.map(e => (e._1, e._2)).toSet
+    val adj = Fixture.edgeRows.groupBy(_._1)
+      .map { case (s0, es) => s0 -> es.map(_._2).sorted }
+    val want = scala.collection.mutable.Buffer.empty[(Long, Int, Long)]
+    for (v <- Fixture.vertexRows.map(_._1); w <- 0L until 2L) {
+      val walkId = v * 2 + w
+      var prev = -1L
+      var cur = v
+      want += ((walkId, 0, cur))
+      var t = 1
+      var alive = true
+      while (t <= 4 && alive) {
+        adj.get(cur) match {
+          case Some(cands) =>
+            val next = cands.minBy { d =>
+              val r = (((walkId * 1009L + t) % M) * 1000003L + d) % M
+              val m = if (d == prev) 4L
+                else if (adjSet.contains((prev, d))) 1L else 2L
+              (r * m, d)
+            }
+            prev = cur; cur = next
+            want += ((walkId, t, cur)); t += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = graft.queries.UserGraphQueries
+      .graphWalksBiasedOf(g.edges, g.vertices)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("graph_walks_biased: the return bias flips a hand-computed choice") {
+    import spark.implicits._
+    // 1→2, 2⇄{1,3}, 3→2. Walk 2 (start 1) reaches 2 at step 1 with
+    // prev=1; step-2 candidates are 1 (return, ×4) and 3 (far, ×2).
+    // Hand-computed ranks at t=2: base = (2·1009+2)·1000003 mod M →
+    // r(1) = 20006047 < r(3) = 20006049, so the UNBIASED walk returns
+    // to 1 — and the bias (r·4 vs r·2) flips it to 3. This is the
+    // divergence the fixture graph happens not to exercise.
+    val v = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0)).toDF("id", "value")
+    val e = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 1.0),
+      (3L, 2L, 1.0)).toDF("src", "dst", "value")
+    def step2(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("walk_id") === 2L && col("step") === 2)
+      .collect()(0).getLong(2)
+    assert(step2(graft.queries.UserGraphQueries.graphWalksOf(e, v)) === 1L)
+    assert(step2(graft.queries.UserGraphQueries
+      .graphWalksBiasedOf(e, v)) === 3L)
+  }
+
   test("graph_walk_pairs: skip-gram counts match the hand expansion") {
     import spark.implicits._
     // Same 1→2→3 line graph: both walks from 1 are (1,2,3), both from 2
