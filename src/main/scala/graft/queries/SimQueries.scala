@@ -409,7 +409,10 @@ object SimQueries {
     * tall-skinny Gramian shape; only 64 partial rows per task cross the
     * shuffle, and nothing is ever collected to the driver.
     */
-  private def embPowerIter(s: SparkSession, dir: String): DataFrame = {
+  /** The (pos, w, n) power-iterate frame — shared by [[embPowerIter]]
+    * and [[embPcaProject]].
+    */
+  private def embPowerIterFrame(s: SparkSession, dir: String): DataFrame = {
     val v0 = typedLit((0 until EmbDim).map(_ => 0.125))
     Tables(s, dir, "embeddings")
       .select(col("embedding"),
@@ -420,12 +423,16 @@ object SimQueries {
         + 0.5).cast("long")).as("sw"), count(lit(1)).as("n"))
       .select(col("pos"), (col("sw").cast("double") / 1000000.0).as("w"),
         col("n"))
-      .orderBy(col("pos"))
   }
 
+  private def embPowerIter(s: SparkSession, dir: String): DataFrame =
+    embPowerIterFrame(s, dir).orderBy(col("pos"))
+
   // lazy: EmbDim is declared further down the object — an eager val here
-  // would capture its pre-initialization 0 and emit an empty v0 literal
-  private lazy val embPowerIterSql = {
+  // would capture its pre-initialization 0 and emit an empty v0 literal.
+  // CTE prefix defining `w(pos, w, n)` — shared by the emb_power_iter
+  // and emb_pca_project oracles so the iterate arithmetic cannot drift.
+  private lazy val powerIterCtes = {
     val v0 = (0 until EmbDim).map(_ => "0.125").mkString("[", ", ", "]")
     val dot = VectorFns.dotSql("embedding", v0)
     s"""WITH scored AS MATERIALIZED (
@@ -433,12 +440,72 @@ object SimQueries {
        |terms AS (
        |  SELECT xv, unnest(range(0, len(embedding))) AS pos,
        |         unnest(embedding) AS comp
-       |  FROM scored)
-       |SELECT pos,
-       |  CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * xv * 1000000.0 + 0.5)
-       |       AS BIGINT)) AS DOUBLE) / 1000000.0 AS w,
-       |  COUNT(*) AS n
-       |FROM terms GROUP BY pos ORDER BY pos""".stripMargin
+       |  FROM scored),
+       |w AS MATERIALIZED (
+       |  SELECT pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * xv * 1000000.0 + 0.5)
+       |         AS BIGINT)) AS DOUBLE) / 1000000.0 AS w,
+       |    COUNT(*) AS n
+       |  FROM terms GROUP BY pos)""".stripMargin
+  }
+
+  private lazy val embPowerIterSql =
+    s"""$powerIterCtes
+       |SELECT pos, w, n FROM w ORDER BY pos""".stripMargin
+
+  /** X67 — emb_pca_project: 1-d spectral compression audit — project
+    * every embedding onto the [[embPowerIter]] dominant-direction
+    * iterate (normalized) and emit the coordinate plus the residual
+    * norm. This is the third serving-compression tier next to PQ
+    * (quantize, X38/39) and MRL (truncate, X60): a LEARNED projection,
+    * with `resid_q` the per-vector answer to "what does 1-d keep" that
+    * composes into explained variance. Callers iterate the power step
+    * before projecting; one step is the oracle-able unit here, exactly
+    * as `kmeans_step` pins one Lloyd round.
+    *
+    * Determinism: the direction w is the already-oracled exact iterate
+    * (×10⁶-floored longs → one IEEE division); its norm and each
+    * projection are the same sequential [[VectorFns.dot]] fold on both
+    * engines; residual = `sqrt(max(0, x·x − p²))` is a fixed chain of
+    * IEEE ops on identical inputs, quantized at 6 places like every
+    * cosine.
+    *
+    * Scale: w collapses to ONE broadcast row (the declared
+    * scalar-aggregate crossJoin pattern); the projection pass is a
+    * narrow embarrassingly-parallel scan — the tall-skinny PCA-apply
+    * shape, no shuffle after the d-key iterate agg.
+    */
+  private def embPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val warr = embPowerIterFrame(s, dir)
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pv"))
+      .select(transform(col("pv"), p => p.getField("w")).as("warr"))
+      .withColumn("wnrm", VectorFns.norm(col("warr")))
+    Tables(s, dir, "embeddings")
+      .crossJoin(broadcast(warr))
+      .select(col("vec_id"),
+        (VectorFns.dot(col("embedding"), col("warr")) / col("wnrm"))
+          .as("p"),
+        VectorFns.dot(col("embedding"), col("embedding")).as("xx"))
+      .select(col("vec_id"), Det.qround(col("p"), 6).as("proj_q"),
+        Det.qround(sqrt(greatest(lit(0.0), col("xx") - col("p") * col("p"))),
+          6).as("resid_q"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val embPcaProjectSql = {
+    val dotW = VectorFns.dotSql("embedding", "warr")
+    val dotX = VectorFns.dotSql("embedding", "embedding")
+    s"""$powerIterCtes,
+       |wa AS (SELECT list(w ORDER BY pos) AS warr FROM w),
+       |wn AS MATERIALIZED (
+       |  SELECT warr, ${VectorFns.normSql("warr")} AS wnrm FROM wa),
+       |p AS (
+       |  SELECT vec_id, $dotW / wnrm AS p, $dotX AS xx
+       |  FROM embeddings CROSS JOIN wn)
+       |SELECT vec_id, ${Det.qroundSql("p", 6)} AS proj_q,
+       |  ${Det.qroundSql("sqrt(greatest(0.0, xx - p * p))", 6)} AS resid_q
+       |FROM p ORDER BY vec_id""".stripMargin
   }
 
   // ---- embedding near-dup: LSH-candidate path (the 100 TB shape) ----
@@ -869,6 +936,43 @@ object SimQueries {
       |    c -> CAST(unicode(c) AS BIGINT))) % 65536 AS BIGINT) AS checksum,
       |  CAST(FLOOR((octet_length(encode(text)) + 1023) / 1024.0) AS BIGINT) AS n_chunks
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X66 — multimodal_dedup: exact duplicate collapse over the BINARY
+    * blob column by content digest — the multimodal sibling of
+    * `dedup_exact`, with the one change that matters at 100 TB: the
+    * grouping key is the 16-byte `md5(blob)` digest, never the blob
+    * value itself (a video blob cannot ride a hash-agg the way document
+    * text can; the digest map-reduces in constant key width whatever the
+    * payload size, and the full blob never crosses a shuffle — only
+    * (doc_id, digest) pairs do). Emits the min-id representative, copy
+    * count, and keep flag per row — the `dedup_exact` audit shape.
+    *
+    * Digest parity: Spark's `md5(binary)` and DuckDB's `md5(string)`
+    * both hash the UTF-8 bytes, so the hex digests match exactly on
+    * these fixtures (the blobs are text-cast bytes — see [[multimodal]]'s
+    * STUB note; a real deployment hashes real media bytes, same plan).
+    */
+  private def multimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("blob_hash"))
+    val reps = b.groupBy(col("blob_hash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+    b.join(reps, Seq("blob_hash"))
+      .select(col("doc_id"), col("blob_hash"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalDedupSql =
+    """WITH b AS MATERIALIZED (
+      |  SELECT doc_id, md5(text) AS blob_hash FROM documents),
+      |r AS MATERIALIZED (
+      |  SELECT blob_hash, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+      |  FROM b GROUP BY 1)
+      |SELECT doc_id, b.blob_hash, rep_id, doc_id = rep_id AS is_rep,
+      |  n_copies
+      |FROM b JOIN r USING (blob_hash) ORDER BY doc_id""".stripMargin
 
   /** Multimodal frame-sampling stage: chunk each blob into fixed 1 KiB
     * "frames" (the video/audio analogue: fixed-duration segments), SAMPLE
@@ -1429,6 +1533,7 @@ object SimQueries {
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("sim_knn_join", simKnnJoin, Some(simKnnJoinSql)),
     Q("emb_power_iter", embPowerIter, Some(embPowerIterSql)),
+    Q("emb_pca_project", embPcaProject, Some(embPcaProjectSql)),
     Q("kmeans_step", kmeansStep, Some(kmeansStepSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_embedding_clusters", dedupEmbeddingClusters,
@@ -1437,6 +1542,7 @@ object SimQueries {
       Some(dedupEmbeddingExactSql)),
     Q("multimodal_features", multimodal, Some(multimodalSql)),
     Q("multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    Q("multimodal_dedup", multimodalDedup, Some(multimodalDedupSql)),
     Q("emb_pq_encode", embPqEncode, Some(embPqEncodeSql)),
     Q("sim_topk_pq", simTopkPq, Some(simTopkPqSql)),
     Q("sim_topk_ivfpq", simTopkIvfPq, Some(simTopkIvfPqSql)),
