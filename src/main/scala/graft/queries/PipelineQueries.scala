@@ -561,8 +561,67 @@ object PipelineQueries {
        |       ELSE 0 END AS planned_tokens
        |FROM plan ORDER BY source""".stripMargin
 
+  /** Reservoir size per stratum for [[sampleReservoir]]. */
+  private val ResK = 5
+  /** Sub-stratum fan-out for the two-phase bottom-k (see scaladoc). */
+  private val ResBuckets = 8
+
+  /** sample_reservoir — FIXED-SIZE deterministic sample per language
+    * stratum (the eval-set / holdout carving shape): the k=[[ResK]]
+    * documents with the SMALLEST salted content hash per lang, i.e. a
+    * reservoir sample whose "random" order is the X9/X19 salted-hash
+    * reproducibility contract — bit-reproducible across re-runs,
+    * repartitioning, and engines, where `rand()`-reservoirs are neither
+    * oracle-able nor resumable. Complements [[stratifiedSample]] (X11):
+    * that key keeps a RATE per stratum (output grows with the corpus),
+    * this one keeps a COUNT (output fixed whatever the corpus size — what
+    * an eval holdout actually needs).
+    *
+    * Scale shape: bottom-k per stratum is computed in TWO phases —
+    * phase 1 ranks within (lang, h mod [[ResBuckets]]) sub-strata and
+    * keeps ≤ k per bucket (each window sort sees ~1/[[ResBuckets]] of a
+    * stratum — the skew headroom: a 100 TB single-language corpus never
+    * funnels through one sort), phase 2 re-ranks the ≤ buckets·k
+    * survivors per lang. Global bottom-k per stratum ⊆ the union of
+    * per-bucket bottom-k's (doc_id makes the order total), so the result
+    * is IDENTICAL to the one-window semantic spec — which is exactly what
+    * the DuckDB twin runs (single ROW_NUMBER per lang), so the gate also
+    * proves the two-phase rewrite correct.
+    */
+  private def sampleReservoir(s: SparkSession, dir: String): DataFrame =
+    sampleReservoirOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[sampleReservoir]]: explicit documents frame. */
+  private[graft] def sampleReservoirOf(docs: DataFrame): DataFrame = {
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("h") % ResBuckets)
+      .orderBy(col("h"), col("doc_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("lang"), col("doc_id"),
+        TextFns.stringHash(concat(lit("reservoir:"), col("text"))).as("h"))
+      .withColumn("rk1", row_number().over(w1)).where(col("rk1") <= ResK)
+      .withColumn("sample_rank", row_number().over(w2))
+      .where(col("sample_rank") <= ResK)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  private val sampleReservoirSql = {
+    val h = TextFns.stringHashSql("'reservoir:' || text").replace("\n", " ")
+    s"""SELECT lang, sample_rank, doc_id, h FROM (
+       |  SELECT lang, doc_id, h, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY h, doc_id) AS INTEGER)
+       |    AS sample_rank
+       |  FROM (SELECT lang, doc_id, $h AS h FROM documents))
+       |WHERE sample_rank <= $ResK
+       |ORDER BY lang, sample_rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
+    Q("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),

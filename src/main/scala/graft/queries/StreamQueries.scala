@@ -470,6 +470,151 @@ object StreamQueries {
       |  COALESCE(p_us, -1) AS first_purchase_us
       |FROM a3 ORDER BY user_id, window_start""".stripMargin
 
+  /** X68 — events_heavy_hitters: frequent-elements audit via a COUNT–MIN
+    * sketch next to the exact top-K — the frequency rung of the mergeable-
+    * sketch ladder (X6 HLL distinct → X13 quantile → X53 HyperBall → CMS).
+    *
+    * Shape: ONE `count_min_sketch` aggregate over user_id (partial
+    * sketches are width×depth integer arrays that merge by cell-wise add —
+    * map-side combinable, no distinct shuffle; the 100 TB frequency pass),
+    * plus the exact per-user counts collapsed to the top-K=20 by
+    * (count DESC, user_id) — `orderBy.limit` plans as TakeOrdered (per-
+    * partition partial top-K, never a global sort). The K-row result is
+    * then probed against the sketch on the driver — bounded-metadata
+    * collect (≤ K rows), the same discipline as the IVF label collect.
+    *
+    * Oracle shape (the X6 sketch discipline): exact counts and the
+    * integer ppm share are value-compared; the CMS estimate is engine-
+    * specific, so it is checked through its two contracts instead —
+    * (a) `cms_no_underestimate`: a count–min estimate can NEVER be below
+    * the true count (min over depth rows of over-counted cells), an
+    * unconditional structural guarantee; (b) `cms_within_eps`: estimate ≤
+    * exact + 5·eps·N (the eps·N overcount bound holds w.p. confidence =
+    * 0.99; the 5× margin is the same tail-luck allowance as X6's rsd
+    * gate). Both pinned TRUE in the oracle — a broken sketch fails the
+    * gate.
+    */
+  private def eventsHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    eventsHeavyHittersOf(s, events(s, dir))
+
+  /** Testable seam for [[eventsHeavyHitters]]: explicit events frame. */
+  private[graft] def eventsHeavyHittersOf(s: SparkSession,
+      evIn: DataFrame): DataFrame = {
+    val K = 20
+    val Eps = 0.005
+    val ev = evIn.select(col("user_id"))
+    val skRow = ev.agg(
+      expr(s"count_min_sketch(user_id, ${Eps}d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val total = skRow.getAs[Long]("n")
+    val epsBand = math.ceil(5.0 * Eps * total).toLong
+    val topk = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("user_id")).limit(K)
+      .collect() // bounded: ≤ K rows
+    val rows = topk.toSeq.map { r =>
+      val uid = r.getLong(0); val cnt = r.getLong(1)
+      val est = cms.estimateCount(java.lang.Long.valueOf(uid))
+      (uid, cnt, cnt * 1000000L / total, est >= cnt, est <= cnt + epsBand)
+    }
+    s.createDataFrame(rows).toDF("user_id", "exact_cnt", "share_ppm",
+        "cms_no_underestimate", "cms_within_eps")
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  private val eventsHeavyHittersSql =
+    """WITH tot AS (SELECT COUNT(*) AS n FROM events),
+      |cnt AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1)
+      |SELECT user_id, exact_cnt,
+      |  exact_cnt * 1000000 // n AS share_ppm,
+      |  TRUE AS cms_no_underestimate, TRUE AS cms_within_eps
+      |FROM cnt, tot
+      |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin
+
+  /** X69 — events_type_overlap: distinct-user overlap between every event-
+    * type pair — exact intersection/union/Jaccard next to the HLL
+    * inclusion–exclusion estimate. The SET-ALGEBRA rung of the sketch
+    * ladder: X6 proves one sketch's estimate, this key proves sketches
+    * COMPOSE (|A∩B| = |A|+|B|−|A∪B| with |A∪B| from `hll_union` of the
+    * per-type Datasketches HLLs) — the only way to get pairwise audience
+    * overlap at 100 TB without a per-pair distinct shuffle: per-type
+    * sketches build in one pass (mergeable partials), and every pairwise
+    * union is then arithmetic on |types| tiny binary blobs.
+    *
+    * The exact twin does pay the per-pair distinct self-join (affordable
+    * at test scale, the quadratic trap at 100 TB — exactly the X53
+    * probe-twin relationship). The pair nest is a crossJoin against the
+    * |types|-row sketch frame (declared in PlanSpec's allowlist).
+    *
+    * Contract arithmetic: lgK=14 → rsd ≈ 1.04/√2¹⁴ ≈ 0.81%; inclusion–
+    * exclusion compounds three estimates, each on a set ≤ |A∪B|, so the
+    * 1σ error is ≈ 3·rsd·|A∪B| ≈ 2.4% of the union; the pinned band is
+    * 15% of the union (+1 for integer rounding) — the X6 5–6× tail-luck
+    * margin. Exact values (intersection, union, integer-ppm Jaccard) are
+    * value-compared; the sketch only through its band.
+    */
+  private def eventsTypeOverlap(s: SparkSession, dir: String): DataFrame =
+    eventsTypeOverlapOf(s, events(s, dir))
+
+  /** Testable seam for [[eventsTypeOverlap]]: explicit events frame. */
+  private[graft] def eventsTypeOverlapOf(s: SparkSession,
+      evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
+        countDistinct(col("user_id")).as("exact_n"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+      col("exact_n").as("exact_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+      col("exact_n").as("exact_b"))
+    val pairs = a.crossJoin(broadcast(b)).where(col("type_a") < col("type_b"))
+    val du = ev.distinct()
+    val inter = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val union = col("exact_a") + col("exact_b") - col("exact_inter")
+    pairs.join(inter, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        col("exact_inter"), union.as("exact_union"),
+        expr("exact_inter * 1000000 div (exact_a + exact_b - exact_inter)")
+          .as("jaccard_ppm"),
+        (abs((hll_sketch_estimate(col("sk_a")) +
+          hll_sketch_estimate(col("sk_b")) -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))) -
+          col("exact_inter")).cast("double")) <=
+          lit(0.15) * union.cast("double") + lit(1.0))
+          .as("hll_inter_in_band"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val eventsTypeOverlapSql =
+    """WITH du AS MATERIALIZED (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |n AS MATERIALIZED (
+      |  SELECT event_type, COUNT(*) AS exact_n FROM du GROUP BY 1),
+      |i AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    COUNT(*) AS exact_inter
+      |  FROM du x JOIN du y ON x.user_id = y.user_id
+      |    AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  a.exact_n AS exact_a, b.exact_n AS exact_b,
+      |  COALESCE(i.exact_inter, 0) AS exact_inter,
+      |  a.exact_n + b.exact_n - COALESCE(i.exact_inter, 0) AS exact_union,
+      |  COALESCE(i.exact_inter, 0) * 1000000
+      |    // (a.exact_n + b.exact_n - COALESCE(i.exact_inter, 0))
+      |    AS jaccard_ppm,
+      |  TRUE AS hll_inter_in_band
+      |FROM n a JOIN n b ON a.event_type < b.event_type
+      |LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
     Q("stream_funnel", t8, Some(t8Sql)),
@@ -485,5 +630,7 @@ object StreamQueries {
     Q("events_retention", x8, Some(x8Sql)),
     Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),
     Q("events_markov", eventsMarkov, Some(eventsMarkovSql)),
+    Q("events_heavy_hitters", eventsHeavyHitters, Some(eventsHeavyHittersSql)),
+    Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
   )
 }
