@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X73/X74 — tabular feature engineering over the TPC-H tables: the
+  * feature-store shapes (entity aggregates → scores/bins, time series →
+  * lag/rolling features) that sit next to the text/embedding pipeline in a
+  * real training-data platform. Same oracle discipline as everywhere:
+  * integer/decimal-exact accumulation, one IEEE division at the end,
+  * deterministic tiebreaks.
+  */
+object FeatureQueries {
+
+  /** X73 — customer_rfm: the classic Recency/Frequency/Monetary customer
+    * segmentation — per customer, days since last order (vs the corpus
+    * anchor = max order date), order count, exact decimal spend, plus the
+    * three quintile scores and the composite RFM code (111 = best across
+    * all three, 555 = worst; quintile 1 = most recent / most frequent /
+    * highest spend, ties broken by custkey).
+    *
+    * Determinism: recency is integer day arithmetic on the shared anchor
+    * (fn_date's `datediff` parity); monetary is [[Det.decSum]]; quintile
+    * = `(row_number − 1)·5 div n + 1` — pure integers, no percent_rank FP.
+    *
+    * Scale: the raw orders scan collapses to one |customers| aggregate
+    * first; the three rank windows and the global count run on THAT frame
+    * — same cost class as the output ORDER BY itself. At 100 TB the exact
+    * global ranks would become quantile-boundary assignment from a rank
+    * sketch (the X13 `approx_percentile` path: boundaries from the sketch,
+    * then a map-side bin per row); the rank form here is the exact
+    * semantic spec of that assignment. The anchor is a 1-row scalar
+    * crossJoin (declared in PlanSpec's allowlist).
+    */
+  private def customerRfm(s: SparkSession, dir: String): DataFrame =
+    customerRfmOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[customerRfm]]: explicit orders frame. */
+  private[graft] def customerRfmOf(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        Det.decSum(col("o_totalprice")).as("monetary"))
+    val anchor = orders.agg(max(col("o_orderdate")).as("anchor"))
+    val wr = Window.orderBy(col("recency_days"), col("c_custkey"))
+    val wf = Window.orderBy(col("frequency").desc, col("c_custkey"))
+    val wm = Window.orderBy(col("monetary").desc, col("c_custkey"))
+    per.crossJoin(broadcast(anchor))
+      .select(col("c_custkey"),
+        datediff(col("anchor"), col("last_order")).as("recency_days"),
+        col("frequency"), col("monetary"))
+      .withColumn("r_rn", row_number().over(wr))
+      .withColumn("f_rn", row_number().over(wf))
+      .withColumn("m_rn", row_number().over(wm))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        expr("(r_rn - 1) * 5 div n + 1").as("r_q"),
+        expr("(f_rn - 1) * 5 div n + 1").as("f_q"),
+        expr("(m_rn - 1) * 5 div n + 1").as("m_q"),
+        expr("((r_rn - 1) * 5 div n + 1) * 100 " +
+          "+ ((f_rn - 1) * 5 div n + 1) * 10 " +
+          "+ ((m_rn - 1) * 5 div n + 1)").as("rfm_code"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val customerRfmSql =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT o_custkey AS c_custkey,
+       |    MAX(o_orderdate) AS last_order,
+       |    COUNT(*) AS frequency,
+       |    ${Det.decSumSql("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1),
+       |anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+       |base AS (
+       |  SELECT c_custkey,
+       |    date_diff('day', CAST(last_order AS DATE), CAST(anchor AS DATE))
+       |      AS recency_days,
+       |    frequency, monetary
+       |  FROM per CROSS JOIN anchor),
+       |rn AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (ORDER BY recency_days, c_custkey) AS r_rn,
+       |    ROW_NUMBER() OVER (ORDER BY frequency DESC, c_custkey) AS f_rn,
+       |    ROW_NUMBER() OVER (ORDER BY monetary DESC, c_custkey) AS m_rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM base)
+       |SELECT c_custkey, recency_days, frequency, monetary,
+       |  (r_rn - 1) * 5 // n + 1 AS r_q,
+       |  (f_rn - 1) * 5 // n + 1 AS f_q,
+       |  (m_rn - 1) * 5 // n + 1 AS m_q,
+       |  ((r_rn - 1) * 5 // n + 1) * 100 + ((f_rn - 1) * 5 // n + 1) * 10
+       |    + ((m_rn - 1) * 5 // n + 1) AS rfm_code
+       |FROM rn ORDER BY c_custkey""".stripMargin
+
+  /** X74 — demand_features: per-(supplier nation, ship month) revenue
+    * series with lag-1 and trailing-3-month rolling-mean features — the
+    * time-series feature-engineering shape (a demand-forecast trainer's
+    * input rows).
+    *
+    * Determinism: revenue is accumulated as EXACT scaled integers — the
+    * discounted price is the [[Det.discPrice]] DECIMAL(·,4) product,
+    * ×10⁴ → an integral long summed order-free; every emitted double is
+    * then ONE IEEE division of that exact long (revenue = s/10⁴, ma3 =
+    * 3-row-frame sum/3·10⁴). Window-frame sums of DOUBLES would be
+    * frame-order-dependent across engines; integer frames are not. Lag-1
+    * and ma3 are NULL until the series has enough history (no sentinel
+    * arithmetic). Exactness bound: the scaled sum stays a long (exact at
+    * any corpus size) and the final division is exact-to-double for group
+    * revenue < 9·10¹¹ — beyond that the DIVISION rounds identically in
+    * both engines (both divide the same exact long), so the gate holds at
+    * any scale; only the printed decimal tail loses digits.
+    *
+    * Scale: one shuffle to the (nation, month) agg — map-side combinable
+    * (≤ |nations|·|months| rows out) after a broadcast supplier⋈nation
+    * dimension stitch; the lag/rolling windows run per nation on the tiny
+    * agg frame.
+    */
+  private def demandFeatures(s: SparkSession, dir: String): DataFrame =
+    demandFeaturesOf(Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+      Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandFeatures]]: explicit frames. */
+  private[graft] def demandFeaturesOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val rev4: Column =
+      (Det.discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")
+    val li = lineitem.select(col("l_suppkey"),
+      (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .as("yyyymm"),
+      rev4.as("rev4"))
+    val dim = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val series = li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("yyyymm"))
+      .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("n_items"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("yyyymm"))
+    val w3 = w.rowsBetween(-2, 0)
+    series
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lag4", lag(col("s4"), 1).over(w))
+      .withColumn("ma4", sum(col("s4")).over(w3))
+      .select(col("nation"), col("yyyymm"), col("n_items"),
+        (col("s4").cast("double") / 10000.0).as("revenue"),
+        (col("lag4").cast("double") / 10000.0).as("rev_lag1"),
+        when(col("rn") >= 3, col("ma4").cast("double") / 30000.0)
+          .as("rev_ma3"))
+      .orderBy(col("nation"), col("yyyymm"))
+  }
+
+  private val demandFeaturesSql = {
+    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
+    s"""WITH li AS (
+       |  SELECT l_suppkey,
+       |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+       |    $rev4 AS rev4
+       |  FROM lineitem),
+       |dim AS (
+       |  SELECT s_suppkey, n_name AS nation
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |series AS MATERIALIZED (
+       |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4,
+       |    COUNT(*) AS n_items
+       |  FROM li JOIN dim ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY yyyymm) AS rn,
+       |    LAG(s4, 1) OVER (PARTITION BY nation ORDER BY yyyymm) AS lag4,
+       |    SUM(s4) OVER (PARTITION BY nation ORDER BY yyyymm
+       |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma4
+       |  FROM series)
+       |SELECT nation, yyyymm, n_items,
+       |  CAST(s4 AS DOUBLE) / 10000.0 AS revenue,
+       |  CAST(lag4 AS DOUBLE) / 10000.0 AS rev_lag1,
+       |  CASE WHEN rn >= 3 THEN CAST(ma4 AS DOUBLE) / 30000.0 END AS rev_ma3
+       |FROM feat ORDER BY nation, yyyymm""".stripMargin
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("customer_rfm", customerRfm, Some(customerRfmSql)),
+    Q("demand_features", demandFeatures, Some(demandFeaturesSql)))
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.functions.TextFns
 import graft.sources.Tables
+import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -619,9 +620,77 @@ object PipelineQueries {
        |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  /** X72 — recsys_als_step: ONE rank-1 alternating-least-squares
+    * half-step over the customer×part purchase matrix (ratings = lineitem
+    * counts through the orders join — the implicit-feedback recommender
+    * shape): solve every customer factor in closed form against a
+    * deterministic item-factor init, u_c = Σ_p r·v_p / (λ + Σ_p v_p²).
+    * The recommender sibling of `kmeans_step`/`emb_power_iter`'s
+    * one-audited-iteration discipline — a full trainer is this step
+    * alternated; one oracle-checked iteration pins the arithmetic.
+    *
+    * Determinism (the X34 integer-exact discipline): item init
+    * v_p = (stringHash("als:" ‖ p) mod 1000)/1000 is NEVER materialized in
+    * FP — both Σ r·v_p and λ + Σ v_p² are carried as exact scaled
+    * integers (×10³ / ×10⁶), so the customer factor is ONE IEEE division
+    * of two exact-integer-valued doubles, then qround(6). A float init
+    * vector would make the per-customer sums order-dependent and the
+    * cross-engine hash impossible.
+    *
+    * Scale: v_p is a PURE FUNCTION of the part key, computed inside the
+    * ratings row — the item-factor "table" never exists, so the step is
+    * two keyed shuffles total (ratings agg on (cust, part), solve agg on
+    * cust); a materialized-factor design would add an |items| broadcast
+    * or join for zero benefit at rank 1. λ = 0.1 pinned.
+    */
+  private def recsysAlsStep(s: SparkSession, dir: String): DataFrame =
+    recsysAlsStepOf(Tables(s, dir, "lineitem"), Tables(s, dir, "orders"))
+
+  /** Testable seam for [[recsysAlsStep]]: explicit lineitem/orders frames
+    * (need `l_orderkey`/`l_partkey` and `o_orderkey`/`o_custkey`).
+    */
+  private[graft] def recsysAlsStepOf(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val r = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(orders
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+    val vp =
+      TextFns.stringHash(concat(lit("als:"), col("p").cast("string"))) % 1000
+    r.select(col("c"), col("r"), vp.as("vp"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("r")).as("n_lineitems"),
+        sum(col("r") * col("vp")).as("srv"),
+        sum(col("vp") * col("vp")).as("svv"))
+      .select(col("c").as("c_custkey"), col("n_parts"), col("n_lineitems"),
+        Det.qround((col("srv") * 1000).cast("double") /
+          (lit(100000L) + col("svv")).cast("double"), 6).as("factor"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val recsysAlsStepSql = {
+    val h = TextFns.stringHashSql("'als:' || CAST(p AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH r AS (
+       |  SELECT o_custkey AS c, l_partkey AS p, COUNT(*) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |f AS (SELECT c, r, $h % 1000 AS vp FROM r)
+       |SELECT c AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(r) AS BIGINT) AS n_lineitems,
+       |  ${Det.qroundSql(
+             "CAST(SUM(r * vp) * 1000 AS DOUBLE) / " +
+               "CAST(100000 + SUM(vp * vp) AS DOUBLE)", 6)} AS factor
+       |FROM f GROUP BY c ORDER BY c_custkey""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
     Q("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
+    Q("recsys_als_step", recsysAlsStep, Some(recsysAlsStepSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),

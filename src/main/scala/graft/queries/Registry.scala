@@ -17,7 +17,7 @@ object Registry {
     Substrate.qs ++ ScalarFns.qs ++ GraphQueries.qs ++ IterQueries.qs ++
       UserGraphQueries.qs ++ NetworkQueries.qs ++ TextQueries.qs ++
       DedupQueries.qs ++ SimQueries.qs ++ StreamQueries.qs ++
-      PipelineQueries.qs ++ TemporalQueries.qs
+      PipelineQueries.qs ++ TemporalQueries.qs ++ FeatureQueries.qs
 
   lazy val byKey: Map[String, Q] = all.map(q => q.key -> q).toMap
 }

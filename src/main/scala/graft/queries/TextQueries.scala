@@ -1107,8 +1107,70 @@ object TextQueries {
        |    AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary size for [[vocabCoverage]] — pinned below the fixture
+    * corpus's 31 distinct tokens so the OOV tail is non-empty at every
+    * scale (a top-V that swallows the whole vocabulary audits nothing).
+    */
+  private val VocabV = 16
+
+  /** X71 — vocab_coverage: out-of-vocabulary audit per source — what
+    * fraction of a source's token stream a top-[[VocabV]] frequency
+    * vocabulary covers. The tokenizer-budget question a pretraining mix
+    * asks before committing to a vocab: which sources pay the OOV tax.
+    *
+    * Shape: ONE explode+agg to per-(source, token) counts (map-side
+    * combinable), then BOTH consumers read that small frame — the global
+    * token marginal (re-agg, TakeOrdered top-V by count DESC, token ASC —
+    * bounded V rows, broadcast back) and the per-source coverage roll-up
+    * (broadcast hash join + agg). The raw corpus is scanned ONCE; at
+    * 100 TB everything after the first agg is |sources|·|vocab|-sized.
+    * OOV share as integer ppm (X51 discipline) — no FP anywhere.
+    */
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[vocabCoverage]]: explicit documents frame. */
+  private[graft] def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = st.groupBy(col("token")).agg(sum(col("n")).as("tot"))
+      .orderBy(col("tot").desc, col("token")).limit(VocabV)
+      .select(col("token"), lit(1).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("n")).otherwise(0L))
+          .as("in_vocab_tokens"))
+      .select(col("source"), col("total_tokens"), col("in_vocab_tokens"),
+        expr("(total_tokens - in_vocab_tokens) * 1000000 div total_tokens")
+          .as("oov_ppm"))
+      .orderBy(col("source"))
+  }
+
+  private val vocabCoverageSql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |st AS MATERIALIZED (
+       |  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, SUM(n) AS tot FROM st GROUP BY 1)
+       |  ORDER BY tot DESC, token LIMIT $VocabV)
+       |SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END)
+       |       AS BIGINT) AS in_vocab_tokens,
+       |  (CAST(SUM(n) AS BIGINT)
+       |   - CAST(SUM(CASE WHEN v.token IS NOT NULL THEN n ELSE 0 END)
+       |          AS BIGINT)) * 1000000
+       |    // CAST(SUM(n) AS BIGINT) AS oov_ppm
+       |FROM st LEFT JOIN vocab v ON st.token = v.token
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     Q("bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("bpe_merges_sampled", bpeMergesSampled, Some(bpeMergesSampledSql)),

@@ -100,7 +100,8 @@ class PlanSpec extends GraftSuite {
     "corpus_epoch_plan",        // 1-row (tok_tot, k_sources) scalar
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
-    "events_type_overlap")      // |types|-row HLL-sketch frame pair nest
+    "events_type_overlap",      // |types|-row HLL-sketch frame pair nest
+    "customer_rfm")             // 1-row anchor-date scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 

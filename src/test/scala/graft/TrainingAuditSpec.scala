@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.TextKernels
+import graft.queries.{FeatureQueries, PipelineQueries, TextQueries}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit coverage for the round-9 training-audit additions: X71
+  * vocab_coverage (OOV audit vs the top-V vocabulary) and X72
+  * recsys_als_step (rank-1 ALS half-step) — both against independent
+  * driver-side models on hand-built inputs with a real OOV tail / known
+  * ratings, which the near-uniform fixtures cannot force.
+  */
+class TrainingAuditSpec extends GraftSuite {
+
+  test("vocab_coverage: matches an independent model with a real OOV tail") {
+    import spark.implicits._
+    // 20 distinct tokens, global count of t_i = (20 - i): top-16 vocab is
+    // exactly t00..t15, so t16..t19 are OOV. Source s2 holds only OOV
+    // tokens; s1 holds everything.
+    def rep(tok: String, n: Int) = Seq.fill(n)(tok)
+    val s1Text = (0 until 20)
+      .flatMap(i => rep(f"t$i%02d", 20 - i - (if (i >= 16) 1 else 0)))
+    val s2Text = (16 until 20).flatMap(i => rep(f"t$i%02d", 1))
+    val docs = Seq((1L, "s1", s1Text.mkString(" ")),
+      (2L, "s2", s2Text.mkString(" ")))
+      .toDF("doc_id", "source", "text").repartition(3)
+    val out = TextQueries.vocabCoverageOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Independent model: global counts (20-i); vocab = 16 most frequent =
+    // t00..t15 (counts 20..5, all above the OOV counts ≤ 4).
+    val s1Total = s1Text.size.toLong
+    val s1In = (0 until 16).map(i => 20L - i).sum
+    assert(out.toSeq === Seq(
+      ("s1", s1Total, s1In, (s1Total - s1In) * 1000000L / s1Total),
+      ("s2", 4L, 0L, 1000000L)))
+  }
+
+  test("recsys_als_step: closed-form factor on hand-built ratings") {
+    import spark.implicits._
+    // Customer 1: part 10 twice + part 20 once; customer 2: part 10 once.
+    val li = Seq((100L, 10L), (100L, 10L), (101L, 20L), (102L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+    val ord = Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    def vp(p: Long): Long =
+      TextKernels.stringHash(UTF8String.fromString(s"als:$p")) % 1000L
+    def factor(rv: Seq[(Long, Long)]): Double = {
+      val srv = rv.map { case (r, v) => r * v }.sum
+      val svv = rv.map { case (_, v) => v * v }.sum
+      math.floor((srv * 1000).toDouble / (100000L + svv).toDouble * 1e6
+        + 0.5) / 1e6
+    }
+    val out = PipelineQueries.recsysAlsStepOf(li, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 3L, factor(Seq((2L, vp(10L)), (1L, vp(20L))))),
+      (2L, 1L, 1L, factor(Seq((1L, vp(10L)))))))
+  }
+
+  test("customer_rfm: hand-computed quintiles and composite code") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // 5 customers → quintile == rank. Customer 1: 2 orders (latest Jan 10,
+    // spend 30); 2: 1 order Jan 9, spend 100; 3/4/5: Jan 8/7/6, spend
+    // 5/5/5 (monetary tie broken by custkey).
+    val orders = Seq(
+      (1L, ts("2024-01-01"), 10.0), (1L, ts("2024-01-10"), 20.0),
+      (2L, ts("2024-01-09"), 100.0),
+      (3L, ts("2024-01-08"), 5.0),
+      (4L, ts("2024-01-07"), 5.0),
+      (5L, ts("2024-01-06"), 5.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice").repartition(3)
+    val out = FeatureQueries.customerRfmOf(orders).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // recency ranks: c1(0d) c2(1d) c3(2d) c4(3d) c5(4d) → r_q 1..5.
+    // frequency: c1=2 then c2..c5=1 (custkey tiebreak) → 1,2,3,4,5.
+    // monetary: c2=100, c1=30, then 5s by custkey: c3,c4,c5 → 2,1,3,4,5.
+    assert(out.toSeq === Seq(
+      (1L, 0, 2L, 30.0, 1L, 1L, 2L, 112L),
+      (2L, 1, 1L, 100.0, 2L, 2L, 1L, 221L),
+      (3L, 2, 1L, 5.0, 3L, 3L, 3L, 333L),
+      (4L, 3, 1L, 5.0, 4L, 4L, 4L, 444L),
+      (5L, 4, 1L, 5.0, 5L, 5L, 5L, 555L)))
+  }
+
+  test("demand_features: exact lag/ma3 on a hand-built series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // One supplier in one nation; monthly revenue 100, 200, 400, 800
+    // (no discount → rev == extendedprice).
+    val li = Seq(
+      (1L, ts("2024-01-15"), 100.0), (1L, ts("2024-02-15"), 200.0),
+      (1L, ts("2024-03-15"), 400.0), (1L, ts("2024-04-15"), 800.0))
+      .map { case (s0, d, p) => (s0, d, p, 0.0) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 7L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.demandFeaturesOf(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("FRANCE", 202401, 1L, 100.0, null, null),
+      ("FRANCE", 202402, 1L, 200.0, 100.0, null),
+      ("FRANCE", 202403, 1L, 400.0, 200.0, (100.0 + 200 + 400) / 3),
+      ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
+  }
+
+  test("recsys_als_step: deterministic across partitioning") {
+    import spark.implicits._
+    val li = (0L until 600L).map(i => (i % 90, i % 37)).toDF("l_orderkey", "l_partkey")
+    val ord = (0L until 90L).map(o => (o, o % 11)).toDF("o_orderkey", "o_custkey")
+    val a = PipelineQueries.recsysAlsStepOf(li.repartition(1), ord.repartition(1))
+      .collect().map(_.toSeq).toSeq
+    val b = PipelineQueries.recsysAlsStepOf(li.repartition(17), ord.repartition(5))
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
