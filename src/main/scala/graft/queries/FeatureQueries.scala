@@ -183,7 +183,62 @@ object FeatureQueries {
        |FROM feat ORDER BY nation, yyyymm""".stripMargin
   }
 
+  /** X77 — orders_cohort_ltv: cohort lifetime-value triangle — customers
+    * grouped by FIRST-order month, then revenue / active-customer counts
+    * by cohort age in months (the retention×monetization matrix every
+    * growth dashboard and LTV model trains on; the events-side sibling is
+    * X18 `events_retention`, this is the revenue-weighted orders form).
+    *
+    * Determinism: months as integer indices (year·12 + month − 1 — pure
+    * calendar integers, fn_date parity), cohort = MIN index per customer,
+    * age = index difference; revenue via [[Det.decSum]].
+    *
+    * Scale: one |customers| aggregate for the cohort anchor, one shuffle
+    * joining it back on custkey (the anchor side is |customers|-sized —
+    * at 100 TB a sort-merge or bucketed join, not a broadcast), then a
+    * map-side-combinable roll-up to ≤ |months|² triangle rows.
+    * `n_active` is countDistinct per cell — exact here; the sketch form
+    * at extreme scale is X6's HLL with this as its audit twin.
+    */
+  private def ordersCohortLtv(s: SparkSession, dir: String): DataFrame =
+    ordersCohortLtvOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[ordersCohortLtv]]: explicit orders frame. */
+  private[graft] def ordersCohortLtvOf(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("midx"),
+      col("o_totalprice"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("midx")).as("cidx"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy(col("cidx"), (col("midx") - col("cidx")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        count(lit(1)).as("n_orders"),
+        Det.decSum(col("o_totalprice")).as("revenue"))
+      .select(
+        expr("(cidx div 12) * 100 + cidx % 12 + 1").as("cohort_yyyymm"),
+        col("age_months"), col("n_active"), col("n_orders"), col("revenue"))
+      .orderBy(col("cohort_yyyymm"), col("age_months"))
+  }
+
+  private val ordersCohortLtvSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx,
+       |    o_totalprice
+       |  FROM orders),
+       |first AS MATERIALIZED (
+       |  SELECT o_custkey, MIN(midx) AS cidx FROM o GROUP BY 1)
+       |SELECT (cidx // 12) * 100 + cidx % 12 + 1 AS cohort_yyyymm,
+       |  midx - cidx AS age_months,
+       |  COUNT(DISTINCT o.o_custkey) AS n_active,
+       |  COUNT(*) AS n_orders,
+       |  ${Det.decSumSql("o_totalprice")} AS revenue
+       |FROM o JOIN first ON o.o_custkey = first.o_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),
-    Q("demand_features", demandFeatures, Some(demandFeaturesSql)))
+    Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
+    Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)))
 }

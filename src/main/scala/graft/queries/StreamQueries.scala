@@ -470,6 +470,69 @@ object StreamQueries {
       |  COALESCE(p_us, -1) AS first_purchase_us
       |FROM a3 ORDER BY user_id, window_start""".stripMargin
 
+  /** X76 — events_anomaly_robust: median/MAD robust outlier flags per
+    * event type — the robust-statistics sibling of [[eventsZscore]]:
+    * mean/σ break down exactly when outliers are present (the outliers
+    * inflate σ and mask themselves); median and MAD (median absolute
+    * deviation) have a 50 % breakdown point, so this is the gate a
+    * curation pipeline actually wants on heavy-tailed value columns.
+    * robust_z = 0.6745·(x − med)/MAD (the consistency constant that makes
+    * MAD comparable to σ under normality); outlier iff
+    * |x − med| > 4.4478·MAD (≡ 3σ). MAD = 0 (constant majority) leaves
+    * robust_z NULL and flags ANY deviation.
+    *
+    * Determinism: exact interpolated `percentile` ↔ `quantile_cont`
+    * (the X13 parity), subtraction/product/division as fixed IEEE chains,
+    * qround(6); the 4.4478 threshold is the same decimal literal in both
+    * engines. Scale: two passes over events with a broadcast ≤|types|-row
+    * stats join each — the exact-median twin of what a 100 TB run would
+    * do with the X13 rank sketch (same plan shape, sketch in place of the
+    * per-group sort).
+    */
+  private def eventsAnomalyRobust(s: SparkSession, dir: String): DataFrame =
+    eventsAnomalyRobustOf(events(s, dir))
+
+  /** Testable seam for [[eventsAnomalyRobust]]: explicit events frame. */
+  private[graft] def eventsAnomalyRobustOf(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5d)").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5d)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        Det.qround(col("med"), 6).as("med_q"),
+        Det.qround(col("mad"), 6).as("mad_q"),
+        when(col("mad") > 0.0,
+          Det.qround((col("value") - col("med")) * 0.6745 / col("mad"), 6))
+          .as("robust_z"),
+        (col("adev") > col("mad") * 4.4478).cast("int").as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
+  private val eventsAnomalyRobustSql =
+    s"""WITH med AS MATERIALIZED (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |dev AS MATERIALIZED (
+       |  SELECT e.event_id, e.event_type, e.value, m.med,
+       |    abs(e.value - m.med) AS adev
+       |  FROM events e JOIN med m ON e.event_type = m.event_type),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_id, d.event_type, d.value,
+       |  ${Det.qroundSql("d.med", 6)} AS med_q,
+       |  ${Det.qroundSql("mad.mad", 6)} AS mad_q,
+       |  CASE WHEN mad.mad > 0.0 THEN
+       |    ${Det.qroundSql("(d.value - d.med) * 0.6745 / mad.mad", 6)}
+       |  END AS robust_z,
+       |  CAST(d.adev > mad.mad * 4.4478 AS INT) AS is_outlier
+       |FROM dev d JOIN mad ON d.event_type = mad.event_type
+       |ORDER BY d.event_id""".stripMargin
+
   /** X68 — events_heavy_hitters: frequent-elements audit via a COUNT–MIN
     * sketch next to the exact top-K — the frequency rung of the mergeable-
     * sketch ladder (X6 HLL distinct → X13 quantile → X53 HyperBall → CMS).
@@ -632,5 +695,7 @@ object StreamQueries {
     Q("events_markov", eventsMarkov, Some(eventsMarkovSql)),
     Q("events_heavy_hitters", eventsHeavyHitters, Some(eventsHeavyHittersSql)),
     Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
+    Q("events_anomaly_robust", eventsAnomalyRobust,
+      Some(eventsAnomalyRobustSql)),
   )
 }

@@ -3,8 +3,10 @@ package graft.queries
 import graft.EdgeDirection
 import graft.algorithms.GraphAlgorithms
 import graft.sources.{GUser, IdEncoder}
+import graft.util.Det
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** G_user keys (SURVEY §2 preamble's second test graph): the iterative
@@ -780,6 +782,66 @@ object UserGraphQueries {
        |  AND b.step <> a.step AND abs(b.step - a.step) <= $SkipWindow
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X75 — graph_walk_pmi: positive PMI over the X64 skip-gram pairs —
+    * the matrix DeepWalk/node2vec IMPLICITLY factorizes (word2vec with
+    * negative sampling ≈ shifted PPMI of the co-occurrence counts), so
+    * this key closes the walk ladder: corpus (X63) → pairs (X64) →
+    * the training objective's sufficient statistic. Rides the SAME
+    * memoized walk frame (`_build:walks`) — zero new hop joins.
+    *
+    * Shape: the (center, context, n) pair frame plus its two marginals
+    * and the grand total, all as window sums over the SMALL pair frame
+    * (≤ |walk corpus|·2w distinct pairs — the global-total window runs
+    * on that aggregate, not the corpus; the 100 TB form keeps the same
+    * three window passes on the pair agg, which is the already-shuffled
+    * word2vec input). pmi = ln((n·N)/(n_c·n_x)) — both products exact
+    * longs, ONE division then `ln`, qround(6) (the F3 transcendental
+    * discipline); ppmi clamps at 0 in exact arithmetic (greatest of the
+    * qround'd value, applied identically in both engines).
+    */
+  private def graphWalkPmi(s: SparkSession, dir: String): DataFrame = {
+    val p = walksFrame(s, dir).select(col("walk_id"), col("step").as("s1"),
+        col("vertex").as("center"))
+      .join(walksFrame(s, dir).select(col("walk_id").as("wid2"),
+          col("step").as("s2"), col("vertex").as("context")),
+        col("walk_id") === col("wid2") && col("s2") =!= col("s1") &&
+          abs(col("s2") - col("s1")) <= SkipWindow)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col("center"))
+    val wx = Window.partitionBy(col("context"))
+    val wg = Window.partitionBy()
+    p.withColumn("n_c", sum(col("n")).over(wc))
+      .withColumn("n_x", sum(col("n")).over(wx))
+      .withColumn("nn", sum(col("n")).over(wg))
+      .select(col("center"), col("context"), col("n"),
+        Det.qround(log((col("n") * col("nn")).cast("double") /
+          (col("n_c") * col("n_x")).cast("double")), 6).as("pmi"),
+        greatest(Det.qround(log((col("n") * col("nn")).cast("double") /
+          (col("n_c") * col("n_x")).cast("double")), 6), lit(0.0))
+          .as("ppmi"))
+      .orderBy(col("center"), col("context"))
+  }
+
+  private val graphWalkPmiSql = {
+    val pmi = Det.qroundSql(
+      "ln(CAST(n * nn AS DOUBLE) / CAST(n_c * n_x AS DOUBLE))", 6)
+    s"""$walksCtes,
+       |p AS MATERIALIZED (
+       |  SELECT a.vertex AS center, b.vertex AS context, COUNT(*) AS n
+       |  FROM walks a JOIN walks b ON b.walk_id = a.walk_id
+       |    AND b.step <> a.step AND abs(b.step - a.step) <= $SkipWindow
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT *, SUM(n) OVER (PARTITION BY center) AS n_c,
+       |    SUM(n) OVER (PARTITION BY context) AS n_x,
+       |    SUM(n) OVER () AS nn
+       |  FROM p)
+       |SELECT center, context, n, $pmi AS pmi,
+       |  GREATEST($pmi, 0.0) AS ppmi
+       |FROM m ORDER BY center, context""".stripMargin
+  }
+
   /** graph_walks_biased rank multipliers — the INVERSE node2vec weights
     * as exact integers (lower biased rank wins): returning to the
     * previous vertex is discouraged 1/p with p=4, staying in the
@@ -895,6 +957,7 @@ object UserGraphQueries {
     Q("graph_eff_diameter", effDiameter, Some(effDiameterSql)),
     Q("graph_walks", graphWalks, Some(graphWalksSql)),
     Q("graph_walk_pairs", graphWalkPairs, Some(graphWalkPairsSql)),
+    Q("graph_walk_pmi", graphWalkPmi, Some(graphWalkPmiSql)),
     Q("graph_walks_biased", graphWalksBiased, Some(graphWalksBiasedSql)),
   )
 }

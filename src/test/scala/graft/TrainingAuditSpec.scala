@@ -109,6 +109,72 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
   }
 
+  test("graph_walk_pmi: PMI arithmetic consistent with pair counts") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = queries.Registry.byKey("graph_walk_pairs").fn(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val bigN = pairs.values.sum
+    val nc = pairs.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val nx = pairs.toSeq.groupBy(_._1._2)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val pmi = queries.Registry.byKey("graph_walk_pmi").fn(spark, dir)
+      .collect()
+    assert(pmi.length === pairs.size)
+    pmi.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val n = r.getLong(2)
+      assert(n === pairs(key))
+      // Same association order as the query: exact-long products, one
+      // division, then ln, then qround(6).
+      val exp = math.floor(math.log((n * bigN).toDouble /
+        (nc(key._1) * nx(key._2)).toDouble) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) === exp, s"pmi for $key")
+      assert(r.getDouble(4) === math.max(exp, 0.0), s"ppmi for $key")
+    }
+  }
+
+  test("events_anomaly_robust: MAD flags what σ masks; MAD=0 edge") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // Type A: constant majority + one spike → MAD=0, z NULL, only the
+    // spike flags. Type B: 1..5 → med 3, MAD 1, no outliers.
+    val ev = Seq((1L, "A", 1.0), (2L, "A", 1.0), (3L, "A", 1.0),
+      (4L, "A", 1.0), (5L, "A", 100.0),
+      (6L, "B", 1.0), (7L, "B", 2.0), (8L, "B", 3.0), (9L, "B", 4.0),
+      (10L, "B", 5.0)).toDF("event_id", "event_type", "value")
+      .repartition(3)
+    val out = StreamQueries.eventsAnomalyRobustOf(ev).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5), r.getInt(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1.0, 0.0, null, 0), (2L, 1.0, 0.0, null, 0),
+      (3L, 1.0, 0.0, null, 0), (4L, 1.0, 0.0, null, 0),
+      (5L, 1.0, 0.0, null, 1),
+      (6L, 3.0, 1.0, math.floor(-2 * 0.6745 * 1e6 + 0.5) / 1e6, 0),
+      (7L, 3.0, 1.0, math.floor(-1 * 0.6745 * 1e6 + 0.5) / 1e6, 0),
+      (8L, 3.0, 1.0, 0.0, 0),
+      (9L, 3.0, 1.0, math.floor(1 * 0.6745 * 1e6 + 0.5) / 1e6, 0),
+      (10L, 3.0, 1.0, math.floor(2 * 0.6745 * 1e6 + 0.5) / 1e6, 0)))
+  }
+
+  test("orders_cohort_ltv: hand-computed cohort triangle") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, ts("1995-01-10"), 10.0), (1L, ts("1995-03-05"), 20.0),
+      (2L, ts("1995-03-20"), 40.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice").repartition(2)
+    val out = FeatureQueries.ordersCohortLtvOf(orders).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (199501L, 0, 1L, 1L, 10.0),
+      (199501L, 2, 1L, 1L, 20.0),
+      (199503L, 0, 1L, 1L, 40.0)))
+  }
+
   test("recsys_als_step: deterministic across partitioning") {
     import spark.implicits._
     val li = (0L until 600L).map(i => (i % 90, i % 37)).toDF("l_orderkey", "l_partkey")
