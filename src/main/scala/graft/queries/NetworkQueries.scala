@@ -480,8 +480,66 @@ object NetworkQueries {
     pairCache.keys.filter(_._1 eq s).foreach(
       pairCache.remove(_).foreach(_.unpersist(blocking = false)))
 
+  /** X78 — basket_rules: association-rule mining over the co-purchase
+    * projection — per supplier pair, support count, directional
+    * confidences (conf(s1→s2) = n_shared/deg(s1)) and lift
+    * (n_shared·N / (deg(s1)·deg(s2))), the classic market-basket triple
+    * a recommender candidate-generator is seeded with. Lift > 1 ⇔ the
+    * pair co-occurs more than independence predicts — the signal; the
+    * confidences give the rule its direction.
+    *
+    * Rides the SAME persisted pair frame as `graph_jaccard`/
+    * `triangle_count` (`_build:copurchase` — zero new pair shuffles);
+    * degrees are one hash agg over the edge set joined broadcast (the
+    * jaccard plan shape), the basket total is a 1-row scalar crossJoin
+    * (declared in PlanSpec's allowlist). Determinism: confidences as
+    * integer ppm (X51 discipline); lift = ONE IEEE division of
+    * exact-long products, qround(6).
+    */
+  private def basketRules(s: SparkSession, dir: String): DataFrame =
+    basketRulesOf(GTrade(s, dir).edges, coPairs(s, dir))
+
+  /** Testable seam for [[basketRules]]: explicit edge + pair frames (the
+    * production path passes the memoized [[coPairs]]; tests pass
+    * [[coPairsOf]] of the same edges).
+    */
+  private[graft] def basketRulesOf(edges: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val nb = e.select(countDistinct(col("src")).as("n_baskets"))
+    pairs
+      .join(broadcast(deg.select(col("dst").as("s1"), col("deg").as("d1"))),
+        Seq("s1"))
+      .join(broadcast(deg.select(col("dst").as("s2"), col("deg").as("d2"))),
+        Seq("s2"))
+      .crossJoin(broadcast(nb))
+      .select(col("s1"), col("s2"), col("n_shared"),
+        expr("n_shared * 1000000 div d1").as("conf_fwd_ppm"),
+        expr("n_shared * 1000000 div d2").as("conf_rev_ppm"),
+        Det.qround((col("n_shared") * col("n_baskets")).cast("double") /
+          (col("d1") * col("d2")).cast("double"), 6).as("lift"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  private val basketRulesSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte,
+       |deg AS MATERIALIZED (
+       |  SELECT dst AS id, COUNT(*) AS deg FROM edges GROUP BY dst),
+       |nb AS (SELECT COUNT(DISTINCT src) AS n_baskets FROM edges)
+       |SELECT s1, s2, n_shared,
+       |  n_shared * 1000000 // d1.deg AS conf_fwd_ppm,
+       |  n_shared * 1000000 // d2.deg AS conf_rev_ppm,
+       |  ${Det.qroundSql(
+             "CAST(n_shared * n_baskets AS DOUBLE) / " +
+               "CAST(d1.deg * d2.deg AS DOUBLE)", 6)} AS lift
+       |FROM cop JOIN deg d1 ON d1.id = s1 JOIN deg d2 ON d2.id = s2
+       |CROSS JOIN nb
+       |ORDER BY s1, s2""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("basket_rules", basketRules, Some(basketRulesSql)),
     Q("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
     Q("graph_summarize", graphSummarize, Some(graphSummarizeSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),

@@ -101,7 +101,8 @@ class PlanSpec extends GraftSuite {
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
     "events_type_overlap",      // |types|-row HLL-sketch frame pair nest
-    "customer_rfm")             // 1-row anchor-date scalar
+    "customer_rfm",             // 1-row anchor-date scalar
+    "basket_rules")             // 1-row basket-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 

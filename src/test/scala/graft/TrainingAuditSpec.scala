@@ -109,6 +109,22 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
   }
 
+  test("basket_rules: hand-computed support/confidence/lift") {
+    import spark.implicits._
+    import graft.queries.NetworkQueries
+    // Suppliers 1/2/3; customers 101..104. Pair (1,2) shared by 101,102;
+    // (1,3) by 103. deg: 1→3, 2→2, 3→2. N = 4 baskets.
+    val edges = Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 1L), (103L, 3L), (104L, 3L)).toDF("src", "dst").repartition(3)
+    val out = NetworkQueries
+      .basketRulesOf(edges, NetworkQueries.coPairsOf(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 666666L, 1000000L, 1.333333),
+      (1L, 3L, 1L, 333333L, 500000L, 0.666667)))
+  }
+
   test("graph_walk_pmi: PMI arithmetic consistent with pair counts") {
     val dir = "/root/testdata/sf0.001"
     val pairs = queries.Registry.byKey("graph_walk_pairs").fn(spark, dir)
