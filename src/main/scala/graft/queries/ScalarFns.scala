@@ -152,8 +152,38 @@ object ScalarFns {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY doc_id, token ORDER BY doc_id, token""".stripMargin
 
+  /** F7 — binary functions over the blob column (text-cast bytes, the X7
+    * multimodal convention): octet length, MD5 / SHA-256 content digests,
+    * base64 of a 12-byte prefix — the scalar catalog a binary-column
+    * pipeline needs (digest-keyed dedup like X66, content-addressed
+    * storage paths, wire-format spot checks). All codegen'd built-ins.
+    *
+    * Oracle parity: DuckDB 1.0's digest functions take VARCHAR only and
+    * hash its UTF-8 bytes — exactly the bytes `text.cast("binary")` hashes
+    * on the Spark side; the base64 prefix is substr-then-encode in DuckDB
+    * (char offset == byte offset over the ASCII corpus — the
+    * [[graft.functions.TextKernels]] assumption).
+    */
+  private def f7(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text").cast("binary")).as("byte_len"),
+      md5(col("text").cast("binary")).as("md5_hex"),
+      sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+      base64(substring(col("text").cast("binary"), 1, 12)).as("b64_prefix"))
+      .orderBy(col("doc_id"))
+
+  private val f7Sql =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS md5_hex,
+      |  sha256(text) AS sha256_hex,
+      |  to_base64(encode(substr(text, 1, 12))) AS b64_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("fn_string", f1, Some(f1Sql)),
+    Q("fn_binary", f7, Some(f7Sql)),
     Q("fn_date", f2, Some(f2Sql)),
     Q("fn_math", f3, Some(f3Sql)),
     Q("fn_array", f4, Some(f4Sql)),

@@ -1528,8 +1528,67 @@ object SimQueries {
        |FROM ap LEFT JOIN exact e ON ap.q_id = e.q_id AND ap.c_id = e.c_id
        |GROUP BY ap.method ORDER BY ap.method""".stripMargin
 
+  /** X79 — sim_topk_filtered: FILTERED vector search — exact cosine top-k
+    * restricted to candidates passing a metadata predicate (here: even
+    * `label`, standing in for the tenant/language/date filter every
+    * production vector query carries). The missing serving shape next to
+    * the unfiltered ladder (X3→X60): filtered search is where ANN indexes
+    * earn or lose their keep, because a post-filter after probing loses
+    * recall exactly when the filter is selective (probed lists may hold
+    * ZERO allowed candidates), while pre-filtering composes when the
+    * predicate aligns with the index partitioning.
+    *
+    * This key is the exact filtered baseline (predicate pushed into the
+    * candidate scan BEFORE scoring — the filter prunes the crossJoin's
+    * big side, never discards scored rows). The scaladoc contract for the
+    * index path at 100 TB: the allowed-label set intersects the probed
+    * labels and BOTH land in the same `PartitionFilters` on the
+    * label-partitioned lists (X3b's mechanism) — a predicate on a
+    * NON-partition column instead widens probes (probe 2→4 lists) to
+    * recover the recall the filter costs; X42's recall audit is the
+    * template for measuring that trade.
+    */
+  private def simTopkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val allowed = e.filter(col("label") % 2 === 0)
+    val scored = allowed.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("label"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("c_id"), col("label"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val simTopkFilteredSql = {
+    val dot = VectorFns.dotSql("q.embedding", "c.embedding")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+       |    ${Det.qroundSql(s"$dot / (q.nrm * c.nrm)", 6)} AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries
+       |   AND c.vec_id <> q.vec_id AND c.label % 2 = 0),
+       |ranked AS (
+       |  SELECT q_id, c_id, label, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+       |      AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, c_id, label, cos FROM ranked WHERE rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_topk_filtered", simTopkFiltered, Some(simTopkFilteredSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("sim_knn_join", simKnnJoin, Some(simKnnJoinSql)),
     Q("emb_power_iter", embPowerIter, Some(embPowerIterSql)),

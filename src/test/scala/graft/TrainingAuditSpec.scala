@@ -109,6 +109,40 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
   }
 
+  test("sim_topk_filtered: predicate honored, full k, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = queries.Registry.byKey("sim_topk_filtered").fn(spark, dir)
+      .collect()
+    // Every candidate passes the filter; every query returns exactly k
+    // contiguous ranks.
+    out.foreach(r => assert(r.getInt(3) % 2 === 0, s"odd label in $r"))
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to 5), s"ranks for $q")
+    }
+    val again = queries.Registry.byKey("sim_topk_filtered").fn(spark, dir)
+      .collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("fn_binary: digests match JVM reference implementations") {
+    val dir = "/root/testdata/sf0.001"
+    val row = queries.Registry.byKey("fn_binary").fn(spark, dir)
+      .limit(1).collect().head
+    val docText = spark.read
+      .parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === row.getLong(0))
+      .select("text").collect().head.getString(0)
+    val bytes = docText.getBytes("UTF-8")
+    def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+    assert(row.getInt(1) === bytes.length)
+    assert(row.getString(2) ===
+      hex(java.security.MessageDigest.getInstance("MD5").digest(bytes)))
+    assert(row.getString(3) ===
+      hex(java.security.MessageDigest.getInstance("SHA-256").digest(bytes)))
+    assert(row.getString(4) ===
+      java.util.Base64.getEncoder.encodeToString(bytes.take(12)))
+  }
+
   test("basket_rules: hand-computed support/confidence/lift") {
     import spark.implicits._
     import graft.queries.NetworkQueries
