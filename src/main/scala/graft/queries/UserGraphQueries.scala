@@ -797,7 +797,11 @@ object UserGraphQueries {
     * word2vec input). pmi = ln((n·N)/(n_c·n_x)) — both products exact
     * longs, ONE division then `ln`, qround(6) (the F3 transcendental
     * discipline); ppmi clamps at 0 in exact arithmetic (greatest of the
-    * qround'd value, applied identically in both engines).
+    * qround'd value, applied identically in both engines). Overflow
+    * contract (the X62 discipline): `n·N` and `n_c·n_x` must stay under
+    * 2⁶³ — safe while the total pair count is < ~3·10⁹ per board; past
+    * that Spark would wrap where DuckDB widens, so the gate fails LOUDLY
+    * rather than agreeing on a wrong value.
     */
   private def graphWalkPmi(s: SparkSession, dir: String): DataFrame = {
     val p = walksFrame(s, dir).select(col("walk_id"), col("step").as("s1"),
