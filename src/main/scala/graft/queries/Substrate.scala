@@ -216,6 +216,35 @@ object Substrate {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** R12 — full CUBE lattice over (returnflag, linestatus) — R9 rollup's
+    * OLAP sibling: every grouping-set combination including the
+    * (ALL, linestatus) slices a rollup omits, disambiguated by the same
+    * grouping-id; the one-pass multi-granularity dashboard aggregate
+    * (Spark expands the lattice with a single Expand operator over one
+    * scan — partial-combined per grouping set, no per-level rescans).
+    */
+  private def r12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(Det.decSum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 +
+          grouping(col("l_linestatus"))).cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val r12Sql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+       |       AS BIGINT) AS gid,
+       |  ${Det.decSumSql("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   /** R10 — star join with a broadcast dimension (TPC-H Q5 shape):
     * revenue per (region, nation) through region ⋈ nation ⋈ customer ⋈
     * orders ⋈ lineitem. The composite dimension (nation ⋈ region,
@@ -310,6 +339,7 @@ object Substrate {
     Q("substrate_sort_limit_topk", r6, Some(r6Sql)),
     Q("substrate_window_rank", r7, Some(r7Sql)),
     Q("substrate_rollup", r9, Some(r9Sql)),
+    Q("substrate_cube", r12, Some(r12Sql)),
     Q("substrate_star_join", r10, Some(r10Sql)),
     Q("substrate_pivot", r11, Some(r11Sql)),
   )

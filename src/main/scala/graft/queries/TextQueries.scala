@@ -1107,6 +1107,79 @@ object TextQueries {
        |    AS avg_nll
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** X80 — text_lm_interp: Jelinek–Mercer interpolated bigram LM scoring —
+    * p(w₂|w₁) = λ·p_bigram + (1−λ)·p_unigram with λ = 0.7, the smoothing
+    * every deployed n-gram LM actually uses (pure-MLE bigram NLL — X54 —
+    * is the λ=1 corner; the interpolation is what keeps held-out scoring
+    * finite when a context is unseen). The X54/X23 composition: bigram
+    * conditionals, unigram marginals, and the corpus token total meet in
+    * ONE per-token probability whose NLL is quantized to integer µnats
+    * BEFORE the per-doc sum (the quantize-then-sum determinism
+    * discipline) — so the FP chain (two divisions, two multiplies, one
+    * add, one ln) runs in the identical order on both engines and the
+    * aggregate is an exact integer sum.
+    *
+    * Scale: the bigram/unigram count frames are the X54/X23 shuffles; the
+    * token total is a 1-row scalar crossJoin (declared); the join-back is
+    * broadcastable while the n-gram vocabulary is cluster-small.
+    */
+  private def lmInterp(s: SparkSession, dir: String): DataFrame =
+    lmInterpOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[lmInterp]]: explicit (doc_id, text) frame. */
+  private[graft] def lmInterpOf(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val toks = docs.select(explode(TextFns.tokens(col("text"))).as("w"))
+    val uni = toks.groupBy(col("w").as("w2")).agg(count(lit(1)).as("cu"))
+    val tot = toks.agg(count(lit(1)).as("nt"))
+    val p = col("c12").cast("double") / col("c1") * 0.7 +
+      col("cu").cast("double") / col("nt") * 0.3
+    val nllq = floor(-log(p) * 1000000.0 + 0.5).cast("long")
+    bg.join(cnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(broadcast(uni), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllq).as("nllq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Det.qround(col("nllq_sum").cast("double") / 1000000.0 /
+          col("n_bigrams"), 6).as("avg_nll_interp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmInterpSql =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM (
+       |    SELECT doc_id, l,
+       |      unnest(generate_series(1, len(l) - 1)) AS i FROM tk)),
+       |ctx AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |cnt AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |toks AS MATERIALIZED (
+       |  SELECT unnest(l) AS w FROM tk),
+       |uni AS MATERIALIZED (SELECT w AS w2, COUNT(*) AS cu FROM toks GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS nt FROM toks),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(-ln(CAST(c12 AS DOUBLE) / c1 * 0.7
+       |                   + CAST(cu AS DOUBLE) / nt * 0.3)
+       |               * 1000000 + 0.5) AS BIGINT) AS nllq
+       |  FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1)
+       |    JOIN uni USING (w2) CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ${Det.qroundSql(
+             "CAST(SUM(nllq) AS BIGINT) / 1000000.0 / COUNT(*)", 6)}
+       |    AS avg_nll_interp
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary size for [[vocabCoverage]] — pinned below the fixture
     * corpus's 31 distinct tokens so the OOV tail is non-empty at every
     * scale (a top-V that swallows the whole vocabulary audits nothing).
@@ -1178,6 +1251,7 @@ object TextQueries {
     Q("text_repetition", repetition, Some(repetitionSql)),
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_bigram_nll", bigramNll, Some(bigramNllSql)),
+    Q("text_lm_interp", lmInterp, Some(lmInterpSql)),
     Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),
     Q("text_token_count", tokenCount, Some(tokenCountSql)),

@@ -91,6 +91,7 @@ class PlanSpec extends GraftSuite {
     "num_vertices_edges",       // edge-count scalar
     "text_tfidf",               // corpus-size scalar
     "text_unigram_nll",         // corpus-token-total scalar
+    "text_lm_interp",           // corpus-token-total scalar (JM mix)
     "pmi_bigrams",              // corpus-bigram-total scalar
     "bpe_merges",               // 1-row top-pair per merge round
     "bpe_merges_sampled",       // same chain over the sampled corpus

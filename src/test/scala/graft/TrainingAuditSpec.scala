@@ -109,6 +109,24 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
   }
 
+  test("text_lm_interp: hand-computed Jelinek-Mercer mixture") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+      .repartition(2)
+    // Corpus: nt=6 tokens (a=4, b=2); bigrams (a,b)=2, (b,a)=1, (a,a)=1;
+    // contexts a=3, b=1.
+    def q(c12: Long, c1: Long, cu: Long): Long =
+      math.floor(-math.log(c12.toDouble / c1 * 0.7 + cu.toDouble / 6 * 0.3)
+        * 1e6 + 0.5).toLong
+    def avg(nllqs: Seq[Long]): Double =
+      math.floor(nllqs.sum.toDouble / 1e6 / nllqs.size * 1e6 + 0.5) / 1e6
+    val out = TextQueries.lmInterpOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, avg(Seq(q(2, 3, 2), q(1, 1, 4), q(2, 3, 2)))),
+      (2L, 1L, avg(Seq(q(1, 3, 4))))))
+  }
+
   test("sim_topk_filtered: predicate honored, full k, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val out = queries.Registry.byKey("sim_topk_filtered").fn(spark, dir)
