@@ -220,9 +220,150 @@ object TemporalQueries {
        |FROM sid GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** X81 — events_attribution: LINEAR multi-touch attribution — every
+    * purchase splits its conversion credit equally across the same user's
+    * clicks in the preceding hour; purchases with no qualifying touch
+    * emit a `click_id = -1` "direct" row with full credit. The marketing
+    * sibling of X24's last-touch as-of (last-touch ≡ all credit to the
+    * max-ts touch; linear is the other standard model) and the
+    * multi-row-grain complement of X25's count-only attribution.
+    *
+    * Determinism: µs integer window arithmetic (X16 discipline);
+    * credit_ppm = 10⁶ div n_touches — floor division, so a 3-touch
+    * purchase assigns 3×333333 and the 1 ppm remainder stays
+    * deliberately unassigned (documented; assigning it to a designated
+    * touch would privilege an arbitrary row).
+    *
+    * Scale: one user-keyed equi-join (purchases × clicks) + time filter —
+    * per-user bounded like X16; the per-purchase touch count is a window
+    * over the matched rows, not a second join. A bot user's inflated
+    * match block is the X24/X25 skew hazard with the same mitigation
+    * (pre-split hot users by day).
+    */
+  private def eventsAttribution(s: SparkSession, dir: String): DataFrame =
+    eventsAttributionOf(events(s, dir))
+
+  /** Testable seam for [[eventsAttribution]]: explicit events frame. */
+  private[graft] def eventsAttributionOf(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("p_tus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("tus").as("c_tus"))
+    val matched = p.join(c, Seq("user_id"), "left")
+      .withColumn("hit", col("c_tus").isNotNull &&
+        col("c_tus") <= col("p_tus") &&
+        col("c_tus") > col("p_tus") - 3600000000L)
+    val w = Window.partitionBy(col("purchase_id"))
+    matched
+      .withColumn("n_touches",
+        sum(when(col("hit"), 1L).otherwise(0L)).over(w))
+      .filter(col("hit") || col("n_touches") === 0)
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("hit").desc, col("click_id"))))
+      .filter(col("hit") || col("rk") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        when(col("hit"), col("click_id")).otherwise(-1L).as("click_id"),
+        col("n_touches"),
+        when(col("hit"), expr("1000000 div n_touches"))
+          .otherwise(1000000L).as("credit_ppm"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  private val eventsAttributionSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_tus
+      |  FROM events WHERE event_type = 'click'),
+      |m AS MATERIALIZED (
+      |  SELECT p.purchase_id, p.user_id, c.click_id,
+      |    c.click_id IS NOT NULL AND c.c_tus <= p.p_tus
+      |      AND c.c_tus > p.p_tus - 3600000000 AS hit
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY hit DESC, click_id) AS rk
+      |  FROM m)
+      |SELECT purchase_id, user_id,
+      |  CASE WHEN hit THEN click_id ELSE -1 END AS click_id,
+      |  n_touches,
+      |  CASE WHEN hit THEN 1000000 // n_touches ELSE 1000000 END
+      |    AS credit_ppm
+      |FROM t WHERE hit OR (n_touches = 0 AND rk = 1)
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** X82 — events_pit_features: POINT-IN-TIME-correct feature join — for
+    * every purchase, the user's trailing-1-hour click count and exact
+    * decimal click-value sum computed STRICTLY BEFORE the purchase
+    * timestamp. The feature-store correctness problem in one operator: a
+    * naive feature join reads state from the future (label leakage); the
+    * strict `c_tus < p_tus` gate is the leakage contract, pinned by the
+    * oracle (a `<=` regression changes same-µs rows and fails the gate).
+    *
+    * Shape: the X81 user-keyed join + window filter, aggregated back to
+    * the purchase grain (left-join semantics: purchases with no prior
+    * click keep (0, 0.0)); value sum via [[Det.dec]] cast before the sum
+    * so the aggregate is exact decimal (order-free). At 100 TB this
+    * per-entity bounded join + agg IS the training-set materialization
+    * pass a feature platform runs per label table.
+    */
+  private def eventsPitFeatures(s: SparkSession, dir: String): DataFrame =
+    eventsPitFeaturesOf(events(s, dir))
+
+  /** Testable seam for [[eventsPitFeatures]]: explicit events frame. */
+  private[graft] def eventsPitFeaturesOf(evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("p_tus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("c_tus"),
+        Det.dec(col("value")).as("v"))
+    p.join(c, Seq("user_id"), "left")
+      .withColumn("hit", col("c_tus").isNotNull &&
+        col("c_tus") < col("p_tus") &&
+        col("c_tus") >= col("p_tus") - 3600000000L)
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_clicks_1h"),
+        coalesce(sum(when(col("hit"), col("v"))), lit(0))
+          .cast("double").as("click_value_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val eventsPitFeaturesSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_tus
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS c_tus,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.purchase_id, p.user_id,
+      |    c.c_tus IS NOT NULL AND c.c_tus < p.p_tus
+      |      AND c.c_tus >= p.p_tus - 3600000000 AS hit,
+      |    c.v
+      |  FROM p LEFT JOIN c ON p.user_id = c.user_id)
+      |SELECT purchase_id, user_id,
+      |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks_1h,
+      |  CAST(COALESCE(SUM(CASE WHEN hit THEN v END), 0) AS DOUBLE)
+      |    AS click_value_1h
+      |FROM m GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("asof_join", asofJoin, Some(asofJoinSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("sessionize", sessionize, Some(sessionizeSql)),
+    Q("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
+    Q("events_pit_features", eventsPitFeatures, Some(eventsPitFeaturesSql)),
   )
 }

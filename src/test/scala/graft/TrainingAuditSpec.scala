@@ -109,6 +109,32 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 202404, 1L, 800.0, 400.0, (200.0 + 400 + 800) / 3)))
   }
 
+  test("events_attribution + pit_features: hand-computed windows") {
+    import spark.implicits._
+    import graft.queries.TemporalQueries
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user 1: clicks at 1000s/2000s, purchase at 3600s → both in window
+    // (inclusive <= for attribution, strict < for PIT). user 2: click at
+    // 100s, purchase at 7200s → outside. user 3: purchase, no clicks.
+    val ev = Seq(
+      (11L, 1L, ts(1000), "click", 2.0), (12L, 1L, ts(2000), "click", 3.0),
+      (21L, 1L, ts(3600), "purchase", 9.0),
+      (13L, 2L, ts(100), "click", 1.0), (22L, 2L, ts(7200), "purchase", 9.0),
+      (23L, 3L, ts(50), "purchase", 9.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .repartition(3)
+    val attr = TemporalQueries.eventsAttributionOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(attr.toSeq === Seq(
+      (21L, 11L, 2L, 500000L), (21L, 12L, 2L, 500000L),
+      (22L, -1L, 0L, 1000000L), (23L, -1L, 0L, 1000000L)))
+    val pit = TemporalQueries.eventsPitFeaturesOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(pit.toSeq === Seq((21L, 2L, 5.0), (22L, 0L, 0.0),
+      (23L, 0L, 0.0)))
+  }
+
   test("text_lm_interp: hand-computed Jelinek-Mercer mixture") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
