@@ -1195,9 +1195,13 @@ object TextQueries {
     * combinable), then BOTH consumers read that small frame — the global
     * token marginal (re-agg, TakeOrdered top-V by count DESC, token ASC —
     * bounded V rows, broadcast back) and the per-source coverage roll-up
-    * (broadcast hash join + agg). The raw corpus is scanned ONCE; at
-    * 100 TB everything after the first agg is |sources|·|vocab|-sized.
-    * OOV share as integer ppm (X51 discipline) — no FP anywhere.
+    * (broadcast hash join + agg). The agg frame is MATERIALIZED
+    * (`localCheckpoint`) before fan-out: without it Spark plans a second
+    * corpus scan for the vocab branch (observed in `.explain` — exchange
+    * reuse does not fire across the differing downstream aggs), and the
+    * materialized frame is only |sources|·|vocab|-bounded, so pinning it
+    * is what makes "one corpus scan" TRUE at 100 TB rather than a
+    * scaladoc claim. OOV share as integer ppm (X51 discipline) — no FP.
     */
   private def vocabCoverage(s: SparkSession, dir: String): DataFrame =
     vocabCoverageOf(Tables(s, dir, "documents"))
@@ -1207,6 +1211,7 @@ object TextQueries {
     val st = docs
       .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val vocab = st.groupBy(col("token")).agg(sum(col("n")).as("tot"))
       .orderBy(col("tot").desc, col("token")).limit(VocabV)
       .select(col("token"), lit(1).as("in_vocab"))
