@@ -237,8 +237,77 @@ object FeatureQueries {
        |FROM o JOIN first ON o.o_custkey = first.o_custkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** X83 — feature_target_encode: LEAVE-ONE-OUT target encoding of a
+    * categorical column (o_orderpriority) against a numeric target
+    * (o_totalprice) — the tabular-ML feature transform whose defining
+    * property is a LEAKAGE CONTRACT, like X82's strict-before gate: each
+    * row's encoding is the target mean over the OTHER rows of its
+    * category, `(Σ_cat − y_i) / (n_cat − 1)`, so the row's own label
+    * never reaches its own feature. An implementation that leaks (drops
+    * the −y_i, the naive groupBy-mean join-back) changes every output
+    * value and fails the oracle hash — the contract is pinned, not
+    * documented. A second column gives the m=10 smoothed variant
+    * `(Σ_cat − y_i + m·prior) / (n_cat − 1 + m)` (prior = global mean),
+    * the form actually shipped when rare categories exist; n_cat = 1
+    * yields NULL for the unsmoothed column (no peer rows), pinned by the
+    * CASE twin.
+    *
+    * Determinism: Σ_cat and the global sum accumulate in exact
+    * DECIMAL(18,2) ([[Det.decSum]] discipline), the subtraction stays
+    * decimal-exact, and each output is a fixed two-op IEEE chain
+    * (`cast + mul-add, then one division`) written in identical order in
+    * both engines.
+    *
+    * Scale: two map-side-combinable aggregates (a ≤|categories|-row frame
+    * and a 1-row prior), both broadcast back over one |orders| scan —
+    * no window over the fact table (the oracle uses the one-window
+    * semantic spec; the Spark side is the agg+broadcast rewrite, the
+    * same split X70 establishes). Per-row arithmetic after that; output
+    * order by the unique orderkey.
+    */
+  private def featureTargetEncode(s: SparkSession, dir: String): DataFrame =
+    targetEncodeOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[featureTargetEncode]]: explicit orders frame. */
+  private[graft] def targetEncodeOf(orders: DataFrame): DataFrame = {
+    val cat = orders.groupBy(col("o_orderpriority"))
+      .agg(sum(Det.dec(col("o_totalprice"))).as("cat_sum"),
+        count(lit(1)).as("cat_n"))
+    val glob = orders.agg(
+      (sum(Det.dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("prior"))
+    val diff = (col("cat_sum") - Det.dec(col("o_totalprice"))).cast("double")
+    orders.join(broadcast(cat), "o_orderpriority")
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("cat_n") > 1, diff / (col("cat_n") - lit(1)))
+          .as("loo_enc"),
+        ((diff + lit(10.0) * col("prior"))
+          / (col("cat_n") - lit(1) + lit(10))).as("smooth_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val featureTargetEncodeSql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CASE WHEN cat_n > 1
+      |       THEN CAST(cat_sum - y AS DOUBLE) / (cat_n - 1) END AS loo_enc,
+      |  (CAST(cat_sum - y AS DOUBLE) + 10.0 * prior)
+      |    / (cat_n - 1 + 10) AS smooth_enc
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS y,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY o_orderpriority) AS cat_sum,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS DOUBLE)
+      |      / COUNT(*) OVER () AS prior
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
-    Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)))
+    Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
+    Q("feature_target_encode", featureTargetEncode,
+      Some(featureTargetEncodeSql)))
 }

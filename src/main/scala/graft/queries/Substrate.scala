@@ -245,6 +245,56 @@ object Substrate {
        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** R13 — LEFT SEMI join (decorrelated EXISTS): customers holding at
+    * least one urgent order. Semi-join is its own physical operator —
+    * unlike an inner join + distinct it never duplicates the probe side
+    * (a customer with 40 urgent orders emits one row and the build side
+    * can stop at first match), so the shuffle volume is |customer|, not
+    * |orders|. At 100 TB the filtered build side stays broadcastable
+    * long after the raw fact table isn't; when it grows past that, AQE
+    * plans a shuffled hash semi-join keyed on custkey. The EXISTS twin
+    * pins the no-duplication semantics: an inner-join regression would
+    * multiply rows and fail the row count before the hash.
+    */
+  private def r13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val r13Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** R14 — LEFT ANTI join (decorrelated NOT EXISTS): customers with NO
+    * urgent order — R13's exact complement (the pair partitions
+    * |customer|, which the oracle checks implicitly: both keys run over
+    * the same tables, so r13.rows + r14.rows = |customer| at every
+    * scale). Same physical story as R13 — the probe side streams, the
+    * build side is the filtered broadcastable dim; NOT-EXISTS-style
+    * null-trap semantics don't arise here because the join key is a
+    * non-null primary key on both sides.
+    */
+  private def r14(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val r14Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   /** R10 — star join with a broadcast dimension (TPC-H Q5 shape):
     * revenue per (region, nation) through region ⋈ nation ⋈ customer ⋈
     * orders ⋈ lineitem. The composite dimension (nation ⋈ region,
@@ -340,6 +390,8 @@ object Substrate {
     Q("substrate_window_rank", r7, Some(r7Sql)),
     Q("substrate_rollup", r9, Some(r9Sql)),
     Q("substrate_cube", r12, Some(r12Sql)),
+    Q("substrate_semi_join", r13, Some(r13Sql)),
+    Q("substrate_anti_join", r14, Some(r14Sql)),
     Q("substrate_star_join", r10, Some(r10Sql)),
     Q("substrate_pivot", r11, Some(r11Sql)),
   )

@@ -104,7 +104,8 @@ class PlanSpec extends GraftSuite {
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
     "events_type_overlap",      // |types|-row HLL-sketch frame pair nest
     "customer_rfm",             // 1-row anchor-date scalar
-    "basket_rules")             // 1-row basket-total scalar
+    "basket_rules",             // 1-row basket-total scalar
+    "feature_target_encode")    // 1-row global-prior scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 
@@ -155,6 +156,24 @@ class PlanSpec extends GraftSuite {
     assert(bhj.exists(b =>
       (b.leftKeys ++ b.rightKeys).exists(_.toString.contains("nationkey"))),
       bhj.map(b => (b.leftKeys, b.rightKeys)).mkString("; "))
+  }
+
+  test("semi/anti joins plan as single-operator joins, not join+distinct") {
+    // R13/R14's physical contract: the EXISTS / NOT EXISTS lowers to ONE
+    // semi/anti hash-join operator — never the inner-join + distinct
+    // rewrite, whose shuffle carries |orders| duplicated probe rows. No
+    // aggregate may appear anywhere (a Distinct would plan as one).
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.HashJoin
+    for ((key, jt) <- Seq("substrate_semi_join" -> LeftSemi,
+        "substrate_anti_join" -> LeftAnti)) {
+      val p = planOf(key)
+      assert(p.collect { case j: HashJoin if j.joinType == jt => j }.nonEmpty,
+        s"$key: no $jt hash join in\n${p.treeString.take(800)}")
+      assert(p.collect { case a: BaseAggregateExec => a }.isEmpty,
+        s"$key: unexpected aggregate (join+distinct rewrite?)")
+    }
   }
 
   test("reduce_on_neighbors_user: skew mitigation is structural — " +

@@ -269,6 +269,31 @@ class TrainingAuditSpec extends GraftSuite {
       (199503L, 0, 1L, 1L, 40.0)))
   }
 
+  test("feature_target_encode: leave-one-out excludes the row's own label") {
+    import spark.implicits._
+    // Category A: targets 10, 20, 40 (sum 70, plain mean 70/3); category
+    // B: a single row (no peers → NULL loo, smooth falls back to the
+    // prior-weighted form). Targets chosen so NO leave-one-out value
+    // coincides with the plain category mean.
+    val orders = Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 40.0), (4L, "B", 100.0))
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice").repartition(3)
+    val out = FeatureQueries.targetEncodeOf(orders).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getDouble(3)))
+    val prior = 170.0 / 4
+    def smooth(catSum: Double, y: Double, n: Long): Double =
+      ((catSum - y) + 10.0 * prior) / (n - 1 + 10)
+    assert(out.toSeq === Seq(
+      (1L, (70.0 - 10) / 2, smooth(70, 10, 3)),   // peers 20,40 → 30
+      (2L, (70.0 - 20) / 2, smooth(70, 20, 3)),   // peers 10,40 → 25
+      (3L, (70.0 - 40) / 2, smooth(70, 40, 3)),   // peers 10,20 → 15
+      (4L, null, smooth(100, 100, 1))))           // lone row → pure prior
+    // The leakage contract: no encoding equals its category's PLAIN mean
+    // — the naive join-back would emit exactly 70/3 for rows 1-3.
+    assert(!out.flatMap(o => Option(o._2)).contains(70.0 / 3))
+  }
+
   test("recsys_als_step: deterministic across partitioning") {
     import spark.implicits._
     val li = (0L until 600L).map(i => (i % 90, i % 37)).toDF("l_orderkey", "l_partkey")
