@@ -687,8 +687,92 @@ object PipelineQueries {
        |FROM f GROUP BY c ORDER BY c_custkey""".stripMargin
   }
 
+  /** X84 — sample_split_temporal: TIME-boundary train/valid/test split of
+    * the event log — the leakage-correct split for anything with a time
+    * axis (X9's content-hash split is the right tool for i.i.d. documents
+    * and exactly the WRONG one for temporal data, where a random split
+    * lets the model train on the future it will be tested on). Boundaries
+    * are proportional cuts of the observed time RANGE in pure integer µs
+    * arithmetic — `t_k = mn + (mx−mn)·k div 10` for k = 8, 9 — so the
+    * assignment is a deterministic function of (row ts, corpus min/max),
+    * reproducible across engines and partitionings with no FP anywhere.
+    *
+    * The output is the split-level audit a training pipeline actually
+    * gates on: rows, distinct users, the observed [min, max] µs range per
+    * split (adjacent ranges must not overlap — pinned by the oracle), and
+    * the ENTITY-LEAKAGE metric `n_users_in_train` — how many of the
+    * split's users also appear in train (for train itself, trivially
+    * n_users). User-level leakage is the second-order effect temporal
+    * splits exist to expose; X82/X83 pin per-row leakage, this pins the
+    * split-design audit.
+    *
+    * Scale: one 1-row (min, max) scalar (declared crossJoin), one
+    * map-side-combinable per-split agg, and a |users|-bounded distinct →
+    * semi-join against the train user set (R13's operator, reused as
+    * audit plumbing). countDistinct is exact here; X6's HLL is the
+    * declared extreme-scale form.
+    */
+  private def sampleSplitTemporal(s: SparkSession, dir: String): DataFrame =
+    sampleSplitTemporalOf(Tables(s, dir, "events"))
+
+  /** Testable seam for [[sampleSplitTemporal]]: explicit events frame. */
+  private[graft] def sampleSplitTemporalOf(events: DataFrame): DataFrame = {
+    val ev = events.select(unix_micros(col("ts")).as("tus"), col("user_id"))
+    val bounds = ev.agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .select(col("tus"), col("user_id"),
+        when(col("tus") < col("mn") + expr("(mx - mn) * 8 div 10"), "train")
+          .when(col("tus") < col("mn") + expr("(mx - mn) * 9 div 10"),
+            "valid")
+          .otherwise("test").as("split"))
+    val per = tagged.groupBy(col("split")).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      min(col("tus")).as("min_ts_us"), max(col("tus")).as("max_ts_us"))
+    val users = tagged.select(col("split"), col("user_id")).distinct()
+    val overlap = users
+      .join(users.filter(col("split") === "train")
+          .select(col("user_id").as("tu")),
+        col("user_id") === col("tu"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_users_in_train"))
+    per.join(overlap, Seq("split"), "left")
+      .select(col("split"), col("n_rows"), col("n_users"),
+        coalesce(col("n_users_in_train"), lit(0L)).as("n_users_in_train"),
+        col("min_ts_us"), col("max_ts_us"))
+      .orderBy(col("split"))
+  }
+
+  private val sampleSplitTemporalSql =
+    """WITH ev AS (
+      |  SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, user_id FROM events),
+      |b AS (SELECT MIN(tus) AS mn, MAX(tus) AS mx FROM ev),
+      |tagged AS (
+      |  SELECT tus, user_id,
+      |    CASE WHEN tus < mn + (mx - mn) * 8 // 10 THEN 'train'
+      |         WHEN tus < mn + (mx - mn) * 9 // 10 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM ev CROSS JOIN b),
+      |per AS (
+      |  SELECT split, COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT user_id) AS n_users,
+      |    MIN(tus) AS min_ts_us, MAX(tus) AS max_ts_us
+      |  FROM tagged GROUP BY split),
+      |users AS (SELECT DISTINCT split, user_id FROM tagged),
+      |ov AS (
+      |  SELECT split, COUNT(*) AS n_users_in_train FROM users u
+      |  WHERE EXISTS (SELECT 1 FROM users t
+      |                WHERE t.split = 'train' AND t.user_id = u.user_id)
+      |  GROUP BY split)
+      |SELECT p.split, n_rows, n_users,
+      |  COALESCE(n_users_in_train, 0) AS n_users_in_train,
+      |  min_ts_us, max_ts_us
+      |FROM per p LEFT JOIN ov USING (split)
+      |ORDER BY split""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("sample_split", sampleSplit, Some(sampleSplitSql)),
+    Q("sample_split_temporal", sampleSplitTemporal,
+      Some(sampleSplitTemporalSql)),
     Q("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
     Q("recsys_als_step", recsysAlsStep, Some(recsysAlsStepSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),

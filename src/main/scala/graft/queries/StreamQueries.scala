@@ -79,6 +79,25 @@ object StreamQueries {
     s"""SELECT user_id, COUNT(*) AS n, ${Det.decSumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** T9 — stream_latest_by_key: CDC latest-value materialization
+    * ([[Streams.latestByKey]]) in its batch formulation; the
+    * `mapGroupsWithState` running-argmax stream run
+    * ([[Streams.latestByKeyStream]]) is proven equal across out-of-order
+    * micro-batches in StreamingSpec. The oracle runs the one-window
+    * row_number semantic spec; the Spark side is the combinable
+    * max(struct) argmax — the X70 rewrite-equivalence split.
+    */
+  private def t9(s: SparkSession, dir: String): DataFrame =
+    Streams.latestByKey(events(s, dir)).orderBy(col("user_id"))
+
+  private val t9Sql =
+    """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+      |  event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   private def t6(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     Streams.viewClickJoin(
@@ -687,6 +706,7 @@ object StreamQueries {
     Q("stream_dedup_late", t4, Some(t4Sql)),
     Q("stream_stateful_count", t5, Some(t5Sql)),
     Q("stream_join", t6, Some(t6Sql)),
+    Q("stream_latest_by_key", t9, Some(t9Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("events_funnel", x7, Some(x7Sql)),

@@ -322,4 +322,58 @@ object Streams {
       }
       .toDF("user_id", "n", "sum_value")
   }
+
+  /** T9 — CDC-style latest-value materialization: per user, the most
+    * recent event's (ts, id, type, value) — the upsert/materialized-view
+    * maintenance shape (a changelog compacted to current state). Tiebreak
+    * on same-µs timestamps is max event_id, so the winner is total.
+    *
+    * Batch mode: ONE `max(struct)` aggregate — a map-side-combinable
+    * argmax, never a per-key window sort (a hub user's rows partial-reduce
+    * to one struct per task; the struct compares (tus, event_id) first, so
+    * the trailing payload fields never decide).
+    *
+    * Scale: state/output bounded by |users|; at 100 TB this is the
+    * standard log-compaction pass, shuffling one struct per (task, user).
+    */
+  def latestByKey(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("tus"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.tus").as("last_ts_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+
+  /** T9 stream variant: explicit running-argmax state per user via
+    * `mapGroupsWithState` (update mode) — each micro-batch folds its rows
+    * into the stored (tus, event_id, type, value) maximum, so the sink's
+    * latest update per key always equals the batch [[latestByKey]] over
+    * the rows seen so far (StreamingSpec asserts this across out-of-order
+    * batches). State is one small tuple per user — the same |users| bound
+    * as the batch shuffle, evictable via GroupStateTimeout in a real
+    * deployment.
+    */
+  def latestByKeyStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, String, Double),
+        (Long, Long, Long, String, Double)](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var best = state.getOption.getOrElse(
+            (Long.MinValue, Long.MinValue, "", 0.0))
+          rows.foreach { r =>
+            if (r._2 > best._1 || (r._2 == best._1 && r._3 > best._2))
+              best = (r._2, r._3, r._4, r._5)
+          }
+          state.update(best)
+          (uid, best._1, best._2, best._3, best._4)
+      }
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
+        "last_value")
+  }
 }

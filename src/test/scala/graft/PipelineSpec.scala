@@ -505,4 +505,32 @@ class PipelineSpec extends GraftSuite {
     assert(mrl.map(t => (t._1, t._3)).toSet !==
       full.map(t => (t._1, t._3)).toSet)
   }
+
+  test("sample_split_temporal: integer boundaries, ranges disjoint, " +
+    "user-leakage audit counts train overlap") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // Range [0s, 100s] → t1 = 80s, t2 = 90s. u1 in train+valid, u2 only
+    // test, u3 in train+test (the leaking user the audit must count).
+    val ev = Seq(
+      (1L, ts(10), "view", 0.0), (1L, ts(85), "view", 0.0),
+      (2L, ts(95), "view", 0.0),
+      (3L, ts(0), "view", 0.0), (3L, ts(100), "view", 0.0))
+      .map { case (u, t0, ty, v) => (u * 100 + t0.getTime, t0, u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+    val out = PipelineQueries.sampleSplitTemporalOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    def us(sec: Long) = sec * 1000000L
+    assert(out.toSeq === Seq(
+      ("test",  2L, 2L, 1L, us(95), us(100)),  // u3 leaks from train
+      ("train", 2L, 2L, 2L, us(0),  us(10)),
+      ("valid", 1L, 1L, 1L, us(85), us(85))))
+    // Observed ranges must be disjoint and ordered train < valid < test.
+    val byName = out.map(o => o._1 -> (o._5, o._6)).toMap
+    assert(byName("train")._2 < byName("valid")._1 &&
+      byName("valid")._2 < byName("test")._1)
+  }
 }

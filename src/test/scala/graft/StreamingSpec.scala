@@ -188,4 +188,40 @@ class StreamingSpec extends GraftSuite {
         us("00:10"), us("00:30"), us("00:45"))))
     } finally q.stop()
   }
+
+  test("latestByKeyStream: running argmax equals batch over out-of-order " +
+    "micro-batches, same-ts ties break on event_id") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.latestByKeyStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_latest")
+      .outputMode("update").start()
+    try {
+      // Batch 1: user 1's LATER event arrives first (out of order).
+      val evs1 = Seq(Ev(5, t("01:00"), 1, "click", 9.0),
+        Ev(2, t("00:10"), 1, "view", 1.0), Ev(3, t("00:20"), 2, "view", 2.0))
+      mem.addData(evs1: _*)
+      q.processAllAvailable()
+      // Batch 2: a STALE event for user 1 (must not displace 01:00) and a
+      // same-µs tie for user 2 (event_id 7 > 3 wins).
+      val evs2 = Seq(Ev(4, t("00:30"), 1, "view", 0.5),
+        Ev(7, t("00:20"), 2, "buy", 4.0))
+      mem.addData(evs2: _*)
+      q.processAllAvailable()
+      // Update-mode sink appends one row per key per batch; the running
+      // state is the last update per user.
+      val got = spark.table("t_latest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4)))
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (_, rs) => rs.maxBy(_._2)._1 }.toSeq.sortBy(_._1)
+      def us(hhmm: String) = t(hhmm).getTime * 1000L
+      assert(got === Seq((1L, us("01:00"), 5L, "click", 9.0),
+        (2L, us("00:20"), 7L, "buy", 4.0)))
+      // And the stream state equals the batch twin over the same rows.
+      val want = Streams.latestByKey((evs1 ++ evs2).toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4))).toSeq.sortBy(_._1)
+      assert(got === want)
+    } finally q.stop()
+  }
 }
