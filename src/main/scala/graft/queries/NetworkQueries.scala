@@ -537,8 +537,92 @@ object NetworkQueries {
        |CROSS JOIN nb
        |ORDER BY s1, s2""".stripMargin
 
+  /** recsys_item_cosine minimum co-occurrence support / top-k cut. */
+  private val ItemMinSupport = 2
+  private val ItemTopK = 3
+
+  /** X85 — recsys_item_cosine: item-item COSINE similarity over order
+    * baskets with a top-[[ItemTopK]] cut per item — the classic
+    * neighborhood-method candidate generator ("customers who bought i
+    * also bought j"), the serving sibling of X78's support/confidence/
+    * lift triple: cos(i,j) = n_ij / √(n_i·n_j) on the binary
+    * order×part incidence, which is exactly the co-occurrence-normalized
+    * angle between item columns.
+    *
+    * Determinism: n_ij, n_i, n_j are exact counts; the cosine is
+    * √(exact-long product) then ONE division, qround(6) BEFORE the rank
+    * window so rounding-equal scores tie-break on the other item's key
+    * identically in both engines (round-then-rank, the X13 discipline).
+    *
+    * Scale: pair generation is the keyed basket self-join (pa < pb) —
+    * O(basket²) per order, bounded by the ≤13-item baskets here and by
+    * the X2's df-cap discipline on pathological carts at 100 TB; support
+    * ≥ [[ItemMinSupport]] prunes the singleton-pair tail BEFORE the
+    * degree joins. Degree frame is |parts|-sized (broadcast while the
+    * catalog is cluster-small; keyed join past that). The top-k window
+    * partitions by item over ≤|parts| candidates — the declared scale
+    * path is X70's two-phase bottom-k; at this fan-in the one-window
+    * form IS the semantic spec the oracle runs.
+    */
+  private def recsysItemCosine(s: SparkSession, dir: String): DataFrame =
+    itemCosineOf(Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[recsysItemCosine]]: explicit lineitem frame. */
+  private[graft] def itemCosineOf(lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val deg = baskets.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val a = baskets.select(col("ok"), col("pk").as("pa"))
+    val b = baskets.select(col("ok").as("okb"), col("pk").as("pb"))
+    val pairs = a.join(b, col("ok") === col("okb") && col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("nij"))
+      .filter(col("nij") >= ItemMinSupport)
+    val dir2 = pairs.select(col("pa").as("i"), col("pb").as("j"), col("nij"))
+      .unionByName(
+        pairs.select(col("pb").as("i"), col("pa").as("j"), col("nij")))
+    val scored = dir2
+      .join(broadcast(deg.select(col("pk").as("i"), col("n").as("n_i"))),
+        Seq("i"))
+      .join(broadcast(deg.select(col("pk").as("j"), col("n").as("n_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("nij"), col("n_i"), col("n_j"),
+        Det.qround(col("nij").cast("double") /
+          sqrt((col("n_i") * col("n_j")).cast("double")), 6).as("cosine"))
+    val w = Window.partitionBy(col("i"))
+      .orderBy(col("cosine").desc, col("j"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= ItemTopK)
+      .select(col("i").as("part"), col("rank"), col("j").as("other"),
+        col("nij").as("n_co"), col("n_i"), col("n_j"), col("cosine"))
+      .orderBy(col("part"), col("rank"))
+  }
+
+  private val recsysItemCosineSql = {
+    val cos = Det.qroundSql(
+      "CAST(nij AS DOUBLE) / sqrt(CAST(n_i * n_j AS DOUBLE))", 6)
+    s"""WITH baskets AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |deg AS (SELECT pk, COUNT(*) AS n FROM baskets GROUP BY pk),
+       |pairs AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS nij
+       |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $ItemMinSupport),
+       |dir2 AS (SELECT pa AS i, pb AS j, nij FROM pairs
+       |  UNION ALL SELECT pb, pa, nij FROM pairs),
+       |scored AS (
+       |  SELECT i, j, nij, di.n AS n_i, dj.n AS n_j, $cos AS cosine
+       |  FROM dir2 JOIN deg di ON di.pk = i JOIN deg dj ON dj.pk = j)
+       |SELECT i AS part, rank, j AS other, nij AS n_co, n_i, n_j, cosine
+       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY i
+       |        ORDER BY cosine DESC, j) AS INTEGER) AS rank FROM scored)
+       |WHERE rank <= $ItemTopK
+       |ORDER BY part, rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("recsys_item_cosine", recsysItemCosine, Some(recsysItemCosineSql)),
     Q("basket_rules", basketRules, Some(basketRulesSql)),
     Q("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
     Q("graph_summarize", graphSummarize, Some(graphSummarizeSql)),

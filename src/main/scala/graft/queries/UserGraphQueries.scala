@@ -5,7 +5,7 @@ import graft.algorithms.GraphAlgorithms
 import graft.sources.{GUser, IdEncoder}
 import graft.util.Det
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -947,8 +947,118 @@ object UserGraphQueries {
        |  $outs) ORDER BY walk_id, step""".stripMargin
   }
 
+  /** graph_gnn_sample fanouts per hop / seed-set modulus / sub-strata. */
+  private val GnnFanout1 = 3
+  private val GnnFanout2 = 2
+  private val GnnSeedMod = 4L
+  private val GnnBuckets = 8
+
+  /** X86 — graph_gnn_sample: deterministic 2-hop neighbor SAMPLING over
+    * directed G_user — the GraphSAGE/PinSAGE mini-batch input shape: for
+    * every seed (ids ≡ 0 mod [[GnnSeedMod]], the hash-sampled-batch
+    * stand-in), keep [[GnnFanout1]] out-neighbors, then [[GnnFanout2]]
+    * neighbors of each of those, emitting the sampled computation graph
+    * as (seed, hop, src, dst, rank) edges. Next to the X63 walk ladder
+    * this is the OTHER way graphs feed a trainer: walks linearize into a
+    * token corpus; fanout sampling keeps the bipartite computation tree
+    * a GNN aggregates over.
+    *
+    * Fanout choice is the X63 salted-rank contract, extended with the
+    * PARENT in the key — `rank = hash(seed, hop, parent, candidate)` over
+    * the same mod-prime family — so the sample is a pure function of the
+    * edge set (bit-reproducible across partitionings/engines; a `rand()`
+    * fanout is neither) AND different seeds/parents draw decorrelated
+    * samples (the same hub's neighborhood is sampled differently under
+    * each parent, as GraphSAGE requires). Intermediate products stay
+    * < 2⁶³ (the X63 bound argument; DuckDB would fail loudly, not wrap).
+    *
+    * Scale: per hop ONE keyed |E| equi-join (frontier × edges on
+    * parent = src); bottom-k per group runs the X70 TWO-PHASE form —
+    * rank within (group, dst mod [[GnnBuckets]]) keep ≤k, re-rank the
+    * ≤ 8k survivors — so a hub parent's candidate list never funnels
+    * through one window sort, while the oracle runs the one-window
+    * semantic spec (the gate proves the rewrite). State is the sampled
+    * frontier: ≤ |seeds|·k₁ rows.
+    */
+  private def graphGnnSample(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    gnnSampleOf(g.edges, g.vertices)
+  }
+
+  /** Unit-test seam: sampling over explicit directed edges + vertices. */
+  private[graft] def gnnSampleOf(edges: DataFrame,
+                                 vertices: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val seeds = vertices.select(col("id").as("seed"))
+      .filter(col("seed") % GnnSeedMod === 0)
+    def rnk(hop: Int, parent: Column, dst: Column): Column =
+      ((((col("seed") * WalkSaltA + hop) % WalkMod) * WalkSaltB + parent)
+        % WalkMod * WalkSaltA + dst) % WalkMod
+
+    def bottomK(cand: DataFrame, part: Seq[Column], k: Int): DataFrame = {
+      val w1 = Window.partitionBy(part :+ (col("dst") % GnnBuckets): _*)
+        .orderBy(col("r"), col("dst"))
+      val w2 = Window.partitionBy(part: _*).orderBy(col("r"), col("dst"))
+      cand.withColumn("rk1", row_number().over(w1))
+        .where(col("rk1") <= k)
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+    }
+
+    val c1 = seeds.join(e, col("seed") === col("src"))
+      .select(col("seed"), col("dst"),
+        rnk(1, col("seed"), col("dst")).as("r"))
+    val h1 = bottomK(c1, Seq(col("seed")), GnnFanout1)
+      .select(col("seed"), col("dst"), col("rank"))
+
+    val c2 = h1.select(col("seed"), col("dst").as("parent"))
+      .join(e, col("parent") === col("src"))
+      .select(col("seed"), col("parent"), col("dst"),
+        rnk(2, col("parent"), col("dst")).as("r"))
+    val h2 = bottomK(c2, Seq(col("seed"), col("parent")), GnnFanout2)
+      .select(col("seed"), col("parent"), col("dst"), col("rank"))
+
+    h1.select(col("seed"), lit(1).as("hop"), col("seed").as("src"),
+        col("dst"), col("rank"))
+      .unionByName(h2.select(col("seed"), lit(2).as("hop"),
+        col("parent").as("src"), col("dst"), col("rank")))
+      .orderBy(col("seed"), col("hop"), col("src"), col("rank"))
+  }
+
+  private val graphGnnSampleSql = {
+    def r(hop: Int, parent: String, dst: String) =
+      s"((((seed * $WalkSaltA + $hop) % $WalkMod) * $WalkSaltB + $parent)" +
+        s" % $WalkMod * $WalkSaltA + $dst) % $WalkMod"
+    s"""$SqlPrefix,
+       |seeds AS (SELECT id AS seed FROM vertices
+       |          WHERE id % $GnnSeedMod = 0),
+       |h1 AS (
+       |  SELECT seed, dst, rank FROM (
+       |    SELECT seed, e.dst, CAST(row_number() OVER (PARTITION BY seed
+       |        ORDER BY ${r(1, "seed", "e.dst")}, e.dst) AS INTEGER)
+       |      AS rank
+       |    FROM seeds JOIN edges e ON e.src = seed)
+       |  WHERE rank <= $GnnFanout1),
+       |h2 AS (
+       |  SELECT seed, parent, dst, rank FROM (
+       |    SELECT h.seed AS seed, h.dst AS parent, e.dst,
+       |      CAST(row_number() OVER (PARTITION BY h.seed, h.dst
+       |        ORDER BY ${r(2, "h.dst", "e.dst")}, e.dst) AS INTEGER)
+       |      AS rank
+       |    FROM h1 h JOIN edges e ON e.src = h.dst)
+       |  WHERE rank <= $GnnFanout2)
+       |SELECT seed, hop, src, dst, rank FROM (
+       |  SELECT seed, CAST(1 AS INTEGER) AS hop, seed AS src, dst, rank
+       |  FROM h1
+       |  UNION ALL
+       |  SELECT seed, CAST(2 AS INTEGER) AS hop, parent AS src, dst, rank
+       |  FROM h2)
+       |ORDER BY seed, hop, src, rank""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
+    Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
     Q("pagerank_user", pagerankUser, Some(pagerankUserSql)),
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,

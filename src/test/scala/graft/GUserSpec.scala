@@ -305,4 +305,51 @@ class GUserSpec extends GraftSuite {
     assert(got === Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 1L, 2L),
       (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
   }
+
+  test("graph_gnn_sample: fanouts bound, edges real, parent-keyed ranks, " +
+    "partitioning-invariant; matches a driver-side model") {
+    import spark.implicits._
+    // Seed 4 (only id ≡ 0 mod 4) with 5 out-neighbors; hop-1 picks 3 of
+    // them; each pick has its own out-neighborhood for hop 2. Vertices
+    // 1 and 2 SHARE neighborhood {7,8,9} — the parent-keyed hash must be
+    // allowed to sample it differently under each parent.
+    val edges = Seq(
+      (4L, 1L), (4L, 2L), (4L, 3L), (4L, 5L), (4L, 6L),
+      (1L, 7L), (1L, 8L), (1L, 9L),
+      (2L, 7L), (2L, 8L), (2L, 9L),
+      (3L, 10L), (5L, 11L))
+    val v = (1L to 11L).map((_, 0.0)).toDF("id", "value")
+    val e = edges.map { case (s0, d) => (s0, d, 1.0) }
+      .toDF("src", "dst", "value")
+    def run(parts: Int) = graft.queries.UserGraphQueries
+      .gnnSampleOf(e.repartition(parts), v.repartition(parts))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val got = run(1)
+    assert(got === run(7), "sample must not depend on partitioning")
+    // Driver-side model: same salted-rank formula.
+    val M = 1000000007L
+    def rnk(seed: Long, hop: Long, parent: Long, dst: Long): Long =
+      ((((seed * 1009L + hop) % M) * 1000003L + parent) % M * 1009L
+        + dst) % M
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def pick(seed: Long, hop: Long, parent: Long, k: Int): Seq[Long] =
+      adj.getOrElse(parent, Nil)
+        .sortBy(d => (rnk(seed, hop, parent, d), d)).take(k)
+    val h1 = pick(4L, 1, 4L, 3)
+    val want =
+      h1.zipWithIndex.map { case (d, i) => (4L, 1, 4L, d, i + 1) } ++
+        h1.flatMap(p => pick(4L, 2, p, 2).zipWithIndex
+          .map { case (d, i) => (4L, 2, p, d, i + 1) })
+          .sortBy(x => (x._3, x._5))
+    assert(got === want)
+    // Structural invariants: every sampled edge is a real edge; hop-1
+    // emits exactly 3 rows; ≤2 per hop-2 parent.
+    assert(got.forall(g => edges.contains((g._3, g._4))))
+    assert(got.count(_._2 == 1) === 3)
+    got.filter(_._2 == 2).groupBy(_._3).foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+    }
+  }
 }

@@ -140,4 +140,30 @@ class NetworkSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
   }
+
+  test("recsys_item_cosine: hand-computed cosines, support prune, " +
+    "top-k ordering") {
+    // Baskets: o1={1,2,3}, o2={1,2}, o3={1,2}, o4={1,3} →
+    // n1=4, n2=3, n3=2; pairs (1,2)=3, (1,3)=2, (2,3)=1 (pruned: <2).
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 2L), // duplicate line: baskets must dedup
+      (4L, 1L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey").repartition(3)
+    val out = NetworkQueries.itemCosineOf(li).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    def q(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val c12 = q(3.0 / math.sqrt(12.0)) // 0.866025
+    val c13 = q(2.0 / math.sqrt(8.0))  // 0.707107
+    assert(out.toSeq === Seq(
+      (1L, 1, 2L, 3L, 4L, 3L, c12),
+      (1L, 2, 3L, 2L, 4L, 2L, c13),
+      (2L, 1, 1L, 3L, 3L, 4L, c12),
+      (3L, 1, 1L, 2L, 2L, 4L, c13)))
+    // The pruned pair (2,3) appears nowhere.
+    assert(!out.exists(o => (o._1 == 2L && o._3 == 3L) ||
+      (o._1 == 3L && o._3 == 2L)))
+  }
 }
