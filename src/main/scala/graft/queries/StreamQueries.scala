@@ -1,9 +1,10 @@
 package graft.queries
 
+import graft.functions.TextFns
 import graft.sources.Tables
 import graft.streaming.Streams
 import graft.util.Det
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** T1–T5 batch twins of the streaming transforms (same DataFrame code runs
@@ -697,6 +698,103 @@ object StreamQueries {
       |LEFT JOIN i ON i.type_a = a.event_type AND i.type_b = b.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** X88 — events_ab_test: the A/B experiment readout — deterministic
+    * 50/50 assignment by salted user-id hash (`stringHash("ab:"+uid) mod
+    * 2`, the X9 reproducibility contract applied to bucketing: the arm
+    * survives re-runs, backfills, and engines, where `rand()` assignment
+    * is unauditable), per-USER value totals as the unit of analysis
+    * (within-user event correlation must not inflate the sample size —
+    * the experimentation-platform pitfall this operator exists to avoid),
+    * and the Welch z statistic over the two arms.
+    *
+    * Determinism: per-user totals in exact integer CENTS (value has 2 dp;
+    * `sum(dec)·100 → long`), sufficient statistics Σc and Σc² as exact
+    * longs (bound: cents² ≈ 10¹²/user · 10⁷ users ≈ 10¹⁹ nears 2⁶³ only
+    * past ~10⁷ heavy users — both engines' checked 64-bit arithmetic
+    * fails loudly, not wrapping, before that), then ONE fixed IEEE chain
+    * per output (`cast → divide → multiply-subtract → sqrt → divide`)
+    * written in identical op order in both engines, qround(6).
+    *
+    * Scale: two map-side-combinable aggregates (|users| then 1 row) —
+    * the whole readout is a single funnel-shaped pass; arms are pinned
+    * to columns (not rows) so no pivot/crossJoin is needed.
+    */
+  private def eventsAbTest(s: SparkSession, dir: String): DataFrame =
+    eventsAbTestOf(events(s, dir))
+
+  /** Testable seam for [[eventsAbTest]]: explicit events frame. */
+  private[graft] def eventsAbTestOf(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg((sum(Det.dec(col("value"))) * 100).cast("long").as("cents"),
+        count(lit(1)).as("n_ev"))
+      .select(col("cents"), col("n_ev"),
+        (TextFns.stringHash(
+          concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+          .as("is_c"))
+    def side(cond: Column, x: Column) = sum(when(cond, x).otherwise(0L))
+    val agg = perUser.agg(
+      side(col("is_c"), lit(1L)).as("n_c"),
+      side(!col("is_c"), lit(1L)).as("n_t"),
+      side(col("is_c"), col("n_ev")).as("ev_c"),
+      side(!col("is_c"), col("n_ev")).as("ev_t"),
+      side(col("is_c"), col("cents")).as("s_c"),
+      side(!col("is_c"), col("cents")).as("s_t"),
+      side(col("is_c"), col("cents") * col("cents")).as("s2_c"),
+      side(!col("is_c"), col("cents") * col("cents")).as("s2_t"))
+    agg
+      .withColumn("m_c", col("s_c").cast("double") / col("n_c"))
+      .withColumn("m_t", col("s_t").cast("double") / col("n_t"))
+      .withColumn("v_c",
+        col("s2_c").cast("double") / col("n_c") - col("m_c") * col("m_c"))
+      .withColumn("v_t",
+        col("s2_t").cast("double") / col("n_t") - col("m_t") * col("m_t"))
+      .select(
+        col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
+        col("ev_c").as("n_events_c"), col("ev_t").as("n_events_t"),
+        Det.qround(col("m_c") / 100.0, 6).as("mean_c"),
+        Det.qround(col("m_t") / 100.0, 6).as("mean_t"),
+        Det.qround((col("m_t") - col("m_c")) / 100.0, 6).as("lift"),
+        Det.qround((col("m_t") - col("m_c")) /
+          sqrt(col("v_t") / col("n_t") + col("v_c") / col("n_c")), 6)
+          .as("z_welch"))
+  }
+
+  private val eventsAbTestSql = {
+    val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH pu AS (
+       |  SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+       |      AS cents,
+       |    COUNT(*) AS n_ev, ($h) % 2 = 0 AS is_c
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT
+       |  CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE 1 END) AS BIGINT) AS n_t,
+       |  CAST(SUM(CASE WHEN is_c THEN n_ev ELSE 0 END) AS BIGINT) AS ev_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE n_ev END) AS BIGINT) AS ev_t,
+       |  CAST(SUM(CASE WHEN is_c THEN cents ELSE 0 END) AS BIGINT) AS s_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE cents END) AS BIGINT) AS s_t,
+       |  CAST(SUM(CASE WHEN is_c THEN cents * cents ELSE 0 END) AS BIGINT)
+       |    AS s2_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE cents * cents END) AS BIGINT)
+       |    AS s2_t
+       |  FROM pu),
+       |m AS (SELECT *,
+       |  CAST(s_c AS DOUBLE) / n_c AS m_c,
+       |  CAST(s_t AS DOUBLE) / n_t AS m_t FROM a),
+       |v AS (SELECT *,
+       |  CAST(s2_c AS DOUBLE) / n_c - m_c * m_c AS v_c,
+       |  CAST(s2_t AS DOUBLE) / n_t - m_t * m_t AS v_t FROM m)
+       |SELECT n_c AS n_users_c, n_t AS n_users_t,
+       |  ev_c AS n_events_c, ev_t AS n_events_t,
+       |  ${Det.qroundSql("m_c / 100.0", 6)} AS mean_c,
+       |  ${Det.qroundSql("m_t / 100.0", 6)} AS mean_t,
+       |  ${Det.qroundSql("(m_t - m_c) / 100.0", 6)} AS lift,
+       |  ${Det.qroundSql(
+            "(m_t - m_c) / sqrt(v_t / n_t + v_c / n_c)", 6)} AS z_welch
+       |FROM v""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
     Q("stream_funnel", t8, Some(t8Sql)),
@@ -717,5 +815,8 @@ object StreamQueries {
     Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),
+    Q("events_ab_test", eventsAbTest, Some(eventsAbTestSql)),
   )
+
+
 }

@@ -1246,8 +1246,69 @@ object TextQueries {
        |FROM st LEFT JOIN vocab v ON st.token = v.token
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** text_chunk window (tokens per chunk) and stride (tokens advanced
+    * per chunk → overlap = [[ChunkW]] − [[ChunkS]]).
+    */
+  private val ChunkW = 16
+  private val ChunkS = 12
+
+  /** X87 — text_chunk: overlapping token-window chunking — the
+    * RAG-/embedding-indexing shape (and the context-window packing
+    * precursor X59 packs whole docs for): each document splits into
+    * windows of [[ChunkW]] whitespace tokens advancing by [[ChunkS]]
+    * (4-token overlap so no retrieval-relevant span is cut at a hard
+    * boundary), the last chunk keeping the short tail. Pure integer
+    * chunk arithmetic — `n_chunks = 1 + (max(n−W, 0) + S−1) div S`,
+    * nonneg operands so truncating and floor division agree across
+    * engines — and the chunk text is re-joined from the token slice, so
+    * the output is a deterministic function of the text alone.
+    *
+    * Scale: one narrow map + explode per document — no shuffle at all
+    * before the oracle ORDER BY (chunking is the canonical
+    * embarrassingly-parallel pass); output size is corpus·(1/S + ε)
+    * rows. The explode carries only (doc_id, tk, n_tok) — the token
+    * array is reused across its own chunks inside one row-batch, never
+    * re-split per chunk.
+    */
+  private def textChunk(s: SparkSession, dir: String): DataFrame =
+    textChunkOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[textChunk]]: explicit documents frame. */
+  private[graft] def textChunkOf(docs: DataFrame): DataFrame = {
+    val start = (col("chunk_id") * ChunkS + 1).cast("int")
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        expr(s"(greatest(n_tok - $ChunkW, 0L) + ${ChunkS - 1}) div $ChunkS"))))
+      .select(col("doc_id"), col("chunk_id"),
+        start.cast("long").as("start_tok"),
+        least(lit(ChunkW.toLong), col("n_tok") - start + 1L).as("n_tokens"),
+        array_join(slice(col("tk"), start, lit(ChunkW)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val textChunkSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, tk, n_tok,
+       |    UNNEST(range(1 + (GREATEST(n_tok - $ChunkW, 0)
+       |                      + ${ChunkS - 1}) // $ChunkS)) AS chunk_id
+       |  FROM d)
+       |SELECT doc_id, chunk_id,
+       |  chunk_id * $ChunkS + 1 AS start_tok,
+       |  LEAST($ChunkW, n_tok - (chunk_id * $ChunkS + 1) + 1) AS n_tokens,
+       |  array_to_string(list_slice(tk, chunk_id * $ChunkS + 1,
+       |    chunk_id * $ChunkS + $ChunkW), ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("text_chunk", textChunk, Some(textChunkSql)),
     Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),
     Q("bpe_merges", bpeMerges, Some(bpeMergesSql)),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextKernels
-import graft.queries.{FeatureQueries, PipelineQueries, TextQueries}
+import graft.queries.{FeatureQueries, PipelineQueries, StreamQueries, TextQueries}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unit coverage for the round-9 training-audit additions: X71
@@ -292,6 +292,57 @@ class TrainingAuditSpec extends GraftSuite {
     // The leakage contract: no encoding equals its category's PLAIN mean
     // — the naive join-back would emit exactly 70/3 for rows 1-3.
     assert(!out.flatMap(o => Option(o._2)).contains(70.0 / 3))
+  }
+
+  test("text_chunk: window/stride arithmetic, short tail, short doc") {
+    import spark.implicits._
+    // 30 tokens → chunks at 1/13/25 with lengths 16/16/6; 5 tokens → one
+    // chunk of 5.
+    val toks = (1 to 30).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "a b c d e"))
+      .toDF("doc_id", "text").repartition(2)
+    val out = TextQueries.textChunkOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 1L, 16L, toks.slice(0, 16).mkString(" ")),
+      (1L, 1L, 13L, 16L, toks.slice(12, 28).mkString(" ")),
+      (1L, 2L, 25L, 6L, toks.slice(24, 30).mkString(" ")),
+      (2L, 0L, 1L, 5L, "a b c d e")))
+    // Overlap contract: consecutive chunks share W−S = 4 tokens.
+    assert(toks.slice(12, 16) === toks.slice(0, 16).takeRight(4))
+  }
+
+  test("events_ab_test: hash arms, per-user unit of analysis, Welch z") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def arm(u: Long): Boolean =
+      TextKernels.stringHash(UTF8String.fromString(s"ab:$u")) % 2 == 0
+    // 6 users, values chosen per-user; user 1 has TWO events (the readout
+    // must collapse them to one analysis unit, not two).
+    val ev = (1L to 6L).flatMap { u =>
+      val base = Seq((u * 10, u, u * 1.0))
+      if (u == 1L) base :+ ((u * 10 + 1, u, 0.5)) else base
+    }.map { case (id, u, v) =>
+      (id, new Timestamp(1000L * id), u, "view", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+    val out = StreamQueries.eventsAbTestOf(ev).collect().head
+    val cents = (1L to 6L).map(u =>
+      u -> (u * 100 + (if (u == 1L) 50 else 0))).toMap
+    val (cs, ts0) = (1L to 6L).partition(arm)
+    assert(out.getLong(0) === cs.size && out.getLong(1) === ts0.size)
+    assert(out.getLong(2) === cs.map(u => if (u == 1L) 2 else 1).sum)
+    def mean(us: Seq[Long]) =
+      us.map(cents).sum.toDouble / us.size
+    def vr(us: Seq[Long]) =
+      us.map(u => cents(u) * cents(u)).sum.toDouble / us.size -
+        mean(us) * mean(us)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.getDouble(4) === q6(mean(cs) / 100.0))
+    assert(out.getDouble(5) === q6(mean(ts0) / 100.0))
+    assert(out.getDouble(7) === q6((mean(ts0) - mean(cs)) /
+      math.sqrt(vr(ts0) / ts0.size + vr(cs) / cs.size)))
   }
 
   test("recsys_als_step: deterministic across partitioning") {
