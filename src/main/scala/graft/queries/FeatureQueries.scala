@@ -304,8 +304,87 @@ object FeatureQueries {
       |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** orders_churn_labels horizon: days before the corpus max date that
+    * form the post-anchor label window.
+    */
+  private val ChurnHorizonDays = 90
+
+  /** X89 — orders_churn_labels: LABEL-set materialization for a churn
+    * model — the other half of the feature-store contract X82/X83 pin on
+    * the feature side: anchor T = max(order date) − [[ChurnHorizonDays]]
+    * days, features computed STRICTLY before T (order count, exact
+    * decimal spend, days-since-last-order at T), label = did the
+    * customer order in [T, max]? Customers with no pre-T history are
+    * excluded (no feature row may exist without features — the
+    * cold-start rows belong to a different model). The pre/post split on
+    * ONE anchor is what makes the training set point-in-time-correct:
+    * every feature is computable at T, every label is strictly after it;
+    * the oracle pins the boundary (a `<=` regression moves anchor-day
+    * orders across the feature/label line and fails the hash).
+    *
+    * Scale: a 1-row anchor scalar (declared crossJoin) + ONE conditional
+    * aggregate over the fact scan — no join at all (pre/post land in
+    * CASE arms of the same |customers| roll-up). Integer day arithmetic,
+    * [[Det]] decimal spend.
+    */
+  private def ordersChurnLabels(s: SparkSession, dir: String): DataFrame =
+    churnLabelsOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[ordersChurnLabels]]: explicit orders frame. */
+  private[graft] def churnLabelsOf(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(
+      date_sub(max(col("o_orderdate")).cast("date"), ChurnHorizonDays)
+        .as("t_anchor"))
+    orders.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), col("o_totalprice"), col("t_anchor"),
+        col("o_orderdate").cast("date").as("d"),
+        (col("o_orderdate").cast("date") < col("t_anchor")).as("pre"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(col("pre"), 1L).otherwise(0L)).as("n_orders_pre"),
+        sum(when(col("pre"), Det.dec(col("o_totalprice"))))
+          .cast("double").as("spend_pre"),
+        max(when(col("pre"), col("d"))).as("last_pre"),
+        max(col("t_anchor")).as("t_anchor"),
+        max(when(!col("pre"), 1L).otherwise(0L)).as("active_i"))
+      .filter(col("n_orders_pre") > 0)
+      .select(col("o_custkey").as("c_custkey"), col("n_orders_pre"),
+        col("spend_pre"),
+        datediff(col("t_anchor"), col("last_pre")).as("days_since_last"),
+        (col("active_i") === 1L).as("active_after"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val ordersChurnLabelsSql =
+    s"""WITH anchor AS (
+       |  SELECT CAST(MAX(o_orderdate) AS DATE) - $ChurnHorizonDays
+       |    AS t_anchor FROM orders),
+       |tagged AS (
+       |  SELECT o_custkey, o_totalprice, t_anchor,
+       |    CAST(o_orderdate AS DATE) AS d,
+       |    CAST(o_orderdate AS DATE) < t_anchor AS pre
+       |  FROM orders CROSS JOIN anchor),
+       |per AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_orders_pre,
+       |    CAST(SUM(CASE WHEN pre
+       |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+       |      AS spend_pre,
+       |    MAX(CASE WHEN pre THEN d END) AS last_pre,
+       |    MAX(t_anchor) AS t_anchor,
+       |    MAX(CASE WHEN pre THEN 0 ELSE 1 END) AS active_i
+       |  FROM tagged GROUP BY 1)
+       |SELECT c_custkey, n_orders_pre, spend_pre,
+       |  date_diff('day', last_pre, t_anchor) AS days_since_last,
+       |  active_i = 1 AS active_after
+       |FROM per WHERE n_orders_pre > 0
+       |ORDER BY c_custkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),
+    Q("orders_churn_labels", ordersChurnLabels,
+      Some(ordersChurnLabelsSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
     Q("feature_target_encode", featureTargetEncode,

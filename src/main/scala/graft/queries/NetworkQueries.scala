@@ -231,6 +231,54 @@ object NetworkQueries {
        |WHERE v.id >= ${GTrade.OffSql}
        |ORDER BY v.id""".stripMargin
 
+  /** X90 — graph_edge_support: per-EDGE triangle counts (edge support)
+    * on the same sparsified top-k partner graph [[triangleCount]] runs
+    * on — the k-truss SUFFICIENT STATISTIC: a k-truss is the maximal
+    * subgraph where every edge has support ≥ k−2, and the iterative
+    * peel itself is structurally refused on these fixtures for the same
+    * reason as k-core (BASELINE.md: both test graphs collapse in one
+    * round), so the support table is the honest computable rung —
+    * exactly the X53 sketch-escalation discipline applied to truss
+    * decomposition. Each a<b<c triangle contributes one hit to each of
+    * its three canonical edges; edges in no triangle report 0.
+    *
+    * Scale: rides the SAME persisted `_build:copurchase` pair frame and
+    * the same ≤TopK-degree sparsified edge set as `triangle_count` — the
+    * enumeration join is bounded by the top-k cap (each edge extends to
+    * ≤ TopK wedges), so no new pair-explosion hazard is introduced.
+    */
+  private def graphEdgeSupport(s: SparkSession, dir: String): DataFrame =
+    edgeSupportFrom(coPairs(s, dir))
+
+  /** Testable seam for [[graphEdgeSupport]]: explicit pair frame. */
+  private[graft] def edgeSupportFrom(pairs: DataFrame): DataFrame = {
+    val te = topKEdges(pairs)
+    val tri = te.as("e1")
+      .join(te.as("e2"), col("e2.a") === col("e1.b"))
+      .join(te.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val hits = tri.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+      .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    te.join(hits, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val graphEdgeSupportSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte, $triCtes,
+       |eh AS (
+       |  SELECT a, b, COUNT(*) AS support FROM (
+       |    SELECT x AS a, y AS b FROM tri
+       |    UNION ALL SELECT y, z FROM tri
+       |    UNION ALL SELECT x, z FROM tri) GROUP BY a, b)
+       |SELECT t.a, t.b, COALESCE(eh.support, 0) AS support
+       |FROM tedges t LEFT JOIN eh ON eh.a = t.a AND eh.b = t.b
+       |ORDER BY t.a, t.b""".stripMargin
+
   /** clustering_coeff — local clustering coefficient on the same top-k
     * partner graph [[triangleCount]] runs on: for each supplier,
     * `2·tri(v) / (deg(v)·(deg(v)−1))` with deg measured on the sparsified
@@ -627,6 +675,7 @@ object NetworkQueries {
     Q("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
     Q("graph_summarize", graphSummarize, Some(graphSummarizeSql)),
     Q("triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("graph_edge_support", graphEdgeSupport, Some(graphEdgeSupportSql)),
     Q("clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     Q("degree_assortativity", degreeAssortativity,
       Some(degreeAssortativitySql)))

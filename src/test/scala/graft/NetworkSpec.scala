@@ -141,6 +141,22 @@ class NetworkSpec extends GraftSuite {
     assert(e.getMessage.contains("DIVIDE_BY_ZERO"))
   }
 
+  test("graph_edge_support: triangle edges count their triangles, " +
+    "pendant edges report 0") {
+    // Pair frame: triangle 1-2-3 plus pendant 3-4 (all within TopK=5, so
+    // the sparsifier keeps everything). Triangle edges → support 1;
+    // 3-4 → 0. Adding edge 2-4 closes a second triangle (2,3,4): then
+    // 2-3 sits in two triangles.
+    val pairs = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (3L, 4L, 5L), (2L, 4L, 5L))
+      .toDF("s1", "s2", "n_shared").repartition(2)
+    val out = NetworkQueries.edgeSupportFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
   test("recsys_item_cosine: hand-computed cosines, support prune, " +
     "top-k ordering") {
     // Baskets: o1={1,2,3}, o2={1,2}, o3={1,2}, o4={1,3} →

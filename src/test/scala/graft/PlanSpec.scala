@@ -106,7 +106,8 @@ class PlanSpec extends GraftSuite {
     "customer_rfm",             // 1-row anchor-date scalar
     "basket_rules",             // 1-row basket-total scalar
     "feature_target_encode",    // 1-row global-prior scalar
-    "sample_split_temporal")    // 1-row (min,max) time-bounds scalar
+    "sample_split_temporal",    // 1-row (min,max) time-bounds scalar
+    "orders_churn_labels")      // 1-row anchor-date scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 

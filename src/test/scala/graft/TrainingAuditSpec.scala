@@ -294,6 +294,28 @@ class TrainingAuditSpec extends GraftSuite {
     assert(!out.flatMap(o => Option(o._2)).contains(70.0 / 3))
   }
 
+  test("orders_churn_labels: anchor boundary, label arms, cold-start " +
+    "exclusion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // max date 2024-12-31 → anchor 2024-10-02. c1: pre + post → active;
+    // c2: pre only → churned; c3: post only → EXCLUDED; c4: order ON the
+    // anchor day → post (strict <), so excluded too.
+    val orders = Seq(
+      (1L, ts("2024-01-10"), 10.0), (1L, ts("2024-12-31"), 20.0),
+      (2L, ts("2024-03-01"), 30.0), (2L, ts("2024-04-01"), 40.0),
+      (3L, ts("2024-11-01"), 50.0),
+      (4L, ts("2024-10-02"), 60.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice").repartition(3)
+    val out = FeatureQueries.churnLabelsOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 10.0, 266, true),   // Jan 10 → Oct 2 = 266 days
+      (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
+  }
+
   test("text_chunk: window/stride arithmetic, short tail, short doc") {
     import spark.implicits._
     // 30 tokens → chunks at 1/13/25 with lengths 16/16/6; 5 tokens → one
