@@ -52,6 +52,61 @@ object SimQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** sim_range_search cosine threshold (applied to the QUANTIZED score —
+    * see boundary note on [[simRangeSearch]]).
+    */
+  private val RangeTau = 0.25
+
+  /** X91 — sim_range_search: RADIUS (threshold) vector search — ALL
+    * candidates with cos ≥ [[RangeTau]] per query, the serving shape
+    * top-k cannot express (recall-oriented retrieval, near-dup candidate
+    * fetch, policy screens: "everything at least this similar", where k
+    * is unknowable a priori). Same query set as X3 so the two shapes are
+    * directly comparable on one corpus.
+    *
+    * Boundary determinism: the threshold gates the qround(6)-QUANTIZED
+    * cosine, not the raw double — scores landing exactly on τ classify
+    * identically in both engines by construction (the X13
+    * round-then-compare discipline; gating the raw score would bet the
+    * row on a final-ulp agreement the quantization exists to avoid).
+    *
+    * Scale: the brute-force scan is the declared exact spec (broadcast
+    * query side, one corpus pass — embarrassingly parallel, no shuffle);
+    * the 100 TB path is the SAME composition the ladder already proves
+    * piecewise: sign-LSH bucket prefilter (`dedup_embedding`'s kernel,
+    * whose candidate recall is audited there) or IVF probes
+    * (`sim_topk_ivf`'s partition pruning) in front of this exact scorer
+    * — range search composes with either because the predicate is
+    * per-pair, not per-rank.
+    */
+  private def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorms(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy(col("q_id"), col("c_id"))
+  }
+
+  private val simRangeSearchSql = {
+    val dot = VectorFns.dotSql("q.embedding", "c.embedding")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${Det.qroundSql(s"$dot / (q.nrm * c.nrm)", 6)} AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $NQueries
+       |   AND c.vec_id <> q.vec_id)
+       |SELECT q_id, c_id, cos FROM scored WHERE cos >= $RangeTau
+       |ORDER BY q_id, c_id""".stripMargin
+  }
+
   private val simTopkSql = {
     val dot = VectorFns.dotSql("q.embedding", "c.embedding")
     s"""WITH n AS MATERIALIZED (
@@ -1588,6 +1643,7 @@ object SimQueries {
 
   val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_topk_filtered", simTopkFiltered, Some(simTopkFilteredSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),
     Q("sim_knn_join", simKnnJoin, Some(simKnnJoinSql)),

@@ -795,8 +795,67 @@ object StreamQueries {
        |FROM v""".stripMargin
   }
 
+  /** X93 — events_growth_accounting: the DAU growth-accounting
+    * decomposition — per UTC day, active users split into NEW (first-ever
+    * event that day) and RETURNING, plus the cumulative user count — the
+    * standing growth dashboard next to X18's cohort retention (retention
+    * slices one cohort forward; growth accounting explains each day's
+    * total backward). Days are integer epoch-day indices (calendar
+    * arithmetic stays in exact integers; a DATE column would hash-compare
+    * as engine-specific temporal dtypes).
+    *
+    * Scale: the (user, day) distinct collapses the event stream first
+    * (map-side combinable), the |users| first-day anchor joins back
+    * keyed on user (broadcast while users are cluster-small), and the
+    * running cumulative window runs over the ≤|days|-row roll-up — the
+    * same cost class as the output ORDER BY. n_returning is derived, not
+    * re-counted (one pass).
+    */
+  private def eventsGrowth(s: SparkSession, dir: String): DataFrame =
+    eventsGrowthOf(events(s, dir))
+
+  /** Testable seam for [[eventsGrowth]]: explicit events frame. */
+  private[graft] def eventsGrowthOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = ev.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day_idx")).distinct()
+    val fd = ud.groupBy(col("user_id")).agg(min(col("day_idx")).as("fd"))
+    val per = ud.join(fd, Seq("user_id"))
+      .groupBy(col("day_idx")).agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("day_idx") === col("fd"), 1L).otherwise(0L))
+          .as("n_new"))
+    val w = Window.orderBy(col("day_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .select(col("day_idx"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        sum(col("n_new")).over(w).as("cum_users"))
+      .orderBy(col("day_idx"))
+  }
+
+  private val eventsGrowthSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |         AS BIGINT) AS day_idx
+      |  FROM events),
+      |fd AS (SELECT user_id, MIN(day_idx) AS fd FROM ud GROUP BY 1),
+      |per AS (
+      |  SELECT day_idx, COUNT(*) AS n_active,
+      |    CAST(SUM(CASE WHEN day_idx = fd THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new
+      |  FROM ud JOIN fd USING (user_id) GROUP BY day_idx)
+      |SELECT day_idx, n_active, n_new,
+      |  n_active - n_new AS n_returning,
+      |  CAST(SUM(n_new) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+      |       AS BIGINT) AS cum_users
+      |FROM per ORDER BY day_idx""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
+    Q("events_growth_accounting", eventsGrowth, Some(eventsGrowthSql)),
     Q("stream_funnel", t8, Some(t8Sql)),
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),

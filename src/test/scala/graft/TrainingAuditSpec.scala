@@ -335,6 +335,47 @@ class TrainingAuditSpec extends GraftSuite {
     assert(toks.slice(12, 16) === toks.slice(0, 16).takeRight(4))
   }
 
+  test("events_growth_accounting: new/returning split and cumulative " +
+    "count on hand-built days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    // u1 active day0+day2, u2 day0 only, u3 day2 only. Two events for u1
+    // on day0 must not double-count the (user, day) pair.
+    val ev = Seq(
+      (1L, ts(0, 1), 1L), (2L, ts(0, 5), 1L), (3L, ts(0, 2), 2L),
+      (4L, ts(2, 3), 1L), (5L, ts(2, 4), 3L))
+      .map { case (id, t0, u) => (id, t0, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+    val out = StreamQueries.eventsGrowthOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 2L, 0L, 2L),
+      (2L, 2L, 1L, 1L, 3L)))
+  }
+
+  test("sim_range_search: threshold gate consistent with the top-k arm") {
+    val dir = "/root/testdata/sf0.001"
+    val range = queries.Registry.byKey("sim_range_search").fn(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(range.nonEmpty && range.forall(_._2 >= 0.25))
+    val rangeSet = range.map(_._1).toSet
+    // Every top-k hit scoring ≥ τ must appear in the range result (same
+    // query set, same quantized scorer — the two serving shapes agree).
+    val topk = queries.Registry.byKey("sim_topk").fn(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    topk.filter(_._2 >= 0.25).foreach { case (k, _) =>
+      assert(rangeSet.contains(k), s"top-k hit $k missing from range")
+    }
+    // And the gate is strict: nothing below τ leaks in.
+    topk.filter(_._2 < 0.25).foreach { case (k, _) =>
+      assert(!rangeSet.contains(k))
+    }
+  }
+
   test("events_ab_test: hash arms, per-user unit of analysis, Welch z") {
     import spark.implicits._
     import java.sql.Timestamp
