@@ -1180,6 +1180,88 @@ object TextQueries {
        |    AS avg_nll_interp
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Kneser–Ney absolute discount (¾ — exact in binary, so the
+    * subtraction is FP-clean in both engines).
+    */
+  private val KnD = 0.75
+
+  /** X92 — text_lm_kneser_ney: interpolated Kneser–Ney bigram scoring —
+    * the state-of-the-art n-gram smoothing (X80's Jelinek–Mercer mixes
+    * the raw unigram; KN replaces it with the CONTINUATION distribution
+    * p_cont(w₂) = N1+(·,w₂)/|bigram types| — "how many contexts does w₂
+    * complete", the fix for the Francisco problem: frequent but
+    * single-context tokens stop leaking probability):
+    * `p = (c₁₂ − D)/c₁ + (D·N1+(w₁,·)/c₁)·p_cont(w₂)`, D = [[KnD]].
+    * Only observed bigrams are scored (the corpus contains the doc, so
+    * c₁₂ ≥ 1 and the discount never clamps — the max(·,0) of the
+    * textbook form is vacuous here and deliberately omitted).
+    *
+    * Determinism: the X80 discipline unchanged — integer counts, a fixed
+    * IEEE chain per token written in identical op order both engines,
+    * per-token NLL quantized to integer µnats BEFORE the per-doc sum.
+    *
+    * Scale: rides the SAME bigram/context aggregates as X54/X80; the two
+    * continuation frames are ≤|bigram types| rows keyed/broadcast like
+    * the unigram side; |bigram types| total is the declared 1-row scalar.
+    */
+  private def lmKneserNey(s: SparkSession, dir: String): DataFrame =
+    lmKneserNeyOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[lmKneserNey]]: explicit (doc_id, text) frame. */
+  private[graft] def lmKneserNeyOf(docs: DataFrame): DataFrame = {
+    val tk = TextFns.tokens(col("text"))
+    val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1))).as("b"))
+      .select(col("doc_id"), col("b").getField("0").as("w1"),
+        col("b").getField("1").as("w2"))
+    val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n1f = cnt.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val nc = cnt.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val nb = cnt.agg(count(lit(1)).as("nb"))
+    val p = (col("c12").cast("double") - KnD) / col("c1") +
+      (lit(KnD) * col("n1f") / col("c1")) *
+        (col("nc").cast("double") / col("nb"))
+    val nllq = floor(-log(p) * 1000000.0 + 0.5).cast("long")
+    bg.join(cnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(broadcast(n1f), Seq("w1")).join(broadcast(nc), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(nllq).as("nllq_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Det.qround(col("nllq_sum").cast("double") / 1000000.0 /
+          col("n_bigrams"), 6).as("avg_nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmKneserNeySql =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM (
+       |    SELECT doc_id, l,
+       |      unnest(generate_series(1, len(l) - 1)) AS i FROM tk)),
+       |ctx AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |cnt AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+       |n1f AS MATERIALIZED (SELECT w1, COUNT(*) AS n1f FROM cnt GROUP BY 1),
+       |nc AS MATERIALIZED (SELECT w2, COUNT(*) AS nc FROM cnt GROUP BY 1),
+       |nb AS (SELECT COUNT(*) AS nb FROM cnt),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(-ln((CAST(c12 AS DOUBLE) - $KnD) / c1
+       |                   + ($KnD * n1f / c1)
+       |                     * (CAST(nc AS DOUBLE) / nb))
+       |               * 1000000 + 0.5) AS BIGINT) AS nllq
+       |  FROM bg JOIN cnt USING (w1, w2) JOIN ctx USING (w1)
+       |    JOIN n1f USING (w1) JOIN nc USING (w2) CROSS JOIN nb)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  ${Det.qroundSql(
+             "CAST(SUM(nllq) AS BIGINT) / 1000000.0 / COUNT(*)", 6)}
+       |    AS avg_nll_kn
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Vocabulary size for [[vocabCoverage]] — pinned below the fixture
     * corpus's 31 distinct tokens so the OOV tail is non-empty at every
     * scale (a top-V that swallows the whole vocabulary audits nothing).
@@ -1318,6 +1400,7 @@ object TextQueries {
     Q("text_unigram_nll", unigramNll, Some(unigramNllSql)),
     Q("text_bigram_nll", bigramNll, Some(bigramNllSql)),
     Q("text_lm_interp", lmInterp, Some(lmInterpSql)),
+    Q("text_lm_kneser_ney", lmKneserNey, Some(lmKneserNeySql)),
     Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lang_stats", langStats, Some(langStatsSql)),
     Q("text_token_count", tokenCount, Some(tokenCountSql)),

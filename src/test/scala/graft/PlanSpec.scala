@@ -93,6 +93,7 @@ class PlanSpec extends GraftSuite {
     "text_tfidf",               // corpus-size scalar
     "text_unigram_nll",         // corpus-token-total scalar
     "text_lm_interp",           // corpus-token-total scalar (JM mix)
+    "text_lm_kneser_ney",       // corpus-bigram-type-total scalar
     "pmi_bigrams",              // corpus-bigram-total scalar
     "bpe_merges",               // 1-row top-pair per merge round
     "bpe_merges_sampled",       // same chain over the sampled corpus

@@ -153,6 +153,31 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 1L, avg(Seq(q(1, 3, 4))))))
   }
 
+  test("text_lm_kneser_ney: hand-computed KN mixture with continuation " +
+    "counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+      .repartition(2)
+    // cnt: (a,b)=2 (b,a)=1 (a,a)=1; c1: a=3 b=1; N1+(w1,·): a=2 b=1;
+    // N1+(·,w2): b=1 a=2; |types| nb=3.
+    def p(c12: Long, c1: Long, n1f: Long, nc: Long): Double =
+      (c12.toDouble - 0.75) / c1 + (0.75 * n1f / c1) * (nc.toDouble / 3)
+    def q(pv: Double): Long =
+      math.floor(-math.log(pv) * 1e6 + 0.5).toLong
+    def avg(qs: Seq[Long]): Double =
+      math.floor(qs.sum.toDouble / 1e6 / qs.size * 1e6 + 0.5) / 1e6
+    val out = TextQueries.lmKneserNeyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pab = p(2, 3, 2, 1); val pba = p(1, 1, 1, 2); val paa = p(1, 3, 2, 2)
+    assert(out.toSeq === Seq(
+      (1L, 3L, avg(Seq(q(pab), q(pba), q(pab)))),
+      (2L, 1L, avg(Seq(q(paa))))))
+    // The continuation fix is live: under raw-unigram JM, "a" (frequent)
+    // would dominate; under KN the single-context structure shows in
+    // p(b,a) > p(a,b) — both states hand-checked above.
+    assert(pba > pab)
+  }
+
   test("sim_topk_filtered: predicate honored, full k, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val out = queries.Registry.byKey("sim_topk_filtered").fn(spark, dir)
