@@ -123,9 +123,12 @@ object FeatureQueries {
     demandFeaturesOf(Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
       Tables(s, dir, "nation"))
 
-  /** Testable seam for [[demandFeatures]]: explicit frames. */
-  private[graft] def demandFeaturesOf(lineitem: DataFrame,
-      supplier: DataFrame, nation: DataFrame): DataFrame = {
+  /** The shared (nation, yyyymm, s4, n_items) monthly ×10⁴-scaled
+    * integer revenue series — consumed by [[demandFeaturesOf]] (lag/ma3
+    * features) and [[demandBacktestOf]] (naive-forecast evaluation).
+    */
+  private def demandSeriesOf(lineitem: DataFrame, supplier: DataFrame,
+                             nation: DataFrame): DataFrame = {
     val rev4: Column =
       (Det.discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
         .cast("long")
@@ -137,9 +140,15 @@ object FeatureQueries {
       .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
-    val series = li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+    li.join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), col("yyyymm"))
       .agg(sum(col("rev4")).as("s4"), count(lit(1)).as("n_items"))
+  }
+
+  /** Testable seam for [[demandFeatures]]: explicit frames. */
+  private[graft] def demandFeaturesOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
     val w = Window.partitionBy(col("nation")).orderBy(col("yyyymm"))
     val w3 = w.rowsBetween(-2, 0)
     series
@@ -304,6 +313,81 @@ object FeatureQueries {
       |  FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** X96 — demand_backtest: EVALUATION of the naive seasonal-free
+    * forecast (f(m) = revenue(m−1)) over the X74 monthly series — the
+    * model-backtest shape that closes the train-data loop (X74 features →
+    * X89 labels → X96 eval): per nation, MAE in dollars and MAPE in
+    * integer ppm across the months with a preceding observation.
+    *
+    * Determinism: the series is the SAME ×10⁴-scaled integer frame as
+    * X74, so the absolute errors are exact longs; MAPE is computed
+    * ENTIRELY in integers (`ape_ppm = |e|·10⁶ div s4` per month, then
+    * `Σ div n` — bound: \|e\|·10⁶ ≈ 10¹⁷ at sf10 monthly-nation revenue,
+    * inside 2⁶³ with checked arithmetic beyond); MAE is two IEEE
+    * divisions of exact longs in fixed order. Months with a calendar gap
+    * backtest against the previous OBSERVED month (documented — the
+    * naive forecast is defined on the observed series).
+    *
+    * Scale: identical to X74 — one fact-scan roll-up to the
+    * ≤\|nations\|·\|months\| frame, lag window + final agg on that.
+    */
+  private def demandBacktest(s: SparkSession, dir: String): DataFrame =
+    demandBacktestOf(Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+      Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandBacktest]]: explicit frames. */
+  private[graft] def demandBacktestOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
+    val w = Window.partitionBy(col("nation")).orderBy(col("yyyymm"))
+    series
+      .withColumn("f4", lag(col("s4"), 1).over(w))
+      .filter(col("f4").isNotNull)
+      .select(col("nation"),
+        abs(col("s4") - col("f4")).as("e4"), col("s4"))
+      .select(col("nation"), col("e4"),
+        expr("e4 * 1000000 div s4").as("ape_ppm"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_months_eval"),
+        sum(col("e4")).as("se4"), sum(col("ape_ppm")).as("sape"))
+      .select(col("nation"), col("n_months_eval"),
+        Det.qround(col("se4").cast("double") / col("n_months_eval")
+          / 10000.0, 6).as("mae"),
+        expr("sape div n_months_eval").as("mape_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  private val demandBacktestSql = {
+    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
+    s"""WITH li AS (
+       |  SELECT l_suppkey,
+       |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+       |    $rev4 AS rev4
+       |  FROM lineitem),
+       |dim AS (
+       |  SELECT s_suppkey, n_name AS nation
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |series AS MATERIALIZED (
+       |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4
+       |  FROM li JOIN dim ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT nation, ABS(s4 - f4) AS e4, s4 FROM (
+       |    SELECT nation, s4,
+       |      lag(s4) OVER (PARTITION BY nation ORDER BY yyyymm) AS f4
+       |    FROM series) WHERE f4 IS NOT NULL),
+       |per AS (
+       |  SELECT nation, COUNT(*) AS n_months_eval,
+       |    CAST(SUM(e4) AS BIGINT) AS se4,
+       |    CAST(SUM(e4 * 1000000 // s4) AS BIGINT) AS sape
+       |  FROM bt GROUP BY 1)
+       |SELECT nation, n_months_eval,
+       |  ${Det.qroundSql(
+           "CAST(se4 AS DOUBLE) / n_months_eval / 10000.0", 6)} AS mae,
+       |  sape // n_months_eval AS mape_ppm
+       |FROM per ORDER BY nation""".stripMargin
+  }
+
   /** orders_churn_labels horizon: days before the corpus max date that
     * form the post-anchor label window.
     */
@@ -386,6 +470,7 @@ object FeatureQueries {
     Q("orders_churn_labels", ordersChurnLabels,
       Some(ordersChurnLabelsSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
+    Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
     Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
     Q("feature_target_encode", featureTargetEncode,
       Some(featureTargetEncodeSql)))

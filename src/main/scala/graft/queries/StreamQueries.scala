@@ -853,8 +853,90 @@ object StreamQueries {
       |       AS BIGINT) AS cum_users
       |FROM per ORDER BY day_idx""".stripMargin
 
+  /** events_lateness_audit watermark delay (µs): 1 hour — matches the
+    * T1/T4 stream watermarks so the audit measures the policy the
+    * streaming keys actually run under.
+    */
+  private val LatenessWmUs = 3600000000L
+
+  /** events_lateness_audit delivery-jitter bound: arrival = event time +
+    * a salted-hash jitter uniform over ±[[LatenessJitterS]] seconds.
+    */
+  private val LatenessJitterS = 7200L
+
+  /** X94 — events_lateness_audit: the watermark-policy audit — for each
+    * 1 h event-time window, how many events would a streaming pipeline
+    * with a 1 h watermark DROP because they arrived after the watermark
+    * passed their timestamp? The fixture log is generated in timestamp
+    * order (replaying it as-is has zero disorder and audits nothing —
+    * measured before this design), so arrival is modeled as the
+    * DETERMINISTIC jittered replay `arrival = ts + jitter`, jitter =
+    * salted-hash of the event id uniform over ±[[LatenessJitterS]] s —
+    * the X9/X19 reproducibility contract standing in for network/queue
+    * delay, bit-identical across engines where a `rand()` delay would be
+    * neither oracle-able nor replayable. The watermark before each
+    * arrival is `max(event time seen so far) − delay` — exactly Spark's
+    * definition — and an event is late iff its time < that watermark
+    * (5.3 % of the gate fixture; the oracle pins the rate). Late share
+    * per window in integer ppm.
+    *
+    * Scale: the running max over arrival order is ONE global-ordered
+    * window here (the semantic spec, affordable at oracle scale); in
+    * production arrival order only exists per input partition, so the
+    * same window runs partitioned by shard — the audit is per-shard
+    * exact, which is also what the state store actually sees.
+    */
+  private def eventsLateness(s: SparkSession, dir: String): DataFrame =
+    eventsLatenessOf(events(s, dir))
+
+  /** Testable seam for [[eventsLateness]]: explicit events frame. */
+  private[graft] def eventsLatenessOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val jit = (TextFns.stringHash(
+      concat(lit("arr:"), col("event_id").cast("string")))
+      % (2 * LatenessJitterS + 1) - LatenessJitterS) * 1000000L
+    val w = Window.orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("arr", col("tus") + jit)
+      .withColumn("wm", max(col("tus")).over(w) - LatenessWmUs)
+      .select(expr("tus div 3600000000").as("window_id"),
+        when(col("wm").isNotNull && col("tus") < col("wm"), 1L)
+          .otherwise(0L).as("late"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+      .select(col("window_id"), col("n_events"), col("n_late"),
+        expr("n_late * 1000000 div n_events").as("late_ppm"))
+      .orderBy(col("window_id"))
+  }
+
+  private val eventsLatenessSql = {
+    val h = TextFns.stringHashSql("'arr:' || CAST(event_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH e AS (
+       |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tus,
+       |    (($h) % ${2 * LatenessJitterS + 1} - $LatenessJitterS)
+       |      * CAST(1000000 AS BIGINT) AS jit
+       |  FROM events),
+       |wm AS (
+       |  SELECT tus,
+       |    MAX(tus) OVER (ORDER BY tus + jit, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      - $LatenessWmUs AS wm
+       |  FROM e),
+       |per AS (
+       |  SELECT tus // 3600000000 AS window_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CASE WHEN wm IS NOT NULL AND tus < wm
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |  FROM wm GROUP BY 1)
+       |SELECT window_id, n_events, n_late,
+       |  n_late * 1000000 // n_events AS late_ppm
+       |FROM per ORDER BY window_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
+    Q("events_lateness_audit", eventsLateness, Some(eventsLatenessSql)),
     Q("events_growth_accounting", eventsGrowth, Some(eventsGrowthSql)),
     Q("stream_funnel", t8, Some(t8Sql)),
     Q("stream_tumbling", t1, Some(t1Sql)),

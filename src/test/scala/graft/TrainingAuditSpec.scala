@@ -319,6 +319,67 @@ class TrainingAuditSpec extends GraftSuite {
     assert(!out.flatMap(o => Option(o._2)).contains(70.0 / 3))
   }
 
+  test("demand_backtest: naive-forecast MAE/MAPE on a hand-built series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // Revenue 100, 200, 400, 800 → naive errors 100, 200, 400; every
+    // APE = 50% (500000 ppm); MAE = 700/3.
+    val li = Seq(
+      (1L, ts("2024-01-15"), 100.0), (1L, ts("2024-02-15"), 200.0),
+      (1L, ts("2024-03-15"), 400.0), (1L, ts("2024-04-15"), 800.0))
+      .map { case (s0, d, p) => (s0, d, p, 0.0) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 7L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.demandBacktestOf(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.toSeq === Seq(
+      ("FRANCE", 3L, q6(7000000.0 / 3 / 10000.0), 500000L)))
+  }
+
+  test("events_lateness_audit: matches a driver-side replay model and " +
+    "is partitioning-invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 200 events over ~8 h so the ±2 h jitter window has real inversions.
+    // Ids spread by a prime stride: consecutive small ids hash to
+    // CLUSTERED jitters (the polynomial hash is near-affine in the final
+    // digits), which degenerates the audit — exactly the check below.
+    val rows = (0L until 200L).map { i =>
+      (i * 7919L + 13L, new Timestamp(i * 150L * 1000L), i % 7, "view", 1.0)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(parts: Int) = StreamQueries.eventsLatenessOf(ev.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val got = run(1)
+    assert(got === run(7))
+    // Driver-side model: same salted-hash jitter, same watermark rule.
+    val M = 1000000007L
+    def sh(s0: String): Long = TextKernels.stringHash(
+      UTF8String.fromString(s0))
+    val arr = rows.map { case (id, t0, _, _, _) =>
+      val tus = t0.getTime * 1000L
+      val jit = (sh(s"arr:$id") % 14401L - 7200L) * 1000000L
+      (id, tus, tus + jit)
+    }.sortBy(a => (a._3, a._1))
+    var runMax = Long.MinValue
+    val late = arr.map { case (_, tus, _) =>
+      val isLate = runMax != Long.MinValue && tus < runMax - 3600000000L
+      runMax = math.max(runMax, tus)
+      (tus / 3600000000L, isLate)
+    }
+    val want = late.groupBy(_._1).toSeq.sortBy(_._1).map { case (wid, ls) =>
+      val nl = ls.count(_._2).toLong
+      (wid, ls.size.toLong, nl, nl * 1000000L / ls.size)
+    }
+    assert(got === want)
+    assert(got.map(_._3).sum > 0, "audit must be non-degenerate")
+  }
+
   test("orders_churn_labels: anchor boundary, label arms, cold-start " +
     "exclusion") {
     import spark.implicits._
