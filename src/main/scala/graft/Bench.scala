@@ -93,6 +93,7 @@ object Bench {
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
+      timed("_build:lp")(queries.IterQueries.warmLp(spark, sfDir)),
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),

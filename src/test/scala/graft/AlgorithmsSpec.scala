@@ -115,6 +115,33 @@ class AlgorithmsSpec extends GraftSuite {
     assert(ex.getMessage.contains("exactness"))
   }
 
+  test("graph_modularity: hand-computed Q on a two-community graph") {
+    import spark.implicits._
+    // Two triangles {1,2,3} {4,5,6} joined by one bridge 3-4, undirected
+    // multiset (both orientations): 2m = 14. Perfect partition:
+    // within_pairs = 6 per community, d = 7 per community.
+    // q_num = 6·14 − 49 = 35 each → Q = 70/196 ≈ 0.357143.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val ue = (und ++ und.map(_.swap)).toDF("src", "dst").repartition(3)
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L)).toDF("id", "label")
+    val out = graft.queries.IterQueries.modularityOf(labels, ue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.toSeq === Seq(
+      (10L, 3L, 6L, 7L, 35L, q6(35.0 / 196.0)),
+      (20L, 3L, 6L, 7L, 35L, q6(35.0 / 196.0))))
+    // Anti-community control: swapping to the worst partition (odd/even)
+    // must drive Q below the good partition's.
+    val bad = Seq((1L, 10L), (3L, 10L), (5L, 10L), (2L, 20L), (4L, 20L),
+      (6L, 20L)).toDF("id", "label")
+    val qBad = graft.queries.IterQueries.modularityOf(bad, ue).collect()
+      .map(_.getDouble(5)).sum
+    assert(qBad < 2 * q6(35.0 / 196.0))
+  }
+
   test("label propagation: pinned semantics converge to label 1 on fixture") {
     // Hand-derived (ties → smallest label, synchronous rounds on the
     // undirected fixture): round1 = (2,1,1,3,1), round2 = (1,1,1,1,1),

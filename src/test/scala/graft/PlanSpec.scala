@@ -109,7 +109,8 @@ class PlanSpec extends GraftSuite {
     "basket_rules",             // 1-row basket-total scalar
     "feature_target_encode",    // 1-row global-prior scalar
     "sample_split_temporal",    // 1-row (min,max) time-bounds scalar
-    "orders_churn_labels")      // 1-row anchor-date scalar
+    "orders_churn_labels",      // 1-row anchor-date scalar
+    "graph_modularity")         // 1-row 2m edge-count scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 
