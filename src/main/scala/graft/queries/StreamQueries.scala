@@ -934,8 +934,65 @@ object StreamQueries {
        |FROM per ORDER BY window_id""".stripMargin
   }
 
+  /** X98 — events_bitmap_distinct: EXACT distinct-count via bitmap
+    * buckets — the bitmap-index technique (Druid/ClickHouse/roaring
+    * lineage) that sits between X6's two poles: exact like
+    * `count(DISTINCT)` but mergeable like the HLL sketch (bucket maps
+    * OR-combine associatively across executors/partials — no distinct
+    * shuffle of raw ids; the shuffle carries ≤ one 64-bit word per
+    * (group, id-range) instead of the ids themselves — a 62× id
+    * compression when ranges are dense). Ids bucket as
+    * `(user_id div 62, 1 << (user_id mod 62))` (62 keeps the shift off
+    * the sign bit); per-group distinct = Σ popcount(OR-map).
+    *
+    * The key carries its own CONSISTENCY CONTRACT in-row: the exact
+    * `count(DISTINCT)` twin runs beside the bitmap count and
+    * `bitmap_matches` is pinned TRUE by the oracle — a broken shift,
+    * sign wrap, or lost bucket fails the gate (X6's
+    * accuracy-contract-as-oracle-row discipline, here with equality
+    * because the method is exact).
+    */
+  private def eventsBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    eventsBitmapDistinctOf(events(s, dir))
+
+  /** Testable seam for [[eventsBitmapDistinct]]: explicit events frame. */
+  private[graft] def eventsBitmapDistinctOf(ev: DataFrame): DataFrame = {
+    val buckets = ev
+      .select(col("event_type"), expr("user_id div 62").as("bk"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
+          .as("bit"))
+      .groupBy(col("event_type"), col("bk"))
+      .agg(expr("bit_or(bit)").as("m"))
+    val viaBitmap = buckets.groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(m)")).cast("long").as("n_bitmap"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(viaBitmap, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_bitmap"),
+        (col("n_exact") === col("n_bitmap")).as("bitmap_matches"))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventsBitmapDistinctSql =
+    """WITH b AS (
+      |  SELECT event_type, user_id // 62 AS bk,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER)) AS m
+      |  FROM events GROUP BY 1, 2),
+      |vb AS (
+      |  SELECT event_type, CAST(SUM(bit_count(m)) AS BIGINT) AS n_bitmap
+      |  FROM b GROUP BY 1),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n_exact, n_bitmap,
+      |  n_exact = n_bitmap AS bitmap_matches
+      |FROM ex JOIN vb USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
+    Q("events_bitmap_distinct", eventsBitmapDistinct,
+      Some(eventsBitmapDistinctSql)),
     Q("events_lateness_audit", eventsLateness, Some(eventsLatenessSql)),
     Q("events_growth_accounting", eventsGrowth, Some(eventsGrowthSql)),
     Q("stream_funnel", t8, Some(t8Sql)),

@@ -421,6 +421,26 @@ class TrainingAuditSpec extends GraftSuite {
     assert(toks.slice(12, 16) === toks.slice(0, 16).takeRight(4))
   }
 
+  test("events_bitmap_distinct: bucket boundaries, duplicates, " +
+    "contract column") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Ids straddle the 62-wide buckets (61|62, 123|124) and repeat —
+    // bitmap must count each exactly once per type.
+    val ids = Seq(0L, 61L, 61L, 62L, 63L, 123L, 124L, 124L)
+    val ev = ids.zipWithIndex.map { case (u, i) =>
+      (i.toLong, new Timestamp(i * 1000L), u,
+        if (u % 2 == 0) "view" else "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+    val out = StreamQueries.eventsBitmapDistinctOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // view: 0, 62, 124 → 3 distinct; click: 61, 63, 123 → 3 distinct.
+    assert(out.toSeq === Seq(("click", 3L, 3L, true),
+      ("view", 3L, 3L, true)))
+  }
+
   test("events_growth_accounting: new/returning split and cumulative " +
     "count on hand-built days") {
     import spark.implicits._
