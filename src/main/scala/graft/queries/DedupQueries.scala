@@ -682,7 +682,67 @@ object DedupQueries {
        |      >= $ContainThresh
        |ORDER BY d1, d2""".stripMargin
 
+  /** X99 — entity_fuzzy_join: edit-distance-≤1 entity resolution over
+    * customer names via DELETION-NEIGHBORHOOD blocking (FastSS) — the
+    * fuzzy-match join every entity-resolution / record-linkage pipeline
+    * needs, and the string sibling of the LSH discipline: never the
+    * |n|² cross join, but a candidate-generating key join with an exact
+    * verifier behind it. Each name emits its identity plus its |s|
+    * single-deletion variants as blocking keys; any two strings within
+    * edit distance 1 (substitution, insertion, or deletion) provably
+    * share ≥1 key (substitution at i → both delete i; indel → the
+    * longer's deletion equals the shorter's identity), so blocking has
+    * RECALL 1 by construction — the verifier (`levenshtein ≤ 1`, same DP
+    * distance in both engines over the ASCII names) then restores
+    * precision. Candidates are deduplicated on the pair BEFORE the
+    * verifier (a pair sharing k keys is verified once, not k times).
+    *
+    * Scale: keys are |n|·(len+1) narrow rows; bucket width is bounded by
+    * the alphabet at the deleted position (≤10 here — digit tails), the
+    * blocking analog of the X2 df-cap story; the verify step touches
+    * only candidates. Output pairs ordered by (k1, k2).
+    */
+  private def entityFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    fuzzyJoinOf(Tables(s, dir, "customer"))
+
+  /** Testable seam for [[entityFuzzyJoin]]: explicit customer frame. */
+  private[graft] def fuzzyJoinOf(customer: DataFrame): DataFrame = {
+    val nk = customer.select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      .select(col("k"), col("nm"), explode(expr(
+        """array_distinct(concat(array(nm),
+          |  transform(sequence(1, length(nm)),
+          |    i -> concat(substring(nm, 1, i - 1),
+          |                substring(nm, i + 1, length(nm))))))"""
+          .stripMargin)).as("bk"))
+    val a = nk.select(col("k").as("k1"), col("nm").as("n1"),
+      col("bk").as("bk1"))
+    val b = nk.select(col("k").as("k2"), col("nm").as("n2"),
+      col("bk").as("bk2"))
+    a.join(b, col("bk1") === col("bk2") && col("k1") < col("k2"))
+      .select(col("k1"), col("n1"), col("k2"), col("n2")).distinct()
+      .filter(levenshtein(col("n1"), col("n2")) <= 1)
+      .select(col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  private val entityFuzzyJoinSql =
+    """WITH nk AS (
+      |  SELECT c_custkey AS k, c_name AS nm,
+      |    unnest(list_distinct(list_prepend(c_name,
+      |      list_transform(range(1, len(c_name) + 1),
+      |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))))
+      |      AS bk
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.k AS k1, a.nm AS n1, b.k AS k2, b.nm AS n2
+      |  FROM nk a JOIN nk b ON a.bk = b.bk AND a.k < b.k)
+      |SELECT k1, k2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(n1, n2) <= 1
+      |ORDER BY k1, k2""".stripMargin
+
   private def qs0 = Seq(
+    Q("entity_fuzzy_join", entityFuzzyJoin, Some(entityFuzzyJoinSql)),
     Q("dedup_exact", exact, Some(exactSql)),
     Q("dedup_minhash", minhash, Some(minhashSql)),
     Q("dedup_simhash", simhash, Some(simhashSql)),

@@ -380,7 +380,43 @@ object Substrate {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** R15 — UNPIVOT (melt): the inverse reshape of R11 — the wide
+    * per-user count matrix back to long (user_id, event_type, n) rows,
+    * via the native `Dataset.unpivot` operator (one narrow Expand over
+    * the wide frame — no shuffle, no join; the anti-pattern is a UNION
+    * of per-column selects, which scans the frame once per column).
+    * Zero-count combinations survive the round trip (pivot materialized
+    * them as 0) — the oracle pins exactly that by building the
+    * user × type grid independently, so pivot→unpivot is proven a
+    * lossless round trip at the gate, not just asserted.
+    */
+  private def r15(s: SparkSession, dir: String): DataFrame =
+    unpivotOf(pivotOf(Tables(s, dir, "events")))
+
+  /** Unit-test seam: the melt over an explicit R11-shaped wide frame. */
+  private[graft] def unpivotOf(wide: DataFrame): DataFrame =
+    wide.unpivot(Array(col("user_id")),
+        PivotTypes.map(t => col(s"${t}_n")).toArray,
+        "event_type", "n")
+      .select(col("user_id"),
+        expr("substring(event_type, 1, length(event_type) - 2)")
+          .as("event_type"),
+        col("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val r15Sql = {
+    val grid = PivotTypes.map(t => s"('$t')").mkString(", ")
+    s"""SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+       |FROM (SELECT DISTINCT user_id FROM events) u
+       |CROSS JOIN (VALUES $grid) t(event_type)
+       |LEFT JOIN (SELECT user_id, event_type, COUNT(*) AS n
+       |           FROM events GROUP BY 1, 2) c
+       |  ON c.user_id = u.user_id AND c.event_type = t.event_type
+       |ORDER BY u.user_id, t.event_type""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("substrate_unpivot", r15, Some(r15Sql)),
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
     Q("substrate_group_agg", r3, Some(r3Sql)),

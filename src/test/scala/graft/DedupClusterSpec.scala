@@ -202,4 +202,40 @@ class DedupClusterSpec extends GraftSuite {
       assert(j <= math.max(c.get._4, c.get._5) + 1e-9)
     }
   }
+
+  test("entity_fuzzy_join: deletion blocking finds sub/ins/del pairs, " +
+    "verifier prunes shared-key distance-2 candidates") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // 1=abc 2=abd (substitution), 3=ab (deletion), 5=abcd (insertion),
+    // 4=xyz (no match), 6=ba — "ab" and "ba" SHARE deletion keys
+    // {a, b} but are distance 2: the candidate must be generated and
+    // then killed by the levenshtein verifier.
+    val cust = Seq((1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xyz"),
+      (5L, "abcd"), (6L, "ba"))
+      .toDF("c_custkey", "c_name").repartition(3)
+    val out = DedupQueries.fuzzyJoinOf(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 1L),
+      (2L, 3L, 1L), (2L, 5L, 1L)))
+    assert(!out.exists(p => p._1 == 3L && p._2 == 6L),
+      "distance-2 candidate (ab, ba) must be pruned by the verifier")
+  }
+
+  test("substrate_unpivot: melt inverts pivot including zero cells") {
+    import spark.implicits._
+    import graft.queries.Substrate
+    // user 1 has views only; user 2 clicks only — the melt must emit the
+    // 0-count cells pivot materialized for the other four types.
+    val ev = Seq((1L, "view", 1.0), (1L, "view", 2.0), (2L, "click", 3.0))
+      .toDF("user_id", "event_type", "value").repartition(2)
+    val out = Substrate.unpivotOf(Substrate.pivotOf(ev)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val want = for (u <- Seq(1L, 2L); t <- types) yield (u, t,
+      if (u == 1L && t == "view") 2L
+      else if (u == 2L && t == "click") 1L else 0L)
+    assert(out.toSeq === want)
+  }
 }
