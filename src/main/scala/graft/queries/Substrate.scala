@@ -415,8 +415,61 @@ object Substrate {
        |ORDER BY u.user_id, t.event_type""".stripMargin
   }
 
+  /** R16 salt fan-out. */
+  private val SaltS = 8
+
+  /** R16 — SALTED skew join: the manual skew-mitigation technique as an
+    * oracle-proven operator. The deliberately pathological shape:
+    * lineitem joined to a per-returnflag weight table on a key with
+    * THREE distinct values — a shuffle join on the raw key lands the
+    * entire fact table on ≤3 reducers (the textbook skew collapse), and
+    * the dim side is tiny enough that Spark would broadcast it away,
+    * hiding the problem this key exists to demonstrate. So: broadcast is
+    * suppressed (`shuffle_hash` hint on the dim side — PlanSpec asserts
+    * no BroadcastHashJoin survives), the fact side carries a
+    * deterministic salt (`l_orderkey % S`), the dim side is exploded ×S,
+    * and the join keys become (flag, salt) — 3·S shuffle keys instead of
+    * 3, an S-way fan-out of every hot key. The DuckDB twin runs the
+    * PLAIN unsalted join+agg, so the gate proves the salted rewrite is
+    * semantics-preserving — the whole point of salting, pinned as an
+    * oracle row rather than asserted in a comment.
+    *
+    * At 100 TB this is the shape AQE's skew split cannot always fix
+    * (skew-join splitting only kicks in on sort-merge joins past
+    * thresholds, and not under every join strategy); the manual salt is
+    * the portable fallback. Weighted sum stays decimal-exact (dec(qty)·w
+    * with integer w).
+    */
+  private def r16(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_quantity"),
+        (col("l_orderkey") % SaltS).as("salt"))
+    val dim = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("dflag"))
+      .agg(count(lit(1)).as("w"))
+      .withColumn("dsalt", explode(sequence(lit(0L), lit(SaltS - 1L))))
+    li.join(dim.hint("shuffle_hash"),
+        col("flag") === col("dflag") && col("salt") === col("dsalt"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.dec(col("l_quantity")) * col("w")).cast("double")
+          .as("weighted_qty"))
+      .orderBy(col("flag"))
+  }
+
+  private val r16Sql =
+    """WITH dim AS (
+      |  SELECT l_returnflag AS dflag, COUNT(*) AS w
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag AS flag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * w) AS DOUBLE)
+      |    AS weighted_qty
+      |FROM lineitem JOIN dim ON l_returnflag = dflag
+      |GROUP BY 1 ORDER BY flag""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("substrate_unpivot", r15, Some(r15Sql)),
+    Q("substrate_salted_join", r16, Some(r16Sql)),
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
     Q("substrate_group_agg", r3, Some(r3Sql)),

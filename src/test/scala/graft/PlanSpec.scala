@@ -181,6 +181,20 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("substrate_salted_join: no broadcast, join keys carry the salt") {
+    // The whole point of R16 is a REAL shuffle join fanned out by the
+    // salt: a broadcast would erase both the problem and the technique.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      HashJoin}
+    val p = planOf("substrate_salted_join")
+    assert(p.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      "dim side must not broadcast (shuffle_hash hint lost?)")
+    val joins = p.collect { case j: HashJoin => j }
+    assert(joins.exists(j => j.leftKeys.size == 2 ||
+        j.rightKeys.size == 2),
+      s"join must key on (flag, salt): ${joins.map(_.leftKeys)}")
+  }
+
   test("reduce_on_neighbors_user: skew mitigation is structural — " +
     "partial agg + broadcast vertex join") {
     // The G_user succession graph concentrates in-edges on active users
