@@ -388,6 +388,147 @@ object FeatureQueries {
        |FROM per ORDER BY nation""".stripMargin
   }
 
+  /** X100 — demand_ses_backtest: simple-exponential-smoothing backtest
+    * (α = ½) over the X74 monthly series — the RECURSIVE per-series
+    * state no window frame can express (`level_m = (x_m + level_{m−1})/2`
+    * depends on its own previous output, not on a frame of inputs), so
+    * the per-series fold runs as a HIGHER-ORDER `aggregate` over the
+    * collected, sorted month array — the third per-series evaluation
+    * rung after X74 (windows) and X96 (lag backtest).
+    *
+    * Determinism: α = ½ is exact in binary, so each step is one IEEE
+    * add + one halving; the fold is SEQUENTIAL in month order on both
+    * engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce` over the
+    * same sorted list), so every intermediate level — and the error
+    * accumulator — is bit-identical; final MAE is a fixed two-division
+    * chain, qround(6).
+    *
+    * Scale: the fold runs on the ≤|months|-element array of the
+    * ≤|nations|·|months| roll-up — one small array per group, NOT a
+    * driver loop and NOT a window over the fact table; the fact scan
+    * collapses first exactly as in X74/X96.
+    */
+  private def demandSesBacktest(s: SparkSession, dir: String): DataFrame =
+    demandSesBacktestOf(Tables(s, dir, "lineitem"),
+      Tables(s, dir, "supplier"), Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandSesBacktest]]: explicit frames. */
+  private[graft] def demandSesBacktestOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
+    series
+      .groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("yyyymm"), col("s4"))))
+        .as("ms"))
+      .select(col("nation"),
+        expr("transform(ms, m -> CAST(m.s4 AS DOUBLE))").as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(col("nation"), size(col("xs")).cast("long").as("n_months"),
+        expr(
+          """aggregate(
+            |  slice(xs, 2, size(xs) - 1),
+            |  named_struct('level', xs[0], 'err', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'level', (x + acc.level) * 0.5,
+            |    'err', acc.err + abs(x - acc.level)),
+            |  acc -> acc.err)""".stripMargin).as("err4"))
+      .select(col("nation"), col("n_months"),
+        Det.qround(col("err4") / (col("n_months") - 1) / 10000.0, 6)
+          .as("ses_mae"))
+      .orderBy(col("nation"))
+  }
+
+  private val demandSesBacktestSql = {
+    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
+    s"""WITH li AS (
+       |  SELECT l_suppkey,
+       |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+       |    $rev4 AS rev4
+       |  FROM lineitem),
+       |dim AS (
+       |  SELECT s_suppkey, n_name AS nation
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |series AS MATERIALIZED (
+       |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4
+       |  FROM li JOIN dim ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |arr AS (
+       |  SELECT nation,
+       |    list_transform(list_sort(list({'yyyymm': yyyymm, 's4': s4})),
+       |      m -> CAST(m.s4 AS DOUBLE)) AS xs
+       |  FROM series GROUP BY nation),
+       |folded AS (
+       |  SELECT nation, CAST(len(xs) AS BIGINT) AS n_months,
+       |    list_reduce(
+       |      list_prepend([xs[1], 0.0], list_transform(xs[2:],
+       |        x -> [x, 0.0])),
+       |      (acc, xl) -> [(xl[1] + acc[1]) * 0.5,
+       |                    acc[2] + abs(xl[1] - acc[1])])[2] AS err4
+       |  FROM arr WHERE len(xs) >= 2)
+       |SELECT nation, n_months,
+       |  ${Det.qroundSql("err4 / (n_months - 1) / 10000.0", 6)}
+       |    AS ses_mae
+       |FROM folded ORDER BY nation""".stripMargin
+  }
+
+  /** X101 — parts_abc_analysis: Pareto ABC classification of parts by
+    * cumulative revenue share — the inventory-analytics standard (A ≈
+    * the ~20 % of SKUs carrying 80 % of revenue) and the
+    * cumulative-distribution window shape (running share over a ranked
+    * dimension). Class boundaries are EXACT integer comparisons on the
+    * ×10⁴-scaled revenue (`cum·100 ≤ tot·80` — no FP at the A/B/C
+    * boundary, where a ulp would flip a class and fail the hash; bound:
+    * cum4·100 ≈ 10¹⁷ at sf10, inside 2⁶³); the reported cumulative
+    * share is the qround(6) double ratio.
+    *
+    * Scale: the fact scan collapses to the |parts| aggregate FIRST; the
+    * ranked cumulative window runs on that frame (X73's discipline —
+    * at 100 TB the exact global rank becomes rank-sketch bin
+    * assignment, with this form as its semantic spec).
+    */
+  private def partsAbc(s: SparkSession, dir: String): DataFrame =
+    partsAbcOf(Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[partsAbc]]: explicit lineitem frame. */
+  private[graft] def partsAbcOf(lineitem: DataFrame): DataFrame = {
+    val rev4 =
+      (Det.discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")
+    val per = lineitem.groupBy(col("l_partkey")).agg(sum(rev4).as("r4"))
+    val w = Window.orderBy(col("r4").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum4", sum(col("r4")).over(w))
+      .withColumn("tot4", sum(col("r4")).over(Window.partitionBy()))
+      .select(col("l_partkey"),
+        (col("r4").cast("double") / 10000.0).as("revenue"),
+        Det.qround(col("cum4").cast("double") / col("tot4").cast("double"),
+          6).as("cum_share"),
+        when(col("cum4") * 100 <= col("tot4") * 80, "A")
+          .when(col("cum4") * 100 <= col("tot4") * 95, "B")
+          .otherwise("C").as("abc_class"))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val partsAbcSql = {
+    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
+    s"""WITH per AS (
+       |  SELECT l_partkey, CAST(SUM($rev4) AS BIGINT) AS r4
+       |  FROM lineitem GROUP BY 1),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum4,
+       |    CAST(SUM(r4) OVER () AS BIGINT) AS tot4
+       |  FROM per)
+       |SELECT l_partkey, CAST(r4 AS DOUBLE) / 10000.0 AS revenue,
+       |  ${Det.qroundSql("CAST(cum4 AS DOUBLE) / CAST(tot4 AS DOUBLE)", 6)}
+       |    AS cum_share,
+       |  CASE WHEN cum4 * 100 <= tot4 * 80 THEN 'A'
+       |       WHEN cum4 * 100 <= tot4 * 95 THEN 'B'
+       |       ELSE 'C' END AS abc_class
+       |FROM cum ORDER BY l_partkey""".stripMargin
+  }
+
   /** orders_churn_labels horizon: days before the corpus max date that
     * form the post-anchor label window.
     */
@@ -471,6 +612,8 @@ object FeatureQueries {
       Some(ordersChurnLabelsSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
+    Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
+    Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
     Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
     Q("feature_target_encode", featureTargetEncode,
       Some(featureTargetEncodeSql)))

@@ -340,6 +340,38 @@ class TrainingAuditSpec extends GraftSuite {
       ("FRANCE", 3L, q6(7000000.0 / 3 / 10000.0), 500000L)))
   }
 
+  test("demand_ses_backtest: sequential half-life fold on a hand series") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // Revenue 100, 200, 400: err = |200−100| + |400−150| = 350 dollars
+    // → MAE = 350/2 = 175 exactly (α = ½ keeps every level exact here).
+    val li = Seq(
+      (1L, ts("2024-01-15"), 100.0), (1L, ts("2024-02-15"), 200.0),
+      (1L, ts("2024-03-15"), 400.0))
+      .map { case (s0, d, p) => (s0, d, p, 0.0) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 7L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.demandSesBacktestOf(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
+  }
+
+  test("parts_abc_analysis: exact integer class boundaries") {
+    import spark.implicits._
+    // Revenues 80/15/5 → cumulative shares 0.80 (A, boundary inclusive),
+    // 0.95 (B, boundary inclusive), 1.00 (C).
+    val li = Seq((1L, 80.0), (2L, 15.0), (3L, 5.0))
+      .map { case (p, r) => (p, r, 0.0) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount").repartition(2)
+    val out = FeatureQueries.partsAbcOf(li).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 80.0, 0.8, "A"), (2L, 15.0, 0.95, "B"), (3L, 5.0, 1.0, "C")))
+  }
+
   test("events_lateness_audit: matches a driver-side replay model and " +
     "is partitioning-invariant") {
     import spark.implicits._
