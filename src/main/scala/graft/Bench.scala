@@ -104,7 +104,9 @@ object Bench {
       timed("_build:bpe")(queries.TextQueries.warmBpe(spark, sfDir)),
       timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),
       timed("_build:copurchase")(
-        queries.NetworkQueries.warmCopurchase(spark, sfDir)))
+        queries.NetworkQueries.warmCopurchase(spark, sfDir)),
+      timed("_build:itemcos")(
+        queries.NetworkQueries.warmItemCos(spark, sfDir)))
     // Sorted key order: Map hash order shifts whenever a key is added,
     // moving shared first-touch materialization costs onto different
     // queries and breaking round-over-round comparability.

@@ -524,9 +524,12 @@ object NetworkQueries {
   /** Cache-lifecycle hook: unpersist and drop the memoized projection for
     * `s` (all sfDirs). See [[graft.Caches]].
     */
-  def evict(s: SparkSession): Unit =
+  def evict(s: SparkSession): Unit = {
     pairCache.keys.filter(_._1 eq s).foreach(
       pairCache.remove(_).foreach(_.unpersist(blocking = false)))
+    itemCosCache.keys.filter(_._1 eq s).foreach(
+      itemCosCache.remove(_).foreach(_.unpersist(blocking = false)))
+  }
 
   /** X78 — basket_rules: association-rule mining over the co-purchase
     * projection — per supplier pair, support count, directional
@@ -612,8 +615,23 @@ object NetworkQueries {
     * path is X70's two-phase bottom-k; at this fan-in the one-window
     * form IS the semantic spec the oracle runs.
     */
+  // The scored top-k item-similarity frame is shared by
+  // `recsys_item_cosine` and `recsys_eval_coverage` (X103) — memoized per
+  // (session, sfDir) so the basket self-join runs once (bench
+  // `_build:itemcos` hook below).
+  private val itemCosCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def itemCosFrame(s: SparkSession, dir: String): DataFrame =
+    itemCosCache.getOrElseUpdate((s, dir),
+      itemCosineOf(Tables(s, dir, "lineitem")).persist())
+
+  /** Force the shared item-similarity frame (bench `_build:itemcos`). */
+  def warmItemCos(s: SparkSession, dir: String): Unit = {
+    itemCosFrame(s, dir).count(); ()
+  }
+
   private def recsysItemCosine(s: SparkSession, dir: String): DataFrame =
-    itemCosineOf(Tables(s, dir, "lineitem"))
+    itemCosFrame(s, dir)
 
   /** Testable seam for [[recsysItemCosine]]: explicit lineitem frame. */
   private[graft] def itemCosineOf(lineitem: DataFrame): DataFrame = {
@@ -646,7 +664,11 @@ object NetworkQueries {
       .orderBy(col("part"), col("rank"))
   }
 
-  private val recsysItemCosineSql = {
+  /** Shared CTE chain defining `topk` — the ranked item-similarity frame
+    * — reused by the `recsys_item_cosine` and `recsys_eval_coverage`
+    * oracles (the walksCtes discipline: one unrolling, no drift).
+    */
+  private val itemCosCtes = {
     val cos = Det.qroundSql(
       "CAST(nij AS DOUBLE) / sqrt(CAST(n_i * n_j AS DOUBLE))", 6)
     s"""WITH baskets AS (
@@ -660,17 +682,88 @@ object NetworkQueries {
        |  UNION ALL SELECT pb, pa, nij FROM pairs),
        |scored AS (
        |  SELECT i, j, nij, di.n AS n_i, dj.n AS n_j, $cos AS cosine
-       |  FROM dir2 JOIN deg di ON di.pk = i JOIN deg dj ON dj.pk = j)
-       |SELECT i AS part, rank, j AS other, nij AS n_co, n_i, n_j, cosine
-       |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY i
-       |        ORDER BY cosine DESC, j) AS INTEGER) AS rank FROM scored)
-       |WHERE rank <= $ItemTopK
-       |ORDER BY part, rank""".stripMargin
+       |  FROM dir2 JOIN deg di ON di.pk = i JOIN deg dj ON dj.pk = j),
+       |topk AS MATERIALIZED (
+       |  SELECT i AS part, rank, j AS other, nij AS n_co, n_i, n_j, cosine
+       |  FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY i
+       |          ORDER BY cosine DESC, j) AS INTEGER) AS rank FROM scored)
+       |  WHERE rank <= $ItemTopK)""".stripMargin
   }
+
+  private val recsysItemCosineSql =
+    s"""$itemCosCtes
+       |SELECT part, rank, other, n_co, n_i, n_j, cosine
+       |FROM topk ORDER BY part, rank""".stripMargin
+
+  /** X103 — recsys_eval_coverage: the recommendation-quality audit over
+    * the X85 top-k lists — catalog coverage (how much of the catalog is
+    * ever recommended) and exposure inequality (Gini over how often each
+    * surfaced item appears across lists): the two metrics that catch a
+    * candidate generator collapsing onto popular items, which accuracy
+    * metrics reward rather than flag. The X42 audit-as-oracle-row
+    * discipline applied to recsys: a similarity change that narrows
+    * coverage or concentrates exposure moves this row and fails the
+    * gate.
+    *
+    * Determinism: coverage in integer ppm; Gini from the rank form
+    * `(2·Σ rank·x − (n+1)·Σx) / (n·Σx)` with EXACT integer numerator
+    * and denominator (rank window ties broken by item key), ONE
+    * cast+division, qround(6). Gini is over surfaced items (the
+    * unsurfaced tail is what coverage_ppm reports — the two columns
+    * partition the question).
+    *
+    * Scale: rides the memoized [[itemCosFrame]] (`_build:itemcos` —
+    * the basket self-join never re-runs); the exposure aggregate is
+    * ≤|parts| rows, the rank window runs on that frame, and the
+    * catalog count is a 1-row scalar (declared crossJoin).
+    */
+  private def recsysEvalCoverage(s: SparkSession, dir: String): DataFrame =
+    evalCoverageOf(itemCosFrame(s, dir), Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[recsysEvalCoverage]]: explicit top-k frame. */
+  private[graft] def evalCoverageOf(topk: DataFrame,
+                                    lineitem: DataFrame): DataFrame = {
+    val catalog = lineitem
+      .agg(countDistinct(col("l_partkey")).as("n_catalog"))
+    val exp = topk.groupBy(col("other")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("other"))
+    val g = exp.withColumn("rk", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_rec"), sum(col("x")).as("sx"),
+        sum(col("rk") * col("x")).as("srx"),
+        max(col("x")).as("max_exposure"))
+    g.crossJoin(broadcast(catalog))
+      .select(col("n_catalog"), col("n_rec"),
+        expr("n_rec * 1000000 div n_catalog").as("coverage_ppm"),
+        col("max_exposure"),
+        Det.qround(
+          (lit(2L) * col("srx") - (col("n_rec") + 1L) * col("sx"))
+            .cast("double") /
+            (col("n_rec") * col("sx")).cast("double"), 6)
+          .as("exposure_gini"))
+  }
+
+  private val recsysEvalCoverageSql =
+    s"""$itemCosCtes,
+       |cat AS (SELECT COUNT(DISTINCT l_partkey) AS n_catalog
+       |        FROM lineitem),
+       |exp AS (SELECT other, COUNT(*) AS x FROM topk GROUP BY 1),
+       |rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, other)
+       |         AS BIGINT) AS rk FROM exp),
+       |g AS (SELECT COUNT(*) AS n_rec, CAST(SUM(x) AS BIGINT) AS sx,
+       |        CAST(SUM(rk * x) AS BIGINT) AS srx,
+       |        MAX(x) AS max_exposure FROM rk)
+       |SELECT n_catalog, n_rec,
+       |  n_rec * 1000000 // n_catalog AS coverage_ppm, max_exposure,
+       |  ${Det.qroundSql(
+           "CAST(2 * srx - (n_rec + 1) * sx AS DOUBLE)" +
+             " / CAST(n_rec * sx AS DOUBLE)", 6)} AS exposure_gini
+       |FROM g CROSS JOIN cat""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("recsys_item_cosine", recsysItemCosine, Some(recsysItemCosineSql)),
+    Q("recsys_eval_coverage", recsysEvalCoverage,
+      Some(recsysEvalCoverageSql)),
     Q("basket_rules", basketRules, Some(basketRulesSql)),
     Q("graph_adamic_adar", adamicAdar, Some(adamicAdarSql)),
     Q("graph_summarize", graphSummarize, Some(graphSummarizeSql)),

@@ -1056,9 +1056,116 @@ object UserGraphQueries {
        |ORDER BY seed, hop, src, rank""".stripMargin
   }
 
+  /** graph_rich_club degree-quantile thresholds (percent ranks). */
+  private val RichQs = Seq(50, 75, 90)
+
+  /** X102 — graph_rich_club: the rich-club coefficient φ — edge density
+    * among the vertices whose degree exceeds the q-th degree QUANTILE,
+    * for q ∈ [[RichQs]] — the network-science audit for "do the hubs
+    * form their own dense club?" (φ rising along the ladder = hub club;
+    * flat = egalitarian wiring). Thresholds are data-relative by design:
+    * the near-regular fixture graph makes any FIXED k ladder degenerate
+    * (every k below the minimum degree selects the whole graph — the
+    * absolute-k form was built first and measured degenerate at all
+    * three scales), while quantile rungs shrink the club by construction
+    * at every scale. Defined on the SIMPLE undirected projection of
+    * G_user (canonical a<b pairs, self-loops dropped).
+    *
+    * Determinism: the quantile is the X73 integer rank form — the degree
+    * at ascending (d, v) rank `1 + (n−1)·q div 100` — not an engine
+    * `quantile_*` call, so both engines pick the identical threshold;
+    * N_q/E_q are exact counts; φ = 2·E/(N·(N−1)) is one cast+division
+    * qround(6), NULL when N < 2 (pinned by the CASE twin).
+    *
+    * Scale: degree frame + per-edge min-endpoint degree (keyed joins,
+    * broadcast while |V| is cluster-small); the 3-row threshold frame
+    * rides a declared broadcast nest; the rank window runs on the |V|
+    * degree frame (X73's rank-sketch story at 100 TB).
+    */
+  private def graphRichClub(s: SparkSession, dir: String): DataFrame =
+    richClubOf(GUser(s, dir).edges)
+
+  /** Testable seam for [[graphRichClub]]: explicit directed edge frame. */
+  private[graft] def richClubOf(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wd = Window.orderBy(col("d"), col("v"))
+    val thresholds = deg
+      .withColumn("rk", row_number().over(wd).cast("long"))
+      .withColumn("ntot", count(lit(1)).over(Window.partitionBy()))
+      .select(explode(typedLit(RichQs)).as("q"), col("d"), col("rk"),
+        col("ntot"))
+      .filter(col("rk") === lit(1L) + expr("((ntot - 1) * q) div 100"))
+      .select(col("q"), col("d").as("kq"))
+    val nk = deg.crossJoin(broadcast(thresholds))
+      .groupBy(col("q"), col("kq"))
+      .agg(sum(when(col("d") > col("kq"), 1L).otherwise(0L)).as("n_rich"))
+    val em = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(least(col("da"), col("db")).as("mdeg"))
+    val ek = em.crossJoin(broadcast(thresholds))
+      .groupBy(col("q"))
+      .agg(sum(when(col("mdeg") > col("kq"), 1L).otherwise(0L))
+        .as("e_rich"))
+    nk.join(ek, Seq("q"), "left")
+      .select(col("q").cast("long").as("q"), col("kq"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"))
+      .withColumn("phi",
+        when(col("n_rich") >= 2, Det.qround(
+          (lit(2L) * col("e_rich")).cast("double") /
+            (col("n_rich") * (col("n_rich") - 1L)).cast("double"), 6)))
+      .orderBy(col("q"))
+  }
+
+  private val graphRichClubSql = {
+    val grid = RichQs.map(q => s"($q)").mkString(", ")
+    s"""$SqlPrefix,
+       |se AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d FROM (
+       |    SELECT a AS v FROM se UNION ALL SELECT b FROM se)
+       |  GROUP BY v),
+       |qs(q) AS (VALUES $grid),
+       |rkd AS (
+       |  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d, v) AS BIGINT)
+       |    AS rk, COUNT(*) OVER () AS ntot
+       |  FROM deg),
+       |th AS (
+       |  SELECT q, d AS kq FROM rkd CROSS JOIN qs
+       |  WHERE rk = 1 + ((ntot - 1) * q) // 100),
+       |nk AS (
+       |  SELECT q, kq,
+       |    CAST(SUM(CASE WHEN d > kq THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rich
+       |  FROM deg CROSS JOIN th GROUP BY q, kq),
+       |em AS (
+       |  SELECT LEAST(da.d, db.d) AS mdeg
+       |  FROM se JOIN deg da ON da.v = se.a JOIN deg db ON db.v = se.b),
+       |ek AS (
+       |  SELECT q, CAST(SUM(CASE WHEN mdeg > kq THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS e_rich
+       |  FROM em CROSS JOIN th GROUP BY q)
+       |SELECT CAST(nk.q AS BIGINT) AS q, kq, n_rich,
+       |  COALESCE(e_rich, 0) AS e_rich,
+       |  CASE WHEN n_rich >= 2 THEN ${Det.qroundSql(
+           "CAST(2 * e_rich AS DOUBLE)" +
+             " / CAST(n_rich * (n_rich - 1) AS DOUBLE)", 6)} END AS phi
+       |FROM nk LEFT JOIN ek ON ek.q = nk.q
+       |ORDER BY q""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
+    Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
     Q("pagerank_user", pagerankUser, Some(pagerankUserSql)),
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,

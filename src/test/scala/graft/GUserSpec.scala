@@ -306,6 +306,28 @@ class GUserSpec extends GraftSuite {
       (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
   }
 
+  test("graph_rich_club: hand-built hub club, quantile thresholds, " +
+    "NULL below two members") {
+    import spark.implicits._
+    // Star + clique: hubs 1,2,3 form a triangle AND each hub has two
+    // leaves → hub degree 4, leaf degree 1. Degrees ascending:
+    // six 1s then three 4s (n=9). Ranks: q50 → rk 5 (d=1), q75 → rk 7
+    // (d=4), q90 → rk 8 (d=4).
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (1L, 11L), (1L, 12L), (2L, 13L), (2L, 14L), (3L, 15L), (3L, 16L))
+    val e = und.map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "value").repartition(3)
+    val out = graft.queries.UserGraphQueries.richClubOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    // q50: k=1 → club {1,2,3}, edges among them = 3 → φ = 6/6 = 1.
+    // q75/q90: k=4 → club empty (no degree > 4) → N=0, φ NULL.
+    assert(out.toSeq === Seq(
+      (50L, 1L, 3L, 3L, 1.0),
+      (75L, 4L, 0L, 0L, null),
+      (90L, 4L, 0L, 0L, null)))
+  }
+
   test("graph_gnn_sample: fanouts bound, edges real, parent-keyed ranks, " +
     "partitioning-invariant; matches a driver-side model") {
     import spark.implicits._
