@@ -508,9 +508,13 @@ object DedupQueries {
          |  FROM h$k h LEFT JOIN h$k p ON h.cluster = p.id)""".stripMargin
     }.mkString(",\n")
 
-  private val dedupClustersSql = {
+  /** The full cluster-closure CTE chain (defines `l$DcRounds` with
+    * (id, cluster)) — shared by the `dedup_clusters` and
+    * `corpus_curation_decisions` oracles (one unrolling, no drift).
+    */
+  private val clusterCtes = {
     val rounds = closureRoundsSql()
-    s"""WITH $minhashSigsCte,
+    s"""$minhashSigsCte,
        |cpairs AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM sigs l JOIN sigs r
@@ -528,9 +532,78 @@ object DedupQueries {
        |  UNION ALL SELECT b AS a, a AS b FROM exacte),
        |l0 AS MATERIALIZED (
        |  SELECT doc_id AS id, doc_id AS cluster FROM documents),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val dedupClustersSql =
+    s"""WITH $clusterCtes
        |SELECT id AS doc_id, cluster FROM l$DcRounds ORDER BY doc_id"""
       .stripMargin
+
+  /** X104 — corpus_curation_decisions: the END-TO-END per-document
+    * curation decision table — the composition a 100 TB pretraining run
+    * actually materializes before writing shards: the X41 quality/
+    * exact-dup gate (keep + reason), the X2f near-dup closure
+    * (cluster + representative flag), and the X9 content-hash split, all
+    * joined on doc_id, with the final `train_emit` bit =
+    * keep ∧ cluster-rep ∧ train-split — the one boolean that decides
+    * whether a document reaches the training shards. Every ingredient is
+    * an already-oracled key; this row pins their COMPOSITION (join
+    * alignment, flag arithmetic, the emit conjunction), because pipeline
+    * bugs live between stages, not inside them.
+    *
+    * Oracle anti-drift: the SQL twin is assembled from the SAME CTE
+    * vals the standalone oracles use ([[TextQueries.docGateBaseSql]] +
+    * [[TextQueries.docDecisionCtes]], [[clusterCtes]], the split CASE) —
+    * one unrolling each, so the composed and standalone gates cannot
+    * disagree.
+    *
+    * Scale: rides the memoized candidate-pair frame (`_build:pairs`) and
+    * pure Column expressions; the three frames join keyed on doc_id
+    * (co-partitioned after the first shuffle). Nothing here adds a new
+    * wide shuffle to the board.
+    */
+  private def curationDecisions(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val dec = TextQueries.docFilterFrame(s, dir)
+      .select(col("doc_id"), col("keep"), col("reason"))
+    val clusters = dedupClustersFrom(s, docs, candidatePairs(s, dir))
+      .select(col("doc_id"), col("cluster"))
+    val split = docs.select(col("doc_id").as("sid"),
+      PipelineQueries.splitOf(col("text")).as("split"))
+    dec.join(clusters, Seq("doc_id"))
+      .join(split, col("doc_id") === col("sid"))
+      .select(col("doc_id"), col("keep"), col("reason"), col("cluster"),
+        (col("doc_id") === col("cluster")).cast("int").as("is_cluster_rep"),
+        col("split"),
+        ((col("keep") === 1) && (col("doc_id") === col("cluster")) &&
+          (col("split") === "train")).cast("int").as("train_emit"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val curationDecisionsSql = {
+    val h = graft.functions.TextFns.stringHashSql("text")
+      .replace("\n", " ")
+    s"""WITH ${TextQueries.docGateBaseSql},
+       |${TextQueries.docDecisionCtes},
+       |$clusterCtes,
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $h % 100 < ${PipelineQueries.TrainPct} THEN 'train'
+       |         WHEN $h % 100 < ${PipelineQueries.TrainPct +
+             PipelineQueries.ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(d.reason = 'keep' AS INT) AS keep, d.reason,
+       |  c.cluster, CAST(d.doc_id = c.cluster AS INT) AS is_cluster_rep,
+       |  spl.split,
+       |  CAST(d.reason = 'keep' AND d.doc_id = c.cluster
+       |       AND spl.split = 'train' AS INT) AS train_emit
+       |FROM dec d
+       |JOIN (SELECT id, cluster FROM l$DcRounds) c ON c.id = d.doc_id
+       |JOIN spl ON spl.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** dedup_metrics — the RECALL CONTRACT of the banded-LSH pipeline
@@ -750,6 +823,8 @@ object DedupQueries {
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_metrics", dedupMetrics, Some(dedupMetricsSql)),
+    Q("corpus_curation_decisions", curationDecisions,
+      Some(curationDecisionsSql)),
   )
 
   val qs: Seq[Q] = qs0

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
   /** sample_split percentages: train 80 / val 10 / test 10. */
-  private val TrainPct = 80
-  private val ValPct   = 10
+  private[graft] val TrainPct = 80
+  private[graft] val ValPct   = 10
   /** shard_pack token budget per shard. */
   private val ShardTokens = 1000L
 
@@ -39,7 +39,7 @@ object PipelineQueries {
   /** The canonical split assignment of a document text (see
     * [[sampleSplit]]) — shared with [[decontaminate]].
     */
-  private def splitOf(text: org.apache.spark.sql.Column) = {
+  private[graft] def splitOf(text: org.apache.spark.sql.Column) = {
     val bucket = TextFns.stringHash(text) % 100
     when(bucket < TrainPct, "train")
       .when(bucket < TrainPct + ValPct, "val")

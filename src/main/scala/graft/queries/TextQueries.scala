@@ -715,7 +715,7 @@ object TextQueries {
       TextFns.stringHash(col("text")).as("fp"))
   }
 
-  private def docFilter(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docFilterFrame(s: SparkSession, dir: String): DataFrame = {
     val base = docGateSignals(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")))
     val reps = base.groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
@@ -738,7 +738,7 @@ object TextQueries {
     * ([[docFilterKeepSql]]) so the streamed and batch curation oracles
     * can never drift on a signal.
     */
-  private val docGateBaseSql = {
+  private[graft] val docGateBaseSql = {
     val tok = "string_split(text, ' ')"
     val (cEn, cDe, cFr) = (TextFns.stopwordCountSql(tok, EnStop),
       TextFns.stopwordCountSql(tok, DeStop),
@@ -765,19 +765,26 @@ object TextQueries {
        |WHERE n_tokens >= 10 AND pred_lang = 'en' AND dup_frac <= 0.6
        |GROUP BY fp ORDER BY doc_id""".stripMargin
 
+  /** The reps+dec CTE pair of [[docFilterSql]] (defines `dec` over
+    * `base`) — shared with `corpus_curation_decisions`' oracle so the
+    * curation CASE cannot drift between the standalone and composed keys.
+    */
+  private[graft] val docDecisionCtes =
+    """dreps AS MATERIALIZED (
+      |  SELECT fp, MIN(doc_id) AS rep_id FROM base GROUP BY fp),
+      |dec AS (
+      |  SELECT b.doc_id, b.n_tokens, b.dup_frac, b.pred_lang,
+      |    CAST(b.doc_id = r.rep_id AS INT) AS is_rep,
+      |    CASE WHEN b.n_tokens < 10 THEN 'too_short'
+      |         WHEN b.pred_lang <> 'en' THEN 'wrong_lang'
+      |         WHEN b.dup_frac > 0.6 THEN 'repetitive'
+      |         WHEN b.doc_id <> r.rep_id THEN 'duplicate'
+      |         ELSE 'keep' END AS reason
+      |  FROM base b JOIN dreps r ON b.fp = r.fp)""".stripMargin
+
   private val docFilterSql = {
     s"""WITH $docGateBaseSql,
-       |reps AS MATERIALIZED (
-       |  SELECT fp, MIN(doc_id) AS rep_id FROM base GROUP BY fp),
-       |dec AS (
-       |  SELECT b.doc_id, b.n_tokens, b.dup_frac, b.pred_lang,
-       |    CAST(b.doc_id = r.rep_id AS INT) AS is_rep,
-       |    CASE WHEN b.n_tokens < 10 THEN 'too_short'
-       |         WHEN b.pred_lang <> 'en' THEN 'wrong_lang'
-       |         WHEN b.dup_frac > 0.6 THEN 'repetitive'
-       |         WHEN b.doc_id <> r.rep_id THEN 'duplicate'
-       |         ELSE 'keep' END AS reason
-       |  FROM base b JOIN reps r ON b.fp = r.fp)
+       |$docDecisionCtes
        |SELECT doc_id, n_tokens, dup_frac, pred_lang, is_rep, reason,
        |  CAST(reason = 'keep' AS INT) AS keep
        |FROM dec ORDER BY doc_id""".stripMargin
@@ -1407,7 +1414,7 @@ object TextQueries {
     Q("text_quality", quality, Some(qualitySql)),
     Q("text_lang_id", langId, Some(langIdSql)),
     Q("text_fingerprint", fingerprint, Some(fingerprintSql)),
-    Q("doc_filter", docFilter, Some(docFilterSql)),
+    Q("doc_filter", docFilterFrame, Some(docFilterSql)),
     Q("lang_id_confusion", langIdConfusion, Some(langIdConfusionSql)),
     Q("corpus_mixture", corpusMixture, Some(corpusMixtureSql)),
     Q("corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),

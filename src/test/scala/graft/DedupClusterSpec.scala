@@ -203,6 +203,29 @@ class DedupClusterSpec extends GraftSuite {
     }
   }
 
+  test("corpus_curation_decisions == doc_filter ⋈ dedup_clusters ⋈ " +
+    "sample_split recomposed independently") {
+    val sf = "/root/testdata/sf0.001"
+    val dec = Registry.byKey("doc_filter").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(6), r.getString(5))).toMap
+    val clu = Registry.byKey("dedup_clusters").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spl = Registry.byKey("sample_split").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val got = Registry.byKey("corpus_curation_decisions").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getInt(4), r.getString(5), r.getInt(6)))
+    assert(got.nonEmpty && got.length === dec.size)
+    got.foreach { case (id, keep, reason, cluster, isRep, split, emit) =>
+      assert((keep, reason) === dec(id))
+      assert(cluster === clu(id))
+      assert(isRep === (if (id == cluster) 1 else 0))
+      assert(split === spl(id))
+      assert(emit === (if (keep == 1 && id == cluster &&
+        split == "train") 1 else 0))
+    }
+  }
+
   test("entity_fuzzy_join: deletion blocking finds sub/ins/del pairs, " +
     "verifier prunes shared-key distance-2 candidates") {
     import spark.implicits._
