@@ -780,6 +780,10 @@ object DedupQueries {
 
   /** Testable seam for [[entityFuzzyJoin]]: explicit customer frame. */
   private[graft] def fuzzyJoinOf(customer: DataFrame): DataFrame = {
+    // Both self-join sides recompute the exploded key frame — measured
+    // the same wall as a localCheckpoint (the explode is a narrow map;
+    // the join+pair-distinct dominates), and at scale recomputing beats
+    // materializing a 19×-names frame.
     val nk = customer.select(col("c_custkey").as("k"), col("c_name").as("nm"))
       .select(col("k"), col("nm"), explode(expr(
         """array_distinct(concat(array(nm),

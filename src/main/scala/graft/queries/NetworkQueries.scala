@@ -635,9 +635,13 @@ object NetworkQueries {
 
   /** Testable seam for [[recsysItemCosine]]: explicit lineitem frame. */
   private[graft] def itemCosineOf(lineitem: DataFrame): DataFrame = {
+    // The distinct basket frame feeds FOUR consumers (both self-join
+    // sides + both degree lookups); exchange reuse does NOT fire across
+    // them (verified with Explain — the un-checkpointed plan scanned the
+    // fact table four times), so materialize it once.
     val baskets = lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = baskets.groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val a = baskets.select(col("ok"), col("pk").as("pa"))
     val b = baskets.select(col("ok").as("okb"), col("pk").as("pb"))
