@@ -101,13 +101,71 @@ object PipelineQueries {
     }.toDF("doc_id", "n_tokens", "shard")
   }
 
+  /** The shard-assignment CTE (defines `packed`) — shared by the
+    * `shard_pack` and `shard_skew_report` oracles (one window
+    * formulation, no drift).
+    */
+  private val shardPackCte =
+    s"""packed AS MATERIALIZED (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    CAST((SUM(len(string_split(text, ' ')))
+       |            OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |          - len(string_split(text, ' '))) // $ShardTokens
+       |         AS BIGINT) AS shard
+       |  FROM documents)""".stripMargin
+
   private val shardPackSql =
-    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-       |  CAST((SUM(len(string_split(text, ' ')))
-       |          OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-       |        - len(string_split(text, ' '))) // $ShardTokens
-       |       AS BIGINT) AS shard
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH $shardPackCte
+       |SELECT doc_id, n_tokens, shard FROM packed
+       |ORDER BY doc_id""".stripMargin
+
+  /** X106 — shard_skew_report: the packing-quality audit over X10's
+    * shard assignment — shard count, docs, per-shard token-fill extremes
+    * and the fill-imbalance ratio in integer ppm
+    * (`max_fill·10⁶·n_shards div total_tokens` — max/mean without a
+    * division until the final integer op): the ops dashboard that
+    * catches a packer producing straggler shards (one oversized shard =
+    * one straggler task per downstream epoch — the skew this board's
+    * two-phase prefix sum exists to avoid). The X42
+    * audit-as-oracle-row discipline applied to the packing stage: a
+    * budget or boundary-rule change moves this row.
+    *
+    * Every column is an exact integer (greedy boundary docs legitimately
+    * push a shard past the budget — max_fill > budget is EXPECTED and
+    * the report is how far). Scale: one |docs| roll-up to |shards| rows,
+    * then a 1-row aggregate; rides [[shardPackOf]]'s two-phase prefix
+    * sum unchanged.
+    */
+  private def shardSkewReport(s: SparkSession, dir: String): DataFrame =
+    shardSkewOf(shardPackOf(s, Tables(s, dir, "documents")))
+
+  /** Testable seam for [[shardSkewReport]]: explicit packed frame. */
+  private[graft] def shardSkewOf(packed: DataFrame): DataFrame = {
+    val per = packed.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("fill"), count(lit(1)).as("n_docs"))
+    per.agg(count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"),
+        min(col("fill")).as("min_fill"), max(col("fill")).as("max_fill"))
+      .select(col("n_shards"), col("n_docs"), col("total_tokens"),
+        col("min_fill"), col("max_fill"),
+        expr("max_fill * 1000000 * n_shards div total_tokens")
+          .as("imbalance_ppm"))
+  }
+
+  private val shardSkewReportSql =
+    s"""WITH $shardPackCte,
+       |per AS (
+       |  SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS fill,
+       |    COUNT(*) AS n_docs
+       |  FROM packed GROUP BY shard)
+       |SELECT COUNT(*) AS n_shards,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(fill) AS BIGINT) AS total_tokens,
+       |  MIN(fill) AS min_fill, MAX(fill) AS max_fill,
+       |  MAX(fill) * 1000000 * COUNT(*) // CAST(SUM(fill) AS BIGINT)
+       |    AS imbalance_ppm
+       |FROM per""".stripMargin
 
   /** stratified_sample percentage kept per language stratum; languages
     * outside the map keep [[DefaultRate]] %.
@@ -777,6 +835,7 @@ object PipelineQueries {
     Q("recsys_als_step", recsysAlsStep, Some(recsysAlsStepSql)),
     Q("stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("shard_pack", shardPack, Some(shardPackSql)),
+    Q("shard_skew_report", shardSkewReport, Some(shardSkewReportSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("doc_shuffle", docShuffle, Some(docShuffleSql)),

@@ -1162,10 +1162,89 @@ object UserGraphQueries {
        |ORDER BY q""".stripMargin
   }
 
+  /** X105 — graph_louvain_move: ONE audited synchronous Louvain move
+    * round from singleton communities over undirected G_user — the
+    * modularity-ASCENT step that upgrades X97 (which only SCORES a
+    * partition) to the optimization move that builds one: each vertex
+    * inspects its neighbors' (singleton) communities and takes the move
+    * with the largest modularity gain if positive, else stays. From
+    * singletons the gain of moving v in with u reduces to the EXACT
+    * integer `gain = cnt_vu·2m − d_v·d_u` (the (2m)²-scaled ΔQ
+    * numerator, halved — derivation in the oracle's shape: within-pair
+    * count of the merged pair minus the degree product), so the whole
+    * round is integer arithmetic with the X63 argmin discipline for the
+    * choice: `min(struct(−gain, u))` — a combinable aggregate, max gain
+    * first, smallest neighbor id on ties. The kmeans_step/X72
+    * one-audited-iteration discipline applied to community detection
+    * (the full Louvain loop is driver-iterated like I2–I5; this pins the
+    * move kernel's semantics).
+    *
+    * Defined over vertices with ≥1 non-self edge (self-loops carry no
+    * move information from singletons: v and u's self-edges appear in
+    * both the before and after communities and cancel in the gain —
+    * dropped up front, documented).
+    *
+    * Scale: one |E| group (pair weights), two keyed degree joins, one
+    * 1-row 2m scalar (declared crossJoin), one combinable argmin — no
+    * window over the neighborhood, no cartesian.
+    */
+  private def graphLouvainMove(s: SparkSession, dir: String): DataFrame =
+    louvainMoveOf(GUser(s, dir).undirected.edges)
+
+  /** Testable seam for [[graphLouvainMove]]: explicit UNDIRECTED edge
+    * multiset (both orientations present).
+    */
+  private[graft] def louvainMoveOf(uedges: DataFrame): DataFrame = {
+    val e = uedges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val w = e.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val tm = e.agg(count(lit(1)).as("two_m"))
+    val cand = w
+      .join(deg.select(col("v").as("src"), col("d").as("dv")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("d").as("du")), Seq("dst"))
+      .crossJoin(broadcast(tm))
+      .select(col("src").as("id"), col("dst").as("u"),
+        (col("cnt") * col("two_m") - col("dv") * col("du")).as("gain"))
+    val best = cand.groupBy(col("id"))
+      .agg(min(struct((-col("gain")).as("ng"), col("u"))).as("m"))
+      .select(col("id"), (-col("m.ng")).as("best_gain"),
+        col("m.u").as("best_u"))
+    deg.select(col("v").as("id")).join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("best_gain") > 0, col("best_u")).otherwise(col("id"))
+          .as("new_label"),
+        coalesce(col("best_gain"), lit(0L)).as("gain_num"))
+      .orderBy(col("id"))
+  }
+
+  private val graphLouvainMoveSql =
+    s"""$SqlPrefixUndirected,
+       |se AS MATERIALIZED (
+       |  SELECT src, dst FROM uedges WHERE src <> dst),
+       |w AS (SELECT src, dst, COUNT(*) AS cnt FROM se GROUP BY 1, 2),
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM se GROUP BY 1),
+       |tm AS (SELECT COUNT(*) AS two_m FROM se),
+       |cand AS (
+       |  SELECT w.src AS id, w.dst AS u,
+       |    cnt * two_m - dv.d * du.d AS gain
+       |  FROM w JOIN deg dv ON dv.v = w.src JOIN deg du ON du.v = w.dst
+       |  CROSS JOIN tm),
+       |best AS (
+       |  SELECT id, u AS best_u, gain AS best_gain FROM (
+       |    SELECT id, u, gain, row_number() OVER (PARTITION BY id
+       |      ORDER BY gain DESC, u) AS rk FROM cand) WHERE rk = 1)
+       |SELECT deg.v AS id,
+       |  CASE WHEN best_gain > 0 THEN best_u ELSE deg.v END AS new_label,
+       |  COALESCE(best_gain, 0) AS gain_num
+       |FROM deg LEFT JOIN best ON best.id = deg.v
+       |ORDER BY id""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),
+    Q("graph_louvain_move", graphLouvainMove, Some(graphLouvainMoveSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
     Q("pagerank_user", pagerankUser, Some(pagerankUserSql)),
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,

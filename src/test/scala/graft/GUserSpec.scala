@@ -306,6 +306,26 @@ class GUserSpec extends GraftSuite {
       (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
   }
 
+  test("graph_louvain_move: hand-computed gains, argmax ties to the " +
+    "smallest neighbor") {
+    import spark.implicits._
+    // Two triangles joined by bridge 3-4 (modularity spec's graph).
+    // 2m = 14; degrees 2,2,3,3,2,2. gain(v,u) = 14 − d_v·d_u.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val ue = (und ++ und.map(_.swap)).map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "value").repartition(3)
+    val out = graft.queries.UserGraphQueries.louvainMoveOf(ue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // v3: candidates 1,2 (gain 8) and 4 (gain 5) → tie on 8 picks u=1.
+    // v4: candidates 3 (5), 5,6 (8) → picks u=5. (From singleton
+    // communities every connected vertex has a positive move — the stay
+    // branch is the semantic guard for weighted/degenerate inputs.)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 10L), (2L, 1L, 10L), (3L, 1L, 8L),
+      (4L, 5L, 8L), (5L, 6L, 10L), (6L, 5L, 10L)))
+  }
+
   test("graph_rich_club: hand-built hub club, quantile thresholds, " +
     "NULL below two members") {
     import spark.implicits._

@@ -506,6 +506,18 @@ class PipelineSpec extends GraftSuite {
       full.map(t => (t._1, t._3)).toSet)
   }
 
+  test("shard_skew_report: exact fills and imbalance on a hand packing") {
+    import spark.implicits._
+    // Shards with fills 900, 1100, 500 (greedy overflow on shard 1).
+    val packed = Seq(
+      (1L, 900L, 0L), (2L, 600L, 1L), (3L, 500L, 1L), (4L, 500L, 2L))
+      .toDF("doc_id", "n_tokens", "shard").repartition(2)
+    val out = PipelineQueries.shardSkewOf(packed).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4), out.getLong(5)) ===
+      ((3L, 4L, 2500L, 500L, 1100L, 1100L * 1000000L * 3L / 2500L)))
+  }
+
   test("sample_split_temporal: integer boundaries, ranges disjoint, " +
     "user-leakage audit counts train overlap") {
     import spark.implicits._

@@ -112,7 +112,8 @@ class PlanSpec extends GraftSuite {
     "orders_churn_labels",      // 1-row anchor-date scalar
     "graph_modularity",         // 1-row 2m edge-count scalar
     "recsys_eval_coverage",     // 1-row catalog-count scalar
-    "graph_rich_club")          // 3-row quantile-threshold nest
+    "graph_rich_club",          // 3-row quantile-threshold nest
+    "graph_louvain_move")       // 1-row 2m edge-count scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 
