@@ -1240,11 +1240,76 @@ object UserGraphQueries {
        |FROM deg LEFT JOIN best ON best.id = deg.v
        |ORDER BY id""".stripMargin
 
+  /** X107 — graph_knn_curve: the average-nearest-neighbor-degree curve
+    * knn(k) — mean neighbor degree over all edge endpoints at degree k,
+    * per degree class — the DISTRIBUTION view of mixing that X32's
+    * assortativity collapses to one scalar (a single r hides where the
+    * mixing happens; a rising/falling knn(k) curve localizes it — the
+    * standard Pastor-Satorras et al. diagnostic). Same simple undirected
+    * G_user projection as X102 (canonical pairs, self-loops dropped,
+    * degree = distinct neighbors).
+    *
+    * Determinism: S_k (neighbor-degree sum) and the endpoint count are
+    * exact integers off one symmetric edge pass; knn = one
+    * cast+division, qround(6). n_vertices per class from the degree
+    * frame. Scale: two keyed degree joins (broadcast while |V| is
+    * cluster-small), map-side-combinable class roll-up — ≤|distinct
+    * degrees| output rows.
+    */
+  private def graphKnnCurve(s: SparkSession, dir: String): DataFrame =
+    knnCurveOf(GUser(s, dir).edges)
+
+  /** Testable seam for [[graphKnnCurve]]: explicit directed edge frame. */
+  private[graft] def knnCurveOf(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("v"), col("b").as("u"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("u")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val perEdge = sym
+      .join(deg.select(col("v"), col("d").as("dv")), Seq("v"))
+      .join(deg.select(col("v").as("u"), col("d").as("du")), Seq("u"))
+    val perClass = perEdge.groupBy(col("dv").as("k"))
+      .agg(sum(col("du")).as("s_du"), count(lit(1)).as("n_endpoints"))
+    val nv = deg.groupBy(col("d").as("k"))
+      .agg(count(lit(1)).as("n_vertices"))
+    nv.join(perClass, Seq("k"))
+      .select(col("k"), col("n_vertices"), col("n_endpoints"),
+        Det.qround(col("s_du").cast("double") /
+          col("n_endpoints").cast("double"), 6).as("knn_avg"))
+      .orderBy(col("k"))
+  }
+
+  private val graphKnnCurveSql =
+    s"""$SqlPrefix,
+       |se AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |sym AS MATERIALIZED (
+       |  SELECT a AS v, b AS u FROM se UNION ALL SELECT b, a FROM se),
+       |deg AS MATERIALIZED (
+       |  SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+       |pc AS (
+       |  SELECT dv.d AS k, CAST(SUM(du.d) AS BIGINT) AS s_du,
+       |    COUNT(*) AS n_endpoints
+       |  FROM sym JOIN deg dv ON dv.v = sym.v JOIN deg du ON du.v = sym.u
+       |  GROUP BY 1),
+       |nv AS (SELECT d AS k, COUNT(*) AS n_vertices FROM deg GROUP BY 1)
+       |SELECT k, n_vertices, n_endpoints,
+       |  ${Det.qroundSql(
+           "CAST(s_du AS DOUBLE) / CAST(n_endpoints AS DOUBLE)", 6)}
+       |    AS knn_avg
+       |FROM nv JOIN pc USING (k)
+       |ORDER BY k""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),
     Q("graph_louvain_move", graphLouvainMove, Some(graphLouvainMoveSql)),
+    Q("graph_knn_curve", graphKnnCurve, Some(graphKnnCurveSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
     Q("pagerank_user", pagerankUser, Some(pagerankUserSql)),
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,

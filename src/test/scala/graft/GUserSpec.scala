@@ -306,6 +306,22 @@ class GUserSpec extends GraftSuite {
       (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
   }
 
+  test("graph_knn_curve: hand-computed neighbor-degree means per class") {
+    import spark.implicits._
+    // Star 1→{2,3,4} plus edge 2-3: degrees 1:3, 2:2, 3:2, 4:1.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    val e = und.map { case (a, b) => (a, b, 1.0) }
+      .toDF("src", "dst", "value").repartition(2)
+    val out = graft.queries.UserGraphQueries.knnCurveOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // k=1: vertex 4, neighbor 1 (d=3) → knn 3. k=2: vertices 2,3 —
+    // endpoints (2→1,3),(3→1,2): degrees 3,2,3,2 → 10/4 = 2.5.
+    // k=3: vertex 1, neighbors 2,3,4 → (2+2+1)/3.
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, 3.0), (2L, 2L, 4L, 2.5), (3L, 1L, 3L, q6(5.0 / 3))))
+  }
+
   test("graph_louvain_move: hand-computed gains, argmax ties to the " +
     "smallest neighbor") {
     import spark.implicits._
