@@ -103,6 +103,8 @@ object Bench {
       timed("_build:embpairs")(queries.SimQueries.warmEmbPairs(spark, sfDir)),
       timed("_build:bpe")(queries.TextQueries.warmBpe(spark, sfDir)),
       timed("_build:pairs")(queries.DedupQueries.warmPairs(spark, sfDir)),
+      timed("_build:dclusters")(
+        queries.DedupQueries.warmClusters(spark, sfDir)),
       timed("_build:copurchase")(
         queries.NetworkQueries.warmCopurchase(spark, sfDir)),
       timed("_build:itemcos")(

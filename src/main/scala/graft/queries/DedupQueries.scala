@@ -357,6 +357,8 @@ object DedupQueries {
       pairsCache.remove(_).foreach(_.unpersist(blocking = false)))
     rareCache.keys.filter(_._1 eq s).foreach(
       rareCache.remove(_).foreach(_.unpersist(blocking = false)))
+    clustersCache.keys.filter(_._1 eq s).foreach(
+      clustersCache.remove(_).foreach(_.unpersist(blocking = false)))
   }
 
   /** Bounded hop+pointer-jump rounds for [[dedupClusters]] — the same
@@ -396,10 +398,27 @@ object DedupQueries {
     * by construction; the jump headroom plus the loud guard covers the
     * pathological rest.
     */
+  // The converged cluster-closure frame is shared by `dedup_clusters`
+  // and `corpus_curation_decisions` — memoized per (session, sfDir) so
+  // the hop+jump rounds run once (bench `_build:dclusters` hook).
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def clustersFrame(s: SparkSession, dir: String): DataFrame =
+    clustersCache.getOrElseUpdate((s, dir),
+      dedupClustersFrom(s, Tables(s, dir, "documents"),
+        candidatePairs(s, dir)).persist())
+
+  /** Force the shared closure (bench `_build:dclusters` timing hook). */
+  def warmClusters(s: SparkSession, dir: String): Unit = {
+    clustersFrame(s, dir).count(); ()
+  }
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    // shares [[candidatePairs]]'s memoized frame with `dedup_minhash` —
-    // the candidate chain runs once per session, not once per key
-    dedupClustersFrom(s, Tables(s, dir, "documents"), candidatePairs(s, dir))
+    // shares [[candidatePairs]]'s memoized frame with `dedup_minhash` and
+    // the closure result with `corpus_curation_decisions` (the candidate
+    // chain AND the hop+jump rounds each run once per session)
+    clustersFrame(s, dir)
 
   /** Testable seam for [[dedupClusters]]: explicit documents + (doc_id,
     * hs) shingle-hash frames.
@@ -567,7 +586,7 @@ object DedupQueries {
     val docs = Tables(s, dir, "documents")
     val dec = TextQueries.docFilterFrame(s, dir)
       .select(col("doc_id"), col("keep"), col("reason"))
-    val clusters = dedupClustersFrom(s, docs, candidatePairs(s, dir))
+    val clusters = clustersFrame(s, dir)
       .select(col("doc_id"), col("cluster"))
     val split = docs.select(col("doc_id").as("sid"),
       PipelineQueries.splitOf(col("text")).as("split"))

@@ -1265,8 +1265,12 @@ object UserGraphQueries {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // Three consumers (deg + both sides of the per-edge join) would each
+    // re-derive the distinct projection — the itemCosineOf finding;
+    // materialize the symmetric view once.
     val sym = e.select(col("a").as("v"), col("b").as("u"))
       .unionByName(e.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint()
     val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val perEdge = sym
       .join(deg.select(col("v"), col("d").as("dv")), Seq("v"))
