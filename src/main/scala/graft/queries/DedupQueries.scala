@@ -816,9 +816,11 @@ object DedupQueries {
       col("bk").as("bk2"))
     a.join(b, col("bk1") === col("bk2") && col("k1") < col("k2"))
       .select(col("k1"), col("n1"), col("k2"), col("n2")).distinct()
-      .filter(levenshtein(col("n1"), col("n2")) <= 1)
-      .select(col("k1"), col("k2"),
-        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      // one DP evaluation per candidate: subexpression elimination does
+      // not span the Filter→Project boundary (review finding)
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("k1"), col("k2"), col("dist"))
       .orderBy(col("k1"), col("k2"))
   }
 

@@ -163,9 +163,14 @@ object FeatureQueries {
       .orderBy(col("nation"), col("yyyymm"))
   }
 
-  private val demandFeaturesSql = {
+  /** The shared li→dim→series SQL CTE chain (defines `series` with
+    * (nation, yyyymm, s4, n_items)) — the DuckDB twin of
+    * [[demandSeriesOf]], used by all three demand oracles (one
+    * unrolling, no drift — the lpCtes discipline).
+    */
+  private val demandSeriesCtes = {
     val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
-    s"""WITH li AS (
+    s"""li AS (
        |  SELECT l_suppkey,
        |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
        |    $rev4 AS rev4
@@ -177,7 +182,11 @@ object FeatureQueries {
        |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4,
        |    COUNT(*) AS n_items
        |  FROM li JOIN dim ON l_suppkey = s_suppkey
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val demandFeaturesSql = {
+    s"""WITH $demandSeriesCtes,
        |feat AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (PARTITION BY nation ORDER BY yyyymm) AS rn,
@@ -358,19 +367,7 @@ object FeatureQueries {
   }
 
   private val demandBacktestSql = {
-    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
-    s"""WITH li AS (
-       |  SELECT l_suppkey,
-       |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
-       |    $rev4 AS rev4
-       |  FROM lineitem),
-       |dim AS (
-       |  SELECT s_suppkey, n_name AS nation
-       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
-       |series AS MATERIALIZED (
-       |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4
-       |  FROM li JOIN dim ON l_suppkey = s_suppkey
-       |  GROUP BY 1, 2),
+    s"""WITH $demandSeriesCtes,
        |bt AS (
        |  SELECT nation, ABS(s4 - f4) AS e4, s4 FROM (
        |    SELECT nation, s4,
@@ -439,19 +436,7 @@ object FeatureQueries {
   }
 
   private val demandSesBacktestSql = {
-    val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
-    s"""WITH li AS (
-       |  SELECT l_suppkey,
-       |    year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
-       |    $rev4 AS rev4
-       |  FROM lineitem),
-       |dim AS (
-       |  SELECT s_suppkey, n_name AS nation
-       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
-       |series AS MATERIALIZED (
-       |  SELECT nation, yyyymm, CAST(SUM(rev4) AS BIGINT) AS s4
-       |  FROM li JOIN dim ON l_suppkey = s_suppkey
-       |  GROUP BY 1, 2),
+    s"""WITH $demandSeriesCtes,
        |arr AS (
        |  SELECT nation,
        |    list_transform(list_sort(list({'yyyymm': yyyymm, 's4': s4})),

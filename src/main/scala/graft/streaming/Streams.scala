@@ -366,9 +366,13 @@ object Streams {
         (uid, rows, state) =>
           var best = state.getOption.getOrElse(
             (Long.MinValue, Long.MinValue, "", 0.0))
+          // Full lexicographic compare through the payload — the batch
+          // max(struct) orders by (tus, event_id, event_type, value), and
+          // stream==batch must hold even if event_id uniqueness is ever
+          // violated (at-least-once redelivery with a mutated payload).
           rows.foreach { r =>
-            if (r._2 > best._1 || (r._2 == best._1 && r._3 > best._2))
-              best = (r._2, r._3, r._4, r._5)
+            val c = (r._2, r._3, r._4, r._5)
+            if (Ordering[(Long, Long, String, Double)].gt(c, best)) best = c
           }
           state.update(best)
           (uid, best._1, best._2, best._3, best._4)
