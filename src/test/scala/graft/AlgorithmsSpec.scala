@@ -115,6 +115,20 @@ class AlgorithmsSpec extends GraftSuite {
     assert(ex.getMessage.contains("exactness"))
   }
 
+  test("graph_cc_sizes: histogram and ppm shares on hand labels") {
+    import spark.implicits._
+    // Components: {1,2,3} (size 3), {4,5} and {6,7} (two of size 2),
+    // {8} (size 1) → 8 vertices.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L), (8L, 8L)).toDF("id", "comp").repartition(3)
+    val out = graft.queries.IterQueries.ccSizesOf(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1000000L / 8),
+      (2L, 2L, 4000000L / 8),
+      (3L, 1L, 3000000L / 8)))
+  }
+
   test("graph_modularity: hand-computed Q on a two-community graph") {
     import spark.implicits._
     // Two triangles {1,2,3} {4,5,6} joined by one bridge 3-4, undirected
