@@ -467,9 +467,86 @@ object Substrate {
       |FROM lineitem JOIN dim ON l_returnflag = dflag
       |GROUP BY 1 ORDER BY flag""".stripMargin
 
+  /** R17 bucket count (matches the test-session shuffle parallelism so
+    * bucketed reads line up 1:1 with join tasks).
+    */
+  private val BucketN = 8
+
+  // One bucketed-table pair per (session, sfDir): orders + lineitem
+  // written with bucketBy/sortBy on the order key into a temp warehouse
+  // path (the ivfIndexPath discipline — external tables, temp dirs
+  // reaped on shutdown, racers resolved by putIfAbsent).
+  private val bucketed = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, String)]()
+  private val liveBucketDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveBucketDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  }
+
+  private def bucketedTables(s: SparkSession,
+                             dir: String): (String, String) = {
+    val key = (s, dir)
+    Option(bucketed.get(key)).getOrElse {
+      val suffix = math.abs(dir.hashCode).toString
+      val (to, tl) = (s"graft_bkt_orders_$suffix", s"graft_bkt_li_$suffix")
+      val p = java.nio.file.Files.createTempDirectory("graft_bucketed")
+        .toString
+      liveBucketDirs.add(p)
+      Tables(s, dir, "orders")
+        .write.bucketBy(BucketN, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$p/orders").mode("overwrite").saveAsTable(to)
+      Tables(s, dir, "lineitem")
+        .write.bucketBy(BucketN, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$p/lineitem").mode("overwrite").saveAsTable(tl)
+      Option(bucketed.putIfAbsent(key, (to, tl))).getOrElse((to, tl))
+    }
+  }
+
+  /** R17 — BUCKETED co-located join: the other prompt-level shuffle
+    * eliminator next to R16's salting — orders and lineitem are written
+    * ONCE as [[BucketN]]-bucket tables on their join key (bucketBy +
+    * sortBy: the write pays the shuffle, every subsequent join rides it),
+    * and the fact⋈fact join then plans with NO shuffle exchange on
+    * either input (PlanSpec walks the join subtree and asserts zero
+    * ShuffleExchange below it — the bucketed scans feed the sort-merge
+    * join directly). This is the warehouse pattern for a join repeated
+    * every day at 100 TB: amortize the exchange into the layout. The
+    * oracle runs the plain join+agg on the RAW tables, proving the
+    * bucketed copy is the same relation.
+    */
+  private def r17(s: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = bucketedTables(s, dir)
+    // merge hint: at gate scale the optimizer would broadcast the tiny
+    // orders side, silently wasting the layout this key demonstrates; at
+    // 100 TB neither fact side broadcasts and sort-merge IS the plan —
+    // the hint pins that strategy so the exchange-free property is
+    // testable here.
+    s.table(to).hint("merge").join(s.table(tl),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        Det.sumDec(Det.discPrice(col("l_extendedprice"),
+          col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val r17Sql =
+    s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+       |  ${Det.sumDecSql(Det.discPriceSql)} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("substrate_unpivot", r15, Some(r15Sql)),
     Q("substrate_salted_join", r16, Some(r16Sql)),
+    Q("substrate_bucketed_join", r17, Some(r17Sql)),
     Q("substrate_scan_filter_project", r1, Some(r1Sql)),
     Q("substrate_hash_join", r2, Some(r2Sql)),
     Q("substrate_group_agg", r3, Some(r3Sql)),

@@ -185,6 +185,26 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("substrate_bucketed_join: no shuffle exchange below the join — " +
+    "the bucketed layout carries the co-location") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec,
+      SortMergeJoinExec}
+    val p = planOf("substrate_bucketed_join")
+    val join = p.collect {
+      case j: SortMergeJoinExec  => j: org.apache.spark.sql.execution.SparkPlan
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(join.nonEmpty, s"no shuffle-family join in\n${p.treeString.take(600)}")
+    // The join's INPUTS must be exchange-free (the final groupBy above it
+    // may legitimately shuffle on o_orderstatus).
+    val below = join.head.children.flatMap(_.collect {
+      case e: ShuffleExchangeExec => e
+    })
+    assert(below.isEmpty,
+      s"bucketed join inputs must not re-shuffle: ${below.mkString(", ")}")
+  }
+
   test("substrate_salted_join: no broadcast, join keys carry the salt") {
     // The whole point of R16 is a REAL shuffle join fanned out by the
     // salt: a broadcast would erase both the problem and the technique.
