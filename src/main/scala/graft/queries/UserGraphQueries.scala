@@ -403,13 +403,15 @@ object UserGraphQueries {
     * hyperball, and eff_diameter oracles so the BFS unrolling cannot
     * drift between them.
     */
-  private def landmarkLevelsSql(iters: Int): String =
+  private def landmarkLevelsSql(iters: Int,
+                                edgeTable: String = "uedges"): String =
     (1 to iters).map { k =>
       s"""h$k AS MATERIALIZED (SELECT lm, id, MIN(dist) AS dist FROM (
          |  SELECT lm, id, dist FROM h${k - 1}
          |  UNION ALL
          |  SELECT h.lm, e.dst AS id, h.dist + 1 AS dist
-         |  FROM h${k - 1} h JOIN uedges e ON e.src = h.id) GROUP BY 1, 2)"""
+         |  FROM h${k - 1} h JOIN $edgeTable e ON e.src = h.id)
+         |  GROUP BY 1, 2)"""
         .stripMargin
     }.mkString(",\n")
 
@@ -1240,6 +1242,179 @@ object UserGraphQueries {
        |FROM deg LEFT JOIN best ON best.id = deg.v
        |ORDER BY id""".stripMargin
 
+  /** graph_betweenness source count / hop bound / δ quantization scale. */
+  private val BcSources = 4
+  private val BcIters = 4
+  private val BcScale = 1000000L
+
+  /** X109 — graph_betweenness: hop-bounded, landmark-sampled Brandes
+    * betweenness centrality on the SIMPLE undirected G_user projection —
+    * the one headline centrality the board lacked (closeness/harmonic/
+    * HyperBall measure reach; betweenness measures BROKERAGE — who sits
+    * on the shortest paths). Full Brandes is O(|V|·|E|); the standard
+    * production estimator samples sources, and this key pins that
+    * estimator exactly: the [[BcSources]] smallest ids as sources (the
+    * X53 landmark discipline), BFS bounded at [[BcIters]] hops.
+    *
+    * Determinism — the interesting part: Brandes' backward dependency
+    * pass is FRACTIONAL (δ(v) += σ(v)/σ(w)·(1+δ(w))), whose sum order
+    * differs across engines. The fix is level-synchronous
+    * quantize-then-sum (the X23 µnat discipline applied to a recursion):
+    * δ is carried as a ×[[BcScale]] integer, each edge contribution is
+    * the EXACT floor `σ_v·(Scale + δq_w) div σ_w`, and per-level sums
+    * are exact-long — both engines fold the identical integers in any
+    * order. σ itself is an exact integer path count (simple graph — the
+    * multiset view would multiply paths; bound documented: σ·(Scale+δq)
+    * stays under 2⁶³ through sf10, DuckDB failing loudly past it).
+    *
+    * Scale: the forward pass rides [[GraphAlgorithms.landmarkDistances]]
+    * (one |E| join per hop); σ and δ are one keyed |E| join + one
+    * map-side-combinable agg per LEVEL (2·[[BcIters]] bounded rounds,
+    * localCheckpointed like the walks) — never a per-path enumeration.
+    * Output: per vertex the exact integer δ-sum over sources and the
+    * normalized double.
+    */
+  private def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val g = GUser(s, dir)
+    betweennessOf(g.edges, g.vertices)
+  }
+
+  /** Unit-test seam: betweenness over explicit directed edge + vertex
+    * frames (the simple symmetric projection is derived inside).
+    */
+  private[graft] def betweennessOf(edges: DataFrame,
+                                   vertices: DataFrame): DataFrame = {
+    val simple = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val e = simple.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(simple.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val lms = vertices.select(col("id")).orderBy(col("id")).limit(BcSources)
+    val d = GraphAlgorithms.landmarkDistances(e, lms, BcIters)
+      .localCheckpoint()
+
+    // forward: exact path counts per level
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var sig = d.filter(col("dist") === 0)
+      .select(col("lm"), col("id"), lit(1L).as("sig")).localCheckpoint()
+    sigs += sig
+    for (k <- 1 to BcIters) {
+      val dk = d.filter(col("dist") === k)
+        .select(col("lm").as("dlm"), col("id").as("did"))
+      sig = sig.join(e, col("id") === col("src"))
+        .join(dk, col("lm") === col("dlm") && col("dst") === col("did"))
+        .groupBy(col("lm"), col("dst"))
+        .agg(sum(col("sig")).as("sig"))
+        .select(col("lm"), col("dst").as("id"), col("sig"))
+        .localCheckpoint()
+      sigs += sig
+    }
+    val sigma = sigs.reduce(_ unionByName _).localCheckpoint()
+
+    // backward: quantized dependencies, deepest level first (levels ≥ 1
+    // only — the source's own δ never enters bc)
+    var deltaNext = d.filter(col("dist") === BcIters)
+      .select(col("lm"), col("id"), lit(0L).as("dq")).localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer(deltaNext)
+    for (k <- (BcIters - 1) to 1 by -1) {
+      val vk = d.filter(col("dist") === k).select(col("lm"), col("id"))
+      val wk = d.filter(col("dist") === k + 1)
+        .select(col("lm").as("wlm"), col("id").as("wid"))
+      val contrib = vk.join(e, col("id") === col("src"))
+        .join(wk, col("lm") === col("wlm") && col("dst") === col("wid"))
+        .join(sigma.select(col("lm").as("slm"), col("id").as("sid"),
+          col("sig").as("sig_v")),
+          col("lm") === col("slm") && col("id") === col("sid"))
+        .join(sigma.select(col("lm").as("tlm"), col("id").as("tid"),
+          col("sig").as("sig_w")),
+          col("lm") === col("tlm") && col("dst") === col("tid"))
+        .join(deltaNext.select(col("lm").as("xlm"), col("id").as("xid"),
+          col("dq").as("dq_w")),
+          col("lm") === col("xlm") && col("dst") === col("xid"), "left")
+        .select(col("lm"), col("id"),
+          expr(s"sig_v * ($BcScale + coalesce(dq_w, 0)) div sig_w")
+            .as("cq"))
+      val deltaK = contrib.groupBy(col("lm"), col("id"))
+        .agg(sum(col("cq")).as("dq"))
+      deltaNext = vk.join(deltaK, Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"),
+          coalesce(col("dq"), lit(0L)).as("dq"))
+        .localCheckpoint()
+      deltas += deltaNext
+    }
+    val bc = deltas.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(sum(col("dq")).as("bc_q"))
+    vertices.select(col("id")).join(bc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc_q"), lit(0L)).as("bc_q"),
+        Det.qround(coalesce(col("bc_q"), lit(0L)).cast("double") /
+          (BcScale.toDouble * BcSources), 6).as("bc"))
+      .orderBy(col("id"))
+  }
+
+  private val graphBetweennessSql = {
+    val L = BcIters
+    val fwd = (1 to L).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT p.lm, e.dst AS id, CAST(SUM(p.sig) AS BIGINT) AS sig
+         |  FROM s${k - 1} p JOIN sedges e ON e.src = p.id
+         |  JOIN h$L d ON d.lm = p.lm AND d.id = e.dst AND d.dist = $k
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sigUnion = (0 to L)
+      .map(k => s"SELECT lm, id, sig FROM s$k").mkString("\n  UNION ALL ")
+    val bwd = ((L - 1) to 1 by -1).map { k =>
+      s"""dl$k AS MATERIALIZED (
+         |  SELECT vk.lm, vk.id, COALESCE(c.dq, CAST(0 AS BIGINT)) AS dq
+         |  FROM (SELECT lm, id FROM h$L WHERE dist = $k) vk
+         |  LEFT JOIN (
+         |    SELECT v.lm, v.id,
+         |      CAST(SUM(sv.sig * ($BcScale + COALESCE(dn.dq, 0))
+         |               // sw.sig) AS BIGINT) AS dq
+         |    FROM (SELECT lm, id FROM h$L WHERE dist = $k) v
+         |    JOIN sedges e ON e.src = v.id
+         |    JOIN h$L w ON w.lm = v.lm AND w.id = e.dst
+         |      AND w.dist = ${k + 1}
+         |    JOIN sigma sv ON sv.lm = v.lm AND sv.id = v.id
+         |    JOIN sigma sw ON sw.lm = v.lm AND sw.id = e.dst
+         |    LEFT JOIN dl${k + 1} dn ON dn.lm = v.lm AND dn.id = e.dst
+         |    GROUP BY 1, 2) c ON c.lm = vk.lm AND c.id = vk.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dlUnion = (1 to L)
+      .map(k => s"SELECT id, dq FROM dl$k").mkString("\n  UNION ALL ")
+    s"""$SqlPrefix,
+       |sp AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |sedges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM sp
+       |  UNION ALL SELECT b, a FROM sp),
+       |lms AS (SELECT id FROM vertices ORDER BY id LIMIT $BcSources),
+       |h0 AS MATERIALIZED (
+       |  SELECT id AS lm, id, CAST(0 AS BIGINT) AS dist FROM lms),
+       |${landmarkLevelsSql(L, "sedges")},
+       |s0 AS MATERIALIZED (
+       |  SELECT lm, id, CAST(1 AS BIGINT) AS sig FROM h0),
+       |$fwd,
+       |sigma AS MATERIALIZED (
+       |  $sigUnion),
+       |dl$L AS MATERIALIZED (
+       |  SELECT lm, id, CAST(0 AS BIGINT) AS dq
+       |  FROM h$L WHERE dist = $L),
+       |$bwd,
+       |bc AS (
+       |  SELECT id, CAST(SUM(dq) AS BIGINT) AS bc_q FROM (
+       |  $dlUnion) GROUP BY id)
+       |SELECT v.id, COALESCE(bc.bc_q, 0) AS bc_q,
+       |  ${Det.qroundSql(
+           s"CAST(COALESCE(bc.bc_q, 0) AS DOUBLE)" +
+             s" / (${BcScale}.0 * $BcSources)", 6)} AS bc
+       |FROM vertices v LEFT JOIN bc ON bc.id = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   /** X107 — graph_knn_curve: the average-nearest-neighbor-degree curve
     * knn(k) — mean neighbor degree over all edge endpoints at degree k,
     * per degree class — the DISTRIBUTION view of mixing that X32's
@@ -1314,6 +1489,7 @@ object UserGraphQueries {
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),
     Q("graph_louvain_move", graphLouvainMove, Some(graphLouvainMoveSql)),
     Q("graph_knn_curve", graphKnnCurve, Some(graphKnnCurveSql)),
+    Q("graph_betweenness", graphBetweenness, Some(graphBetweennessSql)),
     Q("cc_user", ccUser, Some(ccUserSql)),
     Q("pagerank_user", pagerankUser, Some(pagerankUserSql)),
     Q("reduce_on_neighbors_user", reduceOnNeighborsUser,

@@ -306,6 +306,35 @@ class GUserSpec extends GraftSuite {
       (2L, 3L, 4L), (3L, 1L, 2L), (3L, 2L, 4L)))
   }
 
+  test("graph_betweenness: path graph matches hand-run Brandes") {
+    import spark.implicits._
+    // Path 1-2-3-4, all 4 vertices are sources (BcSources = 4).
+    // Ordered pairs through 2: (1,3),(1,4),(3,1),(4,1) → bc_q = 4·10⁶;
+    // symmetric for 3; endpoints broker nothing.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "value")
+    val v = (1L to 4L).map((_, 0.0)).toDF("id", "value")
+    val out = graft.queries.UserGraphQueries.betweennessOf(e, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0.0), (2L, 4000000L, 1.0),
+      (3L, 4000000L, 1.0), (4L, 0L, 0.0)))
+  }
+
+  test("graph_betweenness: fractional dependencies split across the " +
+    "diamond's two shortest paths") {
+    import spark.implicits._
+    // Square 1-2-4-3-1: σ(1→4) = 2, so 2 and 3 each carry ½ per ordered
+    // endpoint pair → every vertex brokers exactly 1 pair-equivalent:
+    // bc_q = 10⁶ each, bc = 0.25 (vertex-transitive).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "value")
+    val v = (1L to 4L).map((_, 0.0)).toDF("id", "value")
+    val out = graft.queries.UserGraphQueries.betweennessOf(e, v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === (1L to 4L).map(i => (i, 1000000L, 0.25)))
+  }
+
   test("graph_knn_curve: hand-computed neighbor-degree means per class") {
     import spark.implicits._
     // Star 1→{2,3,4} plus edge 2-3: degrees 1:3, 2:2, 3:2, 4:1.
