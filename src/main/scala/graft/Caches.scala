@@ -24,6 +24,7 @@ object Caches {
     graft.queries.SimQueries.evict(spark)
     graft.queries.StreamQueries.evict(spark)
     graft.queries.TextQueries.evict(spark)
+    graft.queries.Substrate.evict(spark)
     graft.sources.Tables.evict(spark)
   }
 }

@@ -96,7 +96,8 @@ object StreamQueries {
       |  event_id AS last_event_id, event_type AS last_type,
       |  value AS last_value
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |        ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC
+      |      ) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   private def t6(s: SparkSession, dir: String): DataFrame = {
@@ -528,7 +529,8 @@ object StreamQueries {
         when(col("mad") > 0.0,
           Det.qround((col("value") - col("med")) * 0.6745 / col("mad"), 6))
           .as("robust_z"),
-        (col("adev") > col("mad") * 4.4478).cast("int").as("is_outlier"))
+        (Det.qround(col("adev"), 6) > Det.qround(col("mad") * 4.4478, 6))
+          .cast("int").as("is_outlier"))
       .orderBy(col("event_id"))
   }
 
@@ -549,7 +551,8 @@ object StreamQueries {
        |  CASE WHEN mad.mad > 0.0 THEN
        |    ${Det.qroundSql("(d.value - d.med) * 0.6745 / mad.mad", 6)}
        |  END AS robust_z,
-       |  CAST(d.adev > mad.mad * 4.4478 AS INT) AS is_outlier
+       |  CAST(${Det.qroundSql("d.adev", 6)} >
+       |       ${Det.qroundSql("mad.mad * 4.4478", 6)} AS INT) AS is_outlier
        |FROM dev d JOIN mad ON d.event_type = mad.event_type
        |ORDER BY d.event_id""".stripMargin
 
@@ -589,18 +592,26 @@ object StreamQueries {
     val skRow = ev.agg(
       expr(s"count_min_sketch(user_id, ${Eps}d, 0.99d, 42)").as("sk"),
       count(lit(1)).as("n")).head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
     val total = skRow.getAs[Long]("n")
-    val epsBand = math.ceil(5.0 * Eps * total).toLong
-    val topk = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("user_id")).limit(K)
-      .collect() // bounded: ≤ K rows
-    val rows = topk.toSeq.map { r =>
-      val uid = r.getLong(0); val cnt = r.getLong(1)
-      val est = cms.estimateCount(java.lang.Long.valueOf(uid))
-      (uid, cnt, cnt * 1000000L / total, est >= cnt, est <= cnt + epsBand)
-    }
+    // Empty-input guard (ADVICE r9): a zero-row frame yields a NULL
+    // sketch blob and total = 0 — degrade to an empty typed frame like
+    // the other keys instead of NPE/div-by-zero during construction.
+    val rows: Seq[(Long, Long, Long, Boolean, Boolean)] =
+      if (total == 0L) Seq.empty
+      else {
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+        val epsBand = math.ceil(5.0 * Eps * total).toLong
+        val topk = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id")).limit(K)
+          .collect() // bounded: ≤ K rows
+        topk.toSeq.map { r =>
+          val uid = r.getLong(0); val cnt = r.getLong(1)
+          val est = cms.estimateCount(java.lang.Long.valueOf(uid))
+          (uid, cnt, cnt * 1000000L / total, est >= cnt, est <= cnt + epsBand)
+        }
+      }
     s.createDataFrame(rows).toDF("user_id", "exact_cnt", "share_ppm",
         "cms_no_underestimate", "cms_within_eps")
       .orderBy(col("exact_cnt").desc, col("user_id"))
