@@ -590,13 +590,19 @@ object DedupQueries {
       .select(col("doc_id"), col("cluster"))
     val split = docs.select(col("doc_id").as("sid"),
       PipelineQueries.splitOf(col("text")).as("split"))
+    val model = TextQueries.docQualityKeepFrame(s, dir)
+      .select(col("doc_id").as("mid"), col("keep_model").as("model_keep"))
     dec.join(clusters, Seq("doc_id"))
       .join(split, col("doc_id") === col("sid"))
+      .join(model, col("doc_id") === col("mid"))
       .select(col("doc_id"), col("keep"), col("reason"), col("cluster"),
         (col("doc_id") === col("cluster")).cast("int").as("is_cluster_rep"),
-        col("split"),
+        col("split"), col("model_keep"),
         ((col("keep") === 1) && (col("doc_id") === col("cluster")) &&
-          (col("split") === "train")).cast("int").as("train_emit"))
+          (col("split") === "train")).cast("int").as("train_emit"),
+        ((col("keep") === 1) && (col("doc_id") === col("cluster")) &&
+          (col("split") === "train") && (col("model_keep") === 1))
+          .cast("int").as("train_emit_scored"))
       .orderBy(col("doc_id"))
   }
 
@@ -606,6 +612,7 @@ object DedupQueries {
     s"""WITH ${TextQueries.docGateBaseSql},
        |${TextQueries.docDecisionCtes},
        |$clusterCtes,
+       |${TextQueries.docQualityCtes},
        |spl AS (
        |  SELECT doc_id,
        |    CASE WHEN $h % 100 < ${PipelineQueries.TrainPct} THEN 'train'
@@ -617,11 +624,18 @@ object DedupQueries {
        |  CAST(d.reason = 'keep' AS INT) AS keep, d.reason,
        |  c.cluster, CAST(d.doc_id = c.cluster AS INT) AS is_cluster_rep,
        |  spl.split,
+       |  CAST(q.score_sum_milli > ${TextQueries.QmThreshMilli} * q.n_features
+       |       AS INT) AS model_keep,
        |  CAST(d.reason = 'keep' AND d.doc_id = c.cluster
-       |       AND spl.split = 'train' AS INT) AS train_emit
+       |       AND spl.split = 'train' AS INT) AS train_emit,
+       |  CAST(d.reason = 'keep' AND d.doc_id = c.cluster
+       |       AND spl.split = 'train'
+       |       AND q.score_sum_milli > ${TextQueries.QmThreshMilli}
+       |           * q.n_features AS INT) AS train_emit_scored
        |FROM dec d
        |JOIN (SELECT id, cluster FROM l$DcRounds) c ON c.id = d.doc_id
        |JOIN spl ON spl.doc_id = d.doc_id
+       |JOIN qsc q ON q.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
 

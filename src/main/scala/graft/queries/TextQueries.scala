@@ -1395,7 +1395,125 @@ object TextQueries {
        |    chunk_id * $ChunkS + $ChunkW), ' ') AS chunk_text
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** X110 — doc_quality_model: a MODEL-BASED document-quality scorer —
+    * the fastText-shaped linear classifier every production curation
+    * pipeline (C4/CCNet-style) runs after the rule gates: hashed n-gram
+    * features (unigrams + word bigrams → [[QmBuckets]] buckets via the
+    * audited [[TextFns.stringHash]]) scored by a pinned weight vector,
+    * sigmoid-calibrated, thresholded to a keep bit. The weights are the
+    * model ARTIFACT of the operator — pinned deterministically so the
+    * oracle can replay them: each bucket's base weight is a fixed integer
+    * mix `(b·2654435761 + 40503) mod 2001 − 1000` (milli-units in
+    * [−1000, 1000]), and the buckets of the English function words get a
+    * +[[QmBonus]] boost (exactly the positive mass a trained
+    * natural-vs-junk classifier concentrates on function words). In a
+    * real deployment the formula is replaced by a broadcast weights
+    * array; every other part of the operator — feature hashing, integer
+    * milli-unit accumulation (the X23 quantize-then-sum discipline, so
+    * the score is EXACT integer arithmetic, never a float reduction),
+    * the integer-compare gate `score > [[QmThreshMilli]]·n_features` —
+    * is the production shape unchanged.
+    *
+    * Scale: a pure per-row Column pipeline (tokens → feature array →
+    * bucket array → integer fold) inside ONE scan — no shuffle, no UDF,
+    * no model join; at 100 TB this is a map-only pass, the cheapest
+    * possible plan class. The sigmoid is display calibration only: the
+    * keep DECISION is the integer compare, immune to libm ulps.
+    */
+  private val QmBuckets = 512L
+  private val QmBonus = 1500L
+  private[graft] val QmThreshMilli = 80L
+
+  /** Plan-time replica of [[TextFns.stringHash]] for pinning constant
+    * bucket ids (same fold, plain Scala).
+    */
+  private def strHashLocal(t: String): Long =
+    t.foldLeft(0L)((h, c) => (h * 31 + c) % TextFns.HashMod)
+
+  private val QmPinnedBuckets: Seq[Long] =
+    EnStop.map(w => strHashLocal(w) % QmBuckets).distinct.sorted
+
+  private def qmBaseW(b: org.apache.spark.sql.Column) =
+    (b * lit(2654435761L) + lit(40503L)) % lit(2001L) - lit(1000L) +
+      when(b.isin(QmPinnedBuckets.map(x => x: Any): _*), lit(QmBonus))
+        .otherwise(lit(0L))
+
+  /** Testable seam for [[docQualityModel]]: explicit `(doc_id, text)`
+    * frame.
+    */
+  private[graft] def docQualityModelOf(docs: DataFrame): DataFrame = {
+    val tok = TextFns.tokens(col("text"))
+    val bigrams = when(size(tok) >= 2, TextFns.shingles(tok, 2))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(tok, bigrams)
+    val buckets = transform(feats,
+      t => TextFns.stringHash(t) % lit(QmBuckets))
+    val scoreSum = aggregate(buckets, lit(0L), (acc, b) => acc + qmBaseW(b))
+    docs
+      .select(col("doc_id"), size(feats).cast("long").as("n_features"),
+        scoreSum.as("score_sum_milli"))
+      .select(col("doc_id"), col("n_features"), col("score_sum_milli"),
+        Det.qround(lit(1.0) / (lit(1.0) +
+          exp(-(col("score_sum_milli").cast("double") /
+            (lit(1000.0) * col("n_features"))))), 6).as("model_score"),
+        (col("score_sum_milli") > lit(QmThreshMilli) * col("n_features"))
+          .cast("int").as("keep_model"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def docQualityModel(s: SparkSession, dir: String): DataFrame =
+    docQualityModelOf(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** The CTE chain of [[docQualityModelSql]] (defines `qsc` with
+    * (doc_id, n_features, score_sum_milli)) — shared with
+    * `corpus_curation_decisions`' oracle so the composed and standalone
+    * model gates cannot drift. CTE names are qm-prefixed to avoid
+    * collisions when composed next to the curation chain.
+    */
+  private[graft] val docQualityCtes: String = {
+    val h = TextFns.stringHashSql("ft").replace("\n", " ")
+    val pin = QmPinnedBuckets.mkString(", ")
+    s"""qt AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+       |qf AS (
+       |  SELECT doc_id, list_concat(tok,
+       |    list_transform(range(1, len(tok)),
+       |      i -> tok[i] || ' ' || tok[i+1])) AS feats
+       |  FROM qt),
+       |qb AS (
+       |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+       |    list_transform(feats, ft -> $h % $QmBuckets) AS bks
+       |  FROM qf),
+       |qsc AS MATERIALIZED (
+       |  SELECT doc_id, n_features,
+       |    CAST(list_sum(list_transform(bks, bk ->
+       |      (bk * 2654435761 + 40503) % 2001 - 1000 +
+       |      CASE WHEN bk IN ($pin) THEN $QmBonus ELSE 0 END))
+       |      AS BIGINT) AS score_sum_milli
+       |  FROM qb)""".stripMargin
+  }
+
+  private val docQualityModelSql =
+    s"""WITH $docQualityCtes
+       |SELECT doc_id, n_features, score_sum_milli,
+       |  ${Det.qroundSql(
+            "1.0 / (1.0 + exp(-(CAST(score_sum_milli AS DOUBLE) / " +
+              "(1000.0 * n_features))))", 6)} AS model_score,
+       |  CAST(score_sum_milli > $QmThreshMilli * n_features AS INT)
+       |    AS keep_model
+       |FROM qsc ORDER BY doc_id""".stripMargin
+
+  /** The (doc_id, keep_model) projection of [[docQualityModelOf]] — the
+    * gate bit `corpus_curation_decisions` composes.
+    */
+  private[graft] def docQualityKeepFrame(s: SparkSession,
+      dir: String): DataFrame =
+    docQualityModelOf(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep_model"))
+
   val qs: Seq[Q] = Seq(
+    Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("text_chunk", textChunk, Some(textChunkSql)),
     Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

@@ -212,17 +212,23 @@ class DedupClusterSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val spl = Registry.byKey("sample_split").fn(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val mdl = Registry.byKey("doc_quality_model").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
     val got = Registry.byKey("corpus_curation_decisions").fn(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getLong(3), r.getInt(4), r.getString(5), r.getInt(6)))
+        r.getLong(3), r.getInt(4), r.getString(5), r.getInt(6),
+        r.getInt(7), r.getInt(8)))
     assert(got.nonEmpty && got.length === dec.size)
-    got.foreach { case (id, keep, reason, cluster, isRep, split, emit) =>
+    got.foreach { case (id, keep, reason, cluster, isRep, split, mkeep,
+        emit, emitScored) =>
       assert((keep, reason) === dec(id))
       assert(cluster === clu(id))
       assert(isRep === (if (id == cluster) 1 else 0))
       assert(split === spl(id))
+      assert(mkeep === mdl(id))
       assert(emit === (if (keep == 1 && id == cluster &&
         split == "train") 1 else 0))
+      assert(emitScored === (if (emit == 1 && mkeep == 1) 1 else 0))
     }
   }
 

@@ -556,4 +556,39 @@ class TrainingAuditSpec extends GraftSuite {
       .collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("doc_quality_model: independent hashed-ngram model on hand-built docs") {
+    import spark.implicits._
+    // Independent driver-side replica of the X110 model: polynomial hash
+    // fold, 512-bucket mix weights, +1500 on the function-word buckets,
+    // integer milli accumulation, sigmoid display score, T=80 gate.
+    def h(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val pinned = Seq("the", "a", "and", "of", "to").map(h(_) % 512).toSet
+    def w(b: Long): Long =
+      (b * 2654435761L + 40503L) % 2001L - 1000L +
+        (if (pinned(b)) 1500L else 0L)
+    def model(text: String): (Long, Long, Double, Int) = {
+      val tok = text.split(" ", -1).toSeq
+      val feats = tok ++ (if (tok.size >= 2) tok.sliding(2).map(_.mkString(" ")).toSeq
+                          else Seq.empty)
+      val s = feats.map(f => w(h(f) % 512)).sum
+      val nf = feats.size.toLong
+      val score = math.floor(1.0 / (1.0 +
+        math.exp(-(s.toDouble / (1000.0 * nf)))) * 1e6 + 0.5) / 1e6
+      (nf, s, score, if (s > 80L * nf) 1 else 0)
+    }
+    val texts = Seq("the cat sat of the mat and a hat to match",
+      "qqq blah uiop qqq", "single")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextQueries.docQualityModelOf(docs.repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4))).toSeq
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val (nf, s, sc, k) = model(t); (i.toLong, nf, s, sc, k)
+    }
+    assert(out === expect)
+    // Non-degenerate on this fixture: the English doc passes, junk fails.
+    assert(out.head._5 === 1 && out(1)._5 === 0)
+  }
 }
