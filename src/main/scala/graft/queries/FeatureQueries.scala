@@ -67,34 +67,157 @@ object FeatureQueries {
       .orderBy(col("c_custkey"))
   }
 
-  private val customerRfmSql =
-    s"""WITH per AS MATERIALIZED (
+  /** The per-customer RFM quintile CTE chain (defines `rfmq` with
+    * (c_custkey, recency_days, frequency, monetary, r_q, f_q, m_q)) —
+    * shared by the `customer_rfm` and `customer_rfm_sketch` oracles so
+    * the exact quintile semantics cannot drift between the rank form and
+    * its sketch audit.
+    */
+  private val rfmQuintCtes =
+    s"""rfmper AS MATERIALIZED (
        |  SELECT o_custkey AS c_custkey,
        |    MAX(o_orderdate) AS last_order,
        |    COUNT(*) AS frequency,
        |    ${Det.decSumSql("o_totalprice")} AS monetary
        |  FROM orders GROUP BY 1),
-       |anchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
-       |base AS (
+       |rfmanchor AS (SELECT MAX(o_orderdate) AS anchor FROM orders),
+       |rfmbase AS (
        |  SELECT c_custkey,
        |    date_diff('day', CAST(last_order AS DATE), CAST(anchor AS DATE))
        |      AS recency_days,
        |    frequency, monetary
-       |  FROM per CROSS JOIN anchor),
-       |rn AS (
+       |  FROM rfmper CROSS JOIN rfmanchor),
+       |rfmrn AS (
        |  SELECT *,
        |    ROW_NUMBER() OVER (ORDER BY recency_days, c_custkey) AS r_rn,
        |    ROW_NUMBER() OVER (ORDER BY frequency DESC, c_custkey) AS f_rn,
        |    ROW_NUMBER() OVER (ORDER BY monetary DESC, c_custkey) AS m_rn,
        |    COUNT(*) OVER () AS n
-       |  FROM base)
+       |  FROM rfmbase),
+       |rfmq AS MATERIALIZED (
+       |  SELECT c_custkey, recency_days, frequency, monetary,
+       |    (r_rn - 1) * 5 // n + 1 AS r_q,
+       |    (f_rn - 1) * 5 // n + 1 AS f_q,
+       |    (m_rn - 1) * 5 // n + 1 AS m_q
+       |  FROM rfmrn)""".stripMargin
+
+  private val customerRfmSql =
+    s"""WITH $rfmQuintCtes
        |SELECT c_custkey, recency_days, frequency, monetary,
-       |  (r_rn - 1) * 5 // n + 1 AS r_q,
-       |  (f_rn - 1) * 5 // n + 1 AS f_q,
-       |  (m_rn - 1) * 5 // n + 1 AS m_q,
-       |  ((r_rn - 1) * 5 // n + 1) * 100 + ((f_rn - 1) * 5 // n + 1) * 10
-       |    + ((m_rn - 1) * 5 // n + 1) AS rfm_code
-       |FROM rn ORDER BY c_custkey""".stripMargin
+       |  r_q, f_q, m_q,
+       |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+       |FROM rfmq ORDER BY c_custkey""".stripMargin
+
+  /** X111 — customer_rfm_sketch: the EXERCISED X13 scale path for X73's
+    * exact-rank quintiles — at 100 TB the unpartitioned rank window
+    * becomes (a) quintile BOUNDARIES from a mergeable rank sketch
+    * (`approx_percentile`, accuracy [[RfmSketchAcc]] → rank error ≤
+    * n/acc), broadcast back, then (b) a MAP-SIDE bin compare per row —
+    * no global sort anywhere in the sketch path. This key runs that path
+    * next to the exact rank form and pins the relationship, per
+    * dimension (recency ascending; frequency/monetary descending via
+    * value negation so one ascending code path serves all three):
+    *
+    *   - `e1..e4`: the EXACT quintile edge values (quintile k's boundary
+    *     value toward k+1 under X73's rank assignment — max recency /
+    *     min frequency / min monetary within quintile k). Deterministic,
+    *     value-compared.
+    *   - `bounds_in_rank_eps`: every sketch boundary's exact rank range
+    *     [count(< b), count(≤ b)] intersects target ± 5·max(1, ⌈εn⌉)
+    *     (the GK sketch's rank guarantee with the X6 5× tail margin).
+    *   - `assign_agree_ok`: among rows whose value collides with NO
+    *     boundary (neither sketch nor exact edge — those rows' exact
+    *     quintile is decided by the custkey tiebreak, which no
+    *     value-only sketch can see), sketch bin ≠ exact quintile for at
+    *     most 20·max(1, ⌈εn⌉) rows (4 boundaries × the 5× rank margin).
+    *
+    * Sketch-dependent facts appear ONLY through the two pinned booleans
+    * (the X6/X6b/X68 sketch-contract discipline — a broken sketch fails
+    * the gate); everything else is exact. Scale: the sketch side is one
+    * mergeable aggregate + a broadcast 1-row boundary nest + per-row
+    * compares; the exact side (rank windows) is the test-scale audit
+    * twin, same role as X6b's exact `percentile`.
+    */
+  private val RfmSketchAcc = 10000L
+
+  private def customerRfmSketch(s: SparkSession, dir: String): DataFrame =
+    customerRfmSketchOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[customerRfmSketch]]: explicit orders frame. */
+  private[graft] def customerRfmSketchOf(orders: DataFrame): DataFrame = {
+    val rfm = customerRfmOf(orders)
+    // (dim name, ascending-transformed value, exact quintile, ascending?)
+    val dims = Seq(
+      ("frequency", col("frequency").cast("double") * -1.0, col("f_q"), false),
+      ("monetary", col("monetary").cast("double") * -1.0, col("m_q"), false),
+      ("recency", col("recency_days").cast("double"), col("r_q"), true))
+    val perDim = dims.map { case (name, vCol, qCol, asc) =>
+      val base = rfm.select(vCol.as("v"), qCol.as("q"))
+      val edges = base.groupBy().agg(
+        count(lit(1)).as("n"),
+        max(when(col("q") === 1, col("v"))).as("te1"),
+        max(when(col("q") === 2, col("v"))).as("te2"),
+        max(when(col("q") === 3, col("v"))).as("te3"),
+        max(when(col("q") === 4, col("v"))).as("te4"))
+      val bounds = base.agg(
+        expr(s"approx_percentile(v, array(0.2d, 0.4d, 0.6d, 0.8d), " +
+          s"$RfmSketchAcc)").as("ap"))
+      def b(i: Int) = element_at(col("ap"), i)
+      val sketchBin = lit(1) + (col("v") > b(1)).cast("int") +
+        (col("v") > b(2)).cast("int") + (col("v") > b(3)).cast("int") +
+        (col("v") > b(4)).cast("int")
+      val unambig = (1 to 4).map(i => col("v") =!= b(i))
+        .reduce(_ && _) && col("v") =!= col("te1") &&
+        col("v") =!= col("te2") && col("v") =!= col("te3") &&
+        col("v") =!= col("te4")
+      // rank-contract counts per sketch boundary
+      val aggCols = (1 to 4).flatMap(i => Seq(
+        sum((col("v") < b(i)).cast("long")).as(s"nlt$i"),
+        sum((col("v") <= b(i)).cast("long")).as(s"nle$i"))) ++ Seq(
+        sum((unambig && sketchBin =!= col("q")).cast("long"))
+          .as("n_disagree"),
+        max(col("n")).as("n"),
+        max(col("te1")).as("te1"), max(col("te2")).as("te2"),
+        max(col("te3")).as("te3"), max(col("te4")).as("te4"))
+      val audit = base.crossJoin(broadcast(edges))
+        .crossJoin(broadcast(bounds))
+        .agg(aggCols.head, aggCols.tail: _*)
+      // E = 5·max(1, ceil(n/acc)); targets tᵢ·5 = i·n (integer compare)
+      val eps = lit(5L) * greatest(lit(1L),
+        expr(s"(n + ${RfmSketchAcc - 1}) div $RfmSketchAcc"))
+      val boundsOk = (1 to 4).map(i =>
+        (col(s"nlt$i") * 5 <= lit(i) * col("n") + eps * 5) &&
+          (col(s"nle$i") * 5 >= lit(i) * col("n") - eps * 5))
+        .reduce(_ && _)
+      def edgeOut(i: Int) =
+        Det.qround(if (asc) col(s"te$i") else col(s"te$i") * -1.0, 6)
+      audit.select(lit(name).as("dim"), col("n"),
+        edgeOut(1).as("e1"), edgeOut(2).as("e2"),
+        edgeOut(3).as("e3"), edgeOut(4).as("e4"),
+        boundsOk.as("bounds_in_rank_eps"),
+        (col("n_disagree") <= eps * 4).as("assign_agree_ok"))
+    }
+    perDim.reduce(_.unionAll(_)).orderBy(col("dim"))
+  }
+
+  private val customerRfmSketchSql = {
+    def dimRow(name: String, edge: String, q: String, agg: String) =
+      s"""SELECT '$name' AS dim, COUNT(*) AS n,
+         |  ${Det.qroundSql(s"CAST($agg($edge) FILTER (WHERE $q = 1) AS DOUBLE)", 6)} AS e1,
+         |  ${Det.qroundSql(s"CAST($agg($edge) FILTER (WHERE $q = 2) AS DOUBLE)", 6)} AS e2,
+         |  ${Det.qroundSql(s"CAST($agg($edge) FILTER (WHERE $q = 3) AS DOUBLE)", 6)} AS e3,
+         |  ${Det.qroundSql(s"CAST($agg($edge) FILTER (WHERE $q = 4) AS DOUBLE)", 6)} AS e4,
+         |  TRUE AS bounds_in_rank_eps, TRUE AS assign_agree_ok
+         |FROM rfmq""".stripMargin
+    s"""WITH $rfmQuintCtes
+       |SELECT * FROM (
+       |${dimRow("frequency", "frequency", "f_q", "MIN")}
+       |UNION ALL
+       |${dimRow("monetary", "monetary", "m_q", "MIN")}
+       |UNION ALL
+       |${dimRow("recency", "recency_days", "r_q", "MAX")})
+       |ORDER BY dim""".stripMargin
+  }
 
   /** X74 — demand_features: per-(supplier nation, ship month) revenue
     * series with lag-1 and trailing-3-month rolling-mean features — the
@@ -494,25 +617,136 @@ object FeatureQueries {
       .orderBy(col("l_partkey"))
   }
 
-  private val partsAbcSql = {
+  /** The per-part revenue + exact ABC CTE chain (defines `abcper`
+    * (l_partkey, r4) and `abcex` (+ cum4/tot4/abc_class)) — shared by
+    * the `parts_abc_analysis` and `parts_abc_sketch` oracles so the
+    * exact classification cannot drift between the rank form and its
+    * histogram-sketch audit.
+    */
+  private val abcCtes = {
     val rev4 = s"CAST(${Det.discPriceSql} * 10000 AS BIGINT)"
-    s"""WITH per AS (
+    s"""abcper AS MATERIALIZED (
        |  SELECT l_partkey, CAST(SUM($rev4) AS BIGINT) AS r4
        |  FROM lineitem GROUP BY 1),
-       |cum AS (
+       |abcex AS MATERIALIZED (
        |  SELECT *,
-       |    CAST(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum4,
-       |    CAST(SUM(r4) OVER () AS BIGINT) AS tot4
-       |  FROM per)
+       |    CASE WHEN cum4 * 100 <= tot4 * 80 THEN 'A'
+       |         WHEN cum4 * 100 <= tot4 * 95 THEN 'B'
+       |         ELSE 'C' END AS abc_class
+       |  FROM (
+       |    SELECT *,
+       |      CAST(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum4,
+       |      CAST(SUM(r4) OVER () AS BIGINT) AS tot4
+       |    FROM abcper))""".stripMargin
+  }
+
+  private val partsAbcSql =
+    s"""WITH $abcCtes
        |SELECT l_partkey, CAST(r4 AS DOUBLE) / 10000.0 AS revenue,
        |  ${Det.qroundSql("CAST(cum4 AS DOUBLE) / CAST(tot4 AS DOUBLE)", 6)}
        |    AS cum_share,
-       |  CASE WHEN cum4 * 100 <= tot4 * 80 THEN 'A'
-       |       WHEN cum4 * 100 <= tot4 * 95 THEN 'B'
-       |       ELSE 'C' END AS abc_class
-       |FROM cum ORDER BY l_partkey""".stripMargin
+       |  abc_class
+       |FROM abcex ORDER BY l_partkey""".stripMargin
+
+  /** X112 — parts_abc_sketch: the EXERCISED histogram-sketch scale path
+    * for X101's exact cumulative-rank ABC — at 100 TB the global ranked
+    * cumulative window becomes (a) a MERGEABLE revenue histogram
+    * (deterministic log-scale buckets: digit count × two leading digits
+    * of the ×10⁴ integer revenue — ~2.3 % relative width, ≤ ~90 buckets
+    * per decade, map-side-combinable, CONSTANT-size at any corpus), (b)
+    * the A/B/C revenue-mass thresholds found by a cumulative pass over
+    * that tiny frame (bucket classified by its own cumulative end), and
+    * (c) a broadcast bucket→class map applied per part — no global sort
+    * over |parts| anywhere in the sketch path. Unlike a GK/KLL estimate,
+    * the bucket construction is pure integer/string arithmetic, so the
+    * WHOLE sketch path is bit-identical cross-engine and the oracle
+    * value-compares everything — no boolean-contract weakening needed.
+    *
+    * Output: the exact-vs-approx confusion matrix — per (exact class,
+    * bucket-assigned class): part count, exact revenue, revenue share
+    * (qround 6). Off-diagonal rows are parts inside the threshold
+    * BUCKET, where bucket-resolution classification legitimately differs
+    * from the per-part rank cut — the matrix quantifies exactly the
+    * resolution the histogram trades away (mass-bounded by one bucket's
+    * ~2.3 % width per boundary).
+    *
+    * Scale: one |parts| aggregate (shared with X101), one ≤ ~1.4k-row
+    * histogram + cumulative window ON THAT CONSTANT frame, one broadcast
+    * join back, one ≤ 9-row roll-up. The exact side is the test-scale
+    * audit twin (X101 itself).
+    */
+  private def partsAbcSketch(s: SparkSession, dir: String): DataFrame =
+    partsAbcSketchOf(Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[partsAbcSketch]]: explicit lineitem frame. */
+  private[graft] def partsAbcSketchOf(lineitem: DataFrame): DataFrame = {
+    val rev4 =
+      (Det.discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")
+    val per = lineitem.groupBy(col("l_partkey")).agg(sum(rev4).as("r4"))
+    val rs = col("r4").cast("string")
+    val bucketed = per.withColumn("bkt",
+      length(rs) * 100 + substring(rs, 1, 2).cast("int"))
+    val hist = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("r4")).as("mass"))
+    val wc = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val histC = hist
+      .withColumn("cumm", sum(col("mass")).over(wc))
+      .withColumn("totm", sum(col("mass")).over(Window.partitionBy()))
+      .select(col("bkt"),
+        when(col("cumm") * 100 <= col("totm") * 80, "A")
+          .when(col("cumm") * 100 <= col("totm") * 95, "B")
+          .otherwise("C").as("abc_approx"))
+    val exact = partsAbcOf(lineitem)
+      .select(col("l_partkey").as("pk"), col("abc_class").as("abc_exact"))
+    bucketed.join(broadcast(histC), Seq("bkt"))
+      .join(exact, col("l_partkey") === col("pk"))
+      .groupBy(col("abc_exact"), col("abc_approx"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("r4")).as("m4"))
+      .withColumn("t4", sum(col("m4")).over(Window.partitionBy()))
+      .select(col("abc_exact"), col("abc_approx"), col("n_parts"),
+        (col("m4").cast("double") / 10000.0).as("revenue"),
+        Det.qround(col("m4").cast("double") / col("t4").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("abc_exact"), col("abc_approx"))
   }
+
+  private val partsAbcSketchSql =
+    s"""WITH $abcCtes,
+       |abcbkt AS (
+       |  SELECT l_partkey, r4,
+       |    len(CAST(r4 AS VARCHAR)) * 100
+       |      + CAST(substr(CAST(r4 AS VARCHAR), 1, 2) AS INT) AS bkt
+       |  FROM abcper),
+       |abchist AS (
+       |  SELECT bkt, CAST(SUM(r4) AS BIGINT) AS mass
+       |  FROM abcbkt GROUP BY 1),
+       |abchistc AS (
+       |  SELECT bkt,
+       |    CASE WHEN cumm * 100 <= totm * 80 THEN 'A'
+       |         WHEN cumm * 100 <= totm * 95 THEN 'B'
+       |         ELSE 'C' END AS abc_approx
+       |  FROM (
+       |    SELECT bkt, mass,
+       |      CAST(SUM(mass) OVER (ORDER BY bkt DESC
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumm,
+       |      CAST(SUM(mass) OVER () AS BIGINT) AS totm
+       |    FROM abchist)),
+       |abcagg AS (
+       |  SELECT e.abc_class AS abc_exact, h.abc_approx,
+       |    COUNT(*) AS n_parts, CAST(SUM(b.r4) AS BIGINT) AS m4
+       |  FROM abcbkt b
+       |  JOIN abcex e USING (l_partkey)
+       |  JOIN abchistc h USING (bkt)
+       |  GROUP BY 1, 2)
+       |SELECT abc_exact, abc_approx, n_parts,
+       |  CAST(m4 AS DOUBLE) / 10000.0 AS revenue,
+       |  ${Det.qroundSql(
+            "CAST(m4 AS DOUBLE) / CAST(SUM(m4) OVER () AS DOUBLE)", 6)}
+       |    AS share
+       |FROM abcagg ORDER BY abc_exact, abc_approx""".stripMargin
 
   /** orders_churn_labels horizon: days before the corpus max date that
     * form the post-anchor label window.
@@ -593,12 +827,14 @@ object FeatureQueries {
 
   val qs: Seq[Q] = Seq(
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),
+    Q("customer_rfm_sketch", customerRfmSketch, Some(customerRfmSketchSql)),
     Q("orders_churn_labels", ordersChurnLabels,
       Some(ordersChurnLabelsSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
     Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
+    Q("parts_abc_sketch", partsAbcSketch, Some(partsAbcSketchSql)),
     Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),
     Q("feature_target_encode", featureTargetEncode,
       Some(featureTargetEncodeSql)))

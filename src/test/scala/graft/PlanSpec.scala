@@ -106,6 +106,7 @@ class PlanSpec extends GraftSuite {
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
     "events_type_overlap",      // |types|-row HLL-sketch frame pair nest
     "customer_rfm",             // 1-row anchor-date scalar
+    "customer_rfm_sketch",      // 1-row edge/boundary scalars ×3 dims
     "basket_rules",             // 1-row basket-total scalar
     "feature_target_encode",    // 1-row global-prior scalar
     "sample_split_temporal",    // 1-row (min,max) time-bounds scalar

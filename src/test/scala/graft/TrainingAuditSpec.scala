@@ -557,6 +557,77 @@ class TrainingAuditSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("customer_rfm_sketch: exact edges match an independent model, " +
+    "sketch contracts hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Customer c (1..10): c orders of 100 each → frequency = c, monetary
+    // = 100·c; last order = Jan 31 − (c−1) days → recency_days = c − 1.
+    // Quintiles of n=10 hold 2 customers each, so the exact edges are the
+    // 2nd/4th/6th/8th values in quintile order.
+    val orders = (1L to 10L).flatMap { c =>
+      (1 to c.toInt).map { j =>
+        val d = if (j == c.toInt) Timestamp.valueOf(
+          s"2024-01-${31 - (c - 1)} 00:00:00")
+        else Timestamp.valueOf(f"2024-01-${j}%02d 00:00:00")
+        (c, d, 100.0)
+      }
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice").repartition(3)
+    val out = FeatureQueries.customerRfmSketchOf(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6), r.getBoolean(7)))
+    assert(out.toSeq === Seq(
+      // frequency desc 10,9|8,7|6,5|4,3|2,1 → min-per-quintile 9,7,5,3
+      ("frequency", 10L, 9.0, 7.0, 5.0, 3.0, true, true),
+      // monetary desc 1000,900|...|400,300 → 900,700,500,300
+      ("monetary", 10L, 900.0, 700.0, 500.0, 300.0, true, true),
+      // recency asc 0,1|2,3|4,5|6,7 → max-per-quintile 1,3,5,7
+      ("recency", 10L, 1.0, 3.0, 5.0, 7.0, true, true)))
+  }
+
+  test("parts_abc_sketch: confusion matrix matches an independent " +
+    "histogram model incl. an off-diagonal boundary-bucket part") {
+    import spark.implicits._
+    // Revenues chosen so parts 2 (305) and 3 (300) share the two-leading-
+    // digit bucket 730 while the exact 80% cut falls between them: the
+    // bucket classifies as B (its cumulative end), so part 2 is exact-A /
+    // approx-B — the boundary-resolution trade the key quantifies.
+    val revs = Seq(400.0, 305.0, 300.0, 60.0, 40.0, 30.0, 20.0, 15.0,
+      10.0, 5.0)
+    val li = revs.zipWithIndex
+      .map { case (r, i) => (i + 1L, r, 0.0) }
+      .toDF("l_partkey", "l_extendedprice", "l_discount").repartition(3)
+    // Independent driver-side replica of both paths.
+    val r4s = revs.zipWithIndex.map { case (r, i) =>
+      (i + 1L, math.round(r * 10000)) }
+    val tot = r4s.map(_._2).sum
+    def cls(cum: Long): String =
+      if (cum * 100 <= tot * 80) "A" else if (cum * 100 <= tot * 95) "B"
+      else "C"
+    val exact = r4s.sortBy { case (pk, r4) => (-r4, pk) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (pk, r4)) => (pk, cum + r4) }
+      .drop(1).map { case (pk, cum) => pk -> cls(cum) }.toMap
+    def bkt(r4: Long) = { val s0 = r4.toString
+      s0.length * 100 + s0.take(2).toInt }
+    val hist = r4s.groupBy { case (_, r4) => bkt(r4) }.toSeq
+      .map { case (b, xs) => (b, xs.map(_._2).sum) }.sortBy(-_._1)
+    val bktCls = hist.scanLeft((0, 0L)) { case ((_, cum), (b, m)) =>
+      (b, cum + m) }.drop(1).map { case (b, cum) => b -> cls(cum) }.toMap
+    val approx = r4s.map { case (pk, r4) => pk -> bktCls(bkt(r4)) }.toMap
+    val expect = r4s.groupBy { case (pk, r4) => (exact(pk), approx(pk)) }
+      .toSeq.map { case ((e, a), xs) =>
+        val m4 = xs.map(_._2).sum
+        (e, a, xs.size.toLong, m4.toDouble / 10000.0,
+          math.floor(m4.toDouble / tot.toDouble * 1e6 + 0.5) / 1e6)
+      }.sortBy(t => (t._1, t._2))
+    assert(expect.exists(t => t._1 != t._2), "fixture must straddle")
+    val out = FeatureQueries.partsAbcSketchOf(li).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(out === expect)
+  }
+
   test("doc_quality_model: independent hashed-ngram model on hand-built docs") {
     import spark.implicits._
     // Independent driver-side replica of the X110 model: polynomial hash
