@@ -96,6 +96,7 @@ object Bench {
       timed("_build:lp")(queries.IterQueries.warmLp(spark, sfDir)),
       timed("_build:shingles")(
         queries.DedupQueries.warmShingles(spark, sfDir)),
+      timed("_build:norms")(queries.SimQueries.warmNorms(spark, sfDir)),
       timed("_build:ivf")(queries.SimQueries.warmIvf(spark, sfDir)),
       timed("_build:pqcodes")(queries.SimQueries.warmPqCodes(spark, sfDir)),
       timed("_build:adcscored")(
