@@ -439,4 +439,34 @@ class GUserSpec extends GraftSuite {
       assert(rs.length <= 2)
     }
   }
+
+  test("graph_kcore: hand-built multi-round cascade peels to the K4 core") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // K4 clique {1,2,3,4}; triangle {5,6,7} hung off 4 via 4-5; pendant
+    // 1-8. Round 1 removes 6,7 (deg 2) and 8 (deg 1); round 2 removes 5
+    // (deg 1 after its triangle died) — a real 2-round cascade at K=3.
+    val simple = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L), (1L, 8L))
+      .toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.kcorePeelOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 3L, true), (2L, 3L, true),
+      (3L, 3L, true), (4L, 3L, true)))
+  }
+
+  test("graph_kcore: zipf derivation + peel invariant under partitioning") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Prime-strided event ids (hash-jitter of small consecutive ids
+    // clusters badly — memory pitfall).
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val a = UserGraphQueries.kcoreOf(ev.repartition(1)).collect()
+      .map(_.toSeq).toSeq
+    val b = UserGraphQueries.kcoreOf(ev.repartition(13)).collect()
+      .map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
