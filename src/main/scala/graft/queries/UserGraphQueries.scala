@@ -1609,8 +1609,268 @@ object UserGraphQueries {
        |GROUP BY e.a ORDER BY v""".stripMargin
   }
 
+  /** X114 — graph_truss_decompose: K-TRUSS DECOMPOSITION over the same
+    * derived Zipf graph as [[graphKcore]] — the edge-density sibling of
+    * the vertex peel (an edge's trussness = the largest k whose k-truss
+    * contains it; k-truss = maximal subgraph where every edge closes ≥
+    * k−2 triangles). Rounds 5/6 refused truss on the natural fixtures
+    * for the k-core reasons (BASELINE); the Zipf tier makes the LEVELED
+    * peel real: level k=3 then k=4, each peeled synchronously to
+    * fixpoint (≤[[TrussRounds]] rounds/level, early-stop; the sim
+    * measured ≤3), producing the trussness histogram {2, 3, 4+} —
+    * capped at [[TrussCap]]+ exactly like HyperBall's bounded radius;
+    * (820/48/0), (6041/1045/0), (28037/5007/685), (54090/110409/30800)
+    * edges per class at sf0.001/0.01/0.1/sf1 — measured before landing,
+    * classes populated progressively with scale, never all-empty.
+    *
+    * Scale: support (per-edge triangle count) is recomputed per round
+    * via DEGREE-ORDERED ORIENTATION — each triangle is enumerated once
+    * at its lowest-(degree,id) vertex, so the wedge join is Σ out-deg²
+    * with out-deg ≤ O(√E) on heavy-tailed graphs (the standard
+    * power-law triangle bound; an unoriented wedge join would square
+    * the hub degree). Each round: one degree agg + one oriented wedge
+    * self-join + one closing-edge semi + an exploded 3-edge count — all
+    * keyed joins and combinable aggs, localCheckpointed. The oracle
+    * unrolls the same leveled rounds with the test-scale unoriented
+    * common-neighbor join (the same oriented enumeration, independently
+    * expressed); `converged` is the pinned-TRUE loud guard on the round
+    * bound.
+    */
+  private val TrussCap = 4
+  private val TrussRounds = 5
+
+  private def graphTrussDecompose(s: SparkSession, dir: String): DataFrame =
+    trussDecomposeOf(zipfEdgesOf(graft.sources.Tables(s, dir, "events")))
+
+  /** The leveled truss peel over an explicit canonical (a < b) simple
+    * edge frame — the hand-built-graph seam.
+    */
+  private[graft] def trussDecomposeOf(simple: DataFrame): DataFrame = {
+    val spark = simple.sparkSession
+    import spark.implicits._
+    val e0 = simple.select(col("a"), col("b")).localCheckpoint()
+    val nAll = e0.count()
+
+    // Support of every alive canonical edge via degree-ordered oriented
+    // triangle enumeration (each triangle counted once, exploded back to
+    // its 3 canonical edges).
+    def supports(alive: DataFrame): DataFrame = {
+      val und = alive.select(col("a"), col("b"))
+        .unionByName(alive.select(col("b").as("a"), col("a").as("b")))
+      val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+      // orient: src = lower (deg, id), dst = higher
+      val withD = alive
+        .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      val o = withD.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"),
+            col("db").as("dt")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"),
+            col("da").as("dt"))).as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+        .localCheckpoint()
+      val wedges = o.as("x").join(o.as("y"),
+          col("x.s") === col("y.s") &&
+            (col("x.dt") < col("y.dt") ||
+              (col("x.dt") === col("y.dt") && col("x.t") < col("y.t"))))
+        .select(col("x.s").as("p"), col("x.t").as("u"), col("y.t").as("w"))
+      val tri = wedges.join(o.select(col("s").as("u"), col("t").as("w")),
+        Seq("u", "w"), "left_semi")
+      tri.select(explode(array(
+          struct(least(col("p"), col("u")).as("a"),
+            greatest(col("p"), col("u")).as("b")),
+          struct(least(col("p"), col("w")).as("a"),
+            greatest(col("p"), col("w")).as("b")),
+          struct(least(col("u"), col("w")).as("a"),
+            greatest(col("u"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+
+    var alive = e0
+    var nAlive = nAll
+    var allConverged = true
+    val levelSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    for (k <- 3 to TrussCap) {
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < TrussRounds) {
+        val sup = supports(alive)
+        val next = alive.join(sup, Seq("a", "b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+          .select(col("a"), col("b")).localCheckpoint()
+        val nNext = next.count()
+        changed = nNext != nAlive
+        alive = next; nAlive = nNext; rounds += 1
+      }
+      if (changed) allConverged = false
+      levelSizes += nAlive
+    }
+    val n3 = levelSizes(0); val n4 = levelSizes(1)
+    Seq((2L, nAll - n3), (3L, n3 - n4), (4L, n4))
+      .toDF("trussness", "n_edges")
+      .withColumn("converged", lit(allConverged))
+      .orderBy(col("trussness"))
+  }
+
+  private val graphTrussDecomposeSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    // Leveled unrolled peel: tr_{k}_{r} = alive canonical edges after
+    // round r of level k. Support uses the SAME degree-ordered oriented
+    // enumeration as the Spark plan (an unoriented common-neighbor join
+    // squares the hub degree — measured intractable at sf1).
+    def round(prev: String, cur: String, k: Int) =
+      s"""${cur}u AS (
+         |  SELECT a, b FROM $prev UNION ALL SELECT b AS a, a AS b FROM $prev),
+         |${cur}d AS (SELECT a AS v, COUNT(*) AS d FROM ${cur}u GROUP BY 1),
+         |${cur}o AS MATERIALIZED (
+         |  SELECT CASE WHEN x.d < y.d OR (x.d = y.d AND e.a < e.b)
+         |              THEN e.a ELSE e.b END AS s,
+         |         CASE WHEN x.d < y.d OR (x.d = y.d AND e.a < e.b)
+         |              THEN e.b ELSE e.a END AS t,
+         |         CASE WHEN x.d < y.d OR (x.d = y.d AND e.a < e.b)
+         |              THEN y.d ELSE x.d END AS dt
+         |  FROM $prev e
+         |  JOIN ${cur}d x ON x.v = e.a JOIN ${cur}d y ON y.v = e.b),
+         |${cur}t AS (
+         |  SELECT w.p, w.u, w.w FROM (
+         |    SELECT x.s AS p, x.t AS u, y.t AS w
+         |    FROM ${cur}o x JOIN ${cur}o y ON x.s = y.s
+         |     AND (x.dt < y.dt OR (x.dt = y.dt AND x.t < y.t))) w
+         |  JOIN ${cur}o z ON z.s = w.u AND z.t = w.w),
+         |${cur}s AS (
+         |  SELECT a, b, COUNT(*) AS sup FROM (
+         |    SELECT LEAST(p, u) AS a, GREATEST(p, u) AS b FROM ${cur}t
+         |    UNION ALL SELECT LEAST(p, w), GREATEST(p, w) FROM ${cur}t
+         |    UNION ALL SELECT LEAST(u, w), GREATEST(u, w) FROM ${cur}t)
+         |  GROUP BY 1, 2),
+         |$cur AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN ${cur}s sp ON sp.a = e.a AND sp.b = e.b
+         |   AND sp.sup >= ${k - 2})""".stripMargin
+    val names = for (k <- 3 to TrussCap; r <- 1 to TrussRounds)
+      yield (k, r, s"tr_${k}_$r")
+    val chain = names.zipWithIndex.map { case ((k, r, cur), i) =>
+      val prev = if (i == 0) "kcs" else names(i - 1)._3
+      round(prev, cur, k)
+    }.mkString(",\n")
+    val t3 = s"tr_3_$TrussRounds"
+    val t4 = s"tr_4_$TrussRounds"
+    s"""WITH kce AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |kcs AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM kce WHERE u <> v),
+       |$chain
+       |SELECT * FROM (
+       |  SELECT CAST(2 AS BIGINT) AS trussness,
+       |    (SELECT COUNT(*) FROM kcs) - (SELECT COUNT(*) FROM $t3)
+       |      AS n_edges, TRUE AS converged
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT),
+       |    (SELECT COUNT(*) FROM $t3) - (SELECT COUNT(*) FROM $t4), TRUE
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), (SELECT COUNT(*) FROM $t4), TRUE)
+       |ORDER BY trussness""".stripMargin
+  }
+
+  /** X115 — graph_rich_club_fixed: the FIXED-k rich-club ladder the r9
+    * verdict asked for — X102 had to go data-relative (quantile
+    * thresholds) because the near-regular natural graphs make any fixed
+    * k degenerate (empty or everything); on the Zipf tier the textbook
+    * absolute ladder k ∈ {4, 8, 16, 32} is meaningful at EVERY scale:
+    * φ(k) = 2·E_club / (n·(n−1)) over vertices with degree > k rises
+    * monotonically 0.10→0.50 / 0.02→0.24 / 0.002→0.18 / 0.0007→0.018 at
+    * sf0.001→sf1 (measured before landing) — hubs really do club.
+    * NULL below 2 members (the X102 convention); exact integer counts,
+    * ONE qround(6) division per row.
+    *
+    * Scale: one degree agg + two broadcast degree join-backs + a 4-row
+    * ladder nest (declared crossJoin) + combinable counts — no windows,
+    * no self-join; the ladder rides the SAME derived edge frame as
+    * X113/X114.
+    */
+  private val RichClubKs = Seq(4L, 8L, 16L, 32L)
+
+  private def graphRichClubFixed(s: SparkSession, dir: String): DataFrame =
+    richClubFixedOf(zipfEdgesOf(graft.sources.Tables(s, dir, "events")))
+
+  /** Testable seam over an explicit canonical (a < b) edge frame. */
+  private[graft] def richClubFixedOf(simple: DataFrame): DataFrame = {
+    val spark = simple.sparkSession
+    import spark.implicits._
+    val und = simple.select(col("a"), col("b"))
+      .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val ks = RichClubKs.toDF("k")
+    val clubs = deg.crossJoin(broadcast(ks))
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_club"))
+    val ein = simple
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .crossJoin(broadcast(ks))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_club"))
+    ks.join(clubs, Seq("k"), "left").join(ein, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_club"), lit(0L)).as("n_club"),
+        coalesce(col("e_club"), lit(0L)).as("e_club"),
+        when(coalesce(col("n_club"), lit(0L)) >= 2,
+          Det.qround(lit(2.0) * coalesce(col("e_club"), lit(0L)) /
+            (col("n_club") * (col("n_club") - 1)), 6)).as("phi"))
+      .orderBy(col("k"))
+  }
+
+  private val graphRichClubFixedSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    val ksList = RichClubKs.mkString("[", ", ", "]")
+    s"""WITH kce AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |kcs AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM kce WHERE u <> v),
+       |kcund AS (SELECT a, b FROM kcs UNION ALL SELECT b, a FROM kcs),
+       |rcdeg AS MATERIALIZED (
+       |  SELECT a AS v, COUNT(*) AS d FROM kcund GROUP BY 1),
+       |rck AS (SELECT CAST(UNNEST($ksList) AS BIGINT) AS k),
+       |rcn AS (
+       |  SELECT k, COUNT(*) AS n_club FROM rcdeg, rck WHERE d > k
+       |  GROUP BY k),
+       |rce AS (
+       |  SELECT k, COUNT(*) AS e_club
+       |  FROM kcs e
+       |  JOIN rcdeg x ON x.v = e.a JOIN rcdeg y ON y.v = e.b, rck
+       |  WHERE x.d > k AND y.d > k GROUP BY k)
+       |SELECT rck.k,
+       |  COALESCE(n_club, 0) AS n_club,
+       |  COALESCE(e_club, 0) AS e_club,
+       |  CASE WHEN COALESCE(n_club, 0) >= 2 THEN
+       |    ${Det.qroundSql(
+            "2.0 * COALESCE(e_club, 0) / (n_club * (n_club - 1))", 6)}
+       |  END AS phi
+       |FROM rck LEFT JOIN rcn USING (k) LEFT JOIN rce USING (k)
+       |ORDER BY rck.k""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("graph_kcore", graphKcore, Some(graphKcoreSql)),
+    Q("graph_truss_decompose", graphTrussDecompose,
+      Some(graphTrussDecomposeSql)),
+    Q("graph_rich_club_fixed", graphRichClubFixed,
+      Some(graphRichClubFixedSql)),
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),

@@ -469,4 +469,36 @@ class GUserSpec extends GraftSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("graph_truss_decompose: hand-built graph with a level-4 cascade") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // K4 {1,2,3,4}: every edge closes 2 triangles -> trussness 4 (cap).
+    // Bowtie {5,6,7}+{5,7,8}: edge 5-7 closes 2 triangles but its
+    // supports die in level-4 round 1, killing it in round 2 — a real
+    // multi-round edge cascade; all five edges land at trussness 3.
+    // Bridge 4-5: no triangle -> trussness 2.
+    val simple = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L), (5L, 8L),
+      (4L, 5L)).toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.trussDecomposeOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((2L, 1L, true), (3L, 5L, true),
+      (4L, 6L, true)))
+  }
+
+  test("graph_rich_club_fixed: K6 plus pendant gives phi=1 at k=4, " +
+    "NULL above") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val k6 = for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)
+    val simple = (k6 :+ ((1L, 7L))).toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.richClubFixedOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    // deg: 1 -> 6, 2..6 -> 5, 7 -> 1. k=4 club = {1..6}, all 15 clique
+    // edges inside (the pendant edge has an endpoint below the bar).
+    assert(out.toSeq === Seq((4L, 6L, 15L, 1.0), (8L, 0L, 0L, null),
+      (16L, 0L, 0L, null), (32L, 0L, 0L, null)))
+  }
 }

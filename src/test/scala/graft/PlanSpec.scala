@@ -114,6 +114,7 @@ class PlanSpec extends GraftSuite {
     "graph_modularity",         // 1-row 2m edge-count scalar
     "recsys_eval_coverage",     // 1-row catalog-count scalar
     "graph_rich_club",          // 3-row quantile-threshold nest
+    "graph_rich_club_fixed",    // 4-row fixed-k ladder nest
     "graph_louvain_move",       // 1-row 2m edge-count scalar
     "graph_cc_sizes")           // 1-row vertex-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
