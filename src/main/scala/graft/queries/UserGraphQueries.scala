@@ -1865,12 +1865,151 @@ object UserGraphQueries {
        |ORDER BY rck.k""".stripMargin
   }
 
+  /** X116 — graph_scc_pivot: the FW-BW DECOMPOSITION STEP for strongly
+    * connected components — the last of the structurally-refused
+    * operators (BASELINE r6: every natural fixture graph is one giant
+    * SCC or all singletons at every scale), landed on the DIRECTED Zipf
+    * tier, where the step is non-trivial everywhere: from the
+    * smallest-id pivot, SCC(pivot) = F ∩ B and the vertex set splits
+    * into the four FW-BW classes — scc / fwd-only / bwd-only / rest
+    * (39/238/370/290 at sf0.001 up to 41k/8.3k/9.2k/18 at sf1, all four
+    * populated at all four scales — measured before landing). This is
+    * the recursion step of the full FW-BW algorithm (each of the three
+    * non-SCC classes recurses independently), pinned as ONE audited
+    * iteration — the kmeans_step/louvain_move discipline; the full
+    * recursion is a driver loop like I2–I5.
+    *
+    * Scale: two frontier BFS fixpoints (forward on edges, backward on
+    * reversed edges) — per round one keyed \|E\| join + distinct union,
+    * localCheckpointed, early-stop (measured depths 4–11, bound
+    * [[SccRounds]] with the pinned-TRUE `converged` guard) — then two
+    * membership joins and a 4-row class roll-up. The oracle unrolls the
+    * same rounds as CTEs.
+    */
+  private val SccRounds = 16
+
+  private def graphSccPivot(s: SparkSession, dir: String): DataFrame =
+    sccPivotOf(zipfDirectedEdgesOf(
+      graft.sources.Tables(s, dir, "events")))
+
+  /** The DIRECTED derived Zipf edge list (u ≠ v, distinct; direction
+    * preserved — the [[zipfEdgesOf]] sibling for directed algorithms).
+    */
+  private[graft] def zipfDirectedEdgesOf(events: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val eid = col("event_id").cast("string")
+    def h(tag: String) =
+      TextFns.stringHash(concat(lit(tag + ":"), eid))
+    events
+      .select(h("kcu").as("h1"), h("kcb").as("h2"),
+        h("kcv").as("h3"), h("kcc").as("h4"))
+      .select(
+        expr(s"h1 % shiftleft(cast(1 as bigint), cast(h2 % $KcBits as int))")
+          .as("u"),
+        expr(s"h3 % shiftleft(cast(1 as bigint), cast(h4 % $KcBits as int))")
+          .as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Testable seam for [[graphSccPivot]]: explicit directed (u, v)
+    * edge frame.
+    */
+  private[graft] def sccPivotOf(dedges: DataFrame): DataFrame = {
+    val e = dedges.select(col("u"), col("v")).localCheckpoint()
+    val verts = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+      .localCheckpoint()
+    val pivot = verts.agg(min(col("id"))).first().getLong(0)
+
+    // frontier BFS to fixpoint over `adj` (src, dst); returns (set, converged)
+    def reach(adj: DataFrame): (DataFrame, Boolean) = {
+      var seen = verts.sparkSession.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(pivot)),
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType, false))
+      seen = seen.localCheckpoint()
+      var n = 1L
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < SccRounds) {
+        val next = seen.unionByName(
+            adj.join(seen.withColumnRenamed("id", "src"), Seq("src"))
+              .select(col("dst").as("id")))
+          .distinct().localCheckpoint()
+        val nNext = next.count()
+        changed = nNext != n
+        seen = next; n = nNext; rounds += 1
+      }
+      (seen, !changed)
+    }
+    val (f, fOk) = reach(e.select(col("u").as("src"), col("v").as("dst")))
+    val (b, bOk) = reach(e.select(col("v").as("src"), col("u").as("dst")))
+    val cls = verts
+      .join(f.select(col("id"), lit(1).as("in_f")), Seq("id"), "left")
+      .join(b.select(col("id"), lit(1).as("in_b")), Seq("id"), "left")
+      .select(
+        when(col("in_f") === 1 && col("in_b") === 1, "scc")
+          .when(col("in_f") === 1, "fwd_only")
+          .when(col("in_b") === 1, "bwd_only")
+          .otherwise("rest").as("cls"))
+    cls.groupBy(col("cls")).agg(count(lit(1)).as("n_vertices"))
+      .select(col("cls"), col("n_vertices"), lit(pivot).as("pivot"),
+        lit(fOk && bOk).as("converged"))
+      .orderBy(col("cls"))
+  }
+
+  private val graphSccPivotSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    def bfs(name: String, adj: String) =
+      (1 to SccRounds).map { r =>
+        val prev = s"$name${r - 1}"
+        s"""$name$r AS MATERIALIZED (
+           |  SELECT DISTINCT id FROM (
+           |    SELECT id FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS id FROM $adj e JOIN $prev p
+           |      ON e.src = p.id))""".stripMargin
+      }.mkString(",\n")
+    s"""WITH kce AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |kcd AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM kce WHERE u <> v),
+       |sccv AS MATERIALIZED (
+       |  SELECT u AS id FROM kcd UNION SELECT v FROM kcd),
+       |sccp AS (SELECT MIN(id) AS pid FROM sccv),
+       |fadj AS (SELECT u AS src, v AS dst FROM kcd),
+       |badj AS (SELECT v AS src, u AS dst FROM kcd),
+       |f0 AS (SELECT pid AS id FROM sccp),
+       |${bfs("f", "fadj")},
+       |b0 AS (SELECT pid AS id FROM sccp),
+       |${bfs("b", "badj")}
+       |SELECT cls, COUNT(*) AS n_vertices,
+       |  (SELECT pid FROM sccp) AS pivot, TRUE AS converged
+       |FROM (
+       |  SELECT CASE
+       |    WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+       |    WHEN f.id IS NOT NULL THEN 'fwd_only'
+       |    WHEN b.id IS NOT NULL THEN 'bwd_only'
+       |    ELSE 'rest' END AS cls
+       |  FROM sccv x
+       |  LEFT JOIN f$SccRounds f ON f.id = x.id
+       |  LEFT JOIN b$SccRounds b ON b.id = x.id)
+       |GROUP BY cls ORDER BY cls""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("graph_kcore", graphKcore, Some(graphKcoreSql)),
     Q("graph_truss_decompose", graphTrussDecompose,
       Some(graphTrussDecomposeSql)),
     Q("graph_rich_club_fixed", graphRichClubFixed,
       Some(graphRichClubFixedSql)),
+    Q("graph_scc_pivot", graphSccPivot, Some(graphSccPivotSql)),
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),

@@ -501,4 +501,20 @@ class GUserSpec extends GraftSuite {
     assert(out.toSeq === Seq((4L, 6L, 15L, 1.0), (8L, 0L, 0L, null),
       (16L, 0L, 0L, null), (32L, 0L, 0L, null)))
   }
+
+  test("graph_scc_pivot: hand-built cycle splits into all four FW-BW " +
+    "classes") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Cycle 1->2->3->1 (the pivot SCC), 3->4 (forward-only),
+    // 5->1 (backward-only), 6->7 (unreachable either way).
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L),
+      (6L, 7L)).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.sccPivotOf(e).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(("bwd_only", 1L, 1L, true),
+      ("fwd_only", 1L, 1L, true), ("rest", 2L, 1L, true),
+      ("scc", 3L, 1L, true)))
+  }
 }
