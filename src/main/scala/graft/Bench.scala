@@ -92,6 +92,7 @@ object Bench {
       timed("_build:probehist")(
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
+      timed("_build:zipf")(queries.UserGraphQueries.warmZipf(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
       timed("_build:lp")(queries.IterQueries.warmLp(spark, sfDir)),
       timed("_build:shingles")(

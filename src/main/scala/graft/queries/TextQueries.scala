@@ -1512,8 +1512,71 @@ object TextQueries {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("keep_model"))
 
+  /** X117 — doc_quality_calibration: the CALIBRATION/AGREEMENT table a
+    * curation team reviews before trusting a model gate — X110's scores
+    * bucketed into fixed 50-milli average-score bins, with per-bin doc
+    * counts, model-keep and rule-keep (X41) counts, and the
+    * model-vs-rule agreement rate. A well-behaved quality model shows
+    * keep rate rising monotonically with the score bin and agreement
+    * concentrated away from the threshold bin — this table is where
+    * that claim becomes inspectable (and where threshold tuning reads
+    * its operating point from).
+    *
+    * Determinism: the bin is a PURE nonnegative integer division —
+    * `(score_sum_milli + 1000·n_features) div (50·n_features)` (the
+    * +1000/feature shift keeps the numerator ≥ 0, since the minimum
+    * per-feature weight is −1000, so truncating and flooring division
+    * agree across engines); all counts exact, agreement in integer ppm.
+    * Scale: two map-only frames (X110 scores, X41 gate signals) joined
+    * on doc_id, one combinable roll-up to ≤ ~50 bins.
+    */
+  private def docQualityCalibration(s: SparkSession,
+      dir: String): DataFrame = {
+    val model = docQualityModelOf(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_features"), col("score_sum_milli"),
+        col("keep_model"))
+    val rule = docFilterFrame(s, dir)
+      .select(col("doc_id").as("rid"), col("keep"))
+    model.join(rule, col("doc_id") === col("rid"))
+      .select(
+        expr("(score_sum_milli + 1000 * n_features) div (50 * n_features)")
+          .as("bin"),
+        col("keep_model"), col("keep"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep_model").cast("long")).as("n_model_keep"),
+        sum(col("keep").cast("long")).as("n_rule_keep"),
+        sum((col("keep_model") === col("keep")).cast("long"))
+          .as("n_agree"))
+      .select(col("bin"), col("n_docs"), col("n_model_keep"),
+        col("n_rule_keep"),
+        expr("n_agree * 1000000 div n_docs").as("agree_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  private val docQualityCalibrationSql =
+    s"""WITH $docGateBaseSql,
+       |$docDecisionCtes,
+       |$docQualityCtes,
+       |joined AS (
+       |  SELECT (q.score_sum_milli + 1000 * q.n_features)
+       |           // (50 * q.n_features) AS bin,
+       |    CAST(q.score_sum_milli > $QmThreshMilli * q.n_features AS INT)
+       |      AS keep_model,
+       |    CAST(d.reason = 'keep' AS INT) AS keep
+       |  FROM qsc q JOIN dec d ON d.doc_id = q.doc_id)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(keep_model) AS BIGINT) AS n_model_keep,
+       |  CAST(SUM(keep) AS BIGINT) AS n_rule_keep,
+       |  CAST(SUM(CAST(keep_model = keep AS INT)) AS BIGINT) * 1000000
+       |    // COUNT(*) AS agree_ppm
+       |FROM joined GROUP BY bin ORDER BY bin""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
+    Q("doc_quality_calibration", docQualityCalibration,
+      Some(docQualityCalibrationSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("text_chunk", textChunk, Some(textChunkSql)),
     Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),

@@ -88,6 +88,10 @@ object UserGraphQueries {
     // the walk hops are localCheckpointed RDDs — dropping the reference
     // lets the ContextCleaner reclaim them
     walksCache.keys.filter(_._1 eq s).foreach(walksCache.remove)
+    zipfDirCache.keys.filter(_._1 eq s).foreach(
+      zipfDirCache.remove(_).foreach(_.unpersist(blocking = false)))
+    zipfCanCache.keys.filter(_._1 eq s).foreach(
+      zipfCanCache.remove(_).foreach(_.unpersist(blocking = false)))
     GUser.evict(s)
   }
 
@@ -1541,8 +1545,34 @@ object UserGraphQueries {
       .distinct()
   }
 
+  // The derived Zipf frames are shared by four keys (kcore / truss /
+  // rich_club_fixed on the canonical frame, scc_pivot on the directed
+  // one) — memoized + persisted per (session, sfDir) so the 4-hash
+  // derivation over |events| runs once, not once per key
+  // (Bench `_build:zipf`). Evicted via [[evict]].
+  private val zipfDirCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val zipfCanCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def zipfDirectedFrame(s: SparkSession,
+      dir: String): DataFrame =
+    zipfDirCache.getOrElseUpdate((s, dir),
+      zipfDirectedEdgesOf(graft.sources.Tables(s, dir, "events")).persist())
+
+  private[graft] def zipfCanonicalFrame(s: SparkSession,
+      dir: String): DataFrame =
+    zipfCanCache.getOrElseUpdate((s, dir),
+      zipfDirectedFrame(s, dir)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct().persist())
+
+  /** Bench `_build:zipf` hook: both shared derived-graph frames. */
+  def warmZipf(s: SparkSession, dir: String): Unit = {
+    zipfCanonicalFrame(s, dir).count(); ()
+  }
+
   private def graphKcore(s: SparkSession, dir: String): DataFrame =
-    kcoreOf(graft.sources.Tables(s, dir, "events"))
+    kcorePeelOf(zipfCanonicalFrame(s, dir))
 
   /** Testable seam for [[graphKcore]]: explicit events frame. */
   private[graft] def kcoreOf(events: DataFrame): DataFrame =
@@ -1640,7 +1670,7 @@ object UserGraphQueries {
   private val TrussRounds = 5
 
   private def graphTrussDecompose(s: SparkSession, dir: String): DataFrame =
-    trussDecomposeOf(zipfEdgesOf(graft.sources.Tables(s, dir, "events")))
+    trussDecomposeOf(zipfCanonicalFrame(s, dir))
 
   /** The leveled truss peel over an explicit canonical (a < b) simple
     * edge frame — the hand-built-graph seam.
@@ -1800,7 +1830,7 @@ object UserGraphQueries {
   private val RichClubKs = Seq(4L, 8L, 16L, 32L)
 
   private def graphRichClubFixed(s: SparkSession, dir: String): DataFrame =
-    richClubFixedOf(zipfEdgesOf(graft.sources.Tables(s, dir, "events")))
+    richClubFixedOf(zipfCanonicalFrame(s, dir))
 
   /** Testable seam over an explicit canonical (a < b) edge frame. */
   private[graft] def richClubFixedOf(simple: DataFrame): DataFrame = {
@@ -1889,8 +1919,7 @@ object UserGraphQueries {
   private val SccRounds = 16
 
   private def graphSccPivot(s: SparkSession, dir: String): DataFrame =
-    sccPivotOf(zipfDirectedEdgesOf(
-      graft.sources.Tables(s, dir, "events")))
+    sccPivotOf(zipfDirectedFrame(s, dir))
 
   /** The DIRECTED derived Zipf edge list (u ≠ v, distinct; direction
     * preserved — the [[zipfEdgesOf]] sibling for directed algorithms).

@@ -662,4 +662,20 @@ class TrainingAuditSpec extends GraftSuite {
     // Non-degenerate on this fixture: the English doc passes, junk fails.
     assert(out.head._5 === 1 && out(1)._5 === 0)
   }
+
+  test("doc_quality_calibration: bins are pure threshold slices of the " +
+    "model gate") {
+    // Structural invariant: the bin is monotone in the average score and
+    // keep_model is a threshold on it, so every bin must be all-keep or
+    // all-drop EXCEPT at most the one bin containing the threshold.
+    import graft.queries.Registry
+    val out = Registry.byKey("doc_quality_calibration")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mixed = out.filter { case (_, n, k) => k != 0L && k != n }
+    assert(mixed.length <= 1, mixed.mkString(", "))
+    // ...and keep rate is monotone across bins (0* then mixed then 1*).
+    val rates = out.sortBy(_._1).map { case (_, n, k) => k.toDouble / n }
+    assert(rates === rates.sorted)
+  }
 }
