@@ -1573,6 +1573,111 @@ object TextQueries {
        |    // COUNT(*) AS agree_ppm
        |FROM joined GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Email/phone patterns for X118 — deliberately restricted to syntax with
+    * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, `+`, bounded `{n}` repeats, a literal `\.`. No lookaround, no
+    * backreferences, no lazy quantifiers.
+    */
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The deterministic PII render for X118 as a SQL fragment over a column
+    * `h` (the per-doc salt hash): phone digits and an email address built
+    * from pure integer div/mod arithmetic — the SAME text in both engines,
+    * so detection counts and the redacted string value-compare exactly.
+    * `h % 4` stripes docs across {phone-only, email-only, both, clean}, so
+    * the detector sees positives AND true negatives at every scale.
+    */
+  private val piiPhoneFrag =
+    "CAST(10 + (h div 7) % 90 AS STRING), '-', " +
+      "CAST(100 + (h div 11) % 900 AS STRING), '-', " +
+      "CAST(100 + (h div 13) % 900 AS STRING), '-', " +
+      "CAST(1000 + (h div 17) % 9000 AS STRING)"
+  private val piiEmailFrag =
+    "'user', CAST(h % 99991 AS STRING), '@', " +
+      "CASE (h div 3) % 3 WHEN 0 THEN 'example.com' " +
+      "WHEN 1 THEN 'mail.org' ELSE 'web.net' END"
+
+  /** X118 — text_pii_redact: the PII scrub stage every production corpus
+    * runs before training — detect and mask email addresses and phone
+    * numbers, emitting per-doc detection counts, the redacted text, and
+    * the redacted-text fingerprint. The raw fixture text is letters-only,
+    * so (derived-tier precedent, BASELINE round-10) the key first RENDERS
+    * a deterministic contact suffix onto each doc from the salted hash —
+    * phone digits and an email via integer div/mod — striping docs across
+    * phone-only / email-only / both / clean variants (`h % 4`), giving the
+    * detector real positives and negatives at every scale.
+    *
+    * Determinism: the rendered suffix is pure integer arithmetic on the
+    * shared [[TextFns.stringHash]] salt, so both engines see the same
+    * bytes; the regexes are in the Java∩RE2 common dialect (see
+    * [[EmailRe]]); the redacted string and its fingerprint value-compare
+    * exactly. Scale: map-only — one projection chain per doc, no joins,
+    * no shuffles beyond the output ORDER BY; at 100 TB this is the shape
+    * you want (pattern scan fused into the document scan, redaction
+    * in-place, no data movement).
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  private[graft] def piiRedactOf(docs: DataFrame): DataFrame = {
+    val rendered = docs
+      .select(col("doc_id"), col("text"),
+        TextFns.stringHash(concat(lit("pii:"), col("doc_id").cast("string")))
+          .as("h"))
+      .select(col("doc_id"),
+        concat(col("text"), expr(
+          s"""CASE h % 4
+             |  WHEN 0 THEN concat(' call ', $piiPhoneFrag)
+             |  WHEN 1 THEN concat(' mail ', $piiEmailFrag)
+             |  WHEN 2 THEN concat(' call ', $piiPhoneFrag,
+             |                     ' mail ', $piiEmailFrag)
+             |  ELSE '' END""".stripMargin)).as("rendered"))
+    rendered.select(col("doc_id"),
+      size(regexp_extract_all(col("rendered"), lit(EmailRe), lit(0)))
+        .as("n_email"),
+      size(regexp_extract_all(col("rendered"), lit(PhoneRe), lit(0)))
+        .as("n_phone"),
+      regexp_replace(
+        regexp_replace(col("rendered"), PhoneRe, "<PHONE>"),
+        EmailRe, "<EMAIL>").as("redacted"))
+      .withColumn("redacted_fp", TextFns.stringHash(col("redacted")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiRedactSql = {
+    val phoneFragSql = piiPhoneFrag
+      .replace(" div ", " // ").replace("AS STRING", "AS VARCHAR")
+    val emailFragSql = piiEmailFrag
+      .replace(" div ", " // ").replace("AS STRING", "AS VARCHAR")
+    val hashDoc = TextFns.stringHashSql(
+      "concat('pii:', CAST(doc_id AS VARCHAR))").replace("\n", " ")
+    s"""WITH h AS (
+       |  SELECT doc_id, text, $hashDoc AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, concat(text,
+       |    CASE h % 4
+       |      WHEN 0 THEN concat(' call ', $phoneFragSql)
+       |      WHEN 1 THEN concat(' mail ', $emailFragSql)
+       |      WHEN 2 THEN concat(' call ', $phoneFragSql,
+       |                         ' mail ', $emailFragSql)
+       |      ELSE '' END) AS rendered
+       |  FROM h)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(rendered, '$EmailRe')) AS INT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(rendered, '$PhoneRe')) AS INT)
+       |    AS n_phone,
+       |  regexp_replace(regexp_replace(rendered,
+       |    '$PhoneRe', '<PHONE>', 'g'), '$EmailRe', '<EMAIL>', 'g')
+       |    AS redacted,
+       |  ${TextFns.stringHashSql(
+            s"""regexp_replace(regexp_replace(rendered,
+               |    '$PhoneRe', '<PHONE>', 'g'), '$EmailRe', '<EMAIL>', 'g')"""
+              .stripMargin).replace("\n", " ")} AS redacted_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("doc_quality_calibration", docQualityCalibration,
@@ -1600,6 +1705,7 @@ object TextQueries {
     Q("corpus_mixture", corpusMixture, Some(corpusMixtureSql)),
     Q("corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),
     Q("text_span_dedup", spanDedup, Some(spanDedupSql)),
+    Q("text_pii_redact", piiRedact, Some(piiRedactSql)),
   )
 
 }

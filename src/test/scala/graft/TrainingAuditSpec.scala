@@ -678,4 +678,48 @@ class TrainingAuditSpec extends GraftSuite {
     val rates = out.sortBy(_._1).map { case (_, n, k) => k.toDouble / n }
     assert(rates === rates.sorted)
   }
+
+  test("text_pii_redact: render variants, counts, and redaction match a " +
+    "driver-side model") {
+    import spark.implicits._
+    // Docs 5/6 carry PII in the RAW text (detection must not depend on the
+    // rendered suffix); the rest exercise the salt-striped render variants.
+    val raw = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"), (2L, "epsilon zeta"),
+      (3L, "eta theta"), (4L, "iota kappa"),
+      (5L, "contact 12-345-678-9012 inline"),
+      (6L, "mail bob99@corp.io inline"), (7L, "plain text"))
+    val docs = raw.toDF("doc_id", "text").repartition(3)
+    def h(id: Long): Long =
+      TextKernels.stringHash(UTF8String.fromString(s"pii:$id"))
+    assert((0L to 7L).map(id => h(id) % 4).toSet.size === 4)
+    def render(id: Long, text: String): String = {
+      val x = h(id)
+      val phone = s"${10 + (x / 7) % 90}-${100 + (x / 11) % 900}-" +
+        s"${100 + (x / 13) % 900}-${1000 + (x / 17) % 9000}"
+      val dom = ((x / 3) % 3) match {
+        case 0 => "example.com"; case 1 => "mail.org"; case _ => "web.net" }
+      val email = s"user${x % 99991}@$dom"
+      text + ((x % 4) match {
+        case 0 => s" call $phone"
+        case 1 => s" mail $email"
+        case 2 => s" call $phone mail $email"
+        case _ => "" })
+    }
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val out = TextQueries.piiRedactOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+    val expected = raw.map { case (id, text) =>
+      val rendered = render(id, text)
+      val red = rendered.replaceAll(phoneRe, "<PHONE>")
+        .replaceAll(emailRe, "<EMAIL>")
+      (id, emailRe.r.findAllIn(rendered).size,
+        phoneRe.r.findAllIn(rendered).size, red,
+        TextKernels.stringHash(UTF8String.fromString(red)))
+    }
+    assert(out.toSeq === expected)
+    assert(out.map(_._2).sum > 0 && out.map(_._3).sum > 0)
+  }
 }
