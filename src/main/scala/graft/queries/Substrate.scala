@@ -567,7 +567,128 @@ object Substrate {
        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** R18 — substrate_profile: the TABLE-PROFILING audit every ingestion
+    * pipeline runs before trusting a new drop — per-column null count,
+    * exact distinct count, and min/max, over `orders`, one row per column.
+    * Heterogeneous column types are made comparable through a CANONICAL
+    * BIGINT rendering (the cross-engine-exact choice: no double/decimal
+    * string formatting, no timezone strings): key columns as-is, doubles
+    * as `floor(x·100 + 0.5)` cents (monotone, so cents∘min ≡ min∘cents),
+    * timestamps as `unix_micros` (house epoch idiom), strings as
+    * [[graft.functions.TextFns.stringHash]] of the lexicographic min/max
+    * (ASCII corpus → Spark and DuckDB binary collation agree; the hash is
+    * applied AFTER the agg, to the winning string).
+    *
+    * Scale: ONE pass over the table — a single global aggregation with
+    * map-side partial combine, then a 6-row explode; no joins, no windows.
+    * The exact `countDistinct` ×6 plans through Spark's expand (×7 scan
+    * rows) — the declared 100 TB form swaps each for `approx_count_distinct`
+    * (HLL, the X6 `distinct_users_hll` contract pattern) and drops the
+    * expand; exact is kept here because the oracle can then value-compare
+    * every cell with zero sketch bands.
+    */
+  private def r18(s: SparkSession, dir: String): DataFrame =
+    profileOf(Tables(s, dir, "orders"))
+
+  private[graft] def profileOf(orders: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    def nn(c: String) = sum(col(c).isNull.cast("long")).as(s"nn_$c")
+    def nd(c: String) = countDistinct(col(c)).as(s"nd_$c")
+    val a = orders.agg(
+      count(lit(1)).as("n_rows"),
+      nn("o_orderkey"), nd("o_orderkey"),
+      min(col("o_orderkey")).as("mn_o_orderkey"),
+      max(col("o_orderkey")).as("mx_o_orderkey"),
+      nn("o_custkey"), nd("o_custkey"),
+      min(col("o_custkey")).as("mn_o_custkey"),
+      max(col("o_custkey")).as("mx_o_custkey"),
+      nn("o_orderstatus"), nd("o_orderstatus"),
+      TextFns.stringHash(min(col("o_orderstatus"))).as("mn_o_orderstatus"),
+      TextFns.stringHash(max(col("o_orderstatus"))).as("mx_o_orderstatus"),
+      nn("o_totalprice"), nd("o_totalprice"),
+      floor(min(col("o_totalprice")) * 100 + 0.5).cast("long")
+        .as("mn_o_totalprice"),
+      floor(max(col("o_totalprice")) * 100 + 0.5).cast("long")
+        .as("mx_o_totalprice"),
+      nn("o_orderdate"), nd("o_orderdate"),
+      // o_orderdate ships as TIMESTAMP_NTZ: cast through the UTC-pinned
+      // session TimestampType (the Tables.normalizeEventsTs convention)
+      // before taking the epoch.
+      unix_micros(min(col("o_orderdate")).cast("timestamp"))
+        .as("mn_o_orderdate"),
+      unix_micros(max(col("o_orderdate")).cast("timestamp"))
+        .as("mx_o_orderdate"),
+      nn("o_orderpriority"), nd("o_orderpriority"),
+      TextFns.stringHash(min(col("o_orderpriority")))
+        .as("mn_o_orderpriority"),
+      TextFns.stringHash(max(col("o_orderpriority")))
+        .as("mx_o_orderpriority"))
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    a.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_c"), col(s"mx_$c").as("max_c"))): _*))
+        .as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  private val r18Sql = {
+    import graft.functions.TextFns
+    def row(c: String, mn: String, mx: String) =
+      s"""SELECT '$c' AS col_name, n_rows,
+         |  CAST(nn_$c AS BIGINT) AS n_null,
+         |  CAST(nd_$c AS BIGINT) AS n_distinct,
+         |  $mn AS min_c, $mx AS max_c FROM a""".stripMargin
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    SUM(CAST(o_orderkey IS NULL AS INT)) AS nn_o_orderkey,
+       |    COUNT(DISTINCT o_orderkey) AS nd_o_orderkey,
+       |    MIN(o_orderkey) AS mn_o_orderkey,
+       |    MAX(o_orderkey) AS mx_o_orderkey,
+       |    SUM(CAST(o_custkey IS NULL AS INT)) AS nn_o_custkey,
+       |    COUNT(DISTINCT o_custkey) AS nd_o_custkey,
+       |    MIN(o_custkey) AS mn_o_custkey,
+       |    MAX(o_custkey) AS mx_o_custkey,
+       |    SUM(CAST(o_orderstatus IS NULL AS INT)) AS nn_o_orderstatus,
+       |    COUNT(DISTINCT o_orderstatus) AS nd_o_orderstatus,
+       |    MIN(o_orderstatus) AS mns, MAX(o_orderstatus) AS mxs,
+       |    SUM(CAST(o_totalprice IS NULL AS INT)) AS nn_o_totalprice,
+       |    COUNT(DISTINCT o_totalprice) AS nd_o_totalprice,
+       |    CAST(FLOOR(MIN(o_totalprice) * 100 + 0.5) AS BIGINT)
+       |      AS mn_o_totalprice,
+       |    CAST(FLOOR(MAX(o_totalprice) * 100 + 0.5) AS BIGINT)
+       |      AS mx_o_totalprice,
+       |    SUM(CAST(o_orderdate IS NULL AS INT)) AS nn_o_orderdate,
+       |    COUNT(DISTINCT o_orderdate) AS nd_o_orderdate,
+       |    epoch_us(MIN(o_orderdate)) AS mn_o_orderdate,
+       |    epoch_us(MAX(o_orderdate)) AS mx_o_orderdate,
+       |    SUM(CAST(o_orderpriority IS NULL AS INT)) AS nn_o_orderpriority,
+       |    COUNT(DISTINCT o_orderpriority) AS nd_o_orderpriority,
+       |    MIN(o_orderpriority) AS mnp, MAX(o_orderpriority) AS mxp
+       |  FROM orders)
+       |SELECT * FROM (
+       |${row("o_orderkey", "mn_o_orderkey", "mx_o_orderkey")}
+       |UNION ALL
+       |${row("o_custkey", "mn_o_custkey", "mx_o_custkey")}
+       |UNION ALL
+       |${row("o_orderstatus",
+            TextFns.stringHashSql("mns").replace("\n", " "),
+            TextFns.stringHashSql("mxs").replace("\n", " "))}
+       |UNION ALL
+       |${row("o_totalprice", "mn_o_totalprice", "mx_o_totalprice")}
+       |UNION ALL
+       |${row("o_orderdate", "mn_o_orderdate", "mx_o_orderdate")}
+       |UNION ALL
+       |${row("o_orderpriority",
+            TextFns.stringHashSql("mnp").replace("\n", " "),
+            TextFns.stringHashSql("mxp").replace("\n", " "))})
+       |ORDER BY col_name""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("substrate_profile", r18, Some(r18Sql)),
     Q("substrate_unpivot", r15, Some(r15Sql)),
     Q("substrate_salted_join", r16, Some(r16Sql)),
     Q("substrate_bucketed_join", r17, Some(r17Sql)),

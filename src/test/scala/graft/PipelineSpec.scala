@@ -444,6 +444,34 @@ class PipelineSpec extends GraftSuite {
       r._4 == 100000L && r._5)) // thresh = MixScale ⇒ every doc kept
   }
 
+  test("substrate_profile: nulls, distincts, canonical min/max on " +
+    "hand-built rows") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    def sh(x: String) = TextKernels.stringHash(UTF8String.fromString(x))
+    // Nulls in custkey/totalprice/priority — the fixture tables carry none,
+    // so the null-count column is proven here.
+    val orders = Seq(
+      (1L, None: Option[Long], "O", Some(10.5), t(1000), Some("1-URGENT")),
+      (2L, Some(7L), "F", None: Option[Double], t(2000), None: Option[String]),
+      (3L, Some(7L), "P", Some(2.25), t(500), Some("2-HIGH")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .repartition(2)
+    val out = graft.queries.Substrate.profileOf(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("o_custkey", 3L, 1L, 1L, 7L, 7L),
+      ("o_orderdate", 3L, 0L, 3L, 500000L, 2000000L),
+      ("o_orderkey", 3L, 0L, 3L, 1L, 3L),
+      ("o_orderpriority", 3L, 1L, 2L, sh("1-URGENT"), sh("2-HIGH")),
+      ("o_orderstatus", 3L, 0L, 3L, sh("F"), sh("P")),
+      ("o_totalprice", 3L, 1L, 2L, 225L, 1050L)))
+  }
+
   test("substrate_pivot: pinned wide schema, zero counts, NULL empty sums") {
     import spark.implicits._
     val ev = Seq(
