@@ -763,7 +763,144 @@ object NetworkQueries {
              " / CAST(n_rec * sx AS DOUBLE)", 6)} AS exposure_gini
        |FROM g CROSS JOIN cat""".stripMargin
 
+  /** Pinned integer NDCG discount table: `floor(10⁶/log₂(r+1) + 0.5)` for
+    * rank r = 1..10, and its cumulative sums (the IDCG of k all-relevant
+    * positions). Pinning the µ-discounts as literals keeps the WHOLE NDCG
+    * computation in exact integer arithmetic — no cross-engine libm log.
+    */
+  private val NdcgDisc = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+  private val NdcgCum = NdcgDisc.scanLeft(0L)(_ + _).tail
+
+  /** X119 — recsys_ndcg: the RANKING-QUALITY eval that closes the recsys
+    * rung — leave-last-basket protocol (each customer's latest order by
+    * (date, orderkey) is held out; earlier orders train), item-based CF
+    * scoring (sum over the user's train items of the X85 top-k cosine to
+    * the candidate, train items excluded), top-10 ranking, and per-user
+    * hits@10 / DCG / IDCG / NDCG against the held-out basket.
+    *
+    * Determinism: candidate scores sum the µ-scaled integer cosines (the
+    * q6-rounded cosine ×10⁶ is exactly representable → integer sum is
+    * order-independent), ranking ties break on item id, and the log₂
+    * discounts are the pinned integer table [[NdcgDisc]] — the whole eval
+    * is integer arithmetic, value-compared with zero bands. Hit sparsity
+    * (~2 % of users score a hit at every SF — measured before landing) is
+    * a property of the weak co-occurrence signal in the near-uniform
+    * fixture baskets, not of the eval; the spec pins a dense hand-built
+    * case. Scale: rides the memoized `_build:itemcos` frame; one fact
+    * join to form train/test, one keyed join train⋈topk (|train|·k rows),
+    * per-user window over ≤ |parts| candidates — no all-pairs, no global
+    * sorts beyond the output ORDER BY.
+    */
+  private def recsysNdcg(s: SparkSession, dir: String): DataFrame =
+    ndcgOf(itemCosFrame(s, dir), Tables(s, dir, "orders"),
+      Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[recsysNdcg]]: explicit top-k similarity frame. */
+  private[graft] def ndcgOf(topk: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("u"))
+      .orderBy(col("d").desc, col("ok").desc)
+    val uranked = orders
+      .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"),
+        col("o_orderdate").as("d")).distinct()
+      .withColumn("rn", row_number().over(wU))
+      .select(col("ok"), col("rn"))
+    val ui = orders
+      .select(col("o_custkey").as("u"), col("o_orderkey").as("ok"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey").as("p")),
+        col("ok") === col("l_orderkey"))
+      .join(uranked, Seq("ok"))
+      .select(col("u"), col("p"), col("rn"))
+    // train/test each feed 2–3 consumers — materialize the small distinct
+    // frames once (the baskets discipline).
+    val test = ui.where(col("rn") === 1).select(col("u"), col("p"))
+      .distinct().localCheckpoint()
+    val train = ui.where(col("rn") > 1).select(col("u"), col("p"))
+      .distinct().localCheckpoint()
+    val cand = train
+      .join(topk.select(col("part"), col("other"),
+          floor(col("cosine") * 1e6 + 0.5).cast("long").as("micro")),
+        col("p") === col("part"))
+      .groupBy(col("u"), col("other")).agg(sum(col("micro")).as("score"))
+      .join(train.select(col("u"), col("p").as("other")),
+        Seq("u", "other"), "left_anti")
+    val reco = cand
+      .withColumn("rk", row_number().over(Window.partitionBy(col("u"))
+        .orderBy(col("score").desc, col("other"))))
+      .where(col("rk") <= 10)
+    val disc = array(NdcgDisc.map(lit): _*)
+    val ev = reco
+      .join(test.select(col("u"), col("p").as("other"), lit(1).as("hit")),
+        Seq("u", "other"), "left")
+      .select(col("u"), col("rk"), coalesce(col("hit"), lit(0)).as("hit"))
+    val peru = ev.groupBy(col("u")).agg(
+      count(lit(1)).as("n_reco"),
+      sum(col("hit").cast("long")).as("n_hits"),
+      sum((col("hit").cast("long") * element_at(disc, col("rk"))))
+        .as("dcg_ppm"))
+    val cum = array(NdcgCum.map(lit): _*)
+    peru
+      .join(train.groupBy(col("u")).agg(count(lit(1)).as("n_train")),
+        Seq("u"))
+      .join(test.groupBy(col("u")).agg(count(lit(1)).as("n_test")),
+        Seq("u"))
+      .select(col("u").as("custkey"), col("n_train"), col("n_test"),
+        col("n_reco"), col("n_hits"), col("dcg_ppm"),
+        element_at(cum, least(col("n_test"), lit(10)).cast("int"))
+          .as("idcg_ppm"))
+      .withColumn("ndcg_ppm", expr("dcg_ppm * 1000000 div idcg_ppm"))
+      .orderBy(col("custkey"))
+  }
+
+  private val recsysNdcgSql = {
+    val discList = NdcgDisc.mkString("[", ",", "]")
+    val cumList = NdcgCum.mkString("[", ",", "]")
+    s"""$itemCosCtes,
+       |uranked AS (
+       |  SELECT ok, ROW_NUMBER() OVER (PARTITION BY u
+       |    ORDER BY d DESC, ok DESC) AS rn
+       |  FROM (SELECT DISTINCT o_custkey AS u, o_orderkey AS ok,
+       |          o_orderdate AS d FROM orders)),
+       |ui AS (
+       |  SELECT o_custkey AS u, l_partkey AS p, rn
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN uranked ON uranked.ok = o_orderkey),
+       |vtest AS (SELECT DISTINCT u, p FROM ui WHERE rn = 1),
+       |vtrain AS (SELECT DISTINCT u, p FROM ui WHERE rn > 1),
+       |cand AS (
+       |  SELECT t.u, k.other AS j,
+       |    CAST(SUM(CAST(FLOOR(k.cosine * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS score
+       |  FROM vtrain t JOIN topk k ON t.p = k.part
+       |  WHERE NOT EXISTS (SELECT 1 FROM vtrain t2
+       |                    WHERE t2.u = t.u AND t2.p = k.other)
+       |  GROUP BY 1, 2),
+       |reco AS (
+       |  SELECT u, j, rk FROM (
+       |    SELECT u, j, ROW_NUMBER() OVER (PARTITION BY u
+       |      ORDER BY score DESC, j) AS rk FROM cand)
+       |  WHERE rk <= 10),
+       |ev AS (
+       |  SELECT r.u, r.rk, CAST(te.p IS NOT NULL AS INT) AS hit
+       |  FROM reco r LEFT JOIN vtest te ON te.u = r.u AND te.p = r.j),
+       |peru AS (
+       |  SELECT u, COUNT(*) AS n_reco, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       |    CAST(SUM(hit * ($discList)[rk]) AS BIGINT) AS dcg_ppm
+       |  FROM ev GROUP BY u),
+       |ntr AS (SELECT u, COUNT(*) AS n_train FROM vtrain GROUP BY u),
+       |nte AS (SELECT u, COUNT(*) AS n_test FROM vtest GROUP BY u)
+       |SELECT p.u AS custkey, ntr.n_train, nte.n_test, p.n_reco, p.n_hits,
+       |  p.dcg_ppm,
+       |  CAST(($cumList)[least(nte.n_test, 10)] AS BIGINT) AS idcg_ppm,
+       |  p.dcg_ppm * 1000000
+       |    // CAST(($cumList)[least(nte.n_test, 10)] AS BIGINT) AS ndcg_ppm
+       |FROM peru p JOIN ntr ON ntr.u = p.u JOIN nte ON nte.u = p.u
+       |ORDER BY custkey""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("recsys_ndcg", recsysNdcg, Some(recsysNdcgSql)),
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
     Q("recsys_item_cosine", recsysItemCosine, Some(recsysItemCosineSql)),
     Q("recsys_eval_coverage", recsysEvalCoverage,

@@ -182,4 +182,39 @@ class NetworkSpec extends GraftSuite {
     assert(!out.exists(o => (o._1 == 2L && o._3 == 3L) ||
       (o._1 == 3L && o._3 == 2L)))
   }
+
+  test("recsys_ndcg: hand-computed leave-last-basket eval — scores, " +
+    "train-item exclusion, single-order users dropped") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // Similarity model: 1→101 (.5), 1→102 (.25), 2→101 (.125).
+    val topk = Seq((1L, 101L, 0.5), (1L, 102L, 0.25), (2L, 101L, 0.125))
+      .toDF("part", "other", "cosine")
+    // c1: train orders 10,20 (items 1,2), test order 30 (items 101,103).
+    // c2: single order → no train → excluded.
+    // c3: train item 1, test item 102 (hit at rank 2).
+    // c4: train items 1 AND 101 → 101 excluded from candidates; test 102.
+    val orders = Seq(
+      (1L, 10L, t(1000)), (1L, 20L, t(2000)), (1L, 30L, t(3000)),
+      (2L, 40L, t(1000)),
+      (3L, 50L, t(1000)), (3L, 60L, t(2000)),
+      (4L, 70L, t(1000)), (4L, 80L, t(2000)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (10L, 1L), (20L, 2L), (30L, 101L), (30L, 103L),
+      (40L, 1L),
+      (50L, 1L), (60L, 102L),
+      (70L, 1L), (70L, 101L), (80L, 102L))
+      .toDF("l_orderkey", "l_partkey").repartition(3)
+    val out = NetworkQueries.ndcgOf(topk, orders, lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // c1 candidates: 101 = 500000+125000, 102 = 250000 → hit at rank 1.
+    // c3 candidates: 101, 102 → hit at rank 2 (disc 630930).
+    // c4: only 102 (101 is a train item) → hit at rank 1, idcg = 1e6.
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 2L, 1L, 1000000L, 1630930L,
+        1000000L * 1000000L / 1630930L),
+      (3L, 1L, 1L, 2L, 1L, 630930L, 1000000L, 630930L),
+      (4L, 2L, 1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
 }
