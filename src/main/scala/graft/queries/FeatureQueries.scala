@@ -825,7 +825,115 @@ object FeatureQueries {
        |FROM per WHERE n_orders_pre > 0
        |ORDER BY c_custkey""".stripMargin
 
+  /** X120 — feature_corr_matrix: the FEATURE-STATS pass a tabular-ML
+    * platform runs before training — pairwise Pearson correlation (plus
+    * means) over the four numeric lineitem measures, computed from EXACT
+    * integer moment sums in ONE pass over the fact table.
+    *
+    * The four features are lifted onto their exact integer grids first
+    * (quantity is integral; price → cents, discount/tax → whole percent,
+    * each via the bit-exact `floor(x·100 + 0.5)` — the raw doubles carry
+    * binary-representation dust like 0.04·100 = 4.000…001, so the
+    * half-up floor is what recovers the generator's grid identically in
+    * both engines). All 15 moments (n, 4 sums, 4 square sums, 6 cross
+    * sums) accumulate exactly — Spark DECIMAL(38,0), DuckDB HUGEINT
+    * (square sums exceed int64 at sf1: Σp² ≈ 6.6e20) — then each pair's
+    * correlation is ONE fixed-order IEEE expression over the exact
+    * integers, qround(6):
+    * `corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))`.
+    *
+    * A fifth DERIVED feature — discounted revenue cents,
+    * `r = (p·(100−d)) div 100` — is added so the matrix shows REAL
+    * structure (corr(p,r) ≈ 1, corr(d,r) < 0): the four raw measures are
+    * drawn independently by the generator, so their pairwise correlations
+    * are honestly ≈ 0, and a matrix of six near-zeros would demonstrate
+    * nothing about the arithmetic (the non-degeneracy rule).
+    *
+    * Scale: a single map-side-combinable global aggregation (the 100 TB
+    * shape — no shuffle beyond one 21-number partial per partition), a
+    * 10-row explode, no joins. The moment frame is mergeable across
+    * shards/days by construction (it's a sum), which is why production
+    * feature stats are computed exactly this way.
+    */
+  private def featureCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    corrMatrixOf(Tables(s, dir, "lineitem"))
+
+  private[graft] def corrMatrixOf(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val feats = Seq("q", "p", "d", "t", "r")
+    val f = lineitem.select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("d"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("t"))
+      .withColumn("r", expr("(p * (100 - d)) div 100"))
+    val moments =
+      Seq(count(lit(1)).as("n")) ++
+        feats.map(x => sum(col(x).cast(d38)).as(s"s_$x")) ++
+        (for { x <- feats; y <- feats if x <= y }
+          yield sum((col(x) * col(y)).cast(d38)).as(s"s_${x}${y}"))
+    val a = f.agg(moments.head, moments.tail: _*)
+    val colName = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax", "r" -> "revenue")
+    val pairs = for { x <- feats; y <- feats if x < y } yield (x, y)
+    val rows = pairs.map { case (x, y) =>
+      struct(lit(colName(x)).as("x_col"), lit(colName(y)).as("y_col"),
+        col("n"),
+        col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+        col(s"s_$x$x").as("sxx"), col(s"s_$y$y").as("syy"),
+        col(s"s_$x$y").as("sxy"))
+    }
+    a.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .select(col("x_col"), col("y_col"), col("n"),
+        Det.qround(col("sx").cast("double") / col("n"), 6).as("mean_x"),
+        Det.qround(col("sy").cast("double") / col("n"), 6).as("mean_y"),
+        Det.qround(
+          (col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+              sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("corr"))
+      .orderBy(col("x_col"), col("y_col"))
+  }
+
+  private val featureCorrMatrixSql = {
+    val feats = Seq("q", "p", "d", "t", "r")
+    val colName = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax", "r" -> "revenue")
+    val moms =
+      feats.map(x => s"SUM($x) AS s_$x").mkString(", ") + ", " +
+        (for { x <- feats; y <- feats if x <= y }
+          yield s"SUM($x * $y) AS s_$x$y").mkString(", ")
+    def row(x: String, y: String) =
+      s"""SELECT '${colName(x)}' AS x_col, '${colName(y)}' AS y_col, n,
+         |  ${Det.qroundSql(s"CAST(s_$x AS DOUBLE) / n", 6)} AS mean_x,
+         |  ${Det.qroundSql(s"CAST(s_$y AS DOUBLE) / n", 6)} AS mean_y,
+         |  ${Det.qroundSql(
+              s"CAST(CAST(n AS HUGEINT) * s_$x$y - s_$x * s_$y AS DOUBLE)" +
+                s" / (sqrt(CAST(CAST(n AS HUGEINT) * s_$x$x " +
+                s"- s_$x * s_$x AS DOUBLE))" +
+                s" * sqrt(CAST(CAST(n AS HUGEINT) * s_$y$y " +
+                s"- s_$y * s_$y AS DOUBLE)))", 6)} AS corr
+         |FROM a""".stripMargin
+    val pairs = for { x <- feats; y <- feats if x < y } yield (x, y)
+    s"""WITH f AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+       |    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d,
+       |    CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS t
+       |  FROM lineitem),
+       |f2 AS (SELECT *, (p * (100 - d)) // 100 AS r FROM f),
+       |a AS (SELECT COUNT(*) AS n, $moms FROM f2)
+       |SELECT * FROM (
+       |${pairs.map { case (x, y) => row(x, y) }.mkString("\nUNION ALL\n")})
+       |ORDER BY x_col, y_col""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("feature_corr_matrix", featureCorrMatrix,
+      Some(featureCorrMatrixSql)),
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),
     Q("customer_rfm_sketch", customerRfmSketch, Some(customerRfmSketchSql)),
     Q("orders_churn_labels", ordersChurnLabels,

@@ -679,6 +679,52 @@ class TrainingAuditSpec extends GraftSuite {
     assert(rates === rates.sorted)
   }
 
+  test("feature_corr_matrix: exact moments reproduce a driver-side " +
+    "Pearson on hand-built rows") {
+    import spark.implicits._
+    val li = Seq(
+      (1.0, 10.00, 0.00, 0.01),
+      (2.0, 20.00, 0.05, 0.02),
+      (3.0, 30.00, 0.10, 0.03),
+      (4.0, 45.00, 0.00, 0.04))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .repartition(2)
+    // Driver-side model on the same integer grids.
+    def cents(x: Double) = math.floor(x * 100 + 0.5).toLong
+    val q = Seq(1L, 2L, 3L, 4L)
+    val p = Seq(10.00, 20.00, 30.00, 45.00).map(cents)
+    val d = Seq(0.00, 0.05, 0.10, 0.00).map(cents)
+    val t = Seq(0.01, 0.02, 0.03, 0.04).map(cents)
+    val r = p.zip(d).map { case (pi, di) => pi * (100 - di) / 100 }
+    val byName = Map("l_quantity" -> q, "l_extendedprice" -> p,
+      "l_discount" -> d, "l_tax" -> t, "revenue" -> r)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = xs.size.toLong
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum
+      val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      q6((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble)))
+    }
+    val out = FeatureQueries.corrMatrixOf(li).collect()
+      .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2),
+        r0.getDouble(3), r0.getDouble(4), r0.getDouble(5)))
+    assert(out.length === 10)
+    out.foreach { case (xc, yc, n, mx, my, corr) =>
+      assert(n === 4L)
+      assert(mx === q6(byName(xc).sum.toDouble / 4), s"mean_x $xc")
+      assert(my === q6(byName(yc).sum.toDouble / 4), s"mean_y $yc")
+      assert(corr === pearson(byName(xc), byName(yc)), s"corr $xc/$yc")
+    }
+    // The derived-revenue row shows real structure on this data too.
+    val pr = out.find(o => o._1 == "l_extendedprice" && o._2 == "revenue")
+      .get._6
+    assert(pr > 0.99)
+  }
+
   test("text_pii_redact: render variants, counts, and redaction match a " +
     "driver-side model") {
     import spark.implicits._
