@@ -1556,7 +1556,8 @@ object UserGraphQueries {
   private[graft] def zipfDirectedFrame(s: SparkSession,
       dir: String): DataFrame =
     zipfDirCache.getOrElseUpdate((s, dir),
-      zipfDirectedEdgesOf(graft.sources.Tables(s, dir, "events")).persist())
+      zipfDirectedEdgesOf(graft.sources.Tables(s, dir, "events"))
+        .localCheckpoint())
 
   private[graft] def zipfCanonicalFrame(s: SparkSession,
       dir: String): DataFrame =
@@ -1564,7 +1565,7 @@ object UserGraphQueries {
       zipfDirectedFrame(s, dir)
         .select(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b"))
-        .distinct().persist())
+        .distinct().localCheckpoint())
 
   /** Bench `_build:zipf` hook: both shared derived-graph frames. */
   def warmZipf(s: SparkSession, dir: String): Unit = {
