@@ -687,7 +687,82 @@ object Substrate {
        |ORDER BY col_name""".stripMargin
   }
 
+  /** R19 — substrate_merge_upsert: MERGE INTO (CDC upsert) semantics —
+    * the daily Delta/Iceberg-shaped operation of applying a change feed
+    * (updates / deletes / inserts) to a base table — decomposed into the
+    * three relational primitives an engine without a MERGE operator uses:
+    * `base ANTI-JOIN deletes`, `LEFT-JOIN updates + coalesce override`,
+    * `UNION ALL inserts`. Emits the merged table with each row tagged
+    * K(ept)/U(pdated)/I(nserted); deletes are visible as the dropped keys.
+    *
+    * The change feed derives deterministically from the base scan (salted
+    * hash mod 5 stripes orderkeys into update/delete/insert-source/
+    * untouched×2, ~20 % each — measured before landing): in production it
+    * arrives as a separate CDC table, and nothing in the merge below
+    * depends on the derivation. Prices ride the exact cents grid, so the
+    * update override (+100) and insert payload (+50) value-compare with
+    * no FP dust.
+    *
+    * Scale: both the anti-join and the update-join key on o_orderkey —
+    * at 100 TB they shuffle ONCE on the same key (AQE reuses the
+    * exchange; with a bucketed base layout — R17 — the merge rides the
+    * layout with no shuffle at all, which is exactly how lakehouse MERGE
+    * schedules). No windows, no driver loops; the inserts union is
+    * append-only.
+    */
+  private def r19(s: SparkSession, dir: String): DataFrame =
+    mergeUpsertOf(Tables(s, dir, "orders"))
+
+  private[graft] def mergeUpsertOf(orders: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      (TextFns.stringHash(
+        concat(lit("cdc:"), col("o_orderkey").cast("string"))) % 5)
+        .as("m"))
+    val upd = base.where(col("m") === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("cents") + 100).as("new_cents"))
+    val del = base.where(col("m") === 1).select(col("o_orderkey").as("k"))
+    val ins = base.where(col("m") === 2)
+      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+        col("o_custkey"), (col("cents") + 50).as("cents"),
+        lit("I").as("op"))
+    base.select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      .join(del, col("o_orderkey") === del("k"), "left_anti")
+      .join(upd, col("o_orderkey") === upd("k"), "left")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("new_cents"), col("cents")).as("cents"),
+        when(col("new_cents").isNotNull, "U").otherwise("K").as("op"))
+      .unionByName(ins)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val r19Sql = {
+    val h = graft.functions.TextFns.stringHashSql(
+      "concat('cdc:', CAST(o_orderkey AS VARCHAR))").replace("\n", " ")
+    s"""WITH mbase AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       |    $h % 5 AS m
+       |  FROM orders),
+       |mupd AS (SELECT o_orderkey AS k, cents + 100 AS new_cents
+       |         FROM mbase WHERE m = 0),
+       |mdel AS (SELECT o_orderkey AS k FROM mbase WHERE m = 1),
+       |mins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+       |           cents + 50 AS cents, 'I' AS op FROM mbase WHERE m = 2),
+       |mkept AS (
+       |  SELECT b.o_orderkey, b.o_custkey,
+       |    COALESCE(u.new_cents, b.cents) AS cents,
+       |    CASE WHEN u.k IS NOT NULL THEN 'U' ELSE 'K' END AS op
+       |  FROM mbase b LEFT JOIN mupd u ON u.k = b.o_orderkey
+       |  WHERE NOT EXISTS (SELECT 1 FROM mdel d WHERE d.k = b.o_orderkey))
+       |SELECT * FROM (SELECT * FROM mkept UNION ALL SELECT * FROM mins)
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("substrate_merge_upsert", r19, Some(r19Sql)),
     Q("substrate_profile", r18, Some(r18Sql)),
     Q("substrate_unpivot", r15, Some(r15Sql)),
     Q("substrate_salted_join", r16, Some(r16Sql)),

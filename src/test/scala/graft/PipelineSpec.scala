@@ -444,6 +444,32 @@ class PipelineSpec extends GraftSuite {
       r._4 == 100000L && r._5)) // thresh = MixScale ⇒ every doc kept
   }
 
+  test("substrate_merge_upsert: driver-modeled K/U/I/delete application") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val ks = (1L to 30L)
+    val orders = ks.map(k => (k, k * 10, 10.00 + k))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice").repartition(3)
+    def m(k: Long): Long =
+      TextKernels.stringHash(UTF8String.fromString(s"cdc:$k")) % 5
+    // All three change classes must be exercised by the chosen keys.
+    assert(Set(0L, 1L, 2L).subsetOf(ks.map(m).toSet))
+    val expected = ks.flatMap { k =>
+      val cents = 1000L + 100L * k
+      m(k) match {
+        case 0 => Seq((k, k * 10, cents + 100, "U"))
+        case 1 => Seq.empty // deleted
+        case 2 => Seq((k, k * 10, cents, "K"),
+          (k + 1000000000L, k * 10, cents + 50, "I"))
+        case _ => Seq((k, k * 10, cents, "K"))
+      }
+    }.sortBy(_._1)
+    val out = graft.queries.Substrate.mergeUpsertOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === expected)
+  }
+
   test("substrate_profile: nulls, distincts, canonical min/max on " +
     "hand-built rows") {
     import spark.implicits._
