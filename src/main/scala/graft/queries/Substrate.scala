@@ -761,7 +761,66 @@ object Substrate {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  /** R20 — substrate_window_frames: window-FRAME aggregates — the sliding
+    * `ROWS BETWEEN` surface R7's rank window doesn't touch: per customer,
+    * orders in (date, orderkey) order carry a running total
+    * (UNBOUNDED PRECEDING..CURRENT), a 3-row moving sum + its width
+    * (2 PRECEDING..CURRENT — the width column shows the ragged frame at
+    * each partition head), and `lag(1)` (NULL at the head). All on the
+    * exact cents grid — every frame aggregate is an integer sum, so the
+    * whole surface value-compares with no FP dust, and the
+    * (date, orderkey) sort is total within each partition (no tie
+    * ambiguity across engines).
+    *
+    * Scale: ONE shuffle on the partition key, then per-partition
+    * streaming frame evaluation — the frame-spec window is the
+    * scale-correct form of "running feature per entity" (contrast the
+    * global-rank windows, which X111/X112 convert to sketches at 100 TB;
+    * a per-entity frame needs no such conversion).
+    */
+  private def r20(s: SparkSession, dir: String): DataFrame =
+    windowFramesOf(Tables(s, dir, "orders"))
+
+  private[graft] def windowFramesOf(orders: DataFrame): DataFrame = {
+    val base = orders.select(col("o_orderkey"), col("o_custkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    base.select(col("o_orderkey"), col("o_custkey"), col("cents"),
+      sum(col("cents"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_cents"),
+      sum(col("cents")).over(w.rowsBetween(-2, 0)).as("ma3_cents"),
+      count(lit(1)).over(w.rowsBetween(-2, 0)).as("ma3_n"),
+      lag(col("cents"), 1).over(w).as("prev_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val r20Sql =
+    """WITH wb AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    o_orderdate
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS running_cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS ma3_cents,
+      |  COUNT(*) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_n,
+      |  lag(cents, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev_cents
+      |FROM wb ORDER BY o_orderkey""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("substrate_window_frames", r20, Some(r20Sql)),
     Q("substrate_merge_upsert", r19, Some(r19Sql)),
     Q("substrate_profile", r18, Some(r18Sql)),
     Q("substrate_unpivot", r15, Some(r15Sql)),

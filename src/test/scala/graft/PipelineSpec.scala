@@ -444,6 +444,28 @@ class PipelineSpec extends GraftSuite {
       r._4 == 100000L && r._5)) // thresh = MixScale ⇒ every doc kept
   }
 
+  test("substrate_window_frames: running/sliding/lag frames with a " +
+    "date tie and a partition head") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val orders = Seq(
+      (1L, 7L, 0.10, t(100)), (2L, 7L, 0.20, t(200)),
+      (3L, 7L, 0.30, t(200)), // date tie with k=2 → orderkey breaks it
+      (4L, 7L, 0.40, t(300)),
+      (5L, 9L, 0.50, t(100))) // single-order partition
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .repartition(3)
+    val out = graft.queries.Substrate.windowFramesOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 10L, 10L, 1L, None),
+      (2L, 20L, 30L, 30L, 2L, Some(10L)),
+      (3L, 30L, 60L, 60L, 3L, Some(20L)),
+      (4L, 40L, 100L, 90L, 3L, Some(30L)),
+      (5L, 50L, 50L, 50L, 1L, None)))
+  }
+
   test("substrate_merge_upsert: driver-modeled K/U/I/delete application") {
     import spark.implicits._
     import graft.functions.TextKernels
