@@ -1662,7 +1662,75 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** X121 — emb_dim_stats: the per-DIMENSION embedding health check a
+    * vector platform runs before indexing a new model's output — for each
+    * of the 64 dimensions: count, mean, variance, min/max — the report
+    * that catches dead dimensions (zero variance), scale drift between
+    * model versions (per-dim variance profile), and clipped outliers
+    * (min/max against the expected range).
+    *
+    * Determinism: components lift onto the µ-integer grid first (the
+    * emb_quantize discipline — `floor(x·10⁶ + 0.5)` is pure IEEE on the
+    * float32 value); per-dim Σx and Σx² are then exact BIGINT sums (
+    * |µ| ≤ 6·10⁵ → Σx² fits int64 through sf10); the variance numerator
+    * `n·Σx² − (Σx)²` exceeds int64 at sf1 so it rides DECIMAL(38,0) /
+    * HUGEINT (the X120 discipline), and mean/variance are ONE fixed-order
+    * IEEE expression each, qround(9).
+    *
+    * Scale: posexplode to (dim, µ) then a single hash agg keyed on the
+    * 64 dims — fully map-side combinable, no joins, no windows; the
+    * mergeable-moments shape (X120) again, which is how a 100 TB
+    * embedding corpus profiles per-shard and merges.
+    */
+  private def embDimStats(s: SparkSession, dir: String): DataFrame =
+    embDimStatsOf(Tables(s, dir, "embeddings"))
+
+  private[graft] def embDimStatsOf(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val e = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("mi"))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("mi")).as("sx"),
+        sum((col("mi") * col("mi")).cast(d38)).as("sxx"),
+        min(col("mi")).as("min_micro"), max(col("mi")).as("max_micro"))
+      .select(col("dim"), col("n"),
+        Det.qround(col("sx").cast("double") /
+          (lit(1e6) * col("n").cast("double")), 9).as("mean"),
+        Det.qround(
+          (col("n").cast(d38) * col("sxx") -
+            col("sx").cast(d38) * col("sx").cast(d38)).cast("double") /
+            (lit(1e12) * col("n").cast("double") * col("n").cast("double")),
+          9).as("variance"),
+        col("min_micro"), col("max_micro"))
+      .orderBy(col("dim"))
+  }
+
+  private val embDimStatsSql =
+    s"""WITH dm AS (
+       |  SELECT unnest(range(0, len(embedding))) AS dim,
+       |    unnest(list_transform(embedding, x ->
+       |      CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))) AS mi
+       |  FROM embeddings),
+       |ag AS (
+       |  SELECT dim, COUNT(*) AS n, CAST(SUM(mi) AS BIGINT) AS sx,
+       |    SUM(mi * mi) AS sxx,
+       |    MIN(mi) AS min_micro, MAX(mi) AS max_micro
+       |  FROM dm GROUP BY dim)
+       |SELECT dim, n,
+       |  ${Det.qroundSql(
+          "CAST(sx AS DOUBLE) / (1e6 * CAST(n AS DOUBLE))", 9)} AS mean,
+       |  ${Det.qroundSql(
+          "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx " +
+            "AS DOUBLE) / (1e12 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))",
+          9)} AS variance,
+       |  min_micro, max_micro
+       |FROM ag ORDER BY dim""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_topk_filtered", simTopkFiltered, Some(simTopkFilteredSql)),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextKernels
-import graft.queries.{FeatureQueries, PipelineQueries, StreamQueries, TextQueries}
+import graft.queries.{FeatureQueries, PipelineQueries, SimQueries, StreamQueries, TextQueries}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unit coverage for the round-9 training-audit additions: X71
@@ -767,5 +767,42 @@ class TrainingAuditSpec extends GraftSuite {
     }
     assert(out.toSeq === expected)
     assert(out.map(_._2).sum > 0 && out.map(_._3).sum > 0)
+  }
+
+  test("emb_dim_stats: exact moments per dimension incl. a dead dim, " +
+    "deterministic across partitioning") {
+    import spark.implicits._
+    // 3 dims × 4 vectors: dim 0 varies, dim 1 is DEAD (constant), dim 2
+    // carries a clipped outlier — the three failure modes the report
+    // exists to catch.
+    val rows = Seq(
+      Array(0.1f, 0.5f, -0.999999f),
+      Array(0.2f, 0.5f, 0.000001f),
+      Array(0.3f, 0.5f, 0.25f),
+      Array(0.4f, 0.5f, 0.999999f))
+    val emb = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "embedding")
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def micro(f: Float) = math.floor(f.toDouble * 1e6 + 0.5).toLong
+    val model = (0 until 3).map { d =>
+      val mi = rows.map(r => micro(r(d)))
+      val n = mi.size.toLong
+      val (sx, sxx) = (mi.sum, mi.map(v => v * v).sum)
+      (d, n, q9(sx.toDouble / (1e6 * n)),
+        q9((n * sxx - sx * sx).toDouble / (1e12 * n * n)),
+        mi.min, mi.max)
+    }
+    val got = SimQueries.embDimStatsOf(emb.repartition(3)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === model)
+    // Dead dimension reads as exactly zero variance; the outlier dim's
+    // min/max land on the clipped µ grid edge.
+    assert(got(1)._4 === 0.0)
+    assert(got(2)._5 === -999999L && got(2)._6 === 999999L)
+    val again = SimQueries.embDimStatsOf(emb.repartition(1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === got.toSeq)
   }
 }
