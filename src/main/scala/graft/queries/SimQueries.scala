@@ -28,11 +28,14 @@ object SimQueries {
   // (vec_id, label, embedding, nrm) frame shared by the sim family AND
   // the embpairs/adcscored builds — replaces per-consumer parquet
   // re-scans + norm recomputation.
-  private val normCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // ADVICE r10 hardening: computeIfAbsent (not TrieMap.getOrElseUpdate,
+  // whose value thunk can run twice under concurrent first access and
+  // leak one persisted duplicate) — same fix as Substrate.bucketed.
+  private val normCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private def withNorms(s: SparkSession, dir: String): DataFrame =
-    normCache.getOrElseUpdate((s, dir),
+    normCache.computeIfAbsent((s, dir), _ =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           VectorFns.norm(col("embedding")).as("nrm"))
@@ -794,8 +797,8 @@ object SimQueries {
   def evict(s: SparkSession): Unit = {
     centroidCache.keys.filter(_._1 eq s).foreach(
       centroidCache.remove(_).foreach(_.unpersist(blocking = false)))
-    normCache.keys.filter(_._1 eq s).foreach(
-      normCache.remove(_).foreach(_.unpersist(blocking = false)))
+    normCache.forEach((k, _) => if (k._1 eq s)
+      Option(normCache.remove(k)).foreach(_.unpersist(blocking = false)))
     sigCache.keys.filter(_._1 eq s).foreach(
       sigCache.remove(_).foreach(_.unpersist(blocking = false)))
     adcScoredCache.keys.filter(_._1 eq s).foreach(

@@ -96,7 +96,8 @@ object StreamQueries {
       |  event_id AS last_event_id, event_type AS last_type,
       |  value AS last_value
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-      |        ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC
+      |        ORDER BY epoch_us(ts) DESC, event_id DESC, event_type DESC,
+      |          value DESC
       |      ) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 

@@ -724,8 +724,11 @@ object Substrate {
       .select(col("o_orderkey").as("k"),
         (col("cents") + 100).as("new_cents"))
     val del = base.where(col("m") === 1).select(col("o_orderkey").as("k"))
+    // insert keys = NEGATED base keys: disjoint from the (positive)
+    // kept keys at ANY scale factor (ADVICE r10 — a fixed +1e9 offset
+    // collides once o_orderkey exceeds 1e9, around sf≈170)
     val ins = base.where(col("m") === 2)
-      .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+      .select((-col("o_orderkey")).as("o_orderkey"),
         col("o_custkey"), (col("cents") + 50).as("cents"),
         lit("I").as("op"))
     base.select(col("o_orderkey"), col("o_custkey"), col("cents"))
@@ -749,7 +752,7 @@ object Substrate {
        |mupd AS (SELECT o_orderkey AS k, cents + 100 AS new_cents
        |         FROM mbase WHERE m = 0),
        |mdel AS (SELECT o_orderkey AS k FROM mbase WHERE m = 1),
-       |mins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+       |mins AS (SELECT -o_orderkey AS o_orderkey, o_custkey,
        |           cents + 50 AS cents, 'I' AS op FROM mbase WHERE m = 2),
        |mkept AS (
        |  SELECT b.o_orderkey, b.o_custkey,

@@ -88,10 +88,10 @@ object UserGraphQueries {
     // the walk hops are localCheckpointed RDDs — dropping the reference
     // lets the ContextCleaner reclaim them
     walksCache.keys.filter(_._1 eq s).foreach(walksCache.remove)
-    zipfDirCache.keys.filter(_._1 eq s).foreach(
-      zipfDirCache.remove(_).foreach(_.unpersist(blocking = false)))
-    zipfCanCache.keys.filter(_._1 eq s).foreach(
-      zipfCanCache.remove(_).foreach(_.unpersist(blocking = false)))
+    zipfDirCache.forEach((k, _) => if (k._1 eq s)
+      Option(zipfDirCache.remove(k)).foreach(_.unpersist(blocking = false)))
+    zipfCanCache.forEach((k, _) => if (k._1 eq s)
+      Option(zipfCanCache.remove(k)).foreach(_.unpersist(blocking = false)))
     GUser.evict(s)
   }
 
@@ -1550,18 +1550,22 @@ object UserGraphQueries {
   // one) — memoized + persisted per (session, sfDir) so the 4-hash
   // derivation over |events| runs once, not once per key
   // (Bench `_build:zipf`). Evicted via [[evict]].
-  private val zipfDirCache = TrieMap.empty[(SparkSession, String), DataFrame]
-  private val zipfCanCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  // computeIfAbsent (ADVICE r10): exactly-once builds — a racing
+  // TrieMap.getOrElseUpdate would leak a duplicate checkpointed frame.
+  private val zipfDirCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val zipfCanCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private[graft] def zipfDirectedFrame(s: SparkSession,
       dir: String): DataFrame =
-    zipfDirCache.getOrElseUpdate((s, dir),
+    zipfDirCache.computeIfAbsent((s, dir), _ =>
       zipfDirectedEdgesOf(graft.sources.Tables(s, dir, "events"))
         .localCheckpoint())
 
   private[graft] def zipfCanonicalFrame(s: SparkSession,
       dir: String): DataFrame =
-    zipfCanCache.getOrElseUpdate((s, dir),
+    zipfCanCache.computeIfAbsent((s, dir), _ =>
       zipfDirectedFrame(s, dir)
         .select(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b"))
@@ -1950,6 +1954,12 @@ object UserGraphQueries {
     val verts = e.select(col("u").as("id"))
       .unionByName(e.select(col("v").as("id"))).distinct()
       .localCheckpoint()
+    // Empty-graph guard (ADVICE r10): no vertices → typed empty output
+    // instead of an NPE extracting the pivot.
+    if (verts.head(1).isEmpty)
+      return verts.limit(0).select(lit("").as("cls"),
+        lit(0L).as("n_vertices"), lit(0L).as("pivot"),
+        lit(false).as("converged"))
     val pivot = verts.agg(min(col("id"))).first().getLong(0)
 
     // frontier BFS to fixpoint over `adj` (src, dst); returns (set, converged)

@@ -517,4 +517,15 @@ class GUserSpec extends GraftSuite {
       ("fwd_only", 1L, 1L, true), ("rest", 2L, 1L, true),
       ("scc", 3L, 1L, true)))
   }
+
+  test("graph_scc_pivot: empty edge frame degrades to typed empty " +
+    "output (ADVICE r10)") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val e = Seq.empty[(Long, Long)].toDF("u", "v")
+    val out = UserGraphQueries.sccPivotOf(e)
+    assert(out.columns.toSeq ===
+      Seq("cls", "n_vertices", "pivot", "converged"))
+    assert(out.count() === 0L)
+  }
 }

@@ -483,7 +483,7 @@ class PipelineSpec extends GraftSuite {
         case 0 => Seq((k, k * 10, cents + 100, "U"))
         case 1 => Seq.empty // deleted
         case 2 => Seq((k, k * 10, cents, "K"),
-          (k + 1000000000L, k * 10, cents + 50, "I"))
+          (-k, k * 10, cents + 50, "I"))
         case _ => Seq((k, k * 10, cents, "K"))
       }
     }.sortBy(_._1)
