@@ -518,6 +518,34 @@ class GUserSpec extends GraftSuite {
       ("scc", 3L, 1L, true)))
   }
 
+  test("graph_scc_labels: trim singletons + root SCC in peel 1, " +
+    "non-root SCC needs peel 2") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // SCC {1,2} (color-class root), SCC {5,6} reachable from 1 (same
+    // color class but NOT the root -> only resolvable in peel 2), and
+    // a dangling chain 7->8->9->5 (trim fodder: no in-edges).
+    val e = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L), (1L, 5L),
+      (7L, 8L), (8L, 9L), (9L, 5L)).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.sccLabelsOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, 1L, 2L, true), (2L, 1L, 2L, true),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, true), (7L, 7L, 1L, true),
+      (8L, 8L, 1L, true), (9L, 9L, 1L, true)))
+  }
+
+  test("graph_scc_labels: empty edge frame degrades to typed empty " +
+    "output") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val out = UserGraphQueries.sccLabelsOf(
+      Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(out.columns.toSeq === Seq("id", "scc_id", "scc_size",
+      "complete"))
+    assert(out.count() === 0L)
+  }
+
   test("graph_scc_pivot: empty edge frame degrades to typed empty " +
     "output (ADVICE r10)") {
     import spark.implicits._
