@@ -101,6 +101,49 @@ object StreamQueries {
       |      ) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** T10 — stream_merge_upsert: the BATCH TWIN of the foreachBatch CDC
+    * MERGE maintenance composition (full design note on the T10 header
+    * in [[graft.streaming.Streams]]): the events changelog folded into
+    * an empty keyed table — last S/D reset per user by the total
+    * (tus, event_id, op, vc) order plus the integer adds after it.
+    * StreamingSpec proves the [[graft.streaming.Streams.MergeMaintainer]]
+    * stream run equals this fold AFTER EVERY micro-batch.
+    */
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.mergeApplyBatch(events(s, dir))
+
+  private val t10Sql = {
+    val h = graft.functions.TextFns.stringHashSql(
+      "concat('cdc:', CAST(event_id AS VARCHAR))").replace("\n", " ")
+    s"""WITH mops AS (
+       |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+       |    CASE WHEN $h % 10 = 0 THEN 'D'
+       |         WHEN $h % 10 <= 2 THEN 'S' ELSE 'A' END AS op,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+       |  FROM events),
+       |mlast AS (
+       |  SELECT user_id, tus, event_id, op, vc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY tus DESC, event_id DESC, op DESC, vc DESC) AS rn
+       |    FROM mops WHERE op <> 'A') WHERE rn = 1),
+       |madds AS (
+       |  SELECT t.user_id, CAST(SUM(t.vc) AS BIGINT) AS addsum,
+       |    COUNT(*) AS n_adds
+       |  FROM mops t LEFT JOIN mlast r USING (user_id)
+       |  WHERE t.op = 'A' AND (r.user_id IS NULL OR
+       |    (t.tus, t.event_id, t.op, t.vc) >
+       |    (r.tus, r.event_id, r.op, r.vc))
+       |  GROUP BY t.user_id)
+       |SELECT COALESCE(l.user_id, a.user_id) AS user_id,
+       |  (CASE WHEN l.op = 'S' THEN l.vc ELSE 0 END)
+       |    + COALESCE(a.addsum, 0) AS cur_cents,
+       |  COALESCE(l.op, 'none') AS last_reset_op,
+       |  COALESCE(a.n_adds, 0) AS n_adds_applied
+       |FROM mlast l FULL OUTER JOIN madds a ON a.user_id = l.user_id
+       |WHERE COALESCE(l.op, '') = 'S' OR COALESCE(a.n_adds, 0) > 0
+       |ORDER BY user_id""".stripMargin
+  }
+
   private def t6(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
     Streams.viewClickJoin(
@@ -1015,6 +1058,7 @@ object StreamQueries {
     Q("stream_stateful_count", t5, Some(t5Sql)),
     Q("stream_join", t6, Some(t6Sql)),
     Q("stream_latest_by_key", t9, Some(t9Sql)),
+    Q("stream_merge_upsert", t10, Some(t10Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("events_funnel", x7, Some(x7Sql)),

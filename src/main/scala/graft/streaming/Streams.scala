@@ -380,4 +380,153 @@ object Streams {
       .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
         "last_value")
   }
+
+  // ---------------------------------------------------------------------
+  // T10 — streaming MERGE/upsert maintenance (VERDICT r10 gap #2): the
+  // lakehouse CDC composition where a STREAM maintains a keyed base table
+  // via per-micro-batch MERGE (the foreachBatch + MERGE INTO deployment
+  // shape), above R19's one-shot batch MERGE and T9's latest-by-key
+  // compaction.
+  //
+  // The changelog is the events table read as per-user CDC ops, the op
+  // class derived from the audited stringHash (id-hash % 10: 0 → D
+  // delete, 1-2 → S set, else A add; 10/20/70 — all three classes and
+  // both S/D last-resets populated at every SF, measured before
+  // landing), values on the exact cents grid. Fold semantics per user in
+  // (tus, event_id, op, vc) order — residual full-tuple ties are
+  // IDENTICAL ops, so the order is total where it matters:
+  //   S(v): state := v (insert if absent)    D: delete
+  //   A(v): state := (present ? state + v : v)   (upsert-add)
+  // Final state per user = (last reset, Σ adds after it) — exactly what
+  // [[mergeSummary]] computes per batch with ONE map-side-combinable
+  // max(struct) argmax + ONE filtered integer sum (no windows), and what
+  // [[mergeApply]] folds into the maintained table with one full-outer
+  // keyed join. Batch twin [[mergeApplyBatch]] = the same summary applied
+  // to an empty table (the registered `stream_merge_upsert` key, DuckDB
+  // oracle); stream mode = [[MergeMaintainer]] inside foreachBatch,
+  // proven equal to the batch twin AFTER EVERY MICRO-BATCH in
+  // StreamingSpec. Delivery contract: per-key in-order batches (the
+  // Kafka-partition / Debezium ordering CDC pipelines guarantee) — the
+  // same assumption MERGE INTO deployments make.
+  //
+  // Scale: summary is two hash aggregations + one broadcastable keyed
+  // join per batch; apply is one full-outer join on the SAME key (with a
+  // bucketed/partitioned target — R17 — it rides the layout with no
+  // shuffle, which is exactly how lakehouse MERGE schedules). State is
+  // one small row per key, |users|-bounded.
+  // ---------------------------------------------------------------------
+
+  /** Per-batch CDC summary: (user_id, r_op, r_vc, addsum, n_adds) —
+    * the last reset (S/D) by (tus, event_id, op, vc) and the adds
+    * strictly after it (all adds when the batch has no reset).
+    */
+  private[graft] def mergeSummary(events: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val ops = events.select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        (TextFns.stringHash(concat(lit("cdc:"),
+          col("event_id").cast("string"))) % 10).as("m"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .withColumn("op", when(col("m") === 0, "D")
+        .when(col("m") <= 2, "S").otherwise("A"))
+    val lastr = ops.filter(col("op") =!= "A")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("tus"), col("event_id"), col("op"),
+        col("vc"))).as("r"))
+      .select(col("user_id"), col("r.tus").as("r_tus"),
+        col("r.event_id").as("r_eid"), col("r.op").as("r_op"),
+        col("r.vc").as("r_vc"))
+    def key(t: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column,
+        o: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      struct(t.as("t"), e.as("e"), o.as("o"), v.as("v"))
+    val adds = ops.filter(col("op") === "A")
+      .join(lastr, Seq("user_id"), "left")
+      .filter(col("r_op").isNull ||
+        key(col("tus"), col("event_id"), col("op"), col("vc")) >
+        key(col("r_tus"), col("r_eid"), col("r_op"), col("r_vc")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("vc")).as("addsum"), count(lit(1)).as("n_adds"))
+    lastr.select(col("user_id"), col("r_op"), col("r_vc"))
+      .join(adds, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("r_op"), col("r_vc"),
+        coalesce(col("addsum"), lit(0L)).as("addsum"),
+        coalesce(col("n_adds"), lit(0L)).as("n_adds"))
+  }
+
+  /** The maintained-table schema, empty: (user_id, present, cur_cents,
+    * last_reset_op, n_adds_applied). Absent keys stay as present=false
+    * rows so a later add lands with its true last_reset_op ('D').
+    */
+  private[graft] def mergeEmptyState(
+      s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"), lit(false).as("present"),
+      lit(0L).as("cur_cents"), lit("none").as("last_reset_op"),
+      lit(0L).as("n_adds_applied"))
+
+  /** MERGE one batch summary into the maintained table (per-key
+    * in-order delivery assumed — see the T10 header note).
+    */
+  private[graft] def mergeApply(state: DataFrame,
+      summary: DataFrame): DataFrame = {
+    val sm = summary.select(col("user_id").as("su_id"), col("r_op"),
+      col("r_vc"), col("addsum"), col("n_adds"))
+    state.join(sm, col("user_id") === col("su_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("su_id")).as("user_id"),
+        when(col("su_id").isNull, col("present"))
+          .when(col("r_op").isNotNull,
+            col("r_op") === "S" || col("n_adds") > 0)
+          .otherwise(lit(true)).as("present"),
+        when(col("su_id").isNull, col("cur_cents"))
+          .when(col("r_op").isNotNull,
+            when(col("r_op") === "S", col("r_vc")).otherwise(lit(0L)) +
+              col("addsum"))
+          .otherwise( // adds only: null state (new key) folds from 0
+            when(col("present") === true, col("cur_cents"))
+              .otherwise(lit(0L)) + col("addsum")).as("cur_cents"),
+        when(col("su_id").isNull, col("last_reset_op"))
+          .when(col("r_op").isNotNull, col("r_op"))
+          .otherwise(coalesce(col("last_reset_op"), lit("none")))
+          .as("last_reset_op"),
+        when(col("su_id").isNull, col("n_adds_applied"))
+          .when(col("r_op").isNotNull, col("n_adds"))
+          .otherwise(coalesce(col("n_adds_applied"), lit(0L)) +
+            col("n_adds")).as("n_adds_applied"))
+  }
+
+  /** T10 batch twin (the registered key): the whole changelog folded
+    * into an empty table, present keys only.
+    */
+  def mergeApplyBatch(events: DataFrame): DataFrame =
+    mergeApply(mergeEmptyState(events.sparkSession), mergeSummary(events))
+      .filter(col("present"))
+      .select(col("user_id"), col("cur_cents"), col("last_reset_op"),
+        col("n_adds_applied"))
+      .orderBy(col("user_id"))
+
+  /** T10 stream side: the maintained table, advanced by one MERGE per
+    * micro-batch from inside foreachBatch. `current` is the live base
+    * table a reader would query between batches.
+    */
+  final class MergeMaintainer(s: org.apache.spark.sql.SparkSession) {
+    @volatile private var state: DataFrame = mergeEmptyState(s)
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      state = mergeApply(state, mergeSummary(batch)).localCheckpoint()
+      ()
+    }
+    def current: DataFrame = state.filter(col("present"))
+      .select(col("user_id"), col("cur_cents"), col("last_reset_op"),
+        col("n_adds_applied"))
+      .orderBy(col("user_id"))
+  }
+
+  /** T10 — wire a CDC event stream to a [[MergeMaintainer]] via
+    * foreachBatch (the lakehouse MERGE INTO deployment shape).
+    */
+  def mergeMaintainStream(events: DataFrame, m: MergeMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+    }
 }

@@ -224,4 +224,50 @@ class StreamingSpec extends GraftSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("mergeMaintainStream: foreachBatch MERGE maintenance equals the " +
+    "batch fold after EVERY micro-batch") {
+    import graft.functions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def opOf(eid: Long): String =
+      TextKernels.stringHash(UTF8String.fromString(s"cdc:$eid")) % 10 match {
+        case 0          => "D"
+        case 1 | 2      => "S"
+        case _          => "A"
+      }
+    // Pin the derived op classes the scenario relies on.
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 9L, 10L).forall(opOf(_) == "A"))
+    assert(Seq(7L, 8L, 12L).forall(opOf(_) == "S"))
+    assert(Seq(6L, 11L).forall(opOf(_) == "D"))
+    // u1: S then adds across batches; u2: add, DELETE, re-add (lro 'D');
+    // u3: S then DELETE, stays absent; u4: add-only insert ('none');
+    // u5: add + SET + add in ONE batch (in-batch reset discards the
+    // earlier add).
+    val b1 = Seq(Ev(7, t("00:10"), 1, "x", 10.00),
+      Ev(1, t("00:20"), 1, "x", 2.50), Ev(3, t("00:15"), 2, "x", 5.00),
+      Ev(8, t("00:05"), 3, "x", 3.00))
+    val b2 = Seq(Ev(2, t("01:00"), 1, "x", 0.25),
+      Ev(6, t("01:10"), 2, "x", 99.0), Ev(11, t("01:20"), 3, "x", 1.0),
+      Ev(5, t("01:30"), 4, "x", 7.00))
+    val b3 = Seq(Ev(4, t("02:00"), 2, "x", 1.00),
+      Ev(9, t("02:10"), 5, "x", 1.00), Ev(12, t("02:20"), 5, "x", 2.00),
+      Ev(10, t("02:30"), 5, "x", 0.50))
+    val mem = MemoryStream[Ev]
+    val m = new Streams.MergeMaintainer(spark)
+    val q = Streams.mergeMaintainStream(mem.toDF(), m).start()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    try {
+      var seen = Seq.empty[Ev]
+      for (b <- Seq(b1, b2, b3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(snap(m.current) === snap(Streams.mergeApplyBatch(seen.toDF())))
+      }
+      assert(snap(m.current) === Seq((1L, 1275L, "S", 2L),
+        (2L, 100L, "D", 1L), (4L, 700L, "none", 1L), (5L, 250L, "S", 1L)))
+    } finally q.stop()
+  }
 }
