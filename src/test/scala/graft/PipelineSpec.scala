@@ -144,6 +144,32 @@ class PipelineSpec extends GraftSuite {
     assert(out.forall(r => r._3 >= -1.5 && r._3 <= 1.5))
   }
 
+  test("kmeans_iterated: still a complete partition after K rounds, and " +
+    "the iteration moves vectors vs one step") {
+    val sf = "/root/testdata/sf0.001"
+    def sizes(key: String): Seq[Long] = {
+      val out = graft.queries.Registry.byKey(key).fn(spark, sf)
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      val byCluster = out.groupBy(_._1)
+      byCluster.foreach { case (c, rows) =>
+        assert(rows.map(_._2).sorted.toSeq === (0 until 64), s"cluster $c")
+        assert(rows.map(_._4).distinct.length === 1, s"cluster $c")
+      }
+      byCluster.values.map(_.head._4).toSeq
+    }
+    val it = sizes("kmeans_iterated")
+    val step = sizes("kmeans_step")
+    val nVec = graft.sources.Tables(spark, sf, "embeddings").count()
+    assert(it.sum === nVec)
+    // matches the Python simulation's round-4 cluster sizes (the exact
+    // arithmetic contract: µ-int sums, one IEEE division, qround cosine)
+    assert(it.sorted.reverse ===
+      Seq(56L, 55L, 54L, 53L, 52L, 49L, 47L, 46L, 46L, 42L))
+    // and the composition bites: round-4 sizes differ from round-1's
+    assert(it.sorted !== step.sorted)
+  }
+
   test("bpe_merges: greedy run pairing, lexicographic tie-break") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a"), (2L, "b c"), (3L, "b c"),

@@ -85,6 +85,7 @@ class PlanSpec extends GraftSuite {
     "sim_recall_metrics", // composes the five sim_topk* arms above
     "sim_knn_join",       // 10-row broadcast centroid table (probe ranking)
     "kmeans_step",        // 10-row broadcast centroid table
+    "kmeans_iterated",    // the same 10-row broadcast table, K rounds
     "emb_pca_project",    // 1-row broadcast direction vector
     // scalar-aggregate crossJoins: the broadcast side is a 1-row count
     "substrate_union_distinct", // n_intersect / n_except scalars
