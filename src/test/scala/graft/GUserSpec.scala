@@ -518,6 +518,25 @@ class GUserSpec extends GraftSuite {
       ("scc", 3L, 1L, true)))
   }
 
+  test("graph_louvain_passes: two bridged 4-cliques resolve to the two " +
+    "true communities") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Parity-mixed cliques {1,2,3,4} and {5,6,7,8} with bridge 4-5;
+    // simulated: converges by round 4 (moves 4/2/1/0) to labels 2 and 6.
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val c2 = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L))
+    val half = c1 ++ c2 :+ ((4L, 5L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst").repartition(3)
+    val out = UserGraphQueries.louvainPassesOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 4L), (2L, 2L, 4L), (3L, 2L, 4L),
+      (4L, 2L, 4L), (5L, 6L, 4L), (6L, 6L, 4L), (7L, 6L, 4L),
+      (8L, 6L, 4L)))
+  }
+
   test("graph_scc_labels: trim singletons + root SCC in peel 1, " +
     "non-root SCC needs peel 2") {
     import spark.implicits._
