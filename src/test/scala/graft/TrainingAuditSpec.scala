@@ -57,6 +57,29 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 1L, 1L, factor(Seq((1L, vp(10L)))))))
   }
 
+  test("recsys_als_iterated: three exact integer half-steps on " +
+    "hand-built ratings") {
+    import spark.implicits._
+    // ratings: c1 x p1 = 2, c1 x p2 = 2, c2 x p1 = 1 (via the orders
+    // join); init vq = hash('als:p') % 1000 = (327, 328); hand-folded
+    // milli-grid half-steps: u1 = (4165, 1580), v2 = (497, 477),
+    // final u = (3391, 1432) — computed independently in Python with
+    // the exact round-half-up integer division.
+    val li = Seq((100L, 1L), (100L, 1L), (100L, 2L), (101L, 2L),
+      (102L, 1L)).toDF("l_orderkey", "l_partkey").repartition(3)
+    val ord = Seq((100L, 1L), (101L, 1L), (102L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    def vp(p: Long): Long =
+      TextKernels.stringHash(UTF8String.fromString(s"als:$p")) % 1000L
+    assert((vp(1L), vp(2L)) === (327L, 328L)) // pin the init the golden
+    val out = PipelineQueries.recsysAlsIteratedOf(li, ord).collect() // uses
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 4L, 3391L, 3.391),
+      (2L, 1L, 1L, 1432L, 1.432)))
+  }
+
   test("customer_rfm: hand-computed quintiles and composite code") {
     import spark.implicits._
     import java.sql.Timestamp
