@@ -93,6 +93,8 @@ object Bench {
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:zipf")(queries.UserGraphQueries.warmZipf(spark, sfDir)),
+      timed("_build:scclab")(
+        queries.UserGraphQueries.warmSccLabels(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),
       timed("_build:lp")(queries.IterQueries.warmLp(spark, sfDir)),
       timed("_build:shingles")(

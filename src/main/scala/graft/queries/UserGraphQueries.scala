@@ -92,6 +92,9 @@ object UserGraphQueries {
       Option(zipfDirCache.remove(k)).foreach(_.unpersist(blocking = false)))
     zipfCanCache.forEach((k, _) => if (k._1 eq s)
       Option(zipfCanCache.remove(k)).foreach(_.unpersist(blocking = false)))
+    sccLabCache.forEach((k, _) => if (k._1 eq s)
+      Option(sccLabCache.remove(k))
+        .foreach(_._1.unpersist(blocking = false)))
     GUser.evict(s)
   }
 
@@ -2225,20 +2228,42 @@ object UserGraphQueries {
   private val SccFlagRounds  = 16
   private val SccPeels       = 3
 
-  private def graphSccLabels(s: SparkSession, dir: String): DataFrame =
-    sccLabelsOf(zipfDirectedFrame(s, dir))
+  private def graphSccLabels(s: SparkSession, dir: String): DataFrame = {
+    val (labels, complete) = sccLabFrame(s, dir)
+    val sizes = labels.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    labels.join(sizes, Seq("scc_id"), "left")
+      .select(col("id"), col("scc_id"), col("scc_size"),
+        lit(complete).as("complete"))
+      .orderBy(col("id"))
+  }
 
   /** Testable seam for [[graphSccLabels]]: explicit directed (u, v)
     * edge frame -> (id, scc_id, scc_size, complete) per vertex.
     */
   private[graft] def sccLabelsOf(dedges: DataFrame): DataFrame = {
+    val (labels, complete) = sccLabelRawOf(dedges)
+    val sizes = labels.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    labels.join(sizes, Seq("scc_id"), "left")
+      .select(col("id"), col("scc_id"), col("scc_size"),
+        lit(complete).as("complete"))
+      .orderBy(col("id"))
+  }
+
+  /** The raw (id, scc_id) label frame + completeness flag behind
+    * [[sccLabelsOf]] — shared with [[graphSccCondensation]] via the
+    * [[sccLabFrame]] memo.
+    */
+  private[graft] def sccLabelRawOf(dedges: DataFrame):
+      (DataFrame, Boolean) = {
     val e0 = dedges.select(col("u"), col("v")).localCheckpoint()
     val allVerts = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id"))).distinct()
       .localCheckpoint()
     if (allVerts.head(1).isEmpty)
-      return allVerts.limit(0).select(col("id"), lit(0L).as("scc_id"),
-        lit(0L).as("scc_size"), lit(true).as("complete"))
+      return (allVerts.limit(0).select(col("id"), lit(0L).as("scc_id")),
+        true)
 
     var labels: DataFrame = null // (id, scc_id)
     def addLabels(f: DataFrame): Unit = {
@@ -2350,15 +2375,32 @@ object UserGraphQueries {
     if (!complete) // bounded-peels honesty: never silently mislabel
       addLabels(remVerts.select(col("id"),
         lit(null).cast("long").as("scc_id")))
-    val sizes = labels.groupBy(col("scc_id"))
-      .agg(count(lit(1)).as("scc_size"))
-    labels.join(sizes, Seq("scc_id"), "left")
-      .select(col("id"), col("scc_id"), col("scc_size"),
-        lit(complete).as("complete"))
-      .orderBy(col("id"))
+    (labels, complete)
   }
 
-  private val graphSccLabelsSql = {
+  // The (labels, complete) pair is shared by graph_scc_labels and
+  // graph_scc_condensation — memoized per (session, sfDir) so the
+  // whole Trim+FW-BW run executes once (Bench `_build:scclab`).
+  private val sccLabCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Boolean)]()
+
+  private def sccLabFrame(s: SparkSession,
+      dir: String): (DataFrame, Boolean) =
+    sccLabCache.computeIfAbsent((s, dir),
+      _ => sccLabelRawOf(zipfDirectedFrame(s, dir)))
+
+  /** Bench `_build:scclab` hook: the shared Trim+FW-BW label run. */
+  def warmSccLabels(s: SparkSession, dir: String): Unit = {
+    sccLabFrame(s, dir)._1.count(); ()
+  }
+
+  /** Shared Trim+FW-BW CTE chain ending in `slab` (id → scc_id) — ONE
+    * unrolling used by BOTH the graph_scc_labels and
+    * graph_scc_condensation oracles (the CTE-chain discipline).
+    * `str0` (the distinct directed edge set) stays visible for the
+    * condensation's edge join.
+    */
+  private val sccLabelCtes = {
     import graft.functions.TextFns
     def h(tag: String) =
       TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
@@ -2416,12 +2458,64 @@ object UserGraphQueries {
        |  WHERE NOT EXISTS (SELECT 1 FROM scv c WHERE c.id = s.id)
        |  UNION ALL
        |  SELECT c.id, c.color AS scc_id FROM scl$SccColorRounds c
-       |  JOIN sfl$SccFlagRounds f ON f.id = c.id)
+       |  JOIN sfl$SccFlagRounds f ON f.id = c.id)""".stripMargin
+  }
+
+  private val graphSccLabelsSql =
+    s"""$sccLabelCtes
        |SELECT id, scc_id,
        |  COUNT(*) OVER (PARTITION BY scc_id) AS scc_size,
        |  TRUE AS complete
        |FROM slab ORDER BY id""".stripMargin
+
+  /** X126 — graph_scc_condensation: the CONDENSATION DAG over X122's
+    * SCC labels — the structure a user computes immediately after
+    * labels (topological/dataflow processing runs on the SCC DAG, not
+    * the raw graph): one row per ordered pair of DISTINCT SCCs with at
+    * least one original edge, carrying the inter-component edge count.
+    * Acyclic by construction (every cycle is inside one SCC — the
+    * definitional property; the spec checks no (a,b)+(b,a) pair on the
+    * hand graph where it's decidable at a glance).
+    *
+    * Rides the MEMOIZED label frame (Bench `_build:scclab` — the whole
+    * Trim+FW-BW run executes once for both SCC keys) and the memoized
+    * distinct edge frame: two keyed label joins + one count agg — at
+    * 100 TB this is a broadcast of the |SCC|-bounded label map onto
+    * the edge scan.
+    */
+  private def graphSccCondensation(s: SparkSession,
+      dir: String): DataFrame = {
+    val (labels, _) = sccLabFrame(s, dir)
+    condense(zipfDirectedFrame(s, dir), labels)
   }
+
+  /** Testable seam for [[graphSccCondensation]]: explicit directed
+    * (u, v) edges condensed by [[sccLabelRawOf]]'s labels.
+    */
+  private[graft] def sccCondensationOf(dedges: DataFrame): DataFrame =
+    condense(dedges.select(col("u"), col("v")),
+      sccLabelRawOf(dedges)._1)
+
+  private def condense(dedges: DataFrame, labels: DataFrame): DataFrame =
+    dedges
+      .join(labels.select(col("id").as("u"), col("scc_id").as("src_scc")),
+        Seq("u"))
+      .join(labels.select(col("id").as("v"), col("scc_id").as("dst_scc")),
+        Seq("v"))
+      .filter(col("src_scc") =!= col("dst_scc"))
+      .groupBy(col("src_scc"), col("dst_scc"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("src_scc"), col("dst_scc"))
+
+  private val graphSccCondensationSql =
+    s"""$sccLabelCtes
+       |SELECT la.scc_id AS src_scc, lb.scc_id AS dst_scc,
+       |  COUNT(*) AS n_edges
+       |FROM str0 e
+       |JOIN slab la ON la.id = e.u
+       |JOIN slab lb ON lb.id = e.v
+       |WHERE la.scc_id <> lb.scc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val qs: Seq[Q] = Seq(
     Q("graph_kcore", graphKcore, Some(graphKcoreSql)),
@@ -2431,6 +2525,8 @@ object UserGraphQueries {
       Some(graphRichClubFixedSql)),
     Q("graph_scc_pivot", graphSccPivot, Some(graphSccPivotSql)),
     Q("graph_scc_labels", graphSccLabels, Some(graphSccLabelsSql)),
+    Q("graph_scc_condensation", graphSccCondensation,
+      Some(graphSccCondensationSql)),
     Q("scan_graph_user", scan, Some(scanSql)),
     Q("graph_gnn_sample", graphGnnSample, Some(graphGnnSampleSql)),
     Q("graph_rich_club", graphRichClub, Some(graphRichClubSql)),

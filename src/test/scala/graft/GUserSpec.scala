@@ -554,6 +554,23 @@ class GUserSpec extends GraftSuite {
       (8L, 8L, 1L, true), (9L, 9L, 1L, true)))
   }
 
+  test("graph_scc_condensation: DAG over the 2-peel hand graph, no " +
+    "back-edges") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Same graph as the scc_labels test: SCCs {1,2}->1, {5,6}->5,
+    // singletons 7,8,9. Cross-SCC edges: 1->5, 7->8, 8->9, 9->5.
+    val e = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L), (1L, 5L),
+      (7L, 8L), (8L, 9L), (9L, 5L)).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.sccCondensationOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 5L, 1L), (7L, 8L, 1L), (8L, 9L, 1L),
+      (9L, 5L, 1L)))
+    // acyclic: no ordered pair appears in both directions
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.forall { case (a, b) => !pairs.contains((b, a)) })
+  }
+
   test("graph_scc_labels: empty edge frame degrades to typed empty " +
     "output") {
     import spark.implicits._
