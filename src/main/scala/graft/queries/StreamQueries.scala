@@ -5,6 +5,7 @@ import graft.sources.Tables
 import graft.streaming.Streams
 import graft.util.Det
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** T1–T5 batch twins of the streaming transforms (same DataFrame code runs
@@ -112,15 +113,22 @@ object StreamQueries {
   private def t10(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams.mergeApplyBatch(events(s, dir))
 
-  private val t10Sql = {
+  /** Shared CDC-op CTE (`mops`) — ONE definition for the T10 and
+    * events_scd2_history oracles (mirrors [[Streams.cdcOps]]).
+    */
+  private val mopsCte = {
     val h = graft.functions.TextFns.stringHashSql(
       "concat('cdc:', CAST(event_id AS VARCHAR))").replace("\n", " ")
-    s"""WITH mops AS (
+    s"""mops AS (
        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
        |    CASE WHEN $h % 10 = 0 THEN 'D'
        |         WHEN $h % 10 <= 2 THEN 'S' ELSE 'A' END AS op,
        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
-       |  FROM events),
+       |  FROM events)""".stripMargin
+  }
+
+  private val t10Sql = {
+    s"""WITH $mopsCte,
        |mlast AS (
        |  SELECT user_id, tus, event_id, op, vc FROM (
        |    SELECT *, row_number() OVER (PARTITION BY user_id
@@ -143,6 +151,90 @@ object StreamQueries {
        |WHERE COALESCE(l.op, '') = 'S' OR COALESCE(a.n_adds, 0) > 0
        |ORDER BY user_id""".stripMargin
   }
+
+  /** X127 — events_scd2_history: the SCD TYPE-2 dimension history built
+    * from the SAME CDC changelog T10 folds — one row per key-VERSION
+    * with `[valid_from, valid_to)` microsecond intervals and the
+    * is_current flag: the other half of the lakehouse CDC story
+    * (stream_merge_upsert materializes the CURRENT state; SCD2
+    * materializes the full history warehouses join facts against).
+    *
+    * Per user in the T10 total order (tus, event_id, op, vc): version =
+    * row_number; `epoch` = running count of resets (S/D); the running
+    * value is reconstructed per row as epoch-base (the epoch's S value,
+    * or 0 after a D / before any reset) + the epoch's running add-sum —
+    * all exact integers; a D row's value is NULL (deleted state).
+    * valid_to = next version's valid_from (half-open intervals, gapless
+    * by construction); the latest version is is_current.
+    *
+    * CROSS-KEY CONTRACT (spec-pinned): the is_current rows with
+    * non-NULL value reproduce `stream_merge_upsert`'s (user, cur_cents)
+    * exactly — the history's head IS the merged table, or one of the
+    * two keys is wrong.
+    *
+    * Scale: ONE per-user window pass (partition-bounded sort — the
+    * canonical SCD2 build; at 100 TB it shuffles once on the dimension
+    * key, and each user's history fits a task by construction).
+    */
+  private def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Of(events(s, dir))
+
+  /** Testable seam for [[scd2]]: explicit events frame. */
+  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
+    val ops = graft.streaming.Streams.cdcOps(ev)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ew = Window.partitionBy(col("user_id"), col("epoch"))
+      .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
+    val ewRun = ew.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    ops
+      .withColumn("version", row_number().over(w))
+      .withColumn("epoch",
+        sum(when(col("op") =!= "A", 1L).otherwise(0L)).over(wRun))
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+      .withColumn("first_op", first(col("op")).over(ewRun))
+      .withColumn("first_vc", first(col("vc")).over(ewRun))
+      .withColumn("adds",
+        sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(ewRun))
+      .select(col("user_id"), col("version"), col("op"),
+        when(col("op") === "D", lit(null).cast("long"))
+          .otherwise(when(col("first_op") === "S", col("first_vc"))
+            .otherwise(lit(0L)) + col("adds")).as("vcur"),
+        col("tus").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2Sql =
+    s"""WITH $mopsCte,
+       |sops AS (
+       |  SELECT user_id, tus, event_id, op, vc,
+       |    row_number() OVER wo AS version,
+       |    SUM(CASE WHEN op <> 'A' THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY user_id ORDER BY tus, event_id, op, vc
+       |       ROWS UNBOUNDED PRECEDING) AS epoch,
+       |    lead(tus) OVER wo AS valid_to_us
+       |  FROM mops
+       |  WINDOW wo AS (PARTITION BY user_id
+       |                ORDER BY tus, event_id, op, vc)),
+       |sval AS (
+       |  SELECT *,
+       |    first_value(op) OVER we AS first_op,
+       |    first_value(vc) OVER we AS first_vc,
+       |    SUM(CASE WHEN op = 'A' THEN vc ELSE 0 END) OVER we AS adds
+       |  FROM sops
+       |  WINDOW we AS (PARTITION BY user_id, epoch
+       |                ORDER BY tus, event_id, op, vc
+       |                ROWS UNBOUNDED PRECEDING))
+       |SELECT user_id, version, op,
+       |  CAST(CASE WHEN op = 'D' THEN NULL
+       |       ELSE (CASE WHEN first_op = 'S' THEN first_vc ELSE 0 END)
+       |            + adds END AS BIGINT) AS vcur,
+       |  tus AS valid_from_us, valid_to_us,
+       |  valid_to_us IS NULL AS is_current
+       |FROM sval ORDER BY user_id, version""".stripMargin
 
   private def t6(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
@@ -1059,6 +1151,7 @@ object StreamQueries {
     Q("stream_join", t6, Some(t6Sql)),
     Q("stream_latest_by_key", t9, Some(t9Sql)),
     Q("stream_merge_upsert", t10, Some(t10Sql)),
+    Q("events_scd2_history", scd2, Some(scd2Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("events_funnel", x7, Some(x7Sql)),

@@ -420,15 +420,24 @@ object Streams {
     * the last reset (S/D) by (tus, event_id, op, vc) and the adds
     * strictly after it (all adds when the batch has no reset).
     */
-  private[graft] def mergeSummary(events: DataFrame): DataFrame = {
+  /** The shared CDC op derivation (T10 + events_scd2_history): events
+    * as (user_id, tus, event_id, op, vc) with op = id-hash % 10 →
+    * D/S/A (10/20/70) and vc on the exact cents grid.
+    */
+  private[graft] def cdcOps(events: DataFrame): DataFrame = {
     import graft.functions.TextFns
-    val ops = events.select(col("user_id"),
+    events.select(col("user_id"),
         unix_micros(col("ts")).as("tus"), col("event_id"),
         (TextFns.stringHash(concat(lit("cdc:"),
           col("event_id").cast("string"))) % 10).as("m"),
         floor(col("value") * 100 + 0.5).cast("long").as("vc"))
       .withColumn("op", when(col("m") === 0, "D")
         .when(col("m") <= 2, "S").otherwise("A"))
+      .drop("m")
+  }
+
+  private[graft] def mergeSummary(events: DataFrame): DataFrame = {
+    val ops = cdcOps(events)
     val lastr = ops.filter(col("op") =!= "A")
       .groupBy(col("user_id"))
       .agg(max(struct(col("tus"), col("event_id"), col("op"),

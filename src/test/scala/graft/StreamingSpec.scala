@@ -270,4 +270,49 @@ class StreamingSpec extends GraftSuite {
         (2L, 100L, "D", 1L), (4L, 700L, "none", 1L), (5L, 250L, "S", 1L)))
     } finally q.stop()
   }
+
+  test("events_scd2_history: full version history with half-open " +
+    "intervals on the T10 scenario") {
+    import spark.implicits._
+    val evs = Seq(
+      Ev(7, t("00:10"), 1, "x", 10.00), Ev(1, t("00:20"), 1, "x", 2.50),
+      Ev(3, t("00:15"), 2, "x", 5.00), Ev(8, t("00:05"), 3, "x", 3.00),
+      Ev(2, t("01:00"), 1, "x", 0.25), Ev(6, t("01:10"), 2, "x", 99.0),
+      Ev(11, t("01:20"), 3, "x", 1.0), Ev(5, t("01:30"), 4, "x", 7.00),
+      Ev(4, t("02:00"), 2, "x", 1.00), Ev(9, t("02:10"), 5, "x", 1.00),
+      Ev(12, t("02:20"), 5, "x", 2.00), Ev(10, t("02:30"), 5, "x", 0.50))
+    def us(hhmm: String) = t(hhmm).getTime * 1000L
+    val out = graft.queries.StreamQueries
+      .scd2Of(evs.toDF().repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6)))
+    assert(out.toSeq === Seq(
+      (1L, 1, "S", Some(1000L), us("00:10"), Some(us("00:20")), false),
+      (1L, 2, "A", Some(1250L), us("00:20"), Some(us("01:00")), false),
+      (1L, 3, "A", Some(1275L), us("01:00"), None, true),
+      (2L, 1, "A", Some(500L), us("00:15"), Some(us("01:10")), false),
+      (2L, 2, "D", None, us("01:10"), Some(us("02:00")), false),
+      (2L, 3, "A", Some(100L), us("02:00"), None, true),
+      (3L, 1, "S", Some(300L), us("00:05"), Some(us("01:20")), false),
+      (3L, 2, "D", None, us("01:20"), None, true),
+      (4L, 1, "A", Some(700L), us("01:30"), None, true),
+      (5L, 1, "A", Some(100L), us("02:10"), Some(us("02:20")), false),
+      (5L, 2, "S", Some(200L), us("02:20"), Some(us("02:30")), false),
+      (5L, 3, "A", Some(250L), us("02:30"), None, true)))
+  }
+
+  test("events_scd2_history head == stream_merge_upsert: the history's " +
+    "is_current rows reproduce the merged table (fixture)") {
+    val sf = "/root/testdata/sf0.001"
+    val head = graft.queries.Registry.byKey("events_scd2_history")
+      .fn(spark, sf).collect()
+      .filter(r => r.getBoolean(6) && !r.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq.sortBy(_._1)
+    val merged = graft.queries.Registry.byKey("stream_merge_upsert")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(head === merged)
+  }
 }
