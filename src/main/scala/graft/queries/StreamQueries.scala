@@ -179,29 +179,38 @@ object StreamQueries {
   private def scd2(s: SparkSession, dir: String): DataFrame =
     scd2Of(events(s, dir))
 
-  /** Testable seam for [[scd2]]: explicit events frame. */
+  /** Testable seam for [[scd2]]: explicit events frame. ONE window
+    * (user_id) — the epoch-scoped base/add-sum are derived from the
+    * SAME running pass via the last-reset-ignoreNulls trick (`run_adds`
+    * at the last reset row = adds strictly before it, since resets are
+    * not adds), so the whole history is one shuffle + one sort instead
+    * of the naive two-window (user), (user, epoch) plan — verified in
+    * the physical plan (a (user, epoch) partition key cannot reuse the
+    * user-hash exchange).
+    */
   private[graft] def scd2Of(ev: DataFrame): DataFrame = {
     val ops = graft.streaming.Streams.cdcOps(ev)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ew = Window.partitionBy(col("user_id"), col("epoch"))
-      .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
-    val ewRun = ew.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
     ops
       .withColumn("version", row_number().over(w))
-      .withColumn("epoch",
-        sum(when(col("op") =!= "A", 1L).otherwise(0L)).over(wRun))
       .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
-      .withColumn("first_op", first(col("op")).over(ewRun))
-      .withColumn("first_vc", first(col("vc")).over(ewRun))
-      .withColumn("adds",
-        sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(ewRun))
+      .withColumn("run_adds",
+        sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(wRun))
+      .withColumn("reset_op", last(
+        when(col("op") =!= "A", col("op")), ignoreNulls = true).over(wRun))
+      .withColumn("reset_vc", last(
+        when(col("op") === "S", col("vc"))
+          .when(col("op") === "D", lit(0L)), ignoreNulls = true).over(wRun))
+      .withColumn("reset_adds", last(
+        when(col("op") =!= "A", col("run_adds")), ignoreNulls = true)
+        .over(wRun))
       .select(col("user_id"), col("version"), col("op"),
         when(col("op") === "D", lit(null).cast("long"))
-          .otherwise(when(col("first_op") === "S", col("first_vc"))
-            .otherwise(lit(0L)) + col("adds")).as("vcur"),
+          .otherwise(coalesce(col("reset_vc"), lit(0L)) +
+            col("run_adds") - coalesce(col("reset_adds"), lit(0L)))
+          .as("vcur"),
         col("tus").as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
@@ -212,26 +221,32 @@ object StreamQueries {
        |sops AS (
        |  SELECT user_id, tus, event_id, op, vc,
        |    row_number() OVER wo AS version,
-       |    SUM(CASE WHEN op <> 'A' THEN 1 ELSE 0 END) OVER
-       |      (PARTITION BY user_id ORDER BY tus, event_id, op, vc
-       |       ROWS UNBOUNDED PRECEDING) AS epoch,
-       |    lead(tus) OVER wo AS valid_to_us
+       |    lead(tus) OVER wo AS valid_to_us,
+       |    SUM(CASE WHEN op = 'A' THEN vc ELSE 0 END) OVER wr
+       |      AS run_adds
        |  FROM mops
        |  WINDOW wo AS (PARTITION BY user_id
-       |                ORDER BY tus, event_id, op, vc)),
+       |                ORDER BY tus, event_id, op, vc),
+       |         wr AS (PARTITION BY user_id
+       |                ORDER BY tus, event_id, op, vc
+       |                ROWS UNBOUNDED PRECEDING)),
        |sval AS (
        |  SELECT *,
-       |    first_value(op) OVER we AS first_op,
-       |    first_value(vc) OVER we AS first_vc,
-       |    SUM(CASE WHEN op = 'A' THEN vc ELSE 0 END) OVER we AS adds
+       |    last_value(CASE WHEN op <> 'A' THEN op END IGNORE NULLS)
+       |      OVER wr AS reset_op,
+       |    last_value(CASE WHEN op = 'S' THEN vc
+       |                    WHEN op = 'D' THEN 0 END IGNORE NULLS)
+       |      OVER wr AS reset_vc,
+       |    last_value(CASE WHEN op <> 'A' THEN run_adds END IGNORE NULLS)
+       |      OVER wr AS reset_adds
        |  FROM sops
-       |  WINDOW we AS (PARTITION BY user_id, epoch
+       |  WINDOW wr AS (PARTITION BY user_id
        |                ORDER BY tus, event_id, op, vc
        |                ROWS UNBOUNDED PRECEDING))
        |SELECT user_id, version, op,
        |  CAST(CASE WHEN op = 'D' THEN NULL
-       |       ELSE (CASE WHEN first_op = 'S' THEN first_vc ELSE 0 END)
-       |            + adds END AS BIGINT) AS vcur,
+       |       ELSE COALESCE(reset_vc, 0) + run_adds
+       |            - COALESCE(reset_adds, 0) END AS BIGINT) AS vcur,
        |  tus AS valid_from_us, valid_to_us,
        |  valid_to_us IS NULL AS is_current
        |FROM sval ORDER BY user_id, version""".stripMargin
