@@ -571,6 +571,21 @@ class GUserSpec extends GraftSuite {
     assert(pairs.forall { case (a, b) => !pairs.contains((b, a)) })
   }
 
+  test("graph_topo_layers: longest-path layering of the hand DAG") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Condensation DAG of the 2-peel graph: 1->5, 7->8->9->5.
+    // Longest-path layers: {1,7}: 0, 8: 1, 9: 2, 5: 3 (max of the two
+    // paths into 5 — the 1-hop path must NOT win).
+    val e = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L), (1L, 5L),
+      (7L, 8L), (8L, 9L), (9L, 5L)).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.topoLayersOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, 0L, 2L, true), (5L, 3L, 2L, true),
+      (7L, 0L, 1L, true), (8L, 1L, 1L, true), (9L, 2L, 1L, true)))
+  }
+
   test("graph_scc_labels: empty edge frame degrades to typed empty " +
     "output") {
     import spark.implicits._
