@@ -2550,6 +2550,11 @@ object UserGraphQueries {
       labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("scc_id"))
       .agg(count(lit(1)).as("n_members")).localCheckpoint()
+    // Empty-graph guard (the r10 sccPivot NPE class): no SCCs → typed
+    // empty output instead of getLong on a NULL convergence sum.
+    if (sizes.head(1).isEmpty)
+      return sizes.limit(0).select(col("scc_id"), lit(0L).as("layer"),
+        col("n_members"), lit(true).as("converged"))
     val dag = condense(dedges, labels)
       .select(col("src_scc"), col("dst_scc")).localCheckpoint()
     var layer = sizes.select(col("scc_id"), lit(0L).as("layer"))

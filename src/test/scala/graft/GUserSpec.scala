@@ -597,6 +597,21 @@ class GUserSpec extends GraftSuite {
     assert(out.count() === 0L)
   }
 
+  test("graph_topo_layers + louvain_passes: empty edge frames degrade " +
+    "to typed empty output") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val e = Seq.empty[(Long, Long)].toDF("u", "v")
+    val tp = UserGraphQueries.topoLayersOf(e)
+    assert(tp.columns.toSeq === Seq("scc_id", "layer", "n_members",
+      "converged"))
+    assert(tp.count() === 0L)
+    val lv = UserGraphQueries.louvainPassesOf(
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(lv.columns.toSeq === Seq("id", "community", "comm_size"))
+    assert(lv.count() === 0L)
+  }
+
   test("graph_scc_pivot: empty edge frame degrades to typed empty " +
     "output (ADVICE r10)") {
     import spark.implicits._
