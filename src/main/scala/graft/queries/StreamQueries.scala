@@ -188,33 +188,9 @@ object StreamQueries {
     * the physical plan (a (user, epoch) partition key cannot reuse the
     * user-hash exchange).
     */
-  private[graft] def scd2Of(ev: DataFrame): DataFrame = {
-    val ops = graft.streaming.Streams.cdcOps(ev)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ops
-      .withColumn("version", row_number().over(w))
-      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
-      .withColumn("run_adds",
-        sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(wRun))
-      .withColumn("reset_op", last(
-        when(col("op") =!= "A", col("op")), ignoreNulls = true).over(wRun))
-      .withColumn("reset_vc", last(
-        when(col("op") === "S", col("vc"))
-          .when(col("op") === "D", lit(0L)), ignoreNulls = true).over(wRun))
-      .withColumn("reset_adds", last(
-        when(col("op") =!= "A", col("run_adds")), ignoreNulls = true)
-        .over(wRun))
-      .select(col("user_id"), col("version"), col("op"),
-        when(col("op") === "D", lit(null).cast("long"))
-          .otherwise(coalesce(col("reset_vc"), lit(0L)) +
-            col("run_adds") - coalesce(col("reset_adds"), lit(0L)))
-          .as("vcur"),
-        col("tus").as("valid_from_us"), col("valid_to_us"),
-        col("valid_to_us").isNull.as("is_current"))
+  private[graft] def scd2Of(ev: DataFrame): DataFrame =
+    graft.streaming.Streams.scd2Batch(ev)
       .orderBy(col("user_id"), col("version"))
-  }
 
   private val scd2Sql =
     s"""WITH $mopsCte,

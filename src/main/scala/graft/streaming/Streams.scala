@@ -538,4 +538,99 @@ object Streams {
     events.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) => m.applyBatch(batch)
     }
+
+  /** The X127 SCD2 fold over one events frame (the batch-twin core of
+    * `events_scd2_history`, also applied PER BATCH by
+    * [[Scd2Maintainer]]): one per-user window pass, epoch values via
+    * the last-reset-ignoreNulls trick (one exchange — see the key's
+    * plan note).
+    */
+  private[graft] def scd2Batch(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ops = cdcOps(ev)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ops
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+      .withColumn("run_adds",
+        sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(wRun))
+      .withColumn("reset_vc", last(
+        when(col("op") === "S", col("vc"))
+          .when(col("op") === "D", lit(0L)), ignoreNulls = true).over(wRun))
+      .withColumn("reset_adds", last(
+        when(col("op") =!= "A", col("run_adds")), ignoreNulls = true)
+        .over(wRun))
+      .select(col("user_id"), col("version"), col("op"),
+        when(col("op") === "D", lit(null).cast("long"))
+          .otherwise(coalesce(col("reset_vc"), lit(0L)) +
+            col("run_adds") - coalesce(col("reset_adds"), lit(0L)))
+          .as("vcur"),
+        col("tus").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  private[graft] def scd2Empty(
+      s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"), lit(0).as("version"),
+      lit("").as("op"), lit(0L).as("vcur"), lit(0L).as("valid_from_us"),
+      lit(0L).as("valid_to_us"), lit(false).as("is_current"))
+
+  /** The history-side sibling of [[MergeMaintainer]] (T10's other
+    * half): maintains the FULL SCD2 history table via foreachBatch —
+    * per batch, the open version of every touched key is CLOSED at the
+    * batch's first change for that key, and the batch's own fold is
+    * appended with versions renumbered past the key's history and its
+    * pre-first-reset rows re-seeded from the carried current value
+    * (the unseeded per-batch fold starts every key at 0/absent; adding
+    * the carry is exactly the missing prefix because resets discard it
+    * anyway). Same per-key in-order delivery contract as T10;
+    * StreamingSpec proves history == the one-shot batch fold after
+    * EVERY micro-batch.
+    */
+  final class Scd2Maintainer(s: org.apache.spark.sql.SparkSession) {
+    @volatile private var hist: DataFrame = scd2Empty(s)
+    def applyBatch(batch: DataFrame): Unit = synchronized {
+      val b = scd2Batch(batch)
+      val carry = hist.filter(col("is_current"))
+        .select(col("user_id"), col("vcur").as("carry_v"),
+          col("version").as("maxv"))
+      val firstReset = b.filter(col("op") =!= "A")
+        .groupBy(col("user_id")).agg(min(col("version")).as("frv"))
+      val adjusted = b
+        .join(carry, Seq("user_id"), "left")
+        .join(firstReset, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (col("version") + coalesce(col("maxv"), lit(0))).as("version"),
+          col("op"),
+          when(col("vcur").isNull, col("vcur")) // D rows stay deleted
+            .when(col("frv").isNull || col("version") < col("frv"),
+              col("vcur") + coalesce(col("carry_v"), lit(0L)))
+            .otherwise(col("vcur")).as("vcur"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      val bFirst = b.groupBy(col("user_id"))
+        .agg(min(col("valid_from_us")).as("bfrom"))
+      val closed = hist.join(bFirst, Seq("user_id"), "left")
+        .select(col("user_id"), col("version"), col("op"),
+          col("vcur"), col("valid_from_us"),
+          when(col("is_current") && col("bfrom").isNotNull,
+            col("bfrom")).otherwise(col("valid_to_us"))
+            .as("valid_to_us"),
+          (col("is_current") && col("bfrom").isNull).as("is_current"))
+      hist = closed.unionByName(adjusted).localCheckpoint()
+      ()
+    }
+    /** The live history table (total order for comparison). */
+    def current: DataFrame =
+      hist.orderBy(col("user_id"), col("version"))
+  }
+
+  /** Wire a CDC event stream to a [[Scd2Maintainer]] via foreachBatch. */
+  def scd2MaintainStream(events: DataFrame, m: Scd2Maintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+    }
 }

@@ -303,6 +303,38 @@ class StreamingSpec extends GraftSuite {
       (5L, 3, "A", Some(250L), us("02:30"), None, true)))
   }
 
+  test("scd2MaintainStream: foreachBatch history maintenance equals the " +
+    "one-shot SCD2 fold after EVERY micro-batch") {
+    import spark.implicits._
+    val b1 = Seq(Ev(7, t("00:10"), 1, "x", 10.00),
+      Ev(1, t("00:20"), 1, "x", 2.50), Ev(3, t("00:15"), 2, "x", 5.00),
+      Ev(8, t("00:05"), 3, "x", 3.00))
+    val b2 = Seq(Ev(2, t("01:00"), 1, "x", 0.25),
+      Ev(6, t("01:10"), 2, "x", 99.0), Ev(11, t("01:20"), 3, "x", 1.0),
+      Ev(5, t("01:30"), 4, "x", 7.00))
+    val b3 = Seq(Ev(4, t("02:00"), 2, "x", 1.00),
+      Ev(9, t("02:10"), 5, "x", 1.00), Ev(12, t("02:20"), 5, "x", 2.00),
+      Ev(10, t("02:30"), 5, "x", 0.50))
+    val mem = MemoryStream[Ev]
+    val m = new Streams.Scd2Maintainer(spark)
+    val q = Streams.scd2MaintainStream(mem.toDF(), m).start()
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6))).toSeq
+    try {
+      var seen = Seq.empty[Ev]
+      for (b <- Seq(b1, b2, b3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(snap(m.current) ===
+          snap(graft.queries.StreamQueries.scd2Of(seen.toDF())))
+      }
+    } finally q.stop()
+  }
+
   test("events_scd2_history head == stream_merge_upsert: the history's " +
     "is_current rows reproduce the merged table (fixture)") {
     val sf = "/root/testdata/sf0.001"
