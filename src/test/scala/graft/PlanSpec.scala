@@ -60,6 +60,19 @@ class PlanSpec extends GraftSuite {
     assert(!rs.contains("n_chars") && !rs.contains("source"), rs)
   }
 
+  test("events_scd2_history rides ONE exchange (last-reset ignoreNulls " +
+    "form, not a second (user, epoch) window partition)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // one HASH exchange for the windows; the rangepartitioning exchange
+    // of the output ORDER BY (oracle plumbing) is not counted
+    val n = planOf("events_scd2_history").collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }.size
+    assert(n === 1, "the (user, epoch) window form pays a second exchange")
+  }
+
   test("sim_topk_ivf probes via a real partition filter on the lists") {
     val s = formatted("sim_topk_ivf")
     assert("PartitionFilters: \\[[^\\]]*label[^\\]]*\\]".r
