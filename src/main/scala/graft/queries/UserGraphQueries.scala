@@ -2612,7 +2612,149 @@ object UserGraphQueries {
        |ORDER BY t.scc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Temporal graph traversal (X129/X130) — the TIME-RESPECTING duals of
+  // static reachability on the derived Zipf tier. Every event already
+  // carries a timestamp, so the tier extends naturally to a temporal
+  // multigraph: each event is a directed contact (u, v, t) live at one
+  // instant t = unix_micros(ts). A temporal path must use non-decreasing
+  // contact times — the semantics static SSSP/CC (I2/I3) cannot express
+  // (a later edge cannot feed an earlier one), and the reference's
+  // iteration surface ([GH] Graph.java#runVertexCentricIteration) is
+  // exactly the loop shape these fixpoints compile to.
+  private val TgRounds = 20
+  /** Pinned "can depart any time" sentinel for the departure pivot row:
+    * 2100-01-01T00:00:00Z in epoch µs — beyond any fixture timestamp,
+    * identical literal in both engines.
+    */
+  private val TgDepSentinel = 4102444800000000L
+
+  /** The timestamped directed Zipf contact list — the
+    * [[zipfDirectedEdgesOf]] sibling that KEEPS per-event times:
+    * distinct (u, v, t) triples, u ≠ v, t in epoch µs (`unix_micros` /
+    * `epoch_us` — the integer-exact cross-engine timestamp discipline).
+    */
+  private[graft] def zipfTemporalEdgesOf(events: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val eid = col("event_id").cast("string")
+    def h(tag: String) =
+      TextFns.stringHash(concat(lit(tag + ":"), eid))
+    events
+      .select(h("kcu").as("h1"), h("kcb").as("h2"),
+        h("kcv").as("h3"), h("kcc").as("h4"),
+        unix_micros(col("ts")).as("t"))
+      .select(
+        expr(s"h1 % shiftleft(cast(1 as bigint), cast(h2 % $KcBits as int))")
+          .as("u"),
+        expr(s"h3 % shiftleft(cast(1 as bigint), cast(h4 % $KcBits as int))")
+          .as("v"),
+        col("t"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** DuckDB CTE prefix deriving the same temporal contact list as
+    * `tgd(u, v, t)` — shared by both temporal oracles (CTE-chain
+    * discipline), plus the pivot `tgp(pid)`.
+    */
+  private val tgCtes = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    s"""WITH tge AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v,
+       |         CAST(epoch_us(ts) AS BIGINT) AS t
+       |  FROM events),
+       |tgd AS MATERIALIZED (
+       |  SELECT DISTINCT u, v, t FROM tge WHERE u <> v),
+       |tgv AS (SELECT u AS id FROM tgd UNION SELECT v FROM tgd),
+       |tgp AS (SELECT MIN(id) AS pid FROM tgv)""".stripMargin
+  }
+
+  /** X129 — graph_temporal_reach: EARLIEST-ARRIVAL time-respecting
+    * reachability from the min-id pivot (the Zipf hub — the same
+    * deterministic pivot rule as [[graphSccPivot]]). arr(pivot) = 0;
+    * per round, arr(v) improves to the smallest contact time t of any
+    * (u, v, t) with t ≥ arr(u) — a monotone DECREASING integer
+    * fixpoint (smaller arr(u) only widens the eligible contact set),
+    * run to convergence with a [[TgRounds]] bound and the pinned
+    * `converged` guard. Simulated in DuckDB BEFORE Spark code
+    * (discipline #11): fixpoint depths 5/6/10/10/6 and reach
+    * 195/2627/10200/48822/65534 at sf0.001/0.01/0.1/sf1/sf10 — a real
+    * progressive cascade at every scale, never 1-round-degenerate,
+    * never all-reachable at the gate SFs.
+    *
+    * Scale: the contact list is map-derived from events and bounded by
+    * \|events\|; each round is ONE join of contacts against the arrival
+    * frame (≤ \|V\| rows — auto-broadcast at the folded id space, a
+    * keyed shuffle at true scale) plus a combinable min per dst; the
+    * convergence probe is a value-level anti-join (arrivals can improve
+    * without the reached COUNT changing, so the kcore count probe would
+    * stop early — probe values, not counts). Driver state: one boolean
+    * per round.
+    */
+  private def graphTemporalReach(s: SparkSession, dir: String): DataFrame =
+    temporalReachOf(zipfTemporalEdgesOf(
+      graft.sources.Tables(s, dir, "events")))
+
+  /** Testable seam for [[graphTemporalReach]]: explicit (u, v, t)
+    * contact frame.
+    */
+  private[graft] def temporalReachOf(tedges: DataFrame): DataFrame = {
+    val te = tedges.select(col("u"), col("v"), col("t")).localCheckpoint()
+    // Empty-graph guard (the r10 sccPivot NPE class).
+    if (te.head(1).isEmpty)
+      return te.limit(0).select(col("u").as("id"),
+        col("t").as("arr_us"), lit(true).as("converged"))
+    val pivot = te.select(col("u").as("id"))
+      .unionByName(te.select(col("v").as("id")))
+      .agg(min(col("id"))).first().getLong(0)
+    var arr = te.sparkSession.range(1)
+      .select(lit(pivot).as("id"), lit(0L).as("a"))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < TgRounds) {
+      val relax = te
+        .join(arr.select(col("id").as("u"), col("a").as("au")), Seq("u"))
+        .filter(col("t") >= col("au"))
+        .groupBy(col("v"))
+        .agg(min(col("t")).as("a"))
+        .select(col("v").as("id"), col("a"))
+      val next = arr.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("a")).as("a"))
+        .localCheckpoint()
+      changed = next.join(arr, Seq("id", "a"), "left_anti")
+        .head(1).nonEmpty
+      arr = next; rounds += 1
+    }
+    arr.select(col("id"), col("a").as("arr_us"),
+      lit(!changed).as("converged"))
+      .orderBy(col("id"))
+  }
+
+  private val graphTemporalReachSql = {
+    val rounds = (1 to TgRounds).map { r =>
+      val prev = s"tga${r - 1}"
+      s"""tga$r AS MATERIALIZED (
+         |  SELECT id, MIN(a) AS a FROM (
+         |    SELECT id, a FROM $prev
+         |    UNION ALL
+         |    SELECT e.v AS id, MIN(e.t) AS a
+         |    FROM tgd e JOIN $prev x ON e.u = x.id
+         |    WHERE e.t >= x.a GROUP BY e.v) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$tgCtes,
+       |tga0 AS (SELECT pid AS id, CAST(0 AS BIGINT) AS a FROM tgp),
+       |$rounds
+       |SELECT id, a AS arr_us, TRUE AS converged
+       |FROM tga$TgRounds ORDER BY id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("graph_temporal_reach", graphTemporalReach,
+      Some(graphTemporalReachSql)),
     Q("graph_kcore", graphKcore, Some(graphKcoreSql)),
     Q("graph_truss_decompose", graphTrussDecompose,
       Some(graphTrussDecomposeSql)),

@@ -622,4 +622,45 @@ class GUserSpec extends GraftSuite {
       Seq("cls", "n_vertices", "pivot", "converged"))
     assert(out.count() === 0L)
   }
+
+  test("graph_temporal_reach: time-respecting constraint and the " +
+    "improve-then-re-enable cascade on the hand contact graph") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Pivot = 1 (min id). r1: arr(2)=10, arr(3)=25 (direct). r2:
+    // arr(3) IMPROVES 25→12 via 2 (t=12 ≥ 10; the t=5 contact is
+    // time-rejected). r3: the improvement re-enables (3,4,14)
+    // (14 ≥ 12 but 14 < 25) → arr(4)=14. 5 (only an in-edge to the
+    // pivot) and 6,7 stay unreachable.
+    val te = Seq((1L, 2L, 10L), (1L, 3L, 25L), (2L, 3L, 12L),
+      (2L, 3L, 5L), (3L, 4L, 14L), (5L, 1L, 50L), (6L, 7L, 99L))
+      .toDF("u", "v", "t").repartition(3)
+    val out = UserGraphQueries.temporalReachOf(te).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 0L, true), (2L, 10L, true),
+      (3L, 12L, true), (4L, 14L, true)))
+  }
+
+  test("graph_temporal_reach: zipf derivation invariant under " +
+    "partitioning; empty frame degrades to typed empty output") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.functions._
+    // Prime-strided event ids (hash-jitter pitfall) with spread-out
+    // deterministic timestamps.
+    val ev = (0L until 1500L).map { i =>
+      (i * 7919L + 13L, 1700000000000000L + (i * 2654435761L) % 86400000000L)
+    }.toDF("event_id", "tus")
+      .select(col("event_id"), timestamp_micros(col("tus")).as("ts"))
+    def run(p: Int) = UserGraphQueries.temporalReachOf(
+      UserGraphQueries.zipfTemporalEdgesOf(ev.repartition(p)))
+      .collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+    val empty = UserGraphQueries.temporalReachOf(
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "t"))
+    assert(empty.columns.toSeq === Seq("id", "arr_us", "converged"))
+    assert(empty.count() === 0L)
+  }
 }
