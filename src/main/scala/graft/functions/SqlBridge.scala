@@ -6,9 +6,11 @@
 // the graft namespace.
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
 object SqlBridge {
   /** Wrap a Catalyst expression as a user-facing Column. */
@@ -16,4 +18,36 @@ object SqlBridge {
 
   /** Extract the Catalyst expression from a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager localCheckpoint with MEASURED statistics instead of the
+    * symbolic stats rewrite `Dataset.checkpoint` performs.
+    *
+    * The default rewrite (`LogicalRDD.fromDataset`) carries the source
+    * plan's sizeInBytes ESTIMATE through the checkpoint — a product of
+    * the join children's estimates. In an iterative algorithm whose
+    * loop state feeds back into the next round's joins (pointer
+    * doubling, label propagation), those products COMPOUND: k
+    * checkpointed self-joins yield a BigInteger with ~2^k digits, and
+    * past a few dozen squarings the driver stalls for minutes inside
+    * BigInteger.multiply while planning — a pure bookkeeping artifact,
+    * the data itself is tiny. This helper severs that lineage: it
+    * materializes the frame, then rebuilds it as a bare [[LogicalRDD]]
+    * whose statistics are the REAL measured row count times the
+    * schema's default row width, so downstream broadcast decisions
+    * still see honest sizes and the estimate chain restarts from
+    * ground truth at every checkpoint.
+    */
+  def pinned(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val ck = ds.localCheckpoint()
+    val rows = ck.count()
+    val out = ck.queryExecution.analyzed.output
+    val width = 8L + out.map(_.dataType.defaultSize.toLong).sum
+    val stats = Statistics(
+      sizeInBytes = BigInt(math.max(rows, 1L)) * width,
+      rowCount = Some(BigInt(rows)))
+    val plan = LogicalRDD(out, ck.queryExecution.toRdd)(
+      ck.sparkSession, Some(stats), None)
+    org.apache.spark.sql.classic.Dataset.ofRows(ck.sparkSession, plan)
+  }
 }

@@ -663,4 +663,63 @@ class GUserSpec extends GraftSuite {
     assert(empty.columns.toSeq === Seq("id", "arr_us", "converged"))
     assert(empty.count() === 0L)
   }
+
+  // Pack helper matching mstWeightedOf's total-order key.
+  private def mstPack(a: Long, b: Long, w: Long): (Long, Long, Long) =
+    (a, b, w * 4294967296L + a * 65536L + b)
+
+  private def runMst(edges: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    UserGraphQueries.mstBoruvkaOf(
+      edges.map { case (a, b, w) => mstPack(a, b, w) }.toDF("a", "b", "p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+  }
+
+  test("graph_mst_boruvka: two-round contraction — pair components " +
+    "merge first, the heavy bridge joins in round two") {
+    // c{1,2} and c{3,4} form in round 1 (weights 5, 7); the w=100
+    // bridge is each merged component's only cross edge in round 2.
+    val out = runMst(Seq((1L, 2L, 5L), (3L, 4L, 7L), (2L, 3L, 100L)))
+    assert(out === Seq((1L, 2L, 5L, true), (2L, 3L, 100L, true),
+      (3L, 4L, 7L, true)))
+  }
+
+  test("graph_mst_boruvka: increasing-weight path hooks a depth-7 " +
+    "pointer chain resolved by the doubling passes in one round") {
+    val path = (1L to 7L).map(i => (i, i + 1, i))
+    val out = runMst(path)
+    assert(out === path.map { case (a, b, w) => (a, b, w, true) })
+  }
+
+  test("graph_mst_boruvka: cycle drops its heaviest edge; " +
+    "disconnected forest keeps |V| - comps edges") {
+    // Triangle 1-2-3 (drop w=30) plus a separate pair 10-11.
+    val out = runMst(Seq((1L, 2L, 10L), (2L, 3L, 20L), (1L, 3L, 30L),
+      (10L, 11L, 4L)))
+    assert(out === Seq((1L, 2L, 10L, true), (2L, 3L, 20L, true),
+      (10L, 11L, 4L, true)))
+  }
+
+  test("graph_mst_boruvka: zipf derivation invariant under " +
+    "partitioning; empty frame degrades to typed empty output") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.functions._
+    val ev = (0L until 1500L).map(i => i * 7919L + 13L).toDF("event_id")
+    def run(p: Int) = {
+      val can = UserGraphQueries.zipfEdgesOf(ev.repartition(p))
+      UserGraphQueries.mstBoruvkaOf(UserGraphQueries.mstWeightedOf(can))
+        .collect().map(_.toSeq).toSeq
+    }
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+    assert(a.forall(_.last === true))
+    val empty = UserGraphQueries.mstBoruvkaOf(
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "p"))
+    assert(empty.columns.toSeq === Seq("a", "b", "w", "converged"))
+    assert(empty.count() === 0L)
+  }
 }
