@@ -2935,7 +2935,133 @@ object UserGraphQueries {
        |FROM msel ORDER BY a, b""".stripMargin
   }
 
+  // ── X131: graph_mis — deterministic-priority Luby maximal
+  // independent set on the Zipf tier.
+  private val MisRounds = 12 // observed 3/3/6/4 at sf0.001/0.01/0.1/sf1
+  private val MisPackV = 65536L // 2^16 id field under the hash priority
+
+  /** Per-vertex strict priority `stringHash("mis:v")·2¹⁶ + v` — the id
+    * field breaks hash collisions, so priorities are a strict total
+    * order (what makes the parallel rounds equal the sequential greedy).
+    */
+  private def misPriority(v: Column): Column = {
+    import graft.functions.TextFns
+    TextFns.stringHash(concat(lit("mis:"), v.cast("string"))) *
+      MisPackV + v
+  }
+
+  private def graphMis(s: SparkSession, dir: String): DataFrame =
+    misOf(zipfCanonicalFrame(s, dir))
+
+  /** X131 — graph_mis: MAXIMAL INDEPENDENT SET by synchronous
+    * deterministic-priority rounds (Luby's algorithm with FIXED hash
+    * priorities — the classic distributed symmetry-breaking primitive;
+    * with priorities fixed and strict, the parallel rounds provably
+    * select exactly the sequential greedy-by-priority MIS, which is the
+    * cross-check the sim ran): per round every active vertex whose
+    * priority is a strict minimum over its ACTIVE neighborhood joins
+    * the set, then it and its neighbors deactivate. Simulated in Python
+    * with the engines' exact arithmetic BEFORE Spark code
+    * (tools/sim_mis.py): Luby == greedy EXACTLY at all four SFs, MIS
+    * 504/3 547/10 391/21 991 vertices in 3/3/6/4 rounds — a real
+    * multi-round cascade, never 1-round-degenerate. The oracle unrolls
+    * [[MisRounds]] = 2× the observed max (extra rounds are no-ops on an
+    * empty active set); `converged` (active set drained) is the
+    * pinned-TRUE loud guard. Output: (id, round joined) per MIS member.
+    *
+    * Scale: per round two keyed semi-joins of the \|E\| adjacency
+    * against the SHRINKING active frame, one combinable MIN, one
+    * anti-join — the CC cost class; the active set empirically drops
+    * ~an order of magnitude per round on the heavy tail (hubs
+    * deactivate their whole neighborhood in round 1). Checkpoints go
+    * through [[org.apache.spark.sql.graftbridge.SqlBridge.pinned]]
+    * (the X130 stats-compounding lesson). No FP anywhere.
+    */
+  private[graft] def misOf(canEdges: DataFrame,
+      prio: Column => Column = misPriority): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    val can = canEdges.select(col("a"), col("b"))
+    val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
+    val empty = und.limit(0).select(col("u").as("id"),
+      lit(0L).as("round"), lit(true).as("converged"))
+    if (und.head(1).isEmpty) return empty
+    // (v, p) actives; priorities carried so rounds never rehash.
+    var active = pinned(und.select(col("u").as("v")).distinct()
+      .select(col("v"), prio(col("v")).as("p")))
+    var mis = active.limit(0).select(col("v"), lit(0L).as("round"))
+    var rounds = 0
+    var drained = false
+    while (!drained && rounds < MisRounds) {
+      rounds += 1
+      val nbmin = und
+        .join(active.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(active.select(col("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("pv")).as("mn"))
+        .select(col("u").as("v"), col("mn"))
+      val sel = pinned(active.join(nbmin, Seq("v"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select(col("v")))
+      mis = pinned(mis.unionByName(
+        sel.select(col("v"), lit(rounds.toLong).as("round"))))
+      val drop = sel.unionByName(
+        und.join(sel, Seq("v"), "left_semi").select(col("u").as("v")))
+      active = pinned(active.join(drop, Seq("v"), "left_anti"))
+      drained = active.head(1).isEmpty
+    }
+    mis.select(col("v").as("id"), col("round"),
+      lit(drained).as("converged")).orderBy(col("id"))
+  }
+
+  private val graphMisSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    val pExpr = TextFns.stringHashSql("'mis:' || CAST(v AS VARCHAR)")
+      .replace("\n", " ")
+    val rounds = (1 to MisRounds).map { r =>
+      s"""mn$r AS (
+         |  SELECT e.u AS v, MIN(pv.p) AS mn
+         |  FROM miund e
+         |  JOIN ma${r - 1} au ON e.u = au.v
+         |  JOIN ma${r - 1} pv ON e.v = pv.v
+         |  GROUP BY e.u),
+         |ms$r AS MATERIALIZED (
+         |  SELECT a.v FROM ma${r - 1} a LEFT JOIN mn$r n ON a.v = n.v
+         |  WHERE n.mn IS NULL OR a.p < n.mn),
+         |md$r AS (
+         |  SELECT v FROM ms$r
+         |  UNION
+         |  SELECT e.u FROM miund e JOIN ms$r m ON e.v = m.v),
+         |ma$r AS MATERIALIZED (
+         |  SELECT a.v, a.p FROM ma${r - 1} a
+         |  LEFT JOIN md$r d ON a.v = d.v WHERE d.v IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to MisRounds)
+      .map(r => s"SELECT v, CAST($r AS BIGINT) AS round FROM ms$r")
+      .mkString(" UNION ALL ")
+    s"""WITH mie AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |mis_s AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM mie WHERE u <> v),
+       |miund AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM mis_s
+       |  UNION ALL SELECT b AS u, a AS v FROM mis_s),
+       |miv AS (SELECT DISTINCT u AS v FROM miund),
+       |ma0 AS MATERIALIZED (
+       |  SELECT v, $pExpr * $MisPackV + v AS p FROM miv),
+       |$rounds
+       |SELECT v AS id, round,
+       |       (SELECT COUNT(*) FROM ma$MisRounds) = 0 AS converged
+       |FROM ($sel) ORDER BY id""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("graph_mis", graphMis, Some(graphMisSql)),
     Q("graph_mst_boruvka", graphMstBoruvka, Some(graphMstBoruvkaSql)),
     Q("graph_temporal_reach", graphTemporalReach,
       Some(graphTemporalReachSql)),

@@ -722,4 +722,57 @@ class GUserSpec extends GraftSuite {
     assert(empty.columns.toSeq === Seq("a", "b", "w", "converged"))
     assert(empty.count() === 0L)
   }
+
+  private def runMis(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Identity priority: selection order is plain id order.
+    UserGraphQueries.misOf(edges.toDF("a", "b"), v => v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+  }
+
+  test("graph_mis: monotone path activates progressively — one local " +
+    "minimum per round as removals expose the next") {
+    val out = runMis((1L to 5L).map(i => (i, i + 1)))
+    assert(out === Seq((1L, 1L, true), (3L, 2L, true), (5L, 3L, true)))
+  }
+
+  test("graph_mis: min-priority star center wins alone; max-priority " +
+    "center yields all leaves in one round") {
+    val minC = runMis(Seq((1L, 5L), (1L, 6L), (1L, 7L)))
+    assert(minC === Seq((1L, 1L, true)))
+    val maxC = runMis(Seq((9L, 2L), (9L, 3L), (9L, 4L)))
+    assert(maxC === Seq((2L, 1L, true), (3L, 1L, true), (4L, 1L, true)))
+  }
+
+  test("graph_mis: zipf derivation invariant under partitioning; " +
+    "result is independent and maximal; empty frame degrades") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.functions._
+    val ev = (0L until 1500L).map(i => i * 7919L + 13L).toDF("event_id")
+    def run(p: Int) = UserGraphQueries.misOf(
+      UserGraphQueries.zipfEdgesOf(ev.repartition(p)))
+      .collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+    assert(a.forall(_.last === true))
+    // Independence + maximality against the edge list.
+    val can = UserGraphQueries.zipfEdgesOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mis = a.map(_.head.asInstanceOf[Long]).toSet
+    assert(can.forall { case (x, y) => !(mis(x) && mis(y)) })
+    val blocked: Map[Long, Seq[Long]] = can.toSeq.flatMap { case (x, y) =>
+      Seq(x -> y, y -> x) }.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2) }
+    val verts = can.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(verts.forall(v =>
+      mis(v) || blocked.getOrElse(v, Seq.empty).exists(mis)))
+    val empty = UserGraphQueries.misOf(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.columns.toSeq === Seq("id", "round", "converged"))
+    assert(empty.count() === 0L)
+  }
 }

@@ -100,16 +100,17 @@ def boruvka(edges_w, verts):
         comp = {v: root.get(comp[v], comp[v]) for v in verts}
     return sorted(msf), rounds, depth_log, comp
 
-for d in sys.argv[1:]:
-    es = zipf_edges(d)
-    verts = sorted({x for e in es for x in e})
-    edges_w = [(string_hash(f"mstw:{a}:{b}"), a, b) for (a, b) in es]
-    msf_b, rounds, dlog, comp = boruvka(edges_w, verts)
-    msf_k = kruskal(edges_w, verts)
-    ncomp = len(set(comp.values()))
-    wsum = sum(w for (_, _, w) in msf_b)
-    dup_w = len(edges_w) - len({w for (w, _, _) in edges_w})
-    print(f"{d}: |V|={len(verts)} |E|={len(es)} msf={len(msf_b)} "
-          f"comps={ncomp} rounds={rounds} depth/jumps={dlog} "
-          f"wsum={wsum} dupw={dup_w} "
-          f"boruvka==kruskal={msf_b == msf_k}")
+if __name__ == "__main__":
+    for d in sys.argv[1:]:
+        es = zipf_edges(d)
+        verts = sorted({x for e in es for x in e})
+        edges_w = [(string_hash(f"mstw:{a}:{b}"), a, b) for (a, b) in es]
+        msf_b, rounds, dlog, comp = boruvka(edges_w, verts)
+        msf_k = kruskal(edges_w, verts)
+        ncomp = len(set(comp.values()))
+        wsum = sum(w for (_, _, w) in msf_b)
+        dup_w = len(edges_w) - len({w for (w, _, _) in edges_w})
+        print(f"{d}: |V|={len(verts)} |E|={len(es)} msf={len(msf_b)} "
+              f"comps={ncomp} rounds={rounds} depth/jumps={dlog} "
+              f"wsum={wsum} dupw={dup_w} "
+              f"boruvka==kruskal={msf_b == msf_k}")
