@@ -799,8 +799,12 @@ object FeatureQueries {
       .orderBy(col("c_custkey"))
   }
 
-  private val ordersChurnLabelsSql =
-    s"""WITH anchor AS (
+  /** Shared churn label-set CTE chain (`churnq`) — ONE val for the X89
+    * oracle and the X132 WOE/IV oracle built on the same labels (the
+    * CTE-chain discipline: zero drift possible).
+    */
+  private val churnCtes =
+    s"""anchor AS (
        |  SELECT CAST(MAX(o_orderdate) AS DATE) - $ChurnHorizonDays
        |    AS t_anchor FROM orders),
        |tagged AS (
@@ -818,12 +822,144 @@ object FeatureQueries {
        |    MAX(CASE WHEN pre THEN d END) AS last_pre,
        |    MAX(t_anchor) AS t_anchor,
        |    MAX(CASE WHEN pre THEN 0 ELSE 1 END) AS active_i
-       |  FROM tagged GROUP BY 1)
-       |SELECT c_custkey, n_orders_pre, spend_pre,
-       |  date_diff('day', last_pre, t_anchor) AS days_since_last,
-       |  active_i = 1 AS active_after
-       |FROM per WHERE n_orders_pre > 0
-       |ORDER BY c_custkey""".stripMargin
+       |  FROM tagged GROUP BY 1),
+       |churnq AS (
+       |  SELECT c_custkey, n_orders_pre, spend_pre,
+       |    date_diff('day', last_pre, t_anchor) AS days_since_last,
+       |    active_i = 1 AS active_after
+       |  FROM per WHERE n_orders_pre > 0)""".stripMargin
+
+  private val ordersChurnLabelsSql =
+    s"""WITH $churnCtes
+       |SELECT c_custkey, n_orders_pre, spend_pre, days_since_last,
+       |  active_after
+       |FROM churnq ORDER BY c_custkey""".stripMargin
+
+  /** X132 — feature_woe_iv: WEIGHT-OF-EVIDENCE / INFORMATION-VALUE
+    * binning report over the X89 churn label set — the standard
+    * credit-scoring / tabular-ML feature-screening pass (which features
+    * separate the label, and how, per bin). Three features ride FIXED
+    * INTEGER-GRID bins (not equi-depth NTILE — a global window at 100 TB
+    * is the single-partition anti-pattern; fixed grids are map-only and
+    * mergeable): pre-anchor order count (`n div 4` capped at 3), recency
+    * (`days div 90` capped at 7), and spend on a half-decade log grid
+    * (cents digit count ×2 + leading-digit ≥ 3 — pure integer/string
+    * arithmetic, the X111 digit-bucket discipline). Bin populations
+    * simulated in DuckDB at all four SFs BEFORE landing: 4/8/3–5
+    * populated bins respectively, both classes present in all heavy
+    * bins, and the zero-good smoothing path genuinely exercised
+    * (sf0.001 orders bin 0).
+    *
+    * Determinism: cell and margin counts are exact BIGINTs; WOE is ONE
+    * `ln` of an integer ratio — Laplace-smoothed as
+    * `ln((2g+1)·B / ((2b+1)·G))` so empty cells are defined — then
+    * [[Det.qround]](6); each IV term multiplies the QROUNDED woe by the
+    * margin-normalized rate gap and lands on the exact micro-integer
+    * grid via the half-up floor, so the per-feature IV total is an
+    * ORDER-FREE integer sum (summing raw IEEE terms would be
+    * order-dependent).
+    *
+    * Scale: one map-only binning pass over the \|customers\| label frame,
+    * one combinable (feature, bin) count agg (≤ ~20 cells), a broadcast
+    * 3-row margin join, and a 3-key window on the cell frame — nothing
+    * touches the fact table twice.
+    */
+  private def featureWoeIv(s: SparkSession, dir: String): DataFrame =
+    woeIvOf(churnLabelsOf(Tables(s, dir, "orders")))
+
+  /** Testable seam for [[featureWoeIv]]: explicit label frame in the
+    * [[churnLabelsOf]] schema.
+    */
+  private[graft] def woeIvOf(labels: DataFrame): DataFrame = {
+    val centsStr = col("cents").cast("string")
+    val binned = labels.select(
+      col("active_after"),
+      expr("least(n_orders_pre div 4, 3)").cast("long").as("b_orders"),
+      expr("least(days_since_last div 90, 7)").cast("long")
+        .as("b_recency"),
+      expr("cast(floor(spend_pre * 100 + 0.5) as bigint)").as("cents"))
+      .withColumn("b_spend",
+        (length(centsStr) * 2 +
+          when(substring(centsStr, 1, 1).cast("int") >= 3, 1)
+            .otherwise(0)).cast("long"))
+    val melted = binned.select(col("active_after"),
+      explode(map(
+        lit("orders"), col("b_orders"),
+        lit("recency"), col("b_recency"),
+        lit("spend"), col("b_spend"))).as(Seq("feature", "bin")))
+    val cell = melted.groupBy(col("feature"), col("bin")).agg(
+      sum(when(col("active_after"), 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("active_after"), 0L).otherwise(1L)).as("n_bad"))
+    val tot = cell.groupBy(col("feature")).agg(
+      sum(col("n_good")).as("tg"), sum(col("n_bad")).as("tb"))
+    val woe = Det.qround(
+      log(((col("n_good") * 2 + 1) * col("tb")).cast("double") /
+        ((col("n_bad") * 2 + 1) * col("tg")).cast("double")), 6)
+    val scored = cell.join(broadcast(tot), Seq("feature"))
+      .withColumn("woe", woe)
+      .withColumn("iv_micro",
+        floor(((col("n_good").cast("double") / col("tg") -
+          col("n_bad").cast("double") / col("tb")) * col("woe")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+    scored.select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+      col("woe"), col("iv_micro"),
+      sum(col("iv_micro")).over(
+        Window.partitionBy(col("feature"))).as("iv_total_micro"))
+      .orderBy(col("feature"), col("bin"))
+  }
+
+  private val featureWoeIvSql = {
+    val woeExpr = Det.qroundSql(
+      "ln(CAST((c.n_good*2+1)*t.tb AS DOUBLE) / " +
+        "CAST((c.n_bad*2+1)*t.tg AS DOUBLE))", 6)
+    s"""WITH $churnCtes,
+       |wl AS (
+       |  SELECT active_after,
+       |    LEAST(n_orders_pre // 4, 3) AS b_orders,
+       |    LEAST(days_since_last // 90, 7) AS b_recency,
+       |    CAST(floor(spend_pre * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM churnq),
+       |wb AS (
+       |  SELECT active_after, b_orders, b_recency,
+       |    LENGTH(CAST(cents AS VARCHAR)) * 2 +
+       |      CASE WHEN CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT)
+       |                >= 3 THEN 1 ELSE 0 END AS b_spend
+       |  FROM wl),
+       |wm AS (
+       |  SELECT 'orders' AS feature, CAST(b_orders AS BIGINT) AS bin,
+       |         active_after FROM wb
+       |  UNION ALL SELECT 'recency', CAST(b_recency AS BIGINT),
+       |         active_after FROM wb
+       |  UNION ALL SELECT 'spend', CAST(b_spend AS BIGINT),
+       |         active_after FROM wb),
+       |wc AS (
+       |  SELECT feature, bin,
+       |    CAST(SUM(CASE WHEN active_after THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_good,
+       |    CAST(SUM(CASE WHEN active_after THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_bad
+       |  FROM wm GROUP BY 1, 2),
+       |wt AS (
+       |  SELECT feature, CAST(SUM(n_good) AS BIGINT) AS tg,
+       |         CAST(SUM(n_bad) AS BIGINT) AS tb
+       |  FROM wc GROUP BY 1),
+       |wx AS (
+       |  SELECT c.feature, c.bin, c.n_good, c.n_bad, t.tg, t.tb,
+       |         $woeExpr AS woe
+       |  FROM wc c JOIN wt t USING (feature)),
+       |wi AS (
+       |  SELECT feature, bin, n_good, n_bad, woe,
+       |    CAST(FLOOR(((CAST(n_good AS DOUBLE) / tg -
+       |      CAST(n_bad AS DOUBLE) / tb) * woe) * 1000000 + 0.5)
+       |      AS BIGINT) AS iv_micro
+       |  FROM wx)
+       |SELECT feature, bin, n_good, n_bad, woe, iv_micro,
+       |  CAST(SUM(iv_micro) OVER (PARTITION BY feature) AS BIGINT)
+       |    AS iv_total_micro
+       |FROM wi ORDER BY feature, bin""".stripMargin
+  }
+
+
 
   /** X120 — feature_corr_matrix: the FEATURE-STATS pass a tabular-ML
     * platform runs before training — pairwise Pearson correlation (plus
@@ -938,6 +1074,7 @@ object FeatureQueries {
     Q("customer_rfm_sketch", customerRfmSketch, Some(customerRfmSketchSql)),
     Q("orders_churn_labels", ordersChurnLabels,
       Some(ordersChurnLabelsSql)),
+    Q("feature_woe_iv", featureWoeIv, Some(featureWoeIvSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),

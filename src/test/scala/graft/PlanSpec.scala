@@ -125,6 +125,7 @@ class PlanSpec extends GraftSuite {
     "feature_target_encode",    // 1-row global-prior scalar
     "sample_split_temporal",    // 1-row (min,max) time-bounds scalar
     "orders_churn_labels",      // 1-row anchor-date scalar
+    "feature_woe_iv",           // 1-row anchor-date scalar (churn labels)
     "graph_modularity",         // 1-row 2m edge-count scalar
     "recsys_eval_coverage",     // 1-row catalog-count scalar
     "graph_rich_club",          // 3-row quantile-threshold nest

@@ -457,6 +457,45 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("feature_woe_iv: hand-computed smoothed WOE and micro-grid IV " +
+    "terms across all three feature bins") {
+    import spark.implicits._
+    // Five labeled customers covering two bins per feature:
+    //   orders: n=2 → bin 0, n=9 → bin 2
+    //   recency: 10d → bin 0, 100d → bin 1
+    //   spend: 25.00 → cents 2500 (4 digits, lead 2) → bin 8;
+    //          55.00 → 5500 (lead 5 ≥ 3) → bin 9
+    val labels = Seq(
+      (1L, 2L, 55.0, 10, true),
+      (2L, 2L, 25.0, 10, false),
+      (3L, 9L, 25.0, 100, true),
+      (4L, 9L, 55.0, 100, false),
+      (5L, 9L, 55.0, 100, false))
+      .toDF("c_custkey", "n_orders_pre", "spend_pre", "days_since_last",
+        "active_after").repartition(3)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def woe(g: Long, b: Long, tg: Long, tb: Long) =
+      q6(math.log(((2 * g + 1) * tb).toDouble / ((2 * b + 1) * tg).toDouble))
+    def ivm(g: Long, b: Long, tg: Long, tb: Long) =
+      math.floor(((g.toDouble / tg - b.toDouble / tb) *
+        woe(g, b, tg, tb)) * 1000000.0 + 0.5).toLong
+    // Every feature splits as (g=1,b=1) vs (g=1,b=2) with G=2, B=3.
+    val wA = woe(1, 1, 2, 3); val iA = ivm(1, 1, 2, 3)
+    val wB = woe(1, 2, 2, 3); val iB = ivm(1, 2, 2, 3)
+    val out = FeatureQueries.woeIvOf(labels).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      ("orders", 0L, 1L, 1L, wA, iA, iA + iB),
+      ("orders", 2L, 1L, 2L, wB, iB, iA + iB),
+      ("recency", 0L, 1L, 1L, wA, iA, iA + iB),
+      ("recency", 1L, 1L, 2L, wB, iB, iA + iB),
+      ("spend", 8L, 1L, 1L, wA, iA, iA + iB),
+      ("spend", 9L, 1L, 2L, wB, iB, iA + iB)))
+    // The better-rate bin must carry the higher WOE.
+    assert(wA > wB)
+  }
+
   test("text_chunk: window/stride arithmetic, short tail, short doc") {
     import spark.implicits._
     // 30 tokens → chunks at 1/13/25 with lengths 16/16/6; 5 tokens → one
