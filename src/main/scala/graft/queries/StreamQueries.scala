@@ -152,6 +152,76 @@ object StreamQueries {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** T11 — stream_cc_labels: the BATCH TWIN of the foreachBatch
+    * incremental connected-components maintenance
+    * ([[graft.streaming.Streams.ccFold]] — full design note there): the
+    * derived Zipf edge set folded through FOUR deterministic batches
+    * ((a+b) mod 4) of the SAME fold
+    * [[graft.streaming.Streams.CcMaintainer]] applies per micro-batch.
+    * The final labels are the min-id connected components of the full
+    * edge union REGARDLESS of batching (a label star is
+    * connectivity-equivalent to the component it summarizes), so the
+    * one-shot oracle checking this key doubles as the batch-split
+    * invariance proof at the gate; StreamingSpec proves
+    * maintainer == one-shot fold after EVERY micro-batch and under a
+    * PERMUTED batch order (edge delivery commutes — no ordering
+    * contract, unlike the T10/X127 CDC folds). Sim evidence
+    * (tools/sim_cc_stream.py): incremental == union-find at all four
+    * SFs; per-batch fixpoint ≤ 7 rounds, one-shot depth ≤ 6; the
+    * oracle unrolls [[CcOrcRounds]] = 2× the observed one-shot depth
+    * (extra rounds are fixpoint no-ops).
+    */
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    val edges = UserGraphQueries.zipfCanonicalFrame(s, dir)
+      .select(col("a").as("u"), col("b").as("v"))
+    var st = graft.streaming.Streams.ccEmptyState(s)
+    var conv = true
+    for (k <- 0 to 3) {
+      val (nst, ok) = graft.streaming.Streams.ccFold(st,
+        edges.filter((col("u") + col("v")) % 4 === k))
+      st = nst; conv &&= ok
+    }
+    st.select(col("id"), col("label"), lit(conv).as("converged"))
+      .orderBy(col("id"))
+  }
+
+  private val CcOrcRounds = 12
+
+  private val t11Sql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    val kb = UserGraphQueries.KcBits
+    val rounds = (1 to CcOrcRounds).map { r =>
+      s"""ccn$r AS (
+         |  SELECT e.v AS id, MIN(x.label) AS ln
+         |  FROM ccu e JOIN cl${r - 1} x ON e.u = x.id GROUP BY e.v),
+         |ccd$r AS (
+         |  SELECT x.id, y.label AS ld
+         |  FROM cl${r - 1} x JOIN cl${r - 1} y ON x.label = y.id),
+         |cl$r AS MATERIALIZED (
+         |  SELECT x.id, LEAST(x.label, COALESCE(n.ln, x.label),
+         |    COALESCE(d.ld, x.label)) AS label
+         |  FROM cl${r - 1} x LEFT JOIN ccn$r n ON x.id = n.id
+         |  LEFT JOIN ccd$r d ON x.id = d.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cce AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $kb)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $kb)) AS v
+       |  FROM events),
+       |ccs AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM cce WHERE u <> v),
+       |ccu AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM ccs UNION ALL SELECT b, a FROM ccs),
+       |cl0 AS MATERIALIZED (
+       |  SELECT u AS id, u AS label FROM (SELECT DISTINCT u FROM ccu)),
+       |$rounds
+       |SELECT id, label, TRUE AS converged
+       |FROM cl$CcOrcRounds ORDER BY id""".stripMargin
+  }
+
   /** X127 — events_scd2_history: the SCD TYPE-2 dimension history built
     * from the SAME CDC changelog T10 folds — one row per key-VERSION
     * with `[valid_from, valid_to)` microsecond intervals and the
@@ -1142,6 +1212,7 @@ object StreamQueries {
     Q("stream_join", t6, Some(t6Sql)),
     Q("stream_latest_by_key", t9, Some(t9Sql)),
     Q("stream_merge_upsert", t10, Some(t10Sql)),
+    Q("stream_cc_labels", t11, Some(t11Sql)),
     Q("events_scd2_history", scd2, Some(scd2Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),

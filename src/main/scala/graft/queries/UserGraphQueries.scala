@@ -1659,7 +1659,7 @@ object UserGraphQueries {
     */
   private val KcK = 3
   private val KcRounds = 12
-  private val KcBits = 17
+  private[graft] val KcBits = 17
 
   /** The derived deterministic Zipf edge list (simple, undirected as a
     * (a<b) canonical pair set) — testable seam over an explicit events

@@ -633,4 +633,95 @@ object Streams {
     events.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) => m.applyBatch(batch)
     }
+
+  // ── T11: streaming incremental connected components ────────────────
+  /** Per-batch fixpoint bound for [[ccFold]] — the sim measured ≤ 7
+    * rounds per batch across sf0.001→sf1 (tools/sim_cc_stream.py).
+    */
+  private val CcFoldRounds = 16
+
+  /** Typed empty CC state: (id, label). */
+  def ccEmptyState(s: org.apache.spark.sql.SparkSession): DataFrame =
+    s.range(0).select(col("id"), col("id").as("label"))
+
+  /** T11 fold core — advance the maintained (id, label = min id of its
+    * component) state by one batch of undirected edges.
+    *
+    * The carried state participates as LABEL-STAR edges (id ↔ label):
+    * a star is connectivity-equivalent to the component it summarizes,
+    * so synchronous min-label propagation run to fixpoint over
+    * (stars ∪ batch edges) yields exactly the connected components of
+    * the FULL edge union — the maintained table never re-reads old
+    * edges, state is \|V\|-bounded. Propagation takes the min over
+    * neighbors AND over label(label(v)) (pointer doubling — logarithmic
+    * rounds on chains; the SCC color-phase structure); the label sum is
+    * the monotone convergence probe (strictly decreasing until the
+    * fixpoint, the I2–I5 integer discipline; exact while
+    * \|V\|·max_id < 2⁶³ — at the tier's 2¹⁶-folded id space that allows
+    * ~2⁴⁷ vertices). Checkpoints go through SqlBridge.pinned (the X130
+    * stats-compounding lesson — this loop feeds state back through
+    * self-joins every batch). Returns (state, converged).
+    */
+  def ccFold(state: DataFrame, edges: DataFrame):
+      (DataFrame, Boolean) = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    val e = edges.select(col("u"), col("v"))
+    val stars = state.filter(col("id") =!= col("label"))
+      .select(col("id").as("u"), col("label").as("v"))
+    val fwd = e.unionByName(stars)
+    val und = pinned(fwd.unionByName(
+      fwd.select(col("v").as("u"), col("u").as("v"))))
+    if (und.head(1).isEmpty) return (state, true)
+    var lab = pinned(state.select(col("id"), col("label"))
+      .unionByName(und.select(col("u").as("id"), col("u").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label")))
+    var cur = lab.agg(sum(col("label"))).first().getLong(0)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < CcFoldRounds) {
+      val nbr = und
+        .join(lab.select(col("id").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .groupBy(col("v").as("id")).agg(min(col("lu")).as("ln"))
+      val dbl = lab.as("x")
+        .join(lab.as("y"), col("x.label") === col("y.id"), "left")
+        .select(col("x.id").as("id"), col("y.label").as("ld"))
+      val next = pinned(lab
+        .join(nbr, Seq("id"), "left")
+        .join(dbl, Seq("id"), "left")
+        .select(col("id"), least(col("label"),
+          coalesce(col("ln"), col("label")),
+          coalesce(col("ld"), col("label"))).as("label")))
+      val s = next.agg(sum(col("label"))).first().getLong(0)
+      stable = s == cur
+      lab = next; cur = s; rounds += 1
+    }
+    (lab, stable)
+  }
+
+  /** T11 stream side: the maintained per-vertex component-label table,
+    * advanced by [[ccFold]] per micro-batch of edges from inside
+    * foreachBatch. Unlike the CDC maintainers there is NO delivery-order
+    * contract: edge batches commute (connectivity is order-free), which
+    * StreamingSpec exercises by replaying a permuted batch order.
+    */
+  final class CcMaintainer(s: org.apache.spark.sql.SparkSession) {
+    @volatile private var state: DataFrame = ccEmptyState(s)
+    @volatile private var conv: Boolean = true
+    def applyBatch(edges: DataFrame): Unit = synchronized {
+      val (next, ok) = ccFold(state, edges)
+      state = next; conv &&= ok
+      ()
+    }
+    def converged: Boolean = conv
+    def current: DataFrame = state.orderBy(col("id"))
+  }
+
+  /** Wire an edge stream to a [[CcMaintainer]] via foreachBatch. */
+  def ccMaintainStream(edges: DataFrame, m: CcMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    edges.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+    }
 }

@@ -347,4 +347,47 @@ class StreamingSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(head === merged)
   }
+
+  test("stream_cc_labels: CcMaintainer equals the one-shot fold after " +
+    "every micro-batch; batch order commutes") {
+    import spark.implicits._
+    // Components merge ACROSS batches: {1,2} and {3,4} appear first,
+    // the 2-3 bridge lands later; 7-8 stays its own component; 9-10
+    // arrives last touching nothing.
+    val b1 = Seq((1L, 2L), (3L, 4L))
+    val b2 = Seq((2L, 3L), (7L, 8L))
+    val b3 = Seq((9L, 10L), (4L, 5L))
+    def oneShot(edges: Seq[(Long, Long)]) = {
+      val (st, ok) = Streams.ccFold(Streams.ccEmptyState(spark),
+        edges.toDF("u", "v"))
+      assert(ok)
+      st.orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+    }
+    val mem = MemoryStream[(Long, Long)]
+    val m = new Streams.CcMaintainer(spark)
+    val q = Streams.ccMaintainStream(
+      mem.toDF().toDF("u", "v"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (b <- Seq(b1, b2, b3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(m.converged)
+        assert(m.current.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq === oneShot(seen))
+      }
+      assert(m.current.collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq === Seq(
+        (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+        (7L, 7L), (8L, 7L), (9L, 9L), (10L, 9L)))
+    } finally q.stop()
+    // Edge batches commute: a permuted replay lands on the same labels.
+    val perm = new Streams.CcMaintainer(spark)
+    for (b <- Seq(b3, b1, b2)) perm.applyBatch(b.toDF("u", "v"))
+    assert(perm.converged)
+    assert(perm.current.collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq === oneShot(b1 ++ b2 ++ b3))
+  }
 }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Simulate stream_cc_labels BEFORE any Spark code.
+
+(a) Oracle depth: synchronous min-label propagation WITH pointer
+    doubling over the undirected Zipf tier — rounds to fixpoint.
+(b) Incremental fold: replay the edges in 4 deterministic batches
+    ((a+b) % 4); per batch run the same fixpoint over (label stars +
+    batch edges); verify the final labels equal one-shot CC min-ids
+    and measure per-batch rounds.
+
+Usage: python3 tools/sim_cc_stream.py <sfdir> [...]
+"""
+import sys
+from sim_mst import zipf_edges
+
+
+def minprop(edges, labels):
+    """Sync min-label + doubling to fixpoint over und edges; returns
+    (labels, rounds)."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = dict(labels)
+    for v in adj:
+        lab.setdefault(v, v)
+    r = 0
+    while True:
+        r += 1
+        nxt = {}
+        for v in lab:
+            m = lab[v]
+            m = min(m, lab.get(lab[v], lab[v]))  # doubling
+            for u in adj.get(v, ()):
+                m = min(m, lab[u])
+            nxt[v] = m
+        if nxt == lab:
+            return lab, r - 1  # last round was a no-op probe
+        lab = nxt
+
+
+def true_cc(edges):
+    par = {}
+    def find(x):
+        par.setdefault(x, x)
+        while par[x] != x:
+            par[x] = par.get(par[x], par[x]); x = par[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in list(par)}
+
+
+for d in sys.argv[1:]:
+    es = zipf_edges(d)
+    # (a) one-shot oracle depth
+    lab1, r1 = minprop(es, {})
+    ref = true_cc(es)
+    # (b) 4-batch incremental fold
+    lab = {}
+    rounds = []
+    for k in range(4):
+        batch = [(a, b) for (a, b) in es if (a + b) % 4 == k]
+        stars = [(v, l) for v, l in lab.items() if v != l]
+        lab, r = minprop(batch + stars, lab)
+        rounds.append(r)
+    ncomp = len(set(lab1.values()))
+    print(f"{d}: |E|={len(es)} comps={ncomp} oneshot_rounds={r1} "
+          f"batch_rounds={rounds} oneshot==uf={lab1 == ref} "
+          f"incr==uf={lab == ref}")
