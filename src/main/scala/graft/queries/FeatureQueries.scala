@@ -286,6 +286,87 @@ object FeatureQueries {
       .orderBy(col("nation"), col("yyyymm"))
   }
 
+  /** X133 — demand_cusum: CUSUM change-point statistics over the shared
+    * per-nation monthly revenue series — the drift/mean-shift monitor a
+    * training-data platform runs on every input feed (did this source's
+    * volume shift, and when?). Both one-sided statistics are emitted per
+    * month (upward S⁺ and downward S⁻) plus the per-nation peak flag —
+    * the STATISTIC is the deliverable, not a tuned threshold (the
+    * near-stationary TPC-H series would make any fixed alarm line either
+    * silent or arbitrary — the X102/#8 degeneracy lesson; value ranges
+    * simulated in DuckDB at sf0.001/0.01/sf1 before landing:
+    * peaks 2.1e10/5.2e10/1.9e12, zeros present ⇒ the max(0,·) resets
+    * genuinely fire).
+    *
+    * Exactness: the textbook recursive CUSUM
+    * `S⁺_t = max(0, S⁺_{t-1} + x_t − μ)` is non-associative, but it has
+    * the PREFIX-SUM closed form `S⁺_t = P_t − min(0, min_{τ≤t} P_τ)`
+    * (P = running sum of deviations), which windows express directly;
+    * scaling every deviation by the series length n (d_t = n·x_t − Σx)
+    * clears the mean division, so the whole key is exact BIGINT
+    * arithmetic end to end — ZERO FP (bound: n·max(x)·len ≈ 2e16 at
+    * sf1, ~2e17 at sf10, ≪ 2⁶³).
+    *
+    * Scale: ONE exchange on the nation key serves all window passes
+    * (count/total, running sum, running min/max, per-nation peak —
+    * same partition key throughout, the X127 single-exchange lesson);
+    * the series frame is \|nations × months\|-bounded, upstream is the
+    * shared one-pass fact roll-up.
+    */
+  private def demandCusum(s: SparkSession, dir: String): DataFrame =
+    demandCusumOf(Tables(s, dir, "lineitem"), Tables(s, dir, "supplier"),
+      Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandCusum]]: explicit frames. */
+  private[graft] def demandCusumOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
+    val wAll = Window.partitionBy(col("nation"))
+    val wOrd = Window.partitionBy(col("nation")).orderBy(col("yyyymm"))
+    series
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("s4")).over(wAll))
+      .withColumn("p",
+        sum(col("n") * col("s4") - col("tot")).over(wOrd))
+      .withColumn("cus_pos_4n",
+        col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+      .withColumn("cus_neg_4n",
+        greatest(lit(0L), max(col("p")).over(wOrd)) - col("p"))
+      .withColumn("pos_peak",
+        col("cus_pos_4n") > 0 &&
+          col("cus_pos_4n") === max(col("cus_pos_4n")).over(wAll))
+      .select(col("nation"), col("yyyymm"), col("n_items"),
+        col("s4").as("rev4"), col("cus_pos_4n"), col("cus_neg_4n"),
+        col("pos_peak"))
+      .orderBy(col("nation"), col("yyyymm"))
+  }
+
+  // lazy: demandSeriesCtes is declared below (declaration-order init).
+  private lazy val demandCusumSql =
+    s"""WITH $demandSeriesCtes,
+       |cst AS (
+       |  SELECT nation, yyyymm, n_items, s4,
+       |    COUNT(*) OVER (PARTITION BY nation) AS n,
+       |    CAST(SUM(s4) OVER (PARTITION BY nation) AS BIGINT) AS tot
+       |  FROM series),
+       |cpf AS (
+       |  SELECT *, CAST(SUM(n * s4 - tot) OVER (
+       |    PARTITION BY nation ORDER BY yyyymm) AS BIGINT) AS p
+       |  FROM cst),
+       |ccu AS (
+       |  SELECT nation, yyyymm, n_items, s4 AS rev4,
+       |    p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p) OVER (
+       |      PARTITION BY nation ORDER BY yyyymm) AS BIGINT))
+       |      AS cus_pos_4n,
+       |    GREATEST(CAST(0 AS BIGINT), CAST(MAX(p) OVER (
+       |      PARTITION BY nation ORDER BY yyyymm) AS BIGINT)) - p
+       |      AS cus_neg_4n
+       |  FROM cpf)
+       |SELECT nation, yyyymm, n_items, rev4, cus_pos_4n, cus_neg_4n,
+       |  cus_pos_4n > 0 AND cus_pos_4n = MAX(cus_pos_4n) OVER (
+       |    PARTITION BY nation) AS pos_peak
+       |FROM ccu ORDER BY nation, yyyymm""".stripMargin
+
   /** The shared li→dim→series SQL CTE chain (defines `series` with
     * (nation, yyyymm, s4, n_items)) — the DuckDB twin of
     * [[demandSeriesOf]], used by all three demand oracles (one
@@ -1077,6 +1158,7 @@ object FeatureQueries {
     Q("feature_woe_iv", featureWoeIv, Some(featureWoeIvSql)),
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
+    Q("demand_cusum", demandCusum, Some(demandCusumSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
     Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
     Q("parts_abc_sketch", partsAbcSketch, Some(partsAbcSketchSql)),

@@ -457,6 +457,39 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("demand_cusum: prefix-sum closed form equals the textbook " +
+    "max(0,·) recursion on a hand series with a spike and resets") {
+    import spark.implicits._
+    import java.sql.Date
+    // One nation, five months, revenue 10/10/40/10/10 — the spike
+    // drives S+ to its 2026-03 peak and S- to a genuine 0 reset.
+    val prices = Seq(10.0, 10.0, 40.0, 10.0, 10.0)
+    val li = prices.zipWithIndex.map { case (p, i) =>
+      (1L, Date.valueOf(s"2026-0${i + 1}-15"), p, 0.0)
+    }.toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .repartition(3)
+    val sup = Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((0L, "AAA")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.demandCusumOf(li, sup, nat).collect()
+      .map(r => (r.getInt(1), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getBoolean(6)))
+    // Hand (rev4 = price·10⁴, n = 5, tot = 8e5): d = 5x − tot,
+    // P = [-3,-6,6,3,0]·10⁵; S+ = P − min(0, runmin P); S- = max(0,
+    // runmax P) − P — equal to the recursion folded by hand below.
+    assert(out.toSeq === Seq(
+      (202601, 100000L, 0L, 300000L, false),
+      (202602, 100000L, 0L, 600000L, false),
+      (202603, 400000L, 1200000L, 0L, true),
+      (202604, 100000L, 900000L, 300000L, false),
+      (202605, 100000L, 600000L, 600000L, false)))
+    // Independent textbook recursion over the same deviations.
+    val d = prices.map(p => (5 * p * 10000 - 800000).toLong)
+    val sp = d.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+    val sn = d.scanLeft(0L)((s, x) => math.max(0L, s - x)).tail
+    assert(out.map(_._3).toSeq === sp)
+    assert(out.map(_._4).toSeq === sn)
+  }
+
   test("feature_woe_iv: hand-computed smoothed WOE and micro-grid IV " +
     "terms across all three feature bins") {
     import spark.implicits._
