@@ -723,6 +723,53 @@ class GUserSpec extends GraftSuite {
     assert(empty.count() === 0L)
   }
 
+  private def runMatch(edges: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    UserGraphQueries.matchingOf(
+      edges.map { case (a, b, w) => mstPack(a, b, w) }.toDF("a", "b", "p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+  }
+
+  test("graph_matching: heavy middle edge beats both neighbors; " +
+    "retired neighbor re-enables the tail edge in round two") {
+    // (2,3,9) dominates round 1 and retires (1,2)/(3,4); (4,5,7)
+    // becomes locally dominant only in round 2.
+    val out = runMatch(Seq((1L, 2L, 5L), (2L, 3L, 9L), (3L, 4L, 8L),
+      (4L, 5L, 7L)))
+    assert(out === Seq((2L, 3L, 9L, 1L, true), (4L, 5L, 7L, 2L, true)))
+  }
+
+  test("graph_matching: zipf derivation invariant under partitioning; " +
+    "matching is a matching and maximal; empty frame degrades") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.functions._
+    val ev = (0L until 1500L).map(i => i * 7919L + 13L).toDF("event_id")
+    def run(p: Int) = UserGraphQueries.matchingOf(
+      UserGraphQueries.matchWeightedOf(
+        UserGraphQueries.zipfEdgesOf(ev.repartition(p))))
+      .collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+    assert(a.forall(_.last === true))
+    // Matching: no vertex twice; maximal: every edge touches a match.
+    val mv = a.flatMap(r => Seq(r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long]))
+    assert(mv.distinct.size === mv.size)
+    val mset = mv.toSet
+    val can = UserGraphQueries.zipfEdgesOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(can.forall { case (x, y) => mset(x) || mset(y) })
+    val empty = UserGraphQueries.matchingOf(
+      Seq.empty[(Long, Long, Long)].toDF("a", "b", "p"))
+    assert(empty.columns.toSeq ===
+      Seq("a", "b", "w", "round", "converged"))
+    assert(empty.count() === 0L)
+  }
+
   private def runMis(edges: Seq[(Long, Long)]) = {
     import spark.implicits._
     import graft.queries.UserGraphQueries
