@@ -770,6 +770,48 @@ class GUserSpec extends GraftSuite {
     assert(empty.count() === 0L)
   }
 
+  test("graph_densest_subgraph: peel sheds the path tail and surfaces " +
+    "the K4 core as the best state") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // K4 on 1-4 (density 1.5) + path 4-5-6-7; initial density 9/7.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val out = UserGraphQueries.densestOf(edges.toDF("a", "b")
+      .repartition(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === (1L to 4L).map(v =>
+      (v, 3L, 4L, 6L, 1500000000L, true)))
+  }
+
+  test("graph_densest_subgraph: zipf derivation invariant under " +
+    "partitioning; density audit holds; empty frame degrades") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.functions._
+    val ev = (0L until 1500L).map(i => i * 7919L + 13L).toDF("event_id")
+    def run(p: Int) = UserGraphQueries.densestOf(
+      UserGraphQueries.zipfEdgesOf(ev.repartition(p)))
+      .collect().map(_.toSeq).toSeq
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+    assert(a.forall(_.last === true))
+    // Audit: nv = row count; ne = half the in-state degree sum;
+    // density matches the published quantized grid.
+    val nv = a.head(2).asInstanceOf[Long]
+    val ne = a.head(3).asInstanceOf[Long]
+    assert(nv === a.size.toLong)
+    assert(2L * ne === a.map(_(1).asInstanceOf[Long]).sum)
+    assert(a.head(4) === ne * 1000000000L / nv)
+    val empty = UserGraphQueries.densestOf(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(empty.columns.toSeq ===
+      Seq("id", "deg_in", "nv", "ne", "density_e9", "converged"))
+    assert(empty.count() === 0L)
+  }
+
   private def runMis(edges: Seq[(Long, Long)]) = {
     import spark.implicits._
     import graft.queries.UserGraphQueries
