@@ -163,4 +163,29 @@ class TemporalSpec extends GraftSuite {
         col("n").as("n_events"), col("sum_value"))
     assert(rows(got) === rows(want))
   }
+
+  test("events_interval_union: swallow, touch-merge, gap-split — the " +
+    "cases fixed-gap sessionize logic gets wrong") {
+    import spark.implicits._
+    // value k/100 → cents k → lease k·10⁷ µs.
+    val evs = Seq(
+      // user 1: [0,1e8) swallows [2e7,3e7); [1e8,1.1e8) touches-merges;
+      // [5e8,5.2e8) is a genuine gap.
+      (1L, 1L, 0L, 0.10), (2L, 1L, 20000000L, 0.01),
+      (3L, 1L, 100000000L, 0.01), (4L, 1L, 500000000L, 0.02),
+      // user 2: one long lease swallows TWO later short ones — a
+      // prev-gap predicate would split after the short leases expire.
+      (5L, 2L, 0L, 1.00), (6L, 2L, 100000000L, 0.01),
+      (7L, 2L, 200000000L, 0.01), (8L, 2L, 2000000000L, 0.05))
+      .toDF("event_id", "user_id", "tus", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("tus")).as("ts"), col("value"))
+      .repartition(3)
+    val out = graft.queries.TemporalQueries.intervalUnionOf(evs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 110000000L, 3L), (1L, 500000000L, 520000000L, 1L),
+      (2L, 0L, 1000000000L, 3L), (2L, 2000000000L, 2050000000L, 1L)))
+  }
 }
