@@ -1678,7 +1678,117 @@ object TextQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ── X137: text_rake — RAKE keyword extraction. ─────────────────────
+  private val RakeStopK = 8 // adaptive delimiter lexicon size
+  private val RakeMaxLen = 4 // standard RAKE candidate-length cap
+  private val RakeTopK = 50
+
+  /** X137 — text_rake: RAKE keyword/keyphrase extraction (Rose et al.
+    * 2010) with the ADAPTIVE frequency-generated stoplist variant —
+    * delimiters = the [[RakeStopK]] most frequent corpus words
+    * ((count DESC, word) total order — exact integers, deterministic
+    * even on the near-uniform synthetic vocabulary), because the fixed
+    * English stoplist barely occurs in the fixture corpus and would
+    * degenerate every document into one giant phrase (measured in the
+    * landing sim). Candidate phrases = maximal non-delimiter runs
+    * (gaps-and-islands: `pos − row_number` per doc), capped at
+    * [[RakeMaxLen]] words (the standard RAKE cap — uncapped, the known
+    * long-phrase bias puts only whole-document runs in the top-K,
+    * measured too); word score = deg/freq over candidate tokens,
+    * LIFTED to the exact micro-integer grid (`deg·10⁶ div freq`) so the
+    * per-phrase score is an ORDER-FREE integer sum (the X132
+    * discipline); output = global top-[[RakeTopK]] distinct phrases by
+    * (score DESC, phrase) with occurrence counts. Sim evidence:
+    * 1 889/1 796/11 516 distinct candidates with occurrence counts up
+    * to 96/98/7 750 at sf0.001/0.01/sf1 and ZERO cross-occurrence
+    * score disagreement.
+    *
+    * Scale: one token explode + one global word count (the ≤\|vocab\|
+    * delimiter set broadcasts into an anti-join), one per-doc window,
+    * two keyed aggregations, and a TakeOrdered top-K — no all-pairs
+    * anywhere; integer arithmetic end to end.
+    */
+  private def textRake(s: SparkSession, dir: String): DataFrame =
+    rakeOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[textRake]]: explicit documents frame; the
+    * stoplist size and candidate cap are parameters so hand specs can
+    * pin the arithmetic on small vocabularies.
+    */
+  private[graft] def rakeOf(docs: DataFrame,
+      stopK: Int = RakeStopK, maxLen: Int = RakeMaxLen,
+      topK: Int = RakeTopK): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val stopw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(stopK)
+      .select(col("w"))
+    val ns = tok.join(broadcast(stopw), Seq("w"), "left_anti")
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val ph = ns.groupBy(col("doc_id"), col("grp"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= maxLen)
+    val pw = ns.select(col("doc_id"), col("grp"), col("w"))
+      .join(ph, Seq("doc_id", "grp"))
+    val ws = pw.groupBy(col("w"))
+      .agg(expr(s"(sum(plen) * 1000000) div count(*)").as("wsc"))
+    val psc = pw.join(ws, Seq("w"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("wsc")).as("score"), max(col("phrase")).as("phrase"),
+        max(col("plen")).as("plen"))
+    psc.groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n_occ"),
+        max(col("score")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        col("score_micro"))
+  }
+
+  private val textRakeSql =
+    s"""WITH rtok AS (
+       |  SELECT doc_id, u.w, u.pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |           generate_subscripts(string_split(text, ' '), 1) AS pos
+       |    FROM documents) u(doc_id, w, pos)
+       |  WHERE u.w <> ''),
+       |rstop AS (
+       |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM rtok GROUP BY 1
+       |  ORDER BY c DESC, w LIMIT $RakeStopK)),
+       |rns AS (
+       |  SELECT doc_id, w, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS grp
+       |  FROM rtok WHERE w NOT IN (SELECT w FROM rstop)),
+       |rph AS (
+       |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |         COUNT(*) AS plen
+       |  FROM rns GROUP BY 1, 2
+       |  HAVING COUNT(*) <= $RakeMaxLen),
+       |rpw AS (
+       |  SELECT n.doc_id, n.grp, n.w, p.plen, p.phrase
+       |  FROM rns n JOIN rph p USING (doc_id, grp)),
+       |rws AS (
+       |  SELECT w, (CAST(SUM(plen) AS BIGINT) * 1000000) // COUNT(*)
+       |    AS wsc
+       |  FROM rpw GROUP BY w),
+       |rpsc AS (
+       |  SELECT rpw.doc_id, rpw.grp, CAST(SUM(rws.wsc) AS BIGINT)
+       |      AS score,
+       |    MAX(rpw.phrase) AS phrase, MAX(rpw.plen) AS plen
+       |  FROM rpw JOIN rws USING (w) GROUP BY 1, 2)
+       |SELECT phrase, CAST(MAX(plen) AS BIGINT) AS n_words,
+       |  COUNT(*) AS n_occ, MAX(score) AS score_micro
+       |FROM rpsc GROUP BY phrase
+       |ORDER BY score_micro DESC, phrase LIMIT $RakeTopK""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("text_rake", textRake, Some(textRakeSql)),
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("doc_quality_calibration", docQualityCalibration,
       Some(docQualityCalibrationSql)),

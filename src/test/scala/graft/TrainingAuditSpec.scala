@@ -457,6 +457,31 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("text_rake: hand-computed deg/freq scores, cross-doc phrase " +
+    "dedup, and the candidate-length cap reshaping the word stats") {
+    import spark.implicits._
+    import graft.queries.TextQueries
+    // 's' is the most frequent word → the adaptive stoplist (K=1).
+    val docs = Seq(
+      (1L, "s red fox s red s lazy dog fox s"),
+      (2L, "red fox s")).toDF("doc_id", "text").repartition(3)
+    val out = TextQueries.rakeOf(docs, stopK = 1, maxLen = 4, topK = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // freq/deg over candidates: red 3/5, fox 3/7, lazy 1/3, dog 1/3.
+    assert(out.toSeq === Seq(
+      ("lazy dog fox", 3L, 1L, 8333333L),
+      ("red fox", 2L, 2L, 3999999L),
+      ("red", 1L, 1L, 1666666L)))
+    // maxLen=2 drops the 3-word run from candidates AND word stats.
+    val capped = TextQueries.rakeOf(docs, stopK = 1, maxLen = 2,
+      topK = 50).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(capped.toSeq === Seq(
+      ("red fox", 2L, 2L, 3666666L),
+      ("red", 1L, 1L, 1666666L)))
+  }
+
   test("demand_cusum: prefix-sum closed form equals the textbook " +
     "max(0,·) recursion on a hand series with a spike and resets") {
     import spark.implicits._
