@@ -286,6 +286,78 @@ object FeatureQueries {
       .orderBy(col("nation"), col("yyyymm"))
   }
 
+  /** Benford expected first-digit shares in exact ppm — the literal
+    * integer table `round(log10(1 + 1/d)·10⁶)`; the nine constants
+    * telescope to exactly 1 000 000, so the expected column is
+    * self-auditing. Identical literals in both engines — no runtime log.
+    */
+  private val BenfordPpm =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  /** X138 — orders_benford_audit: FIRST-DIGIT (Benford) distribution
+    * audit over the order totals — the classic fraud/synthetic-data
+    * screen a data-quality pass runs on monetary columns. Observed
+    * first-digit counts of the exact cents integer vs the Benford
+    * expectation, both on the exact ppm grid (observed_ppm =
+    * n_d·10⁶ div N; expected = the [[BenfordPpm]] literal table;
+    * dev_ppm = the signed gap) — ZERO FP anywhere, no runtime
+    * logarithm. On TPC-H the verdict is loudly non-Benford (digits 1–4
+    * carry ~4× the mass of 5–9, the generator's range shape — measured
+    * before landing, all nine digits populated at every SF): the audit
+    * REPORTING a deviation is the honest non-degenerate output, not a
+    * tuned pass/fail flag.
+    *
+    * Scale: one map-side first-digit projection + a 9-group combinable
+    * count; the digit table is a literal broadcast. Nine output rows.
+    */
+  private def ordersBenford(s: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[ordersBenford]]: explicit orders frame. */
+  private[graft] def benfordOf(orders: DataFrame): DataFrame = {
+    val s = orders.sparkSession
+    import s.implicits._
+    val exp = BenfordPpm.zipWithIndex
+      .map { case (p, i) => (i + 1L, p) }.toDF("digit", "expected_ppm")
+    val obs = orders.select(
+      substring(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    exp.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_ppm"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(lit(1))))
+      .withColumn("observed_ppm", expr("(n * 1000000) div tot"))
+      .withColumn("dev_ppm", col("observed_ppm") - col("expected_ppm"))
+      .select(col("digit"), col("n"), col("observed_ppm"),
+        col("expected_ppm"), col("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  private val ordersBenfordSql = {
+    val expRows = BenfordPpm.zipWithIndex.map { case (p, i) =>
+      s"(${i + 1}, $p)"
+    }.mkString(", ")
+    s"""WITH bexp(digit, expected_ppm) AS (VALUES $expRows),
+       |bobs AS (
+       |  SELECT CAST(SUBSTR(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    COUNT(*) AS n
+       |  FROM orders GROUP BY 1),
+       |bj AS (
+       |  SELECT CAST(e.digit AS BIGINT) AS digit,
+       |    COALESCE(o.n, 0) AS n, CAST(e.expected_ppm AS BIGINT)
+       |      AS expected_ppm
+       |  FROM bexp e LEFT JOIN bobs o ON e.digit = o.digit)
+       |SELECT digit, n,
+       |  (n * 1000000) // CAST((SELECT SUM(n) FROM bj) AS BIGINT) AS observed_ppm,
+       |  expected_ppm,
+       |  (n * 1000000) // CAST((SELECT SUM(n) FROM bj) AS BIGINT) - expected_ppm
+       |    AS dev_ppm
+       |FROM bj ORDER BY digit""".stripMargin
+  }
+
   /** X133 — demand_cusum: CUSUM change-point statistics over the shared
     * per-nation monthly revenue series — the drift/mean-shift monitor a
     * training-data platform runs on every input feed (did this source's
@@ -1159,6 +1231,7 @@ object FeatureQueries {
     Q("demand_features", demandFeatures, Some(demandFeaturesSql)),
     Q("demand_backtest", demandBacktest, Some(demandBacktestSql)),
     Q("demand_cusum", demandCusum, Some(demandCusumSql)),
+    Q("orders_benford_audit", ordersBenford, Some(ordersBenfordSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
     Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
     Q("parts_abc_sketch", partsAbcSketch, Some(partsAbcSketchSql)),

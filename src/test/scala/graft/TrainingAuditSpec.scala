@@ -457,6 +457,23 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("orders_benford_audit: hand counts, zero-digit coalesce, ppm " +
+    "grid, and the telescoping expected table") {
+    import spark.implicits._
+    val orders = Seq(123.00, 19.99, 250.00, 33.33, 999.99)
+      .toDF("o_totalprice").repartition(3)
+    val out = FeatureQueries.benfordOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq === (1L to 9L))
+    assert(out.map(_._2).toSeq === Seq(2L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(out.map(_._3).toSeq ===
+      Seq(400000L, 200000L, 200000L, 0L, 0L, 0L, 0L, 0L, 200000L))
+    // expected table telescopes to exactly one million ppm
+    assert(out.map(_._4).sum === 1000000L)
+    assert(out.forall(r => r._5 === r._3 - r._4))
+  }
+
   test("text_rake: hand-computed deg/freq scores, cross-doc phrase " +
     "dedup, and the candidate-length cap reshaping the word stats") {
     import spark.implicits._
