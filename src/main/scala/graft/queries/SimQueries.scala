@@ -64,6 +64,161 @@ object SimQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ── X139: sim_topk_mmr — maximal-marginal-relevance reranking. ─────
+  private val MmrK = 10 // final diversified list length
+  private val MmrPool = 20 // relevance over-fetch the greedy runs on
+
+  /** X139 — sim_topk_mmr: MAXIMAL MARGINAL RELEVANCE reranking
+    * (Carbonell & Goldstein 1998, λ = ½) — the diversity pass a RAG /
+    * retrieval stack runs between ANN fetch and prompt assembly so the
+    * context window isn't ten near-duplicates of the best hit: fetch
+    * the [[MmrPool]] most relevant candidates per query (the X3
+    * brute-force scorer, the family's declared exact baseline), then
+    * greedily pick [[MmrK]] of them, each step taking the candidate
+    * maximizing `rel − max_{s∈selected} sim(c, s)` (λ = ½ clears the
+    * coefficients). EXACT arithmetic: relevance and pairwise cosines
+    * are lifted to the micro-integer grid (`floor(cos·10⁶ + 0.5)` —
+    * the qround(6) integer numerator), so every greedy comparison is
+    * BIGINT with the c_id tie-break — the sequential-looking greedy is
+    * thus cross-engine deterministic, and ALL queries advance one step
+    * per round in parallel (the driver loop is over STEPS, not
+    * queries). Output one row per (query, step) with the picked
+    * candidate, its relevance, and its MMR score (step 1's score =
+    * relevance by definition — spec-pinned).
+    *
+    * Scale: the pool fetch is the X3 broadcast scan; the greedy then
+    * runs on \|queries\|·[[MmrPool]] rows and \|queries\|·pool² pairs —
+    * independent of corpus size (the whole point of rerank-after-fetch:
+    * the expensive part stays embarrassingly parallel, the sequential
+    * part is bounded by the serving page). [[MmrK]] − 1 driver rounds
+    * of keyed joins on those bounded frames, pinned checkpoints.
+    */
+  private def simTopkMmr(s: SparkSession, dir: String): DataFrame =
+    mmrOf(withNorms(s, dir))
+
+  /** Testable seam for [[simTopkMmr]]: explicit
+    * (vec_id, embedding, nrm) frame.
+    */
+  private[graft] def mmrOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val relU = floor(
+      (VectorFns.dot(col("q_emb"), col("embedding")) /
+        (col("q_nrm") * col("nrm"))) * 1000000.0 + 0.5).cast("long")
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"),
+        relU.as("rel_micro"))
+    val wPool = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_micro").desc, col("c_id"))
+    val pool = pinned(scored.withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= MmrPool)
+      .select(col("q_id"), col("c_id"), col("c_emb"), col("c_nrm"),
+        col("rel_micro")))
+    val simU = floor(
+      (VectorFns.dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm"))) * 1000000.0 + 0.5).cast("long")
+    val pairs = pinned(pool.select(col("q_id"), col("c_id").as("a_id"),
+        col("c_emb").as("a_emb"), col("c_nrm").as("a_nrm"))
+      .join(pool.select(col("q_id"), col("c_id").as("b_id"),
+        col("c_emb").as("b_emb"), col("c_nrm").as("b_nrm")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"), simU.as("sim_micro")))
+    val slim = pool.select(col("q_id"), col("c_id"), col("rel_micro"))
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr_micro").desc, col("c_id"))
+    var sel = pinned(slim
+      .withColumn("mmr_micro", col("rel_micro"))
+      .withColumn("rk", row_number().over(wPick)).filter(col("rk") === 1)
+      .select(col("q_id"), lit(1L).as("step"), col("c_id"),
+        col("rel_micro"), col("mmr_micro")))
+    for (i <- 2 to MmrK) {
+      val rem = slim.join(sel.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_anti")
+      val ms = rem
+        .join(sel.select(col("q_id"), col("c_id").as("s_id")), Seq("q_id"))
+        .join(pairs.select(col("q_id").as("p_qid"), col("a_id"),
+          col("b_id"), col("sim_micro")),
+          col("q_id") === col("p_qid") &&
+            col("c_id") === col("a_id") && col("s_id") === col("b_id"))
+        .groupBy(col("q_id"), col("c_id"), col("rel_micro"))
+        .agg(max(col("sim_micro")).as("msim"))
+      val pick = ms
+        .withColumn("mmr_micro", col("rel_micro") - col("msim"))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("q_id"), lit(i.toLong).as("step"), col("c_id"),
+          col("rel_micro"), col("mmr_micro"))
+      sel = pinned(sel.unionByName(pick))
+    }
+    sel.orderBy(col("q_id"), col("step"))
+  }
+
+  private lazy val simTopkMmrSql = {
+    val relDot = VectorFns.dotSql("q.embedding", "c.embedding")
+    val pairDot = VectorFns.dotSql("x.c_emb", "y.c_emb")
+    val steps = (2 to MmrK).map { i =>
+      s"""mm${i} AS MATERIALIZED (
+         |  SELECT * FROM ms${i - 1}
+         |  UNION ALL
+         |  SELECT q_id, CAST($i AS BIGINT) AS step, c_id, rel_micro,
+         |         mmr_micro
+         |  FROM (
+         |    SELECT t.q_id, t.c_id, t.rel_micro,
+         |      t.rel_micro - t.msim AS mmr_micro,
+         |      ROW_NUMBER() OVER (PARTITION BY t.q_id
+         |        ORDER BY t.rel_micro - t.msim DESC, t.c_id) AS rk
+         |    FROM (
+         |      SELECT p.q_id, p.c_id, p.rel_micro,
+         |        MAX(pp.sim_micro) AS msim
+         |      FROM mpool p
+         |      JOIN ms${i - 1} s ON p.q_id = s.q_id
+         |      JOIN mpairs pp ON pp.q_id = p.q_id
+         |        AND pp.a_id = p.c_id AND pp.b_id = s.c_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM ms${i - 1} z
+         |        WHERE z.q_id = p.q_id AND z.c_id = p.c_id)
+         |      GROUP BY p.q_id, p.c_id, p.rel_micro) t) u
+         |  WHERE u.rk = 1),
+         |ms$i AS (SELECT * FROM mm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mn AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |mq AS (SELECT vec_id AS q_id, embedding, nrm FROM mn
+       |       WHERE vec_id < $NQueries),
+       |mscored AS (
+       |  SELECT q.q_id, c.vec_id AS c_id, c.embedding AS c_emb,
+       |    c.nrm AS c_nrm,
+       |    CAST(FLOOR(($relDot / (q.nrm * c.nrm)) * 1000000 + 0.5)
+       |      AS BIGINT) AS rel_micro
+       |  FROM mn c CROSS JOIN mq q WHERE c.vec_id <> q.q_id),
+       |mpool AS MATERIALIZED (
+       |  SELECT q_id, c_id, c_emb, c_nrm, rel_micro FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel_micro DESC, c_id) AS rk
+       |    FROM mscored) WHERE rk <= $MmrPool),
+       |mpairs AS MATERIALIZED (
+       |  SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id,
+       |    CAST(FLOOR(($pairDot / (x.c_nrm * y.c_nrm)) * 1000000 + 0.5)
+       |      AS BIGINT) AS sim_micro
+       |  FROM mpool x JOIN mpool y ON x.q_id = y.q_id
+       |  WHERE x.c_id <> y.c_id),
+       |ms1 AS MATERIALIZED (
+       |  SELECT q_id, CAST(1 AS BIGINT) AS step, c_id, rel_micro,
+       |    rel_micro AS mmr_micro
+       |  FROM (
+       |    SELECT q_id, c_id, rel_micro, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rel_micro DESC, c_id) AS rk
+       |    FROM mpool) WHERE rk = 1),
+       |$steps
+       |SELECT q_id, step, c_id, rel_micro, mmr_micro
+       |FROM ms$MmrK ORDER BY q_id, step""".stripMargin
+  }
+
   /** sim_range_search cosine threshold (applied to the QUANTIZED score —
     * see boundary note on [[simRangeSearch]]).
     */
@@ -1844,6 +1999,7 @@ object SimQueries {
   val qs: Seq[Q] = Seq(
     Q("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_topk_mmr", simTopkMmr, Some(simTopkMmrSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_topk_filtered", simTopkFiltered, Some(simTopkFilteredSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),

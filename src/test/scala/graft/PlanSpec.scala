@@ -89,6 +89,7 @@ class PlanSpec extends GraftSuite {
     "dedup_minhash",      // 4-row band-parameter literal table
     "dedup_embedding",    // 1-row mean vector
     "sim_topk",           // 10-row query side (declared brute-force baseline)
+    "sim_topk_mmr",       // same 10-row query side, MMR rerank pool
     "sim_range_search",   // same 10-row query side, threshold gate
     "sim_topk_filtered",  // same 10-row query side, pre-filtered candidates
     "sim_topk_ivf",       // 10-row query side × centroid table

@@ -457,6 +457,47 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("sim_topk_mmr: diversity beats redundant relevance in step two; " +
+    "short pools drain gracefully") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimQueries
+    import graft.functions.VectorFns
+    // q = vec 0 (the only id < NQueries). v11 is the most relevant;
+    // v12 is nearly a duplicate of v11; v13 is less relevant but
+    // diverse — MMR must pick v13 second despite rel(v12) > rel(v13).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.89f, 0.11f)),
+      (13L, Array(0.5f, -0.5f)))
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .repartition(2)
+    val out = SimQueries.mmrOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // Expected micro scores replicated with the same widen-fold-divide
+    // double arithmetic the engine uses.
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble }
+    def cosU(a: Array[Float], b: Array[Float]) = math.floor(
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) *
+        1000000.0 + 0.5).toLong
+    val (v0, v11, v12, v13) = (vecs(0)._2, vecs(1)._2, vecs(2)._2,
+      vecs(3)._2)
+    val r11 = cosU(v0, v11); val r12 = cosU(v0, v12)
+    val r13 = cosU(v0, v13)
+    assert(out.toSeq === Seq(
+      (0L, 1L, 11L, r11, r11),
+      (0L, 2L, 13L, r13, r13 - cosU(v13, v11)),
+      (0L, 3L, 12L, r12,
+        r12 - math.max(cosU(v12, v11), cosU(v12, v13)))))
+    // sanity: the redundant candidate really was more relevant
+    assert(r12 > r13)
+  }
+
   test("orders_benford_audit: hand counts, zero-digit coalesce, ppm " +
     "grid, and the telescoping expected table") {
     import spark.implicits._
