@@ -457,6 +457,27 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("substrate_skyline: dominance semantics — equal-price ties, " +
+    "strict coordinates, per-brand isolation") {
+    import spark.implicits._
+    import graft.queries.Substrate
+    val part = Seq(
+      (1L, "A", 1.00, 10), (2L, "A", 1.00, 10), // both kept (no strict)
+      (3L, "A", 1.00, 5),   // dominated within the price tie-group
+      (4L, "A", 1.50, 12),  // pricier but larger → frontier
+      (5L, "A", 1.50, 10),  // pricier, not larger → dominated
+      (6L, "A", 0.90, 3),   // cheapest → frontier
+      (7L, "B", 9.99, 1))   // other brand: lone frontier point
+      .toDF("p_partkey", "p_brand", "p_retailprice", "p_size")
+      .repartition(3)
+    val out = Substrate.skylineOf(part).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("A", 90L, 3L, 6L), ("A", 100L, 10L, 1L), ("A", 100L, 10L, 2L),
+      ("A", 150L, 12L, 4L), ("B", 999L, 1L, 7L)))
+  }
+
   test("sim_topk_mmr: diversity beats redundant relevance in step two; " +
     "short pools drain gracefully") {
     import spark.implicits._
