@@ -418,7 +418,6 @@ object StreamQueries {
     */
   private def valuePctExact(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qs = Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("cents"), col("event_id"))
     val wAll = Window.partitionBy(col("event_type"))
@@ -426,23 +425,23 @@ object StreamQueries {
       expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wAll))
-    qs.map { case (pct, num, den) =>
-      base.filter(col("rn") ===
-        expr(s"($num * n + ${den - 1}) div $den"))
-        .select(col("event_type"), lit(pct).as("q_pct"),
-          col("rn").as("rank"), col("n"), col("cents").as("value_cents"))
-    }.reduce(_ unionByName _)
+    // The three arms explode MAP-SIDE off the one windowed frame — a
+    // union of three filters re-plans the scan+window per arm (3 hash
+    // exchanges, measured) because attribute ids defeat exchange reuse.
+    val arms = explode(array(
+      Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L)).map {
+        case (pct, num, den) => struct(lit(pct).as("q_pct"),
+          expr(s"($num * n + ${den - 1}) div $den").as("target"))
+      }: _*))
+    base.select(col("event_type"), col("rn"), col("n"), col("cents"),
+      arms.as("arm"))
+      .filter(col("rn") === col("arm.target"))
+      .select(col("event_type"), col("arm.q_pct").as("q_pct"),
+        col("rn").as("rank"), col("n"), col("cents").as("value_cents"))
       .orderBy(col("event_type"), col("q_pct"))
   }
 
-  private val valuePctExactSql = {
-    val arms = Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L))
-      .map { case (pct, num, den) =>
-        s"""SELECT event_type, CAST($pct AS BIGINT) AS q_pct,
-           |  rn AS rank, n, cents AS value_cents
-           |FROM vpe WHERE rn = ($num * n + ${den - 1}) // $den"""
-          .stripMargin
-      }.mkString(" UNION ALL ")
+  private val valuePctExactSql =
     s"""WITH vpe AS (
        |  SELECT event_type, event_id,
        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
@@ -450,9 +449,13 @@ object StreamQueries {
        |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
        |               event_id) AS rn,
        |    COUNT(*) OVER (PARTITION BY event_type) AS n
-       |  FROM events)
-       |SELECT * FROM ($arms) ORDER BY event_type, q_pct""".stripMargin
-  }
+       |  FROM events),
+       |vpa(q_pct, num, den) AS (
+       |  VALUES (CAST(50 AS BIGINT), 1, 2), (90, 9, 10), (99, 99, 100))
+       |SELECT event_type, q_pct, rn AS rank, n, cents AS value_cents
+       |FROM vpe CROSS JOIN vpa
+       |WHERE rn = (num * n + den - 1) // den
+       |ORDER BY event_type, q_pct""".stripMargin
 
   /** X16 — funnel / sequence analytics: per user, how many `view` events
     * were followed by a `click` within an hour (stage 2), and how many of

@@ -329,6 +329,33 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("round-11 window keys hold their single-exchange budgets") {
+    // events_interval_union / substrate_skyline /
+    // value_percentiles_exact: ONE hash exchange (all window specs and
+    // the follow-up group-by share or refine the same key; the
+    // percentile arms explode map-side — the union-of-filters form
+    // re-planned the scan per arm, 3 exchanges, fixed before landing).
+    // demand_cusum: TWO by design — the (nation, yyyymm) series roll-up
+    // cannot serve the (nation) windows. Trailing range exchanges are
+    // the oracle ORDER BY. A third hash exchange anywhere = a window
+    // spec diverged (scale regression).
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning,
+      RangePartitioning}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val budgets = Seq("events_interval_union" -> 1,
+      "substrate_skyline" -> 1, "value_percentiles_exact" -> 1,
+      "demand_cusum" -> 2)
+    for ((key, maxHash) <- budgets) {
+      val ex = planOf(key).collect { case e: ShuffleExchangeExec => e }
+      val hashes = ex.filter(
+        _.outputPartitioning.isInstanceOf[HashPartitioning])
+      val ranges = ex.filter(
+        _.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(hashes.size <= maxHash && hashes.size + ranges.size == ex.size,
+        s"$key: ${ex.map(_.outputPartitioning).mkString(", ")}")
+    }
+  }
+
   test("array_dot runs inside a whole-stage-codegen region") {
     // dedup_embedding's registry entry returns the memoized persisted pair
     // frame (an in-memory scan at the top level), so the codegen property
