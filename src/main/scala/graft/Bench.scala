@@ -93,6 +93,7 @@ object Bench {
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:zipf")(queries.UserGraphQueries.warmZipf(spark, sfDir)),
+      timed("_build:mst")(queries.UserGraphQueries.warmMst(spark, sfDir)),
       timed("_build:scclab")(
         queries.UserGraphQueries.warmSccLabels(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),

@@ -95,6 +95,9 @@ object UserGraphQueries {
     sccLabCache.forEach((k, _) => if (k._1 eq s)
       Option(sccLabCache.remove(k))
         .foreach(_._1.unpersist(blocking = false)))
+    // pinned-checkpoint frames: dropping the reference lets the
+    // ContextCleaner reclaim the checkpoint RDD blocks
+    mstCache.forEach((k, _) => if (k._1 eq s) mstCache.remove(k))
     GUser.evict(s)
   }
 
@@ -2778,8 +2781,24 @@ object UserGraphQueries {
         col("w") * MstPackW + col("a") * MstPackE + col("b"))
   }
 
+  // MSF memo: shared by graph_mst_boruvka and graph_percolation_curve
+  // (Bench `_build:mst`); the fold is ~10 jobs, so the second consumer
+  // justifies the memo (attribution-migration discipline). Evicted via
+  // [[evict]]; pinned frames need no unpersist (bare LogicalRDDs).
+  private val mstCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def mstFrame(s: SparkSession, dir: String): DataFrame =
+    mstCache.computeIfAbsent((s, dir), _ =>
+      mstBoruvkaOf(mstWeightedOf(zipfCanonicalFrame(s, dir))))
+
+  /** Bench `_build:mst` hook: the memoized Borůvka forest. */
+  def warmMst(s: SparkSession, dir: String): Unit = {
+    mstFrame(s, dir).count(); ()
+  }
+
   private def graphMstBoruvka(s: SparkSession, dir: String): DataFrame =
-    mstBoruvkaOf(mstWeightedOf(zipfCanonicalFrame(s, dir)))
+    mstFrame(s, dir)
 
   /** X130 — graph_mst_boruvka: minimum spanning FOREST of the weighted
     * Zipf tier by synchronous Borůvka rounds (the distributed-MST shape
@@ -2875,7 +2894,11 @@ object UserGraphQueries {
     unpacked(msf, conv = !more).orderBy(col("a"), col("b"))
   }
 
-  private val graphMstBoruvkaSql = {
+  /** Shared Borůvka oracle CTE chain (ends at `msel`, the packed MSF
+    * edge set, with `mstw`/`mws` upstream) — ONE val for the X130 and
+    * X143 oracles (CTE-chain discipline).
+    */
+  private val mstOracleCtes = {
     import graft.functions.TextFns
     def h(tag: String) =
       TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
@@ -2915,25 +2938,28 @@ object UserGraphQueries {
     }.mkString(",\n")
     val sel = (1 to MstRounds)
       .map(r => s"SELECT p FROM mk$r").mkString(" UNION ALL ")
-    s"""WITH mwe AS (
+    s"""mwe AS (
        |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
        |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
        |  FROM events),
        |mws AS MATERIALIZED (
        |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
        |  FROM mwe WHERE u <> v),
-       |mstw AS (SELECT a, b, $wExpr AS w FROM mws),
+       |mstw AS MATERIALIZED (SELECT a, b, $wExpr AS w FROM mws),
        |mste AS MATERIALIZED (
        |  SELECT a, b, w, w * $MstPackW + a * $MstPackE + b AS p FROM mstw),
        |mc0 AS MATERIALIZED (
        |  SELECT v, v AS c FROM (
        |    SELECT a AS v FROM mws UNION SELECT b FROM mws)),
        |$rounds,
-       |msel AS (SELECT DISTINCT p FROM ($sel))
+       |msel AS MATERIALIZED (SELECT DISTINCT p FROM ($sel))""".stripMargin
+  }
+
+  private val graphMstBoruvkaSql =
+    s"""WITH $mstOracleCtes
        |SELECT (p // $MstPackE) % $MstPackE AS a, p % $MstPackE AS b,
        |       p // $MstPackW AS w, TRUE AS converged
        |FROM msel ORDER BY a, b""".stripMargin
-  }
 
   // ── X131: graph_mis — deterministic-priority Luby maximal
   // independent set on the Zipf tier.
@@ -3307,7 +3333,103 @@ object UserGraphQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** X143 — graph_percolation_curve: BOND-PERCOLATION profile of the
+    * weighted tier — component count as edges activate in weight order,
+    * sampled at the ten nearest-rank weight deciles (the connectivity-
+    * emergence curve percolation studies and network-resilience audits
+    * read). The load-bearing identity: Kruskal's invariant — for ANY
+    * threshold τ, the MSF edges with w ≤ τ form a spanning forest of
+    * the w ≤ τ subgraph, so `components(τ) = |V| − |MSF ∩ {w ≤ τ}|`
+    * EXACTLY (ties included: both sides condition on raw w; every
+    * sub-threshold merge happened via strictly-earlier total-order
+    * edges, themselves ≤ τ). The expensive object (the X130 forest) is
+    * computed ONCE and shared via the `_build:mst` memo; the curve
+    * itself is two conditional-aggregation passes. Isolated-at-τ
+    * vertices count as singleton components (\|V\| is the full tier).
+    * Spec proves the invariant against an independent [[graft.streaming
+    * .Streams.ccFold]] run on the thresholded subgraph.
+    *
+    * Scale: decile thresholds by DISTRIBUTED sort + zipWithIndex (the
+    * cc_string_ids dictionary discipline — a range exchange, NOT a
+    * single-partition global window), ten bounded rows to the driver,
+    * then ONE map-side-combinable conditional agg over each of the edge
+    * and MSF scans. Driver state: 10 thresholds + 2 scalars.
+    */
+  private def graphPercolation(s: SparkSession, dir: String): DataFrame =
+    percolationOf(mstWeightedOf(zipfCanonicalFrame(s, dir)),
+      mstFrame(s, dir))
+
+  /** Testable seam for [[graphPercolation]]: explicit weighted-edge and
+    * MSF frames (the MSF must be the forest of those edges).
+    */
+  private[graft] def percolationOf(wedges: DataFrame,
+      msf: DataFrame): DataFrame = {
+    val s = wedges.sparkSession
+    import s.implicits._
+    val e = wedges.select(col("a"), col("b"), col("w")).localCheckpoint()
+    val empty = Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("decile", "w_threshold", "n_edges_leq", "n_msf_leq",
+        "n_components")
+    if (e.head(1).isEmpty) return empty
+    val nV = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v"))).distinct().count()
+    val nE = e.count()
+    // nearest-rank deciles of the weight distribution, distributed
+    val ranks = (1 to 10).map(d => (d.toLong * nE + 9L) / 10L).toSet
+    val ths = e.select(col("w")).orderBy(col("w")).rdd
+      .zipWithIndex()
+      .filter { case (_, i) => ranks.contains(i + 1) }
+      .map { case (r, i) => (i + 1, r.getLong(0)) }
+      .collect().toMap
+    val dth = (1 to 10).map(d =>
+      (d.toLong, ths((d.toLong * nE + 9L) / 10L)))
+    def leqCounts(f: DataFrame) = {
+      val aggs = dth.map { case (d, t) =>
+        sum(when(col("w") <= t, 1L).otherwise(0L)).as(s"c$d")
+      }
+      val row = f.agg(aggs.head, aggs.tail: _*).first()
+      dth.indices.map(i => row.getLong(i))
+    }
+    val eLeq = leqCounts(e)
+    val mLeq = leqCounts(msf.select(col("w")))
+    dth.zipWithIndex.map { case ((d, t), i) =>
+      (d, t, eLeq(i), mLeq(i), nV - mLeq(i))
+    }.toDF("decile", "w_threshold", "n_edges_leq", "n_msf_leq",
+      "n_components")
+      .orderBy(col("decile"))
+  }
+
+  private val graphPercolationSql =
+    s"""WITH $mstOracleCtes,
+       |pcv AS (SELECT COUNT(*) AS nv FROM (
+       |  SELECT a AS v FROM mws UNION SELECT b FROM mws)),
+       |pcrk AS (
+       |  SELECT w, ROW_NUMBER() OVER (ORDER BY w, a, b) AS rn
+       |  FROM mstw),
+       |pcth AS (
+       |  SELECT dd.d, r.w
+       |  FROM (VALUES (CAST(1 AS BIGINT)), (2), (3), (4), (5), (6),
+       |        (7), (8), (9), (10)) dd(d)
+       |  JOIN pcrk r
+       |    ON r.rn = (dd.d * (SELECT COUNT(*) FROM mstw) + 9) // 10),
+       |pcmw AS (SELECT p // $MstPackW AS w FROM msel),
+       |pce AS (
+       |  SELECT t.d, t.w, COUNT(e.w) AS n_edges_leq
+       |  FROM pcth t LEFT JOIN mstw e ON e.w <= t.w GROUP BY 1, 2),
+       |pcm AS (
+       |  SELECT t.d, COUNT(m.w) AS n_msf_leq
+       |  FROM pcth t LEFT JOIN pcmw m ON m.w <= t.w GROUP BY 1)
+       |SELECT e.d AS decile, e.w AS w_threshold,
+       |  CAST(e.n_edges_leq AS BIGINT) AS n_edges_leq,
+       |  CAST(m.n_msf_leq AS BIGINT) AS n_msf_leq,
+       |  CAST((SELECT nv FROM pcv) - m.n_msf_leq AS BIGINT)
+       |    AS n_components
+       |FROM pce e JOIN pcm m ON e.d = m.d
+       |ORDER BY decile""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("graph_percolation_curve", graphPercolation,
+      Some(graphPercolationSql)),
     Q("graph_densest_subgraph", graphDensest, Some(graphDensestSql)),
     Q("graph_matching", graphMatching, Some(graphMatchingSql)),
     Q("graph_mis", graphMis, Some(graphMisSql)),

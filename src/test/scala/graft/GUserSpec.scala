@@ -812,6 +812,41 @@ class GUserSpec extends GraftSuite {
     assert(empty.count() === 0L)
   }
 
+  test("graph_percolation_curve: hand Kruskal staircase; component " +
+    "count at a mid threshold equals an independent ccFold run") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import graft.streaming.Streams
+    // V = 6 (vertex 4,5,6 join late/never below τ), E = 5.
+    val hand = Seq((1L, 2L, 10L), (1L, 3L, 15L), (2L, 3L, 20L),
+      (5L, 6L, 25L), (3L, 4L, 30L))
+    val wedges = hand.map { case (a, b, w) => (a, b, w) }
+      .toDF("a", "b", "w").repartition(3)
+    val msf = UserGraphQueries.mstBoruvkaOf(
+      hand.map { case (a, b, w) => mstPack(a, b, w) }
+        .toDF("a", "b", "p"))
+    val out = UserGraphQueries.percolationOf(wedges, msf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 1L, 1L, 5L), (2L, 10L, 1L, 1L, 5L),
+      (3L, 15L, 2L, 2L, 4L), (4L, 15L, 2L, 2L, 4L),
+      (5L, 20L, 3L, 2L, 4L), (6L, 20L, 3L, 2L, 4L),
+      (7L, 25L, 4L, 3L, 3L), (8L, 25L, 4L, 3L, 3L),
+      (9L, 30L, 5L, 4L, 2L), (10L, 30L, 5L, 4L, 2L)))
+    // Invariant vs an independent CC run at τ = 20: components among
+    // covered vertices + isolated tier vertices must equal the curve.
+    val sub = hand.filter(_._3 <= 20L).map(e => (e._1, e._2))
+      .toDF("u", "v")
+    val (labels, ok) = Streams.ccFold(Streams.ccEmptyState(spark), sub)
+    assert(ok)
+    val covered = labels.collect()
+    val comps = covered.map(_.getLong(1)).distinct.length
+    val isolated = 6 - covered.length
+    assert((comps + isolated).toLong ===
+      out.find(_._2 === 20L).get._5)
+  }
+
   private def runMis(edges: Seq[(Long, Long)]) = {
     import spark.implicits._
     import graft.queries.UserGraphQueries
