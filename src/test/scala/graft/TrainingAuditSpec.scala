@@ -457,6 +457,36 @@ class TrainingAuditSpec extends GraftSuite {
       (2L, 2L, 70.0, 184, false))) // Apr 1 → Oct 2 = 184 days
   }
 
+  test("emb_centroid_confusion: exact centroids, argmax assignment, " +
+    "and ppm row shares on a hand cluster with one mislabeled vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.SimQueries
+    import graft.functions.VectorFns
+    // Label a: two vectors near the x-axis. Label b: two near the
+    // y-axis PLUS one mislabeled x-axis vector (v5) — it drags b's
+    // centroid but still classifies as a (cos(v5, centroid_a) = 1.0).
+    val emb = Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.8f, 0.2f)),
+      (3L, "b", Array(0.0f, 1.0f)), (4L, "b", Array(0.2f, 0.8f)),
+      (5L, "b", Array(0.9f, 0.1f)))
+      .toDF("vec_id", "label", "embedding").repartition(3)
+    val e = emb.withColumn("nrm", VectorFns.norm(col("embedding")))
+    val cent = SimQueries.centroidsOf(emb)
+    val out = SimQueries.centroidConfusionOf(e, cent).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", "a", 2L, 1000000L),
+      ("b", "a", 1L, 333333L),
+      ("b", "b", 2L, 666666L)))
+    // centroid of a is the exact mean on the micro grid
+    val ca = cent.filter(col("c_label") === "a")
+      .select(col("centroid")).collect().head.getSeq[Double](0)
+    assert(ca.map(x => math.floor(x * 1e6 + 0.5) / 1e6) ===
+      Seq(0.9, 0.1).map(x => math.floor(x * 1e6 + 0.5) / 1e6))
+  }
+
   test("value_percentiles_exact: nearest-rank arithmetic on a " +
     "ten-value hand series") {
     import spark.implicits._
