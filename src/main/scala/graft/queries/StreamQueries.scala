@@ -457,6 +457,70 @@ object StreamQueries {
        |WHERE rn = (num * n + den - 1) // den
        |ORDER BY event_type, q_pct""".stripMargin
 
+  /** X145 — events_dau_stickiness: the DAU/WAU/MAU ACTIVE-USER ladder
+    * with the DAU/WAU stickiness ratio — the product-analytics daily
+    * report (how much of the weekly audience shows up daily). Trailing
+    * windows over the distinct user-day frame: per spine day d, DAU =
+    * distinct users on d, WAU = distinct users in [d−6, d], MAU =
+    * distinct users in [d−27, d] (RAMPING during the first window —
+    * the standard definition, every day reports over available
+    * history); stickiness = DAU·10⁶ div WAU on the exact ppm grid.
+    * Windowed COUNT(DISTINCT …) is not window-function-expressible, so
+    * the form is the standard batch one: ONE range join of the day
+    * spine against the user-day frame within the widest window + three
+    * CONDITIONAL distinct counts in one aggregation — no triple scan.
+    * Day arithmetic on integer epoch days (the X89 datediff parity).
+    *
+    * Scale: the user-day distinct frame is \|users × active-days\|
+    * bounded; the spine join fans out ≤ 28× that — the accepted batch
+    * cost of exact trailing distincts (the sketch alternative is X6's
+    * HLL ladder); everything downstream is one combinable agg.
+    */
+  private def eventsDauStickiness(s: SparkSession,
+      dir: String): DataFrame =
+    dauStickinessOf(events(s, dir))
+
+  /** Testable seam for [[eventsDauStickiness]]: explicit events frame. */
+  private[graft] def dauStickinessOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("day")).distinct()
+    val spine = ud.select(col("day").as("d")).distinct()
+    spine.join(ud,
+        col("day") >= col("d") - 27 && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(when(col("day") === col("d"), col("user_id")))
+          .as("dau"),
+        countDistinct(when(col("day") >= col("d") - 6, col("user_id")))
+          .as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  private val eventsDauStickinessSql =
+    s"""WITH sud AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(ts AS DATE)) AS BIGINT) AS day
+       |  FROM events),
+       |sspine AS (SELECT DISTINCT day AS d FROM sud)
+       |SELECT s.d AS day,
+       |  CAST(COUNT(DISTINCT CASE WHEN u.day = s.d
+       |    THEN u.user_id END) AS BIGINT) AS dau,
+       |  CAST(COUNT(DISTINCT CASE WHEN u.day >= s.d - 6
+       |    THEN u.user_id END) AS BIGINT) AS wau,
+       |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau,
+       |  (CAST(COUNT(DISTINCT CASE WHEN u.day = s.d
+       |     THEN u.user_id END) AS BIGINT) * 1000000)
+       |    // CAST(COUNT(DISTINCT CASE WHEN u.day >= s.d - 6
+       |         THEN u.user_id END) AS BIGINT) AS stickiness_ppm
+       |FROM sspine s JOIN sud u
+       |  ON u.day >= s.d - 27 AND u.day <= s.d
+       |GROUP BY s.d ORDER BY day""".stripMargin
+
   /** X16 — funnel / sequence analytics: per user, how many `view` events
     * were followed by a `click` within an hour (stage 2), and how many of
     * those by a `purchase` within an hour of the FIRST qualifying click
@@ -1272,6 +1336,8 @@ object StreamQueries {
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
+    Q("events_dau_stickiness", eventsDauStickiness,
+      Some(eventsDauStickinessSql)),
     Q("events_funnel", x7, Some(x7Sql)),
     Q("events_retention", x8, Some(x8Sql)),
     Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),

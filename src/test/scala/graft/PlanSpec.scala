@@ -91,6 +91,7 @@ class PlanSpec extends GraftSuite {
     "sim_topk",           // 10-row query side (declared brute-force baseline)
     "sim_topk_mmr",       // same 10-row query side, MMR rerank pool
     "emb_centroid_confusion", // K-row centroid side broadcast nest
+    "events_dau_stickiness",  // |days|-row spine × user-day range nest
     "sim_range_search",   // same 10-row query side, threshold gate
     "sim_topk_filtered",  // same 10-row query side, pre-filtered candidates
     "sim_topk_ivf",       // 10-row query side × centroid table

@@ -515,6 +515,28 @@ class TrainingAuditSpec extends GraftSuite {
     }
   }
 
+  test("events_dau_stickiness: trailing windows ramp and roll off on " +
+    "a hand user-day grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import graft.queries.StreamQueries
+    // u1 on days 1,2,3; u2 on day 1; u3 on day 9 (u2 leaves the WAU
+    // at day 8+, u1's day-3 visit still inside day 9's WAU).
+    val ev = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 9L))
+      .toDF("user_id", "dday")
+      .select(col("user_id"),
+        timestamp_micros(col("dday") * 86400000000L).as("ts"))
+      .repartition(3)
+    val out = StreamQueries.dauStickinessOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 2L, 1000000L),
+      (2L, 1L, 2L, 2L, 500000L),
+      (3L, 1L, 2L, 2L, 500000L),
+      (9L, 1L, 2L, 3L, 500000L)))
+  }
+
   test("orders_gini: zero on perfect equality; 0.25 on the hand " +
     "two-customer split; nations isolated") {
     import spark.implicits._
