@@ -361,6 +361,75 @@ object FeatureQueries {
        |    // (n_customers * sx) AS BIGINT) AS gini_ppm
        |FROM gag ORDER BY nation""".stripMargin
 
+  /** X146 — orders_lorenz_curve: the GLOBAL LORENZ CURVE of customer
+    * spend at decile resolution — the distribution picture X142's
+    * per-nation Gini scalars summarize (cumulative spend share of the
+    * bottom k/10 of customers; the bow away from the diagonal IS the
+    * inequality). Customers rank by the (cents, custkey) total order;
+    * decile bucket = ((i−1)·10) div n + 1 (balanced nearest-rank
+    * buckets); cumulative ppm shares by exact integer division with
+    * DECIMAL(38,0)/HUGEINT products (cum·10⁶ reaches ~2·10¹⁹ at sf1 —
+    * over int64, the X120/X142 discipline). ZERO FP. Monotone
+    * non-degeneracy is structural: cum_ppm strictly climbs to exactly
+    * 1 000 000 at decile 10 (the closure is self-auditing).
+    *
+    * Scale: one |orders| keyed roll-up, ONE global rank — a
+    * distributed range-partitioned sort, the cc_string_ids class, NOT
+    * a data motion anti-pattern — then a 10-group agg + running sum on
+    * 10 rows.
+    */
+  private def ordersLorenz(s: SparkSession, dir: String): DataFrame =
+    lorenzOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[ordersLorenz]]: explicit orders frame. */
+  private[graft] def lorenzOf(orders: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sp = orders.groupBy(col("o_custkey"))
+      .agg((Det.decSum(col("o_totalprice")) * 100).cast(dec38)
+        .as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    sp.withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("decile", expr("((i - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast(dec38).as("sp"))
+      .withColumn("cum", sum(col("sp")).over(wCum).cast(dec38))
+      .withColumn("tot", sum(col("sp")).over(wAll).cast(dec38))
+      .select(col("decile"), col("n_customers"),
+        col("sp").cast("long").as("spend_cents"),
+        expr("cast((cum * 1000000) div tot as bigint)")
+          .as("cum_spend_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  private val ordersLorenzSql =
+    s"""WITH lsp AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+       |      AS HUGEINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |lrk AS (
+       |  SELECT cents,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+       |      AS BIGINT) AS i,
+       |    COUNT(*) OVER () AS n
+       |  FROM lsp),
+       |ldec AS (
+       |  SELECT ((i - 1) * 10) // n + 1 AS decile, cents FROM lrk),
+       |lagg AS (
+       |  SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS sp
+       |  FROM ldec GROUP BY 1)
+       |SELECT decile, n_customers, CAST(sp AS BIGINT) AS spend_cents,
+       |  CAST((SUM(sp) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    * 1000000) // (SELECT SUM(cents) FROM lsp) AS BIGINT)
+       |    AS cum_spend_ppm
+       |FROM lagg ORDER BY decile""".stripMargin
+
   /** Benford expected first-digit shares in exact ppm — the literal
     * integer table `round(log10(1 + 1/d)·10⁶)`; the nine constants
     * telescope to exactly 1 000 000, so the expected column is
@@ -1308,6 +1377,7 @@ object FeatureQueries {
     Q("demand_cusum", demandCusum, Some(demandCusumSql)),
     Q("orders_benford_audit", ordersBenford, Some(ordersBenfordSql)),
     Q("orders_gini", ordersGini, Some(ordersGiniSql)),
+    Q("orders_lorenz_curve", ordersLorenz, Some(ordersLorenzSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
     Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
     Q("parts_abc_sketch", partsAbcSketch, Some(partsAbcSketchSql)),

@@ -537,6 +537,23 @@ class TrainingAuditSpec extends GraftSuite {
       (9L, 1L, 2L, 3L, 500000L)))
   }
 
+  test("orders_lorenz_curve: balanced deciles, exact cumulative ppm, " +
+    "closure at one million") {
+    import spark.implicits._
+    // 20 customers spending 1..20 dollars: decile d holds customers
+    // {2d-1, 2d}, cum spend of bottom 2k = k(2k+1) dollars of 210.
+    val orders = (1L to 20L).map(i => (i, i.toDouble))
+      .toDF("o_custkey", "o_totalprice").repartition(3)
+    val out = FeatureQueries.lorenzOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (1L to 10L).map { d =>
+      val cum = d * (2 * d + 1) * 100L // cents of bottom 2d customers
+      (d, 2L, ((2 * d - 1) + 2 * d) * 100L, cum * 1000000L / 21000L)
+    }
+    assert(out.toSeq === expected)
+    assert(out.last._4 === 1000000L)
+  }
+
   test("orders_gini: zero on perfect equality; 0.25 on the hand " +
     "two-customer split; nations isolated") {
     import spark.implicits._
