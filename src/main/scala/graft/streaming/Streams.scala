@@ -519,10 +519,21 @@ object Streams {
     */
   final class MergeMaintainer(s: org.apache.spark.sql.SparkSession) {
     @volatile private var state: DataFrame = mergeEmptyState(s)
-    def applyBatch(batch: DataFrame): Unit = synchronized {
-      state = mergeApply(state, mergeSummary(batch)).localCheckpoint()
-      ()
-    }
+    private var lastApplied: Long = -1L
+    /** MERGE one micro-batch. CDC folds are NOT idempotent (re-applying a
+      * batch double-counts its adds), and foreachBatch is at-least-once
+      * after a failure — the standard guard is to key on the epoch's
+      * batchId and skip replays. `batchId = -1` (the default) bypasses the
+      * guard for direct driver use where no epoch exists (specs, batch
+      * twins).
+      */
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        state = mergeApply(state, mergeSummary(batch)).localCheckpoint()
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
     def current: DataFrame = state.filter(col("present"))
       .select(col("user_id"), col("cur_cents"), col("last_reset_op"),
         col("n_adds_applied"))
@@ -536,7 +547,7 @@ object Streams {
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
 
   /** The X127 SCD2 fold over one events frame (the batch-twin core of
@@ -552,7 +563,11 @@ object Streams {
       .orderBy(col("tus"), col("event_id"), col("op"), col("vc"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ops
-      .withColumn("version", row_number().over(w))
+      // BIGINT like the oracle's row_number() (DuckDB emits BIGINT; the
+      // repo-wide rank-cast convention — a Spark INT here only passed the
+      // gate because it compares dtype KIND, and a getLong(1) consumer
+      // would throw).
+      .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
       .withColumn("run_adds",
         sum(when(col("op") === "A", col("vc")).otherwise(0L)).over(wRun))
@@ -573,7 +588,7 @@ object Streams {
 
   private[graft] def scd2Empty(
       s: org.apache.spark.sql.SparkSession): DataFrame =
-    s.range(0).select(col("id").as("user_id"), lit(0).as("version"),
+    s.range(0).select(col("id").as("user_id"), lit(0L).as("version"),
       lit("").as("op"), lit(0L).as("vcur"), lit(0L).as("valid_from_us"),
       lit(0L).as("valid_to_us"), lit(false).as("is_current"))
 
@@ -591,7 +606,16 @@ object Streams {
     */
   final class Scd2Maintainer(s: org.apache.spark.sql.SparkSession) {
     @volatile private var hist: DataFrame = scd2Empty(s)
-    def applyBatch(batch: DataFrame): Unit = synchronized {
+    private var lastApplied: Long = -1L
+    /** Append one micro-batch to the history. Same at-least-once replay
+      * guard as [[MergeMaintainer.applyBatch]] — a re-delivered batch
+      * would otherwise duplicate SCD2 versions. `batchId = -1` bypasses
+      * (direct driver use, no epoch).
+      */
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+      if (batchId >= 0 && batchId <= lastApplied) return
+      if (batchId >= 0) lastApplied = batchId
       val b = scd2Batch(batch)
       val carry = hist.filter(col("is_current"))
         .select(col("user_id"), col("vcur").as("carry_v"),
@@ -602,7 +626,7 @@ object Streams {
         .join(carry, Seq("user_id"), "left")
         .join(firstReset, Seq("user_id"), "left")
         .select(col("user_id"),
-          (col("version") + coalesce(col("maxv"), lit(0))).as("version"),
+          (col("version") + coalesce(col("maxv"), lit(0L))).as("version"),
           col("op"),
           when(col("vcur").isNull, col("vcur")) // D rows stay deleted
             .when(col("frv").isNull || col("version") < col("frv"),
@@ -631,7 +655,7 @@ object Streams {
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
 
   // ── T11: streaming incremental connected components ────────────────
@@ -708,6 +732,11 @@ object Streams {
   final class CcMaintainer(s: org.apache.spark.sql.SparkSession) {
     @volatile private var state: DataFrame = ccEmptyState(s)
     @volatile private var conv: Boolean = true
+    /** No batchId replay guard needed here, unlike the CDC maintainers:
+      * the CC fold is IDEMPOTENT (re-applying a batch re-unions edges
+      * already absorbed into the label stars — min-label propagation is a
+      * no-op on them), so at-least-once redelivery cannot corrupt state.
+      */
     def applyBatch(edges: DataFrame): Unit = synchronized {
       val (next, ok) = ccFold(state, edges)
       state = next; conv &&= ok

@@ -284,23 +284,23 @@ class StreamingSpec extends GraftSuite {
     def us(hhmm: String) = t(hhmm).getTime * 1000L
     val out = graft.queries.StreamQueries
       .scd2Of(evs.toDF().repartition(3)).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
         r.getBoolean(6)))
     assert(out.toSeq === Seq(
-      (1L, 1, "S", Some(1000L), us("00:10"), Some(us("00:20")), false),
-      (1L, 2, "A", Some(1250L), us("00:20"), Some(us("01:00")), false),
-      (1L, 3, "A", Some(1275L), us("01:00"), None, true),
-      (2L, 1, "A", Some(500L), us("00:15"), Some(us("01:10")), false),
-      (2L, 2, "D", None, us("01:10"), Some(us("02:00")), false),
-      (2L, 3, "A", Some(100L), us("02:00"), None, true),
-      (3L, 1, "S", Some(300L), us("00:05"), Some(us("01:20")), false),
-      (3L, 2, "D", None, us("01:20"), None, true),
-      (4L, 1, "A", Some(700L), us("01:30"), None, true),
-      (5L, 1, "A", Some(100L), us("02:10"), Some(us("02:20")), false),
-      (5L, 2, "S", Some(200L), us("02:20"), Some(us("02:30")), false),
-      (5L, 3, "A", Some(250L), us("02:30"), None, true)))
+      (1L, 1L, "S", Some(1000L), us("00:10"), Some(us("00:20")), false),
+      (1L, 2L, "A", Some(1250L), us("00:20"), Some(us("01:00")), false),
+      (1L, 3L, "A", Some(1275L), us("01:00"), None, true),
+      (2L, 1L, "A", Some(500L), us("00:15"), Some(us("01:10")), false),
+      (2L, 2L, "D", None, us("01:10"), Some(us("02:00")), false),
+      (2L, 3L, "A", Some(100L), us("02:00"), None, true),
+      (3L, 1L, "S", Some(300L), us("00:05"), Some(us("01:20")), false),
+      (3L, 2L, "D", None, us("01:20"), None, true),
+      (4L, 1L, "A", Some(700L), us("01:30"), None, true),
+      (5L, 1L, "A", Some(100L), us("02:10"), Some(us("02:20")), false),
+      (5L, 2L, "S", Some(200L), us("02:20"), Some(us("02:30")), false),
+      (5L, 3L, "A", Some(250L), us("02:30"), None, true)))
   }
 
   test("scd2MaintainStream: foreachBatch history maintenance equals the " +
@@ -319,7 +319,7 @@ class StreamingSpec extends GraftSuite {
     val m = new Streams.Scd2Maintainer(spark)
     val q = Streams.scd2MaintainStream(mem.toDF(), m).start()
     def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
         r.getBoolean(6))).toSeq
@@ -333,6 +333,34 @@ class StreamingSpec extends GraftSuite {
           snap(graft.queries.StreamQueries.scd2Of(seen.toDF())))
       }
     } finally q.stop()
+  }
+
+  test("CDC maintainers: an at-least-once replay of an already-applied " +
+    "batchId is skipped (idempotence guard)") {
+    import spark.implicits._
+    val b1 = Seq(Ev(7, t("00:10"), 1, "x", 10.00),
+      Ev(1, t("00:20"), 1, "x", 2.50))
+    val b2 = Seq(Ev(2, t("01:00"), 1, "x", 0.25))
+    def mergeSnap(m: Streams.MergeMaintainer) = m.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val m = new Streams.MergeMaintainer(spark)
+    m.applyBatch(b1.toDF(), 0L)
+    m.applyBatch(b2.toDF(), 1L)
+    val once = mergeSnap(m)
+    m.applyBatch(b2.toDF(), 1L) // replayed epoch: must be a no-op
+    m.applyBatch(b1.toDF(), 0L) // stale epoch: must be a no-op
+    assert(mergeSnap(m) === once)
+    assert(once === Seq((1L, 1275L, "S", 2L))) // adds NOT double-applied
+    def histSnap(m: Streams.Scd2Maintainer) = m.current.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val h = new Streams.Scd2Maintainer(spark)
+    h.applyBatch(b1.toDF(), 0L)
+    h.applyBatch(b2.toDF(), 1L)
+    val honce = histSnap(h)
+    h.applyBatch(b2.toDF(), 1L)
+    assert(histSnap(h) === honce) // versions NOT duplicated
+    assert(honce.map(_._2) === Seq(1L, 2L, 3L))
   }
 
   test("events_scd2_history head == stream_merge_upsert: the history's " +
