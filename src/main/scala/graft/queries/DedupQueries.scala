@@ -60,11 +60,10 @@ object DedupQueries {
     * per (session, dir): the rolling-hash fold is the expensive part and
     * several downstream plans reference it more than once.
     */
-  private val hsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hsCache = graft.util.SessionMemo.persisted[String]()
 
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    hsCache.getOrElseUpdate((s, dir), {
+    hsCache(s, dir) {
       // Codegen'd JVM kernel ([[graft.functions.ShingleHash]]) instead of
       // interpreted HOF folds: the per-character rolling hash dominated
       // this stage (~10 M lambda evaluations at sf0.1). As a native
@@ -80,7 +79,7 @@ object DedupQueries {
             SqlBridge.expression(col("text")))).as("hs"))
         .filter(size(col("hs")) > 0)
         .persist()
-    })
+    }
 
   private[graft] val shingleHashesSql =
     s"""sh AS MATERIALIZED (
@@ -126,11 +125,10 @@ object DedupQueries {
     * small post-cap output) and the signature intermediates are released
     * as soon as it materializes. Evicted via [[evict]].
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairsCache = graft.util.SessionMemo.persisted[String]()
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir), {
+    pairsCache(s, dir) {
       val (pairs, temps) =
         minhashOfWithTemps(s, Tables(s, dir, "documents"),
           shingleHashes(s, dir))
@@ -138,7 +136,7 @@ object DedupQueries {
       p.count() // materialize so the signature intermediates can drop
       temps.foreach(_.unpersist(blocking = false))
       p
-    })
+    }
 
   /** Testable seam for [[minhash]]: explicit documents + (doc_id, hs)
     * shingle-hash frames. (Leaves its two signature intermediates
@@ -268,11 +266,10 @@ object DedupQueries {
     * sides) and `decontaminate` builds its cross-split join on it; one
     * persisted copy serves all of them. Evicted via [[evict]].
     */
-  private val rareCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val rareCache = graft.util.SessionMemo.persisted[String]()
 
   private[graft] def rareShingles(s: SparkSession, dir: String): DataFrame =
-    rareCache.getOrElseUpdate((s, dir), {
+    rareCache(s, dir) {
       val sh = shingleHashes(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(col("hs"))).as("shingle"))
@@ -280,7 +277,7 @@ object DedupQueries {
         sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxShingleDf).select(col("shingle")),
         Seq("shingle")).persist()
-    })
+    }
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val rare = rareShingles(s, dir)
@@ -351,14 +348,8 @@ object DedupQueries {
     * frames for `s` (all sfDirs). See [[graft.Caches]].
     */
   def evict(s: SparkSession): Unit = {
-    hsCache.keys.filter(_._1 eq s).foreach(
-      hsCache.remove(_).foreach(_.unpersist(blocking = false)))
-    pairsCache.keys.filter(_._1 eq s).foreach(
-      pairsCache.remove(_).foreach(_.unpersist(blocking = false)))
-    rareCache.keys.filter(_._1 eq s).foreach(
-      rareCache.remove(_).foreach(_.unpersist(blocking = false)))
-    clustersCache.keys.filter(_._1 eq s).foreach(
-      clustersCache.remove(_).foreach(_.unpersist(blocking = false)))
+    hsCache.evict(s); pairsCache.evict(s)
+    rareCache.evict(s); clustersCache.evict(s)
   }
 
   /** Bounded hop+pointer-jump rounds for [[dedupClusters]] — the same
@@ -401,11 +392,10 @@ object DedupQueries {
   // The converged cluster-closure frame is shared by `dedup_clusters`
   // and `corpus_curation_decisions` — memoized per (session, sfDir) so
   // the hop+jump rounds run once (bench `_build:dclusters` hook).
-  private val clustersCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val clustersCache = graft.util.SessionMemo.persisted[String]()
 
   private def clustersFrame(s: SparkSession, dir: String): DataFrame =
-    clustersCache.getOrElseUpdate((s, dir),
+    clustersCache(s, dir)(
       dedupClustersFrom(s, Tables(s, dir, "documents"),
         candidatePairs(s, dir)).persist())
 

@@ -5,7 +5,6 @@ import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 
 /** One-mode network analytics over the bipartite G_trade graph: the
   * supplier CO-PURCHASE projection (suppliers linked by how many customers
@@ -47,18 +46,17 @@ object NetworkQueries {
     */
   final val AaScale = 1000000L
 
-  private val pairCache =
-    TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pairCache = graft.util.SessionMemo.persisted[String]()
 
   /** The persisted co-purchase pair frame (s1 < s2, n_shared) — built once
     * per (session, sfDir), shared by `graph_jaccard` and `triangle_count`.
     */
   private[graft] def coPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), {
+    pairCache(s, dir) {
       val df = coPairsOf(GTrade(s, dir).edges).persist()
       df.count()
       df
-    })
+    }
 
   /** Testable seam: the projection from an explicit (src, dst, …) edge
     * frame. Pure function of the edge SET. Output: `(s1, s2, n_shared,
@@ -525,10 +523,7 @@ object NetworkQueries {
     * `s` (all sfDirs). See [[graft.Caches]].
     */
   def evict(s: SparkSession): Unit = {
-    pairCache.keys.filter(_._1 eq s).foreach(
-      pairCache.remove(_).foreach(_.unpersist(blocking = false)))
-    itemCosCache.keys.filter(_._1 eq s).foreach(
-      itemCosCache.remove(_).foreach(_.unpersist(blocking = false)))
+    pairCache.evict(s); itemCosCache.evict(s)
   }
 
   /** X78 — basket_rules: association-rule mining over the co-purchase
@@ -619,10 +614,10 @@ object NetworkQueries {
   // `recsys_item_cosine` and `recsys_eval_coverage` (X103) — memoized per
   // (session, sfDir) so the basket self-join runs once (bench
   // `_build:itemcos` hook below).
-  private val itemCosCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val itemCosCache = graft.util.SessionMemo.persisted[String]()
 
   private def itemCosFrame(s: SparkSession, dir: String): DataFrame =
-    itemCosCache.getOrElseUpdate((s, dir),
+    itemCosCache(s, dir)(
       itemCosineOf(Tables(s, dir, "lineitem")).persist())
 
   /** Force the shared item-similarity frame (bench `_build:itemcos`). */

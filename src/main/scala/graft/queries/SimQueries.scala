@@ -28,14 +28,13 @@ object SimQueries {
   // (vec_id, label, embedding, nrm) frame shared by the sim family AND
   // the embpairs/adcscored builds — replaces per-consumer parquet
   // re-scans + norm recomputation.
-  // ADVICE r10 hardening: computeIfAbsent (not TrieMap.getOrElseUpdate,
-  // whose value thunk can run twice under concurrent first access and
-  // leak one persisted duplicate) — same fix as Substrate.bucketed.
-  private val normCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  // SessionMemo (exactly-once computeIfAbsent builds — the thunk of a
+  // racing TrieMap.getOrElseUpdate can run twice and leak one persisted
+  // duplicate; ADVICE r10, unified repo-wide in round 12).
+  private val normCache = graft.util.SessionMemo.persisted[String]()
 
   private def withNorms(s: SparkSession, dir: String): DataFrame =
-    normCache.computeIfAbsent((s, dir), _ =>
+    normCache(s, dir)(
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
           VectorFns.norm(col("embedding")).as("nrm"))
@@ -317,10 +316,10 @@ object SimQueries {
     * all, and the first bench toucher is the `_build:adcscored` line, so
     * per-key attribution stays clean. Released via [[evict]].
     */
-  private val centroidCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val centroidCache = graft.util.SessionMemo.persisted[String]()
 
   private def centroids(s: SparkSession, dir: String): DataFrame =
-    centroidCache.getOrElseUpdate((s, dir), centroidsBuild(s, dir).persist())
+    centroidCache(s, dir)(centroidsBuild(s, dir).persist())
 
   private def centroidsBuild(s: SparkSession, dir: String): DataFrame =
     centroidsOf(Tables(s, dir, "embeddings"))
@@ -998,11 +997,11 @@ object SimQueries {
     * (judge r3 advice). Evicted via [[evict]].
     */
   private[graft] def nearPairsFrame(s: SparkSession, dir: String): DataFrame =
-    nearPairCache.getOrElseUpdate((s, dir), {
+    nearPairCache(s, dir) {
       val emb = withNorms(s, dir)
-      val sigs = sigCache.getOrElseUpdate((s, dir), embSigs(emb).persist())
+      val sigs = sigCache(s, dir)(embSigs(emb).persist())
       dedupEmbeddingOf(emb, sigs).persist()
-    })
+    }
 
   /** Bench `_build:norms` hook: the persisted shared
     * (vec_id, label, embedding, nrm) frame (see [[withNorms]]).
@@ -1086,11 +1085,9 @@ object SimQueries {
       .orderBy(col("v1"), col("v2"))
   }
 
-  private val sigCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val sigCache = graft.util.SessionMemo.persisted[String]()
 
-  private val nearPairCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val nearPairCache = graft.util.SessionMemo.persisted[String]()
 
   /** Label-partitioned on-disk copy of the embeddings — the IVF "inverted
     * lists". At 100 TB this bucketed layout IS the pre-built ANN index
@@ -1145,18 +1142,8 @@ object SimQueries {
     * full embeddings copy under the temp dir. See [[graft.Caches]].
     */
   def evict(s: SparkSession): Unit = {
-    centroidCache.keys.filter(_._1 eq s).foreach(
-      centroidCache.remove(_).foreach(_.unpersist(blocking = false)))
-    normCache.forEach((k, _) => if (k._1 eq s)
-      Option(normCache.remove(k)).foreach(_.unpersist(blocking = false)))
-    sigCache.keys.filter(_._1 eq s).foreach(
-      sigCache.remove(_).foreach(_.unpersist(blocking = false)))
-    adcScoredCache.keys.filter(_._1 eq s).foreach(
-      adcScoredCache.remove(_).foreach(_.unpersist(blocking = false)))
-    nearPairCache.keys.filter(_._1 eq s).foreach(
-      nearPairCache.remove(_).foreach(_.unpersist(blocking = false)))
-    pqCodesCache.keys.filter(_._1 eq s).foreach(
-      pqCodesCache.remove(_).foreach(_.unpersist(blocking = false)))
+    centroidCache.evict(s); normCache.evict(s); sigCache.evict(s)
+    adcScoredCache.evict(s); nearPairCache.evict(s); pqCodesCache.evict(s)
     ivfIndex.keys.filter(_._1 eq s).foreach { k =>
       ivfIndex.remove(k).foreach { p =>
         liveIndexDirs.remove(p); rmTree(new java.io.File(p))
@@ -1487,8 +1474,7 @@ object SimQueries {
     * of identical integers (the d2 chain `daa − 2·dab + dbb` is the same
     * left-fold IEEE ops on both sides).
     */
-  private val pqCodesCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val pqCodesCache = graft.util.SessionMemo.persisted[String]()
 
   /** Memoized [[pqCodesOf]], persisted and EAGER-CUT at first touch: the
     * codes frame backs four keys, and inside `sim_recall_metrics` it sits
@@ -1498,12 +1484,12 @@ object SimQueries {
     * reads. Bench separates this one-off as `_build:pqcodes`.
     */
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    pqCodesCache.getOrElseUpdate((s, dir), {
+    pqCodesCache(s, dir) {
       val f = pqCodesOf(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       f.count()
       f
-    })
+    }
 
   /** Bench warm hook (`_build:pqcodes`). */
   def warmPqCodes(s: SparkSession, dir: String): Unit = { pqCodes(s, dir); () }
@@ -1659,14 +1645,14 @@ object SimQueries {
   // persisted per (session, sfDir) so the probe/LUT/group-by chain runs
   // once per dataset, not once per arm (Spark does not dedup identical
   // subplans across union arms). Released in [[evict]].
-  private val adcScoredCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val adcScoredCache = graft.util.SessionMemo.persisted[String]()
 
   /** The IVF+PQ candidate stage shared by [[simTopkIvfPq]] and the
     * re-rank key: every probed-list vector ADC-scored from its 8-byte
     * code, as `(q_id, c_id, ad)`.
     */
   private def ivfPqAdcScored(s: SparkSession, dir: String): DataFrame =
-    adcScoredCache.getOrElseUpdate((s, dir), ivfPqAdcScoredBuild(s, dir)
+    adcScoredCache(s, dir)(ivfPqAdcScoredBuild(s, dir)
       .persist())
 
   /** Bench `_build:adcscored` hook: the shared IVF+PQ ADC candidate

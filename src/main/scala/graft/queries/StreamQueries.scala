@@ -548,7 +548,7 @@ object StreamQueries {
     // feeds BOTH the conversion branch and the n_views/n_clicked rollup —
     // without it the view-click interval join runs twice (the SQL twin
     // marks fc MATERIALIZED for the same reason).
-    val fc = fcCache.getOrElseUpdate((s, dir),
+    val fc = fcCache(s, dir)(
       v.join(c, col("user_id") === col("cu") &&
           col("c_us") > col("v_us") && col("c_us") <= col("v_us") + Hour,
           "left_outer")
@@ -643,15 +643,12 @@ object StreamQueries {
       |FROM ud a LEFT JOIN ret ON ret.day = a.day
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
-  private val fcCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val fcCache = graft.util.SessionMemo.persisted[String]()
 
   /** Cache-lifecycle hook: unpersist and drop the memoized funnel
     * first-click frames for `s` (all sfDirs). See [[graft.Caches]].
     */
-  def evict(s: SparkSession): Unit =
-    fcCache.keys.filter(_._1 eq s).foreach(
-      fcCache.remove(_).foreach(_.unpersist(blocking = false)))
+  def evict(s: SparkSession): Unit = fcCache.evict(s)
 
   /** X46 — events_zscore: per-type standardization + outlier flag — the
     * telemetry data-quality gate (drop or down-weight anomalous rows

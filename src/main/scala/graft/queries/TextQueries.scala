@@ -497,7 +497,7 @@ object TextQueries {
     * sampled merge-table agreement per sf.
     */
   private def bpeMergesSampled(s: SparkSession, dir: String): DataFrame = {
-    val (m, _, _) = bpeCache.getOrElseUpdate((s, dir + "#sampled"),
+    val (m, _, _) = bpeCache(s, dir + "#sampled")(
       bpeChainTracked(Tables(s, dir, "documents")
         .filter(TextFns.stringHash(col("text")) % BpeSampleMod === 0)))
     m
@@ -557,12 +557,22 @@ object TextQueries {
   // Memoized per (session, sfDir): `bpe_merges` and `bpe_encode` share
   // one run of the 4-pass chain; the checkpointed frames ride along so
   // evict can release their blocks deterministically.
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame, Seq[DataFrame])]
+  private val bpeCache = new graft.util.SessionMemo[
+    String, (DataFrame, DataFrame, Seq[DataFrame])]({ case (_, _, cps) =>
+      cps.foreach { df =>
+        def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+          if (r.getStorageLevel !=
+              org.apache.spark.storage.StorageLevel.NONE)
+            r.unpersist(blocking = false)
+          r.dependencies.foreach(d => walk(d.rdd))
+        }
+        walk(df.rdd)
+      }
+  })
 
   private def bpeChain(s: SparkSession,
                        dir: String): (DataFrame, DataFrame) = {
-    val (m, t, _) = bpeCache.getOrElseUpdate((s, dir),
+    val (m, t, _) = bpeCache(s, dir)(
       bpeChainTracked(Tables(s, dir, "documents")))
     (m, t)
   }
@@ -581,20 +591,7 @@ object TextQueries {
     * long-lived session cycling sfDirs must not accumulate checkpoint
     * blocks until a GC happens to run the ContextCleaner.
     */
-  def evict(s: SparkSession): Unit =
-    bpeCache.keys.filter(_._1 eq s).foreach { k =>
-      bpeCache.remove(k).foreach { case (_, _, cps) =>
-        cps.foreach { df =>
-          def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
-            if (r.getStorageLevel !=
-                org.apache.spark.storage.StorageLevel.NONE)
-              r.unpersist(blocking = false)
-            r.dependencies.foreach(d => walk(d.rdd))
-          }
-          walk(df.rdd)
-        }
-      }
-    }
+  def evict(s: SparkSession): Unit = bpeCache.evict(s)
 
   /** bpe_encode — APPLY the learned merge table: the tokenize step a
     * pipeline runs after `bpe_merges` trains the vocabulary. Output per

@@ -4,7 +4,6 @@ import graft.Graph
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 
 /** The canonical test graph **G_trade** (SURVEY §2 preamble): bipartite
   * customer→supplier graph derived from the star schema.
@@ -56,7 +55,10 @@ object GTrade {
   }
 
   private val cache =
-    TrieMap.empty[(SparkSession, String), (Graph, DataFrame, Long)]
+    new graft.util.SessionMemo[String, (Graph, DataFrame, Long)]({
+      case (g, ef, _) =>
+        g.vertices.unpersist(false); ef.unpersist(false)
+    })
 
   /** Vertex-id disjointness gate: supplier ids (offset + s_suppkey) must
     * never land in the customer id range. With a derived power-of-ten
@@ -102,7 +104,7 @@ object GTrade {
     * graph operator reuses them.
     */
   private def build(spark: SparkSession, dir: String): (Graph, DataFrame, Long) =
-    cache.getOrElseUpdate((spark, dir),
+    cache(spark, dir)(
       fromTables(Tables(spark, dir, "customer"),
         Tables(spark, dir, "supplier"), Tables(spark, dir, "orders"),
         Tables(spark, dir, "lineitem")))
@@ -131,12 +133,7 @@ object GTrade {
   /** Drop and unpersist everything memoized for `spark` (all sfDirs) — the
     * cache-lifecycle hook for long-lived sessions (judge r2 item #9).
     */
-  def evict(spark: SparkSession): Unit =
-    cache.keys.filter(_._1 eq spark).foreach { k =>
-      cache.remove(k).foreach { case (g, ef, _) =>
-        g.vertices.unpersist(false); ef.unpersist(false)
-      }
-    }
+  def evict(spark: SparkSession): Unit = cache.evict(spark)
 
   /** SQL twin of [[dynOffset]]: smallest power of ten > max(c_custkey),
     * floored at [[MinOffset]] — integer comparisons only, so bit-identical

@@ -3,7 +3,6 @@ package graft.sources
 import graft.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.collection.concurrent.TrieMap
 
 /** The second test graph **G_user** (SURVEY §2 preamble): cyclic,
   * self-loop-bearing user graph over the event log —
@@ -43,7 +42,9 @@ import scala.collection.concurrent.TrieMap
   * engine-appropriate physical plans on each side.
   */
 object GUser {
-  private val cache = TrieMap.empty[(SparkSession, String), Graph]
+  private val cache = new graft.util.SessionMemo[String, Graph](g => {
+    g.vertices.unpersist(false); g.edges.unpersist(false)
+  })
 
   /** ~64k events per range partition: a few MB per task, and the stitch
     * metadata stays ≤ P + |types| rows.
@@ -116,8 +117,7 @@ object GUser {
     * (session, sfDir) and every G_user operator reuses it.
     */
   def apply(s: SparkSession, dir: String): Graph =
-    cache.getOrElseUpdate((s, dir),
-      fromEvents(s, Tables(s, dir, "events")))
+    cache(s, dir)(fromEvents(s, Tables(s, dir, "events")))
 
   /** Force-materialize the shared build (bench `_build:guser` hook). */
   def warm(s: SparkSession, dir: String): Unit = {
@@ -126,10 +126,5 @@ object GUser {
   }
 
   /** Unpersist and drop everything memoized for `s` (all sfDirs). */
-  def evict(s: SparkSession): Unit =
-    cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach { g =>
-        g.vertices.unpersist(false); g.edges.unpersist(false)
-      }
-    }
+  def evict(s: SparkSession): Unit = cache.evict(s)
 }

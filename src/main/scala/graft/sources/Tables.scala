@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import scala.collection.concurrent.TrieMap
 
 /** Parquet table access for the driver-generated star schema
   * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md).
@@ -22,10 +21,11 @@ object Tables {
 
   // Plan-object memoization only (avoids re-running schema inference per
   // query); no data is persisted here.
-  private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cache =
+    graft.util.SessionMemo.dropOnly[(String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name), {
+    cache(spark, (dir, name)) {
       if (name == "events") {
         // events.ts has shipped under two physical encodings across fixture
         // generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to
@@ -58,7 +58,7 @@ object Tables {
                 "original error: " + e.getMessage, e)
         }
       } else spark.read.parquet(s"$dir/$name.parquet")
-    })
+    }
 
   /** Align an events frame's `ts` to the session-UTC `TimestampType` every
     * downstream operator and oracle expects, whatever physical encoding the
@@ -97,6 +97,5 @@ object Tables {
   }
 
   /** Drop memoized plan objects for `spark` (no persisted data here). */
-  def evict(spark: SparkSession): Unit =
-    cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+  def evict(spark: SparkSession): Unit = cache.evict(spark)
 }
