@@ -94,6 +94,8 @@ object Bench {
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:zipf")(queries.UserGraphQueries.warmZipf(spark, sfDir)),
       timed("_build:mst")(queries.UserGraphQueries.warmMst(spark, sfDir)),
+      timed("_build:louvain")(
+        queries.UserGraphQueries.warmLouvain(spark, sfDir)),
       timed("_build:scclab")(
         queries.UserGraphQueries.warmSccLabels(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),

@@ -537,6 +537,58 @@ class GUserSpec extends GraftSuite {
       (8L, 6L, 4L)))
   }
 
+  test("graph_louvain_full: mutual-best-merge pass merges the triple-" +
+    "bridged clique pairs, stops at the weak bridge; audit is monotone") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Four 3-cliques A={1,2,3} B={4,5,6} C={7,8,9} D={10,11,12};
+    // triple bridges inside the pairs (A-B, C-D), ONE weak B-C bridge.
+    // Simulated (tools/sim_louvain_full.py arithmetic): with lab1 =
+    // clique labels, round 1 applies the two mutual merges (A<-B, C<-D
+    // at gain 38*3-9*10=24 each), round 2 finds none (merged-pair gain
+    // 38*1-19*19<0) and stops; q_num = -122 / 550 / 646 across passes.
+    val half = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L,
+      5L -> 6L, 7L -> 8L, 7L -> 9L, 8L -> 9L, 10L -> 11L, 10L -> 12L,
+      11L -> 12L, 1L -> 4L, 2L -> 5L, 3L -> 6L, 7L -> 10L, 8L -> 11L,
+      9L -> 12L, 6L -> 7L)
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst").repartition(3)
+    val lab1 = Seq(1L, 2L, 3L).map(_ -> 1L) ++
+      Seq(4L, 5L, 6L).map(_ -> 4L) ++ Seq(7L, 8L, 9L).map(_ -> 7L) ++
+      Seq(10L, 11L, 12L).map(_ -> 10L)
+    val l1 = lab1.toDF("id", "lab").repartition(3)
+    val mgDf = UserGraphQueries.louvainMergeLoopOf(e, l1)
+    val mg = mgDf.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mg.toSeq === Seq((1L, 1L), (4L, 1L), (7L, 7L), (10L, 7L)))
+    val full = UserGraphQueries.louvainComposeOf(l1, mgDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq === (1L to 6L).map((_, 1L, 6L)) ++
+      (7L to 12L).map((_, 7L, 6L)))
+    val audit = UserGraphQueries.louvainAuditOf(e, l1, mgDf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(audit.toSeq === Seq((0, 12L, -122L), (1, 4L, 550L),
+      (2, 2L, 646L)))
+  }
+
+  test("graph_louvain_full == graph_louvain_passes when no merge is " +
+    "positive (bridged 4-cliques: merged-pair gain 26-169 < 0)") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val c1 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val c2 = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L),
+      (7L, 8L))
+    val half = c1 ++ c2 :+ ((4L, 5L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst").repartition(3)
+    val lab1 = UserGraphQueries.louvainMoveLoopOf(e)
+    val full = UserGraphQueries
+      .louvainComposeOf(lab1, UserGraphQueries.louvainMergeLoopOf(e, lab1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val passes = UserGraphQueries.louvainPassesOf(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.toSeq === passes.toSeq)
+  }
+
   test("graph_scc_labels: trim singletons + root SCC in peel 1, " +
     "non-root SCC needs peel 2") {
     import spark.implicits._
