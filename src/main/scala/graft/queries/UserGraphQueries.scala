@@ -3369,7 +3369,177 @@ object UserGraphQueries {
        |FROM ($sel) ORDER BY id""".stripMargin
   }
 
-  // ── X134: graph_matching — local-max maximal matching.
+  // ── X149: graph_coloring — Jones–Plassmann greedy coloring, gated by
+  // the contract-oracle pattern.
+  /** Engine-side round cap: ~2× the measured sf1 depth (sync rounds GROW
+    * with scale — 7/21/43/74 at the four SFs, tools/sim_color.py — which
+    * is exactly why the ORACLE cannot unroll the coloring itself).
+    */
+  private val ColorRounds = 160
+
+  /** Oracle-side Luby unroll cap for the color-0 == greedy-MIS check:
+    * 2× the measured max (2/3/7/4 rounds under the "col:" priorities).
+    */
+  private val ColorMisRounds = 14
+
+  private def colPriority(v: Column): Column = {
+    import graft.functions.TextFns
+    TextFns.stringHash(concat(lit("col:"), v.cast("string"))) *
+      MisPackV + v
+  }
+
+  private def graphColoring(s: SparkSession, dir: String): DataFrame =
+    coloringOf(zipfCanonicalFrame(s, dir))
+
+  /** X149 — graph_coloring: distributed greedy graph coloring
+    * (Jones–Plassmann with FIXED strict hash priorities — the register-
+    * allocation / conflict-scheduling primitive, and with strict
+    * priorities provably EQUAL to the sequential greedy-by-priority
+    * coloring, cross-checked in the sim at all four SFs): per round,
+    * every uncolored vertex whose priority is the strict minimum over
+    * its UNCOLORED neighborhood colors itself with the mex (smallest
+    * absent color) of its already-colored neighbors.
+    *
+    * THE HONESTY SHAPE (VERDICT r11 item #3, executed as measured): the
+    * sync round depth GROWS with scale — 7/21/43/74 at sf0.001/0.01/
+    * 0.1/sf1 (priority-chain-bound, tools/sim_color.py) — so no pinned
+    * oracle unroll of the coloring exists; the r11 refusal stands for a
+    * color-by-color replay. What ships instead is the X37/X68 CONTRACT
+    * gate: the engine iterates to convergence (cap [[ColorRounds]], a
+    * loud `converged` flag) and emits ONE row of independently-
+    * verifiable facts —
+    *  - `n_vertices` / `n_edges`: recomputed exactly by the oracle;
+    *  - `n_colored`: the oracle emits the vertex count — equality IS
+    *    the every-vertex-colored check;
+    *  - `n_conflicts`: engine-measured count of equal-color edges,
+    *    oracle pins 0 (properness);
+    *  - `n_color0`: the color-0 class of greedy coloring is EXACTLY
+    *    the greedy MIS under the same priorities (mex gives 0 iff no
+    *    lower-priority... no earlier-colored neighbor took 0 — the MIS
+    *    membership rule; sim-verified at every SF), and THAT the
+    *    oracle can compute with a bounded Luby unroll
+    *    ([[ColorMisRounds]]; measured 2/3/7/4) — a real cross-engine
+    *    integer, 515/3251/10149/21965 at the four SFs;
+    *  - `converged` / `degree_bound_ok` (every color ≤ degree, the
+    *    greedy invariant): engine-measured, oracle pins TRUE.
+    *
+    * Scale: the MIS cost class per round (two keyed joins against the
+    * SHRINKING uncolored frame + a combinable min + a small-array mex
+    * HOF), rounds bounded by the priority-chain depth; every loop frame
+    * through SqlBridge.pinned. The 1-row output crossJoins are declared
+    * in PlanSpec's allowlist.
+    */
+  private[graft] def coloringOf(canEdges: DataFrame,
+      prio: Column => Column = colPriority): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    val can = canEdges.select(col("a"), col("b"))
+    val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
+    val nEdges = can.count()
+    var active = pinned(und.select(col("u").as("v")).distinct()
+      .select(col("v"), prio(col("v")).as("p")))
+    val nVerts = active.count()
+    var colored = active.limit(0)
+      .select(col("v"), lit(0L).as("color"))
+    var rounds = 0
+    var drained = nVerts == 0L
+    while (!drained && rounds < ColorRounds) {
+      rounds += 1
+      val nbmin = und
+        .join(active.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(active.select(col("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("pv")).as("mn"))
+        .select(col("u").as("v"), col("mn"))
+      val sel = active.join(nbmin, Seq("v"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select(col("v"))
+      val nbColors = und
+        .join(sel.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(colored.select(col("v"), col("color")), Seq("v"))
+        .groupBy(col("u").as("v"))
+        .agg(collect_set(col("color")).as("cs"))
+      val newly = pinned(sel.join(nbColors, Seq("v"), "left")
+        .select(col("v"), aggregate(
+          array_sort(coalesce(col("cs"),
+            array().cast("array<bigint>"))),
+          lit(0L),
+          (acc, x) => when(x === acc, acc + 1).otherwise(acc))
+          .as("color")))
+      colored = pinned(colored.unionByName(newly))
+      active = pinned(active
+        .join(newly.select(col("v")), Seq("v"), "left_anti"))
+      drained = active.head(1).isEmpty
+    }
+    val deg = und.groupBy(col("u").as("v")).agg(count(lit(1)).as("d"))
+    val conflicts = can
+      .join(colored.select(col("v").as("a"), col("color").as("ca")),
+        Seq("a"))
+      .join(colored.select(col("v").as("b"), col("color").as("cb")),
+        Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("n_conflicts"))
+    val boundOk = colored.join(deg, Seq("v"))
+      .agg((count(when(col("color") > col("d"), 1)) === 0)
+        .as("degree_bound_ok"))
+    colored.agg(count(lit(1)).as("n_colored"),
+        count(when(col("color") === 0, 1)).as("n_color0"))
+      .crossJoin(conflicts)
+      .crossJoin(boundOk)
+      .select(lit(nVerts).as("n_vertices"), lit(nEdges).as("n_edges"),
+        col("n_colored"), col("n_conflicts"), col("n_color0"),
+        lit(drained).as("converged"), col("degree_bound_ok"))
+  }
+
+  private val graphColoringSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    val pExpr = TextFns.stringHashSql("'col:' || CAST(v AS VARCHAR)")
+      .replace("\n", " ")
+    val rounds = (1 to ColorMisRounds).map { r =>
+      s"""cmn$r AS (
+         |  SELECT e.u AS v, MIN(pv.p) AS mn
+         |  FROM cound e
+         |  JOIN cma${r - 1} au ON e.u = au.v
+         |  JOIN cma${r - 1} pv ON e.v = pv.v
+         |  GROUP BY e.u),
+         |cms$r AS MATERIALIZED (
+         |  SELECT a.v FROM cma${r - 1} a LEFT JOIN cmn$r n ON a.v = n.v
+         |  WHERE n.mn IS NULL OR a.p < n.mn),
+         |cmd$r AS (
+         |  SELECT v FROM cms$r
+         |  UNION
+         |  SELECT e.u FROM cound e JOIN cms$r m ON e.v = m.v),
+         |cma$r AS MATERIALIZED (
+         |  SELECT a.v, a.p FROM cma${r - 1} a
+         |  LEFT JOIN cmd$r d ON a.v = d.v WHERE d.v IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val misCount = (1 to ColorMisRounds)
+      .map(r => s"SELECT v FROM cms$r").mkString(" UNION ALL ")
+    s"""WITH coe AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |cocan AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM coe WHERE u <> v),
+       |cound AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM cocan
+       |  UNION ALL SELECT b AS u, a AS v FROM cocan),
+       |cov AS (SELECT DISTINCT u AS v FROM cound),
+       |cma0 AS MATERIALIZED (
+       |  SELECT v, $pExpr * $MisPackV + v AS p FROM cov),
+       |$rounds
+       |SELECT
+       |  (SELECT COUNT(*) FROM cov) AS n_vertices,
+       |  (SELECT COUNT(*) FROM cocan) AS n_edges,
+       |  (SELECT COUNT(*) FROM cov) AS n_colored,
+       |  CAST(0 AS BIGINT) AS n_conflicts,
+       |  (SELECT COUNT(*) FROM ($misCount)) AS n_color0,
+       |  TRUE AS converged,
+       |  TRUE AS degree_bound_ok""".stripMargin
+  }
   private val MatchRounds = 24 // observed 3/4/6/10 at the four SFs
 
   private def graphMatching(s: SparkSession, dir: String): DataFrame =
@@ -3716,6 +3886,7 @@ object UserGraphQueries {
     Q("graph_densest_subgraph", graphDensest, Some(graphDensestSql)),
     Q("graph_matching", graphMatching, Some(graphMatchingSql)),
     Q("graph_mis", graphMis, Some(graphMisSql)),
+    Q("graph_coloring", graphColoring, Some(graphColoringSql)),
     Q("graph_mst_boruvka", graphMstBoruvka, Some(graphMstBoruvkaSql)),
     Q("graph_temporal_reach", graphTemporalReach,
       Some(graphTemporalReachSql)),

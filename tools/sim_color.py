@@ -5,6 +5,18 @@ sync round count, color count, and validates the parallel rounds
 against the sequential greedy-by-priority coloring (fixed strict
 priorities make JP == greedy).
 
+MEASURED (rounds 12 evidence for the X149 contract key):
+- JP sync rounds GROW with scale: 7/21/43/74 at sf0.001/0.01/0.1/sf1
+  -> no pinned oracle unroll exists; the ENGINE iterates to
+  convergence (cap 160 = ~2x sf1) and the key is gated by the
+  X37/X68 CONTRACT pattern instead of a color-by-color replay.
+- color-0 class == the greedy MIS under the SAME "col:" priorities at
+  every SF (515/3251/10149/21965) — greedy coloring gives 0 exactly
+  to greedy-MIS members, and the ORACLE can compute that size with a
+  bounded Luby unroll (measured luby rounds 2/3/7/4 -> cap 14).
+- proper at every SF (0 conflicting edges), jp == sequential greedy
+  at every SF, colors 4/4/8/12 <= maxdeg+1.
+
 Usage: python3 tools/sim_color.py /root/testdata/sf0.001 [...]
 """
 import sys
