@@ -634,6 +634,42 @@ class GUserSpec extends GraftSuite {
       (8L, 8L, 1L, true), (9L, 9L, 1L, true)))
   }
 
+  test("graph_scc_layered: the shifted-copy derivation plus one-way " +
+    "bridges forces the layer-2 SCC into peel 2 (hand graph)") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Base: a 3-cycle 1->2->3->1 (the giant core stand-in) plus a
+    // trim-fodder tail 9->1. Layered adds the shifted 3-cycle
+    // (+131072) and bridges from vertices whose lbr-hash % 4 == 0.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 1L))
+      .toDF("u", "v").repartition(3)
+    val lay = UserGraphQueries.layeredDirectedOf(base)
+    val off = 131072L
+    val edges = lay.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // shifted copy present, direction preserved
+    assert(edges.contains((1L + off, 2L + off)) &&
+      edges.contains((9L + off, 1L + off)))
+    // bridges: exactly the lbr-hash-selected subset — of {1,2,3,9}
+    // only vertex 2 hashes to 0 mod 4 (stringHash("lbr:2") % 4 == 0),
+    // so the single bridge 2 -> 2+off ties the cycles one-way and the
+    // shifted cycle becomes the non-root SCC that needs peel 2
+    val bridged = edges.collect {
+      case (u, v) if v == u + off => u
+    }
+    assert(bridged.toSet === Set(2L))
+    assert(!edges.exists { case (u, v) => u == v + off }) // never back
+    // end-to-end: both cycles resolve as SCCs (the shifted one in
+    // peel 2), labels = min member, complete = true
+    val out = UserGraphQueries.sccLabelsOf(lay).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.forall(_._3), "multi-peel run must complete")
+    val labelOf = out.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 3L).forall(labelOf(_) == 1L))
+    assert(Seq(1L + off, 2L + off, 3L + off).forall(labelOf(_) == 1L + off))
+    assert(labelOf(9L) == 9L && labelOf(9L + off) == 9L + off)
+  }
+
   test("graph_scc_condensation: DAG over the 2-peel hand graph, no " +
     "back-edges") {
     import spark.implicits._
