@@ -1364,7 +1364,236 @@ object FeatureQueries {
        |ORDER BY x_col, y_col""".stripMargin
   }
 
+  /** X151 — feature_psi: POPULATION STABILITY INDEX between the first
+    * and second halves of the order-date range — the train/serve drift
+    * monitor every feature platform runs before reusing a trained
+    * model: per (feature, bin), counts on both sides, Laplace-smoothed
+    * shares in exact ppm, and the PSI term (p−q)·ln(p/q) on the exact
+    * micro-integer grid (round-half-up floor) so the per-feature total
+    * is an ORDER-FREE integer sum — the X132 WOE/IV discipline applied
+    * to the two-sample setting. Two features, both on FIXED grids (the
+    * X132 argument — a rank window at 100 TB is the single-partition
+    * anti-pattern): spend on the half-decade log grid of the exact
+    * cents (digit count ×2 + leading digit ≥ 3) and the order-priority
+    * class (its leading digit, 1–5).
+    *
+    * Split: reference = order day ≤ (min_day + max_day) div 2 (integer
+    * epoch days — deterministic, engine-identical). Smoothing: a =
+    * n+1, A = N+B over the feature's POPULATED bin count B — zero-bin
+    * safe on both sides. ln = ONE IEEE op on a ratio of exact-long
+    * products (exact while counts < ~3·10⁹ per side — the product
+    * a·ct must stay under 2⁶³; past that, the same expression rides
+    * DECIMAL, documented not provisioned). The statistic is the
+    * deliverable (X133): TPC-H is stationary by construction, so the
+    * HONEST values are small and SHRINK with scale (measured in the
+    * DuckDB prototype before landing: spend 5812/1244/225/225 micro
+    * at the four SFs, priority 1267/620/197/197 — pure sampling noise
+    * halving as n grows, 9–11 of 11 terms nonzero everywhere).
+    *
+    * Scale: one map-side projection + two ≤12-cell aggs + a broadcast
+    * 2-row margin join + a ≤12-row window — fully combinable, no rank
+    * windows, no joins over facts. The 1-row bounds scalar is a
+    * declared crossJoin.
+    */
+  private def featurePsi(s: SparkSession, dir: String): DataFrame =
+    psiOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[featurePsi]]: explicit orders frame. */
+  private[graft] def psiOf(orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .as("day"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"),
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+    val bounds = o.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val centsStr = col("cents").cast("string")
+    val binned = o.crossJoin(broadcast(bounds))
+      .select((col("day") <= col("mid")).as("is_ref"),
+        (length(centsStr) * 2 +
+          when(substring(centsStr, 1, 1).cast("int") >= 3, 1)
+            .otherwise(0)).cast("long").as("b_spend"),
+        col("prio"))
+    val melted = binned.select(col("is_ref"), explode(map(
+      lit("spend"), col("b_spend"),
+      lit("priority"), col("prio"))).as(Seq("feature", "bin")))
+    val cell = melted.groupBy(col("feature"), col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val tot = cell.groupBy(col("feature")).agg(
+      sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"),
+      count(lit(1)).as("nb"))
+    val x = cell.join(broadcast(tot), Seq("feature"))
+      .select(col("feature"), col("bin"), col("n_ref"), col("n_cur"),
+        (col("n_ref") + 1).as("ra"), (col("tr") + col("nb")).as("rt"),
+        (col("n_cur") + 1).as("ca"), (col("tc") + col("nb")).as("ct"))
+    x.select(col("feature"), col("bin"), col("n_ref"), col("n_cur"),
+      expr("ra * 1000000 div rt").as("ref_ppm"),
+      expr("ca * 1000000 div ct").as("cur_ppm"),
+      floor((col("ra").cast("double") / col("rt") -
+        col("ca").cast("double") / col("ct")) *
+        log((col("ra") * col("ct")).cast("double") /
+          (col("ca") * col("rt")).cast("double")) *
+        lit(1000000.0) + lit(0.5)).cast("long").as("psi_micro"))
+      .withColumn("psi_total_micro", sum(col("psi_micro")).over(
+        Window.partitionBy(col("feature"))))
+      .orderBy(col("feature"), col("bin"))
+  }
+
+  private val featurePsiSql = {
+    val day = "CAST(datediff('day', DATE '1970-01-01', o_orderdate) " +
+      "AS BIGINT)"
+    s"""WITH po AS (
+       |  SELECT $day AS day,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       |    CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS prio
+       |  FROM orders),
+       |pbounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM po),
+       |pb AS (
+       |  SELECT day <= (SELECT mid FROM pbounds) AS is_ref,
+       |    LENGTH(CAST(cents AS VARCHAR)) * 2 +
+       |      CASE WHEN CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS INT)
+       |           >= 3 THEN 1 ELSE 0 END AS b_spend,
+       |    prio
+       |  FROM po),
+       |pm AS (
+       |  SELECT 'spend' AS feature, CAST(b_spend AS BIGINT) AS bin,
+       |         is_ref FROM pb
+       |  UNION ALL SELECT 'priority', prio, is_ref FROM pb),
+       |pc AS (
+       |  SELECT feature, bin,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ref,
+       |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_cur
+       |  FROM pm GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT feature, CAST(SUM(n_ref) AS BIGINT) AS tr,
+       |         CAST(SUM(n_cur) AS BIGINT) AS tc,
+       |         CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM pc GROUP BY 1),
+       |px AS (
+       |  SELECT c.feature, c.bin, c.n_ref, c.n_cur,
+       |    (c.n_ref + 1) AS ra, (t.tr + t.nb) AS rt,
+       |    (c.n_cur + 1) AS ca, (t.tc + t.nb) AS ct
+       |  FROM pc c JOIN pt t USING (feature)),
+       |pz AS (
+       |  SELECT feature, bin, n_ref, n_cur,
+       |    ra * 1000000 // rt AS ref_ppm,
+       |    ca * 1000000 // ct AS cur_ppm,
+       |    CAST(FLOOR((CAST(ra AS DOUBLE) / rt - CAST(ca AS DOUBLE) / ct)
+       |      * ln(CAST(ra * ct AS DOUBLE) / CAST(ca * rt AS DOUBLE))
+       |      * 1000000 + 0.5) AS BIGINT) AS psi_micro
+       |  FROM px)
+       |SELECT feature, bin, n_ref, n_cur, ref_ppm, cur_ppm, psi_micro,
+       |  CAST(SUM(psi_micro) OVER (PARTITION BY feature) AS BIGINT)
+       |    AS psi_total_micro
+       |FROM pz ORDER BY feature, bin""".stripMargin
+  }
+
+  /** X152 — feature_drift_ks: the EXACT two-sample Kolmogorov–Smirnov
+    * statistic between the same date halves over the exact order-total
+    * cents — X151's distribution-free sibling (PSI sees only the fixed
+    * grid; KS sees every cent of separation): D = max_x |F_ref(x) −
+    * F_cur(x)|, carried as the EXACT INTEGER numerator
+    * max |c_ref(x)·n_cur − c_cur(x)·n_ref| over the merged support with
+    * a (diff DESC, x ASC) argmax — ZERO FP anywhere; ks_ppm =
+    * num·10⁶ div (n_ref·n_cur). One row: both sample sizes, the
+    * arg-max cents, the exact numerator, the ppm.
+    *
+    * Determinism: counts are exact; the numerator stays under 2⁶³
+    * through sf10 (c·n ≤ 7.5e6² ≈ 5.6e13; ×10⁶ ≈ 5.6e19 — the ppm
+    * product rides DECIMAL(38,0)/HUGEINT like the X142 Gini moments).
+    * Scale: one |orders| map projection + a per-cents agg, then ONE
+    * range-partitioned global cumulative window over the distinct
+    * support (the orders_gini/cc_string_ids class — the documented
+    * scale path is the binned CDF on X151's grid, which is map-only;
+    * the exact statistic is what the key pins). The two 1-row scalars
+    * (bounds, sizes) are declared crossJoins.
+    */
+  private def featureDriftKs(s: SparkSession, dir: String): DataFrame =
+    driftKsOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[featureDriftKs]]: explicit orders frame. */
+  private[graft] def driftKsOf(orders: DataFrame): DataFrame = {
+    val o = orders.select(
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .as("day"),
+      expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("cents"))
+    val bounds = o.agg(((min(col("day")) + max(col("day"))) / 2)
+      .cast("long").as("mid"))
+    val s2 = o.crossJoin(broadcast(bounds))
+      .select(col("cents"), (col("day") <= col("mid")).as("is_ref"))
+    val n = s2.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val g = s2.groupBy(col("cents")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("is_ref"), 0L).otherwise(1L)).as("d2"))
+    val w = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("cents"),
+      sum(col("d1")).over(w).as("c1"), sum(col("d2")).over(w).as("c2"))
+    cum.crossJoin(broadcast(n))
+      .select(col("n_ref"), col("n_cur"), col("cents"),
+        abs(col("c1") * col("n_cur") - col("c2") * col("n_ref"))
+          .as("diff"))
+      .groupBy(col("n_ref"), col("n_cur"))
+      .agg(min(struct((-col("diff")).as("nd"), col("cents"))).as("m"))
+      .select(col("n_ref"), col("n_cur"),
+        col("m.cents").as("ks_x_cents"), (-col("m.nd")).as("ks_num"))
+      .withColumn("ks_ppm", expr(
+        "cast((cast(ks_num as decimal(38,0)) * 1000000)" +
+          " div (n_ref * n_cur) as bigint)"))
+  }
+
+  private val featureDriftKsSql = {
+    val day = "CAST(datediff('day', DATE '1970-01-01', o_orderdate) " +
+      "AS BIGINT)"
+    s"""WITH ko AS (
+       |  SELECT $day AS day,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |kbounds AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM ko),
+       |ks AS (
+       |  SELECT cents, day <= (SELECT mid FROM kbounds) AS is_ref
+       |  FROM ko),
+       |kn AS (
+       |  SELECT CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_ref,
+       |         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+       |           AS n_cur
+       |  FROM ks),
+       |kg AS (
+       |  SELECT cents,
+       |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS d2
+       |  FROM ks GROUP BY 1),
+       |kc AS (
+       |  SELECT cents,
+       |    CAST(SUM(d1) OVER (ORDER BY cents
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+       |    CAST(SUM(d2) OVER (ORDER BY cents
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2
+       |  FROM kg),
+       |kd AS (
+       |  SELECT n.n_ref, n.n_cur, c.cents,
+       |    ABS(c.c1 * n.n_cur - c.c2 * n.n_ref) AS diff
+       |  FROM kc c CROSS JOIN kn n)
+       |SELECT n_ref, n_cur,
+       |  (SELECT cents FROM kd ORDER BY diff DESC, cents LIMIT 1)
+       |    AS ks_x_cents,
+       |  (SELECT diff FROM kd ORDER BY diff DESC, cents LIMIT 1)
+       |    AS ks_num,
+       |  CAST((CAST((SELECT diff FROM kd ORDER BY diff DESC, cents
+       |    LIMIT 1) AS HUGEINT) * 1000000) // (n_ref * n_cur) AS BIGINT)
+       |    AS ks_ppm
+       |FROM kn""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("feature_psi", featurePsi, Some(featurePsiSql)),
+    Q("feature_drift_ks", featureDriftKs, Some(featureDriftKsSql)),
     Q("feature_corr_matrix", featureCorrMatrix,
       Some(featureCorrMatrixSql)),
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),

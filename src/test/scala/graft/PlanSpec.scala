@@ -136,6 +136,8 @@ class PlanSpec extends GraftSuite {
     "graph_louvain_move",       // 1-row 2m edge-count scalar
     "graph_louvain_audit",      // 1-row stats×intra scalar per pass
     "graph_coloring",           // 1-row contract scalars (X149)
+    "feature_psi",              // 1-row date-midpoint scalar (X151)
+    "feature_drift_ks",         // 1-row midpoint + sizes scalars (X152)
     "graph_cc_sizes")           // 1-row vertex-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)

@@ -1122,4 +1122,51 @@ class TrainingAuditSpec extends GraftSuite {
         r.getLong(4), r.getLong(5)))
     assert(again.toSeq === got.toSeq)
   }
+
+  test("feature_psi: Laplace-smoothed terms and per-feature totals " +
+    "match a hand model, including a zero-count reference bin") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // days 0..20, mid = 10: ref = first 4 rows, cur = last 4.
+    // spend bins: $1.00 -> "100" len3*2=6; $4.00 -> "400" 3*2+1=7;
+    // $100.00 -> "10000" len5*2=10. Priority = leading digit.
+    val orders = Seq(
+      (ts(0), 1.00, "1-URGENT"), (ts(2), 1.00, "1-URGENT"),
+      (ts(5), 100.00, "1-URGENT"), (ts(10), 100.00, "1-URGENT"),
+      (ts(11), 1.00, "1-URGENT"), (ts(14), 4.00, "2-HIGH"),
+      (ts(17), 4.00, "2-HIGH"), (ts(20), 100.00, "1-URGENT"))
+      .toDF("o_orderdate", "o_totalprice", "o_orderpriority")
+      .repartition(3)
+    val out = FeatureQueries.psiOf(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.toSeq === Seq(
+      ("priority", 1L, 4L, 2L, 833333L, 500000L, 170275L, 536479L),
+      ("priority", 2L, 0L, 2L, 166666L, 500000L, 366204L, 536479L),
+      ("spend", 6L, 2L, 1L, 428571L, 285714L, 57924L, 429737L),
+      ("spend", 7L, 0L, 2L, 142857L, 428571L, 313889L, 429737L),
+      ("spend", 10L, 2L, 1L, 428571L, 285714L, 57924L, 429737L)))
+  }
+
+  test("feature_drift_ks: exact integer KS numerator, argmax ties to " +
+    "the smallest support value") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    val orders = Seq(
+      (ts(0), 1.00, "1-URGENT"), (ts(2), 1.00, "1-URGENT"),
+      (ts(5), 100.00, "1-URGENT"), (ts(10), 100.00, "1-URGENT"),
+      (ts(11), 1.00, "1-URGENT"), (ts(14), 4.00, "2-HIGH"),
+      (ts(17), 4.00, "2-HIGH"), (ts(20), 100.00, "1-URGENT"))
+      .toDF("o_orderdate", "o_totalprice", "o_orderpriority")
+      .repartition(3)
+    // merged support (cents 100, 400, 10000): ref cum (2,2,4), cur cum
+    // (1,3,4), n=4/4 -> diffs 4,4,0; tie broken to x=100.
+    val out = FeatureQueries.driftKsOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((4L, 4L, 100L, 4L, 250000L)))
+  }
 }
