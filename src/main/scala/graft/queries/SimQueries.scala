@@ -1882,6 +1882,89 @@ object SimQueries {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** nprobe ladder for X153 — covers the whole K=10-list index
+    * (1 = cheapest, 8 ≈ scan-most).
+    */
+  private val RecallProbes = Seq(1, 2, 4, 8)
+
+  private def simRecallCurve(s: SparkSession, dir: String): DataFrame =
+    recallCurveOf(withNorms(s, dir), centroids(s, dir))
+
+  /** X153 — sim_recall_curve: the IVF TUNING CURVE — recall@k AND
+    * scanned-fraction per probe count (nprobe ∈ [[RecallProbes]]) in one
+    * frame: the picture a vector platform publishes to pick its
+    * recall/cost operating point (X42 answers "at what recall" for the
+    * shipped configs; this key sweeps the knob).
+    *
+    * THE REDUCTION that makes the sweep one frame instead of four index
+    * scans: with IDENTICAL exact scoring inside and outside the index, a
+    * probed truth item always outranks every non-truth candidate (truth
+    * = the global top-k by that very score), so IVF's top-k at any
+    * nprobe contains EXACTLY the truth items whose list is probed —
+    * recall@k(np) = |{truth hits with centroid probe-rank ≤ np}| / (q·k).
+    * The whole curve needs only each truth hit's probe rank (≤ q·k rows)
+    * and the per-list sizes; no per-nprobe rescans. Scanned share =
+    * Σ_q Σ_{rank ≤ np} |list| / (q·N), exact ppm.
+    *
+    * Measured before landing (DuckDB prototype): recall 14→80 % at
+    * sf0.001 and 12→90 % at sf0.01 as scanned goes ~10→80 % — the
+    * classic concave ANN curve, non-degenerate at every point.
+    *
+    * Scale: the truth arm is the declared quadratic recall baseline
+    * (X42's isolation contract — production runs it on sampled queries);
+    * everything after is NQueries·K-row arithmetic. The nprobe ladder is
+    * a 4-row broadcast.
+    */
+  private[graft] def recallCurveOf(e: DataFrame,
+      cent: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("label").as("c_lab"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val truth = scored.withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= TopK).select(col("q_id"), col("c_lab"))
+    val wP = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val pr = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("c_label"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("centroid")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("c_cos"))
+      .withColumn("p_rk", row_number().over(wP))
+      .select(col("q_id"), col("c_label"), col("p_rk"))
+    val hits = truth.join(pr.withColumnRenamed("c_label", "c_lab"),
+      Seq("q_id", "c_lab"))
+    val sizes = e.groupBy(col("label").as("c_label"))
+      .agg(count(lit(1)).as("lsz"))
+    val scan = pr.join(broadcast(sizes), Seq("c_label"))
+    val nq = lit(NQueries.toLong)
+    val nv = e.count()
+    val sess = e.sparkSession
+    import sess.implicits._
+    val np = RecallProbes.map(_.toLong).toDF("nprobe")
+    val hitCounts = np.crossJoin(hits)
+      .filter(col("p_rk") <= col("nprobe"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val scanCounts = np.crossJoin(scan)
+      .filter(col("p_rk") <= col("nprobe"))
+      .groupBy(col("nprobe")).agg(sum(col("lsz")).as("scanned"))
+    np.join(hitCounts, Seq("nprobe"), "left")
+      .join(scanCounts, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"coalesce(hits, 0) * 1000000 div " +
+          s"(${NQueries.toLong} * ${TopK.toLong})").as("recall_ppm"),
+        expr(s"coalesce(scanned, 0) * 1000000 div " +
+          s"(${NQueries.toLong} * ${nv}L)").as("scanned_ppm"))
+      .orderBy(col("nprobe"))
+  }
+
   /** X42 — sim_recall_metrics: the ANN recall contract as one audited
     * frame — the similarity-search sibling of `dedup_metrics`. Each
     * approximate method (IVF probe, full-scan ADC over PQ codes, composed
@@ -1920,8 +2003,70 @@ object SimQueries {
       .orderBy(col("method"))
   }
 
+  private val simRecallCurveSql = {
+    val sdot = VectorFns.dotSql("q.q_emb", "e.embedding")
+    val cdot = VectorFns.dotSql("q.q_emb", "c.centroid")
+    val npRows = RecallProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH rce AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |rccomps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |rccentc AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM rccomps GROUP BY label, pos),
+       |rccentn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM rccentc GROUP BY label)),
+       |rcq AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM rce WHERE vec_id < $NQueries),
+       |rcsc AS (
+       |  SELECT q.q_id, e.vec_id AS c_id, e.label AS c_lab,
+       |    ${Det.qroundSql(s"$sdot / (q.q_nrm * e.nrm)", 6)} AS cos
+       |  FROM rcq q CROSS JOIN rce e WHERE e.vec_id <> q.q_id),
+       |rctruth AS MATERIALIZED (
+       |  SELECT q_id, c_lab FROM (
+       |    SELECT q_id, c_lab, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, c_id) AS rk FROM rcsc)
+       |  WHERE rk <= $TopK),
+       |rcpr AS MATERIALIZED (
+       |  SELECT q_id, c_label,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY c_cos DESC, c_label) AS p_rk
+       |  FROM (
+       |    SELECT q.q_id, c.c_label,
+       |      ${Det.qroundSql(s"$cdot / (q.q_nrm * c.c_nrm)", 6)} AS c_cos
+       |    FROM rcq q CROSS JOIN rccentn c)),
+       |rchits AS (
+       |  SELECT t.q_id, p.p_rk FROM rctruth t
+       |  JOIN rcpr p ON p.q_id = t.q_id AND p.c_label = t.c_lab),
+       |rcsz AS (SELECT label, COUNT(*) AS lsz FROM rce GROUP BY 1),
+       |rctot AS (SELECT COUNT(*) AS nv FROM rce),
+       |rcnp(nprobe) AS (VALUES $npRows)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       |  (SELECT COUNT(*) FROM rchits h WHERE h.p_rk <= nprobe)
+       |    AS hits,
+       |  (SELECT COUNT(*) FROM rchits h WHERE h.p_rk <= nprobe)
+       |    * 1000000 // ($NQueries * $TopK) AS recall_ppm,
+       |  CAST(COALESCE((SELECT SUM(s.lsz) FROM rcpr p
+       |    JOIN rcsz s ON s.label = p.c_label
+       |    WHERE p.p_rk <= nprobe), 0)
+       |    * 1000000 // ($NQueries * (SELECT nv FROM rctot)) AS BIGINT)
+       |    AS scanned_ppm
+       |FROM rcnp ORDER BY nprobe""".stripMargin
+  }
+
   // lazy: references the four query SQL vals above (object-init order —
-  // an eager val here would capture them pre-init if ever reordered).
+  // an eager val here would capture them pre-init if ever reordered.)
   private lazy val simRecallMetricsSql =
     s"""WITH exact AS MATERIALIZED (
        |  SELECT q_id, c_id FROM ($simTopkSql)),
@@ -2097,5 +2242,6 @@ object SimQueries {
       Some(simTopkIvfPqRerankSql)),
     Q("sim_topk_mrl", simTopkMrl, Some(simTopkMrlSql)),
     Q("sim_recall_metrics", simRecallMetrics, Some(simRecallMetricsSql)),
+    Q("sim_recall_curve", simRecallCurve, Some(simRecallCurveSql)),
   )
 }

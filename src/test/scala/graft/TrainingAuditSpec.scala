@@ -1150,6 +1150,31 @@ class TrainingAuditSpec extends GraftSuite {
       ("spend", 10L, 2L, 1L, 428571L, 285714L, 57924L, 429737L)))
   }
 
+  test("sim_recall_curve: hand index — recall@k counts exactly the " +
+    "truth hits whose list is probed; scanned share sums list sizes") {
+    import spark.implicits._
+    // One real query (vec_id 0 < NQueries) + six candidates in three
+    // 2-D labels. Truth top-5 for q=[1,0]: 10(l0,cos 1.0), 12(l1,.8),
+    // 11(l0,.6), 14(l2,.28), 13(l1,0). Centroids (label means incl.
+    // the query): probe ranks l0=1, l1=2, l2=3. List sizes 3/2/2, N=7.
+    val emb = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)), (10L, 0, Seq(1.0f, 0.0f)),
+      (11L, 0, Seq(0.6f, 0.8f)), (12L, 1, Seq(0.8f, 0.6f)),
+      (13L, 1, Seq(0.0f, 1.0f)), (14L, 2, Seq(0.28f, 0.96f)),
+      (15L, 2, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding").repartition(3)
+    val e = emb.select($"vec_id", $"label", $"embedding",
+      graft.functions.VectorFns.norm($"embedding").as("nrm"))
+    val out = SimQueries.recallCurveOf(e,
+      SimQueries.centroidsOf(emb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // denominators use the NQueries*TopK / NQueries*N contract (10*5,
+    // 10*7) — the fixture always has 10 queries; here one.
+    assert(out.toSeq === Seq(
+      (1L, 2L, 40000L, 42857L), (2L, 4L, 80000L, 71428L),
+      (4L, 5L, 100000L, 100000L), (8L, 5L, 100000L, 100000L)))
+  }
+
   test("feature_drift_ks: exact integer KS numerator, argmax ties to " +
     "the smallest support value") {
     import spark.implicits._
