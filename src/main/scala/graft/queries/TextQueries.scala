@@ -1784,7 +1784,122 @@ object TextQueries {
        |FROM rpsc GROUP BY phrase
        |ORDER BY score_micro DESC, phrase LIMIT $RakeTopK""".stripMargin
 
+  /** X154 — text_zipf_fit: RANK–FREQUENCY power-law fit over the corpus
+    * vocabulary — the Zipf diagnostic a corpus audit runs before
+    * tokenizer training (natural text follows freq ∝ rank^−s with
+    * s ≈ 1, r² near 1; TEMPLATED/synthetic text does not, and the
+    * HONEST verdict here is exactly that: measured before landing,
+    * slope ≈ −0.17 with r² ≈ 4.6–6.0 % at every SF — the fixture corpus
+    * has a flat 31-token head, and the low r² IS the finding, the
+    * Benford-audit shape): least squares of ln(count) on ln(rank) over
+    * the top-[[ZipfFitN]] tokens (rank = (count DESC, token ASC)).
+    *
+    * Determinism: both logs are quantized to the micro-integer grid
+    * BEFORE summing (floor(ln·10⁶ + 0.5) — one IEEE ln per value, the
+    * X23 discipline), so every moment (Σx, Σy, Σxx, Σxy, Σyy) is an
+    * order-free exact BIGINT; slope = ONE IEEE division of the exact
+    * integer (n·Σxy − ΣxΣy) / (n·Σxx − Σx²), qround(6); intercept
+    * likewise from the closed form (Σy·den − num·Σx)/(10⁶·n·den) with
+    * the big products on DECIMAL(38,0)/HUGEINT; r² in exact ppm as
+    * num²·10⁶ div (den·(n·Σyy − Σy²)) — exact while num²·10⁶ < 10³⁸
+    * (|num| ≲ 3·10¹⁵ here; bound documented, DECIMAL fails loudly past
+    * it). Output one row: n_fit, total/distinct token counts, slope,
+    * intercept (nats), r2_ppm.
+    *
+    * Scale: one |tokens| explode + hash agg (map-side combinable), a
+    * top-N = 64-row sort-limit, then constant-size arithmetic; the two
+    * 1-row frames crossJoin (declared).
+    */
+  private val ZipfFitN = 64
+
+  private def textZipfFit(s: SparkSession, dir: String): DataFrame =
+    zipfFitOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[textZipfFit]]: explicit documents frame. */
+  private[graft] def zipfFitOf(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = docs
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val stats = c.agg(count(lit(1)).as("distinct_tokens"),
+      sum(col("cnt")).as("total_tokens"))
+    val top = c.orderBy(col("cnt").desc, col("tok")).limit(ZipfFitN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+    val qz = top.select(
+      floor(log(col("rnk").cast("double")) * 1e6 + 0.5).cast("long")
+        .as("xq"),
+      floor(log(col("cnt").cast("double")) * 1e6 + 0.5).cast("long")
+        .as("yq"))
+    val m = qz.agg(count(lit(1)).as("n"), sum(col("xq")).as("sx"),
+      sum(col("yq")).as("sy"),
+      sum(col("xq") * col("xq")).as("sxx"),
+      sum(col("xq") * col("yq")).as("sxy"),
+      sum(col("yq") * col("yq")).as("syy"))
+    m.crossJoin(broadcast(stats))
+      .select(col("n").as("n_fit"), col("total_tokens"),
+        col("distinct_tokens"),
+        Det.qround((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"),
+        Det.qround(
+          (col("sy").cast(dec) *
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec) -
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec) *
+              col("sx").cast(dec)).cast("double") /
+          (lit(1000000.0) *
+            (col("n").cast(dec) *
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec))
+              .cast("double")), 6).as("intercept"),
+        expr("cast((cast(n*sxy - sx*sy as decimal(38,0)) * " +
+          "cast(n*sxy - sx*sy as decimal(38,0)) * 1000000) div " +
+          "(cast(n*sxx - sx*sx as decimal(38,0)) * " +
+          "cast(n*syy - sy*sy as decimal(38,0))) as bigint)")
+          .as("r2_ppm"))
+  }
+
+  private val textZipfFitSql =
+    s"""WITH zt AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |zc AS (SELECT tok, COUNT(*) AS cnt FROM zt GROUP BY 1),
+       |zstats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+       |         CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM zc),
+       |ztop AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+       |  FROM zc ORDER BY cnt DESC, tok LIMIT $ZipfFitN),
+       |zq AS (
+       |  SELECT
+       |    CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |      AS xq,
+       |    CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+       |      AS yq
+       |  FROM ztop),
+       |zm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+       |    CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+       |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+       |    CAST(SUM(yq * yq) AS BIGINT) AS syy
+       |  FROM zq)
+       |SELECT n AS n_fit, total_tokens, distinct_tokens,
+       |  ${Det.qroundSql(
+            "CAST(n*sxy - sx*sy AS DOUBLE) / " +
+              "CAST(n*sxx - sx*sx AS DOUBLE)", 6)} AS slope,
+       |  ${Det.qroundSql(
+            "CAST(CAST(sy AS HUGEINT) * (n*sxx - sx*sx) - " +
+              "CAST(n*sxy - sx*sy AS HUGEINT) * sx AS DOUBLE) / " +
+              "(1000000.0 * CAST(CAST(n AS HUGEINT) * " +
+              "(n*sxx - sx*sx) AS DOUBLE))", 6)} AS intercept,
+       |  CAST(CAST(n*sxy - sx*sy AS HUGEINT) *
+       |       CAST(n*sxy - sx*sy AS HUGEINT) * 1000000 //
+       |       (CAST(n*sxx - sx*sx AS HUGEINT) * (n*syy - sy*sy))
+       |       AS BIGINT) AS r2_ppm
+       |FROM zm, zstats""".stripMargin
+
   val qs: Seq[Q] = Seq(
+    Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     Q("text_rake", textRake, Some(textRakeSql)),
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("doc_quality_calibration", docQualityCalibration,

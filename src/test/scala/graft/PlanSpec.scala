@@ -138,6 +138,7 @@ class PlanSpec extends GraftSuite {
     "graph_coloring",           // 1-row contract scalars (X149)
     "feature_psi",              // 1-row date-midpoint scalar (X151)
     "feature_drift_ks",         // 1-row midpoint + sizes scalars (X152)
+    "text_zipf_fit",            // 1-row moments×stats scalar (X154)
     "graph_cc_sizes")           // 1-row vertex-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)

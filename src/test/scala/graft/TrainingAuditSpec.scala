@@ -1150,6 +1150,20 @@ class TrainingAuditSpec extends GraftSuite {
       ("spend", 10L, 2L, 1L, 428571L, 285714L, 57924L, 429737L)))
   }
 
+  test("text_zipf_fit: a perfect 48/rank corpus fits slope exactly -1 " +
+    "with r2 = 1e6 ppm; quantized moments stay exactly proportional") {
+    import spark.implicits._
+    val words = Seq.fill(48)("a") ++ Seq.fill(24)("b") ++
+      Seq.fill(16)("c") ++ Seq.fill(12)("d")
+    val docs = Seq((1L, words.take(50).mkString(" ")),
+      (2L, words.drop(50).mkString(" ")))
+      .toDF("doc_id", "text").repartition(3)
+    val out = TextQueries.zipfFitOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq === Seq((4L, 100L, 4L, -1.0, 3.871201, 1000000L)))
+  }
+
   test("sim_recall_curve: hand index — recall@k counts exactly the " +
     "truth hits whose list is probed; scanned share sums list sizes") {
     import spark.implicits._
