@@ -99,6 +99,7 @@ class PlanSpec extends GraftSuite {
     "sim_topk_ivfpq_rerank", // composes the ivfpq probe stage above
     "sim_topk_mrl",       // 10-row query side over truncated dims (X60)
     "sim_recall_metrics", // composes the five sim_topk* arms above
+    "sim_recall_curve",   // 10-row query/centroid sides + 4-row nprobe ladder
     "sim_knn_join",       // 10-row broadcast centroid table (probe ranking)
     "kmeans_step",        // 10-row broadcast centroid table
     "kmeans_iterated",    // the same 10-row broadcast table, K rounds
