@@ -663,6 +663,74 @@ object TextQueries {
        |      x -> contains(x, '_'))) AS n_merged
        |FROM t$BpeRounds ORDER BY doc_id""".stripMargin
 
+  /** X155 — tokenizer_fertility: the per-LANGUAGE tokenizer-bias audit —
+    * per language label, the corpus word count, the unit count after
+    * applying the learned BPE merge table, the merged-unit count, and
+    * the compression in exact ppm (units·10⁶ div words). The classic
+    * fertility question ("does the tokenizer favor the majority
+    * language?") asked of THIS repo's word-pair BPE: merges learned on
+    * the full mixed corpus compress the languages UNEVENLY — the gap
+    * between per-language compression_ppm is the bias finding. Grouped
+    * by the GOLD label, not the X5 stopword vote: the vote collapses to
+    * 'en' on the synthetic corpus (measured at landing — exactly the
+    * weakness lang_id_confusion quantifies), which would leave ONE
+    * degenerate group; fertility audits run on labeled eval corpora.
+    *
+    * Rides the memoized BPE chain (`_build:bpe` — the 4 corpus passes
+    * run once for the three BPE keys) and joins its per-doc unit counts
+    * with the per-doc word counts + language vote: one |docs| keyed
+    * join + a ≤3-group combinable agg. All-integer output.
+    */
+  private def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    fertilityOf(Tables(s, dir, "documents"), bpeChain(s, dir)._2)
+
+  /** Testable seam for [[tokenizerFertility]]: explicit documents +
+    * rewritten double-spaced corpus (doc_id, t).
+    */
+  private[graft] def fertilityOf(docs: DataFrame,
+      rewritten: DataFrame): DataFrame = {
+    val lang = docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("words"),
+      col("lang"))
+    val units = rewritten
+      .select(col("doc_id"), split(trim(col("t")), "  ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("units"),
+        size(filter(col("tk"), t => t.contains("_"))).cast("long")
+          .as("merged_units"))
+    lang.join(units, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
+        sum(col("units")).as("units"),
+        sum(col("merged_units")).as("merged_units"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("units"), col("merged_units"),
+        expr("units * 1000000 div words").as("compression_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenizerFertilitySql = {
+    val tok = "string_split(text, ' ')"
+    s"""WITH $bpeRoundsCtes,
+       |tflang AS (
+       |  SELECT doc_id, CAST(len($tok) AS BIGINT) AS words, lang
+       |  FROM documents),
+       |tfunits AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(trim(t), '  ')) AS BIGINT) AS units,
+       |    CAST(len(list_filter(string_split(trim(t), '  '),
+       |        x -> contains(x, '_'))) AS BIGINT) AS merged_units
+       |  FROM t$BpeRounds),
+       |tfg AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(words) AS BIGINT) AS words,
+       |    CAST(SUM(units) AS BIGINT) AS units,
+       |    CAST(SUM(merged_units) AS BIGINT) AS merged_units
+       |  FROM tflang l JOIN tfunits u USING (doc_id) GROUP BY 1)
+       |SELECT lang, n_docs, words, units, merged_units,
+       |  units * 1000000 // words AS compression_ppm
+       |FROM tfg ORDER BY lang""".stripMargin
+  }
+
   private val bpeMergesSampledSql = {
     val sampled = s"""(SELECT doc_id, text FROM documents
                      | WHERE ${TextFns.stringHashSql("text")}
@@ -1900,6 +1968,8 @@ object TextQueries {
 
   val qs: Seq[Q] = Seq(
     Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
+    Q("tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql)),
     Q("text_rake", textRake, Some(textRakeSql)),
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("doc_quality_calibration", docQualityCalibration,

@@ -1150,6 +1150,24 @@ class TrainingAuditSpec extends GraftSuite {
       ("spend", 10L, 2L, 1L, 428571L, 285714L, 57924L, 429737L)))
   }
 
+  test("tokenizer_fertility: per-language word/unit/merged counts and " +
+    "exact compression ppm from an explicit rewritten corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", "en"), (2L, "x y", "de"),
+      (3L, "p q r", "en"))
+      .toDF("doc_id", "text", "lang").repartition(2)
+    // doc1: a_b merged -> 3 units; doc2: none; doc3: p_q_r double merge
+    // -> 1 unit (the rewritten corpus is double-spaced, merges carry _)
+    val rewritten = Seq((1L, " a_b  c  d "), (2L, " x  y "),
+      (3L, " p_q_r ")).toDF("doc_id", "t").repartition(2)
+    val out = TextQueries.fertilityOf(docs, rewritten).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("de", 1L, 2L, 2L, 0L, 1000000L),
+      ("en", 2L, 7L, 4L, 2L, 571428L)))
+  }
+
   test("text_zipf_fit: a perfect 48/rank corpus fits slope exactly -1 " +
     "with r2 = 1e6 ppm; quantized moments stay exactly proportional") {
     import spark.implicits._
