@@ -36,6 +36,24 @@ object StreamQueries {
       |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) ks(k)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** T12 — stream_window_topk: see [[Streams.windowTopk]]. */
+  private def t12(s: SparkSession, dir: String): DataFrame =
+    Streams.windowTopk(events(s, dir))
+      .orderBy(col("window_start"), col("rk"))
+
+  private val t12Sql =
+    s"""WITH wtagg AS (
+       |  SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+       |    AS window_start, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT window_start, event_type, n, rk FROM (
+       |  SELECT window_start, event_type, n,
+       |    row_number() OVER (PARTITION BY window_start
+       |      ORDER BY n DESC, event_type) AS rk
+       |  FROM wtagg)
+       |WHERE rk <= ${graft.streaming.Streams.WindowTopK}
+       |ORDER BY window_start, rk""".stripMargin
+
   private def t3(s: SparkSession, dir: String): DataFrame =
     Streams.sessions(events(s, dir))
       .orderBy(col("user_id"), col("session_start"))
@@ -1322,6 +1340,7 @@ object StreamQueries {
     Q("stream_funnel", t8, Some(t8Sql)),
     Q("stream_tumbling", t1, Some(t1Sql)),
     Q("stream_sliding", t2, Some(t2Sql)),
+    Q("stream_window_topk", t12, Some(t12Sql)),
     Q("stream_session", t3, Some(t3Sql)),
     Q("stream_dedup_late", t4, Some(t4Sql)),
     Q("stream_stateful_count", t5, Some(t5Sql)),

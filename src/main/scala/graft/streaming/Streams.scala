@@ -23,6 +23,40 @@ object Streams {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** T12 — per tumbling 1h window, the top-[[WindowTopK]] event types by
+    * count (ties to the smaller type string) with their rank — the
+    * windowed-leaderboard composition (tumbling agg → per-window rank)
+    * every streaming analytics surface serves ("trending now"). The
+    * rank runs over ≤ |event_types| rows per window, AFTER the
+    * combinable count agg — at 100 TB the heavy work is the map-side
+    * count; the rank window never sees raw events. Deployment shape:
+    * the windowed count streams in append mode past the watermark (the
+    * T1 machinery unchanged), and the rank is the cheap batch pass over
+    * closed windows — StreamingSpec pins that composition's equivalence.
+    */
+  final val WindowTopK = 3
+
+  def windowTopk(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n"))
+    rankWindows(agg)
+  }
+
+  /** The batch rank half of [[windowTopk]] — also applied to a streamed
+    * windowed-count sink (the deployment composition the spec checks).
+    */
+  def rankWindows(agg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= WindowTopK)
+  }
+
   /** T2 — sliding 1h window, 15m slide. */
   def sliding(events: DataFrame): DataFrame =
     events

@@ -48,6 +48,51 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream_window_topk: batch rank over the streamed windowed-count " +
+    "sink equals the one-shot key over the closed windows") {
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("t_wtopk")
+      .outputMode("append").start()
+    try {
+      // Hour 0: 3 views, 2 clicks, 1 buy, 1 ship (4 types — ship must
+      // be cut at k=3); hour 1: click/view tie broken by type string.
+      mem.addData(
+        Ev(1, t("00:05"), 1, "view", 0), Ev(2, t("00:10"), 1, "view", 0),
+        Ev(3, t("00:15"), 2, "view", 0), Ev(4, t("00:20"), 2, "click", 0),
+        Ev(5, t("00:25"), 3, "click", 0), Ev(6, t("00:30"), 3, "buy", 0),
+        Ev(7, t("00:35"), 4, "ship", 0),
+        Ev(8, t("01:10"), 1, "click", 0), Ev(9, t("01:20"), 2, "view", 0))
+      q.processAllAvailable()
+      mem.addData(Ev(10, t("03:30"), 9, "view", 0)) // watermark 02:30
+      q.processAllAvailable()
+      val sink = spark.table("t_wtopk")
+        .select($"window_start", $"event_type", $"n")
+      val got = Streams.rankWindows(sink)
+        .orderBy($"window_start", $"rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      def h(hh: String) = t(hh).getTime / 1000
+      assert(got.toSeq === Seq(
+        (h("00:00"), "view", 3L, 1L), (h("00:00"), "click", 2L, 2L),
+        (h("00:00"), "buy", 1L, 3L),
+        (h("01:00"), "click", 1L, 1L), (h("01:00"), "view", 1L, 2L)))
+      // equals the one-shot batch key over the same closed windows
+      import spark.implicits._
+      val closed = Seq(
+        Ev(1, t("00:05"), 1, "view", 0), Ev(2, t("00:10"), 1, "view", 0),
+        Ev(3, t("00:15"), 2, "view", 0), Ev(4, t("00:20"), 2, "click", 0),
+        Ev(5, t("00:25"), 3, "click", 0), Ev(6, t("00:30"), 3, "buy", 0),
+        Ev(7, t("00:35"), 4, "ship", 0),
+        Ev(8, t("01:10"), 1, "click", 0), Ev(9, t("01:20"), 2, "view", 0))
+      val batch = Streams.windowTopk(closed.toDF())
+        .orderBy($"window_start", $"rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      assert(batch.toSeq === got.toSeq)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event_ids within the watermark") {
     val mem = MemoryStream[Ev]
     val q = Streams.dedupStream(mem.toDF())
