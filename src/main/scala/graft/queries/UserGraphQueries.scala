@@ -1579,8 +1579,13 @@ object UserGraphQueries {
         .select(lit(p).as("pass"), col("n_communities"),
           (lit(twoM) * col("in_total") - col("sumtot2")).as("q_num"))
     }
-    val p0 = deg.select(col("v").as("id"), col("v").as("lab"))
-    passRow(0, p0).unionByName(passRow(1, lab1))
+    // pass 0 needs no edge joins: singleton communities have in(C) = 0
+    // identically (self-loops are dropped up front) and tot(C) = d(C) —
+    // q0 = −Σd², n = |V|. Saves two |E| joins per board run.
+    val p0 = deg.agg(count(lit(1)).as("n_communities"),
+        (-sum(col("d") * col("d"))).as("q_num"))
+      .select(lit(0).as("pass"), col("n_communities"), col("q_num"))
+    p0.unionByName(passRow(1, lab1))
       .unionByName(passRow(2, composed))
       .orderBy(col("pass"))
   }
@@ -3591,40 +3596,47 @@ object UserGraphQueries {
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
       .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
     val nEdges = can.count()
-    var active = pinned(und.select(col("u").as("v")).distinct()
-      .select(col("v"), prio(col("v")).as("p")))
-    val nVerts = active.count()
-    var colored = active.limit(0)
-      .select(col("v"), lit(0L).as("color"))
+    // ONE state frame (v, p, color: null = uncolored) — two driver
+    // actions per round (pin + drained probe) instead of the naive
+    // four (newly/colored/active pins + probe); at 43 rounds (sf0.1)
+    // the action count is the wall-clock, not the data.
+    var st = pinned(und.select(col("u").as("v")).distinct()
+      .select(col("v"), prio(col("v")).as("p"),
+        lit(null).cast("long").as("color")))
+    val nVerts = st.count()
     var rounds = 0
     var drained = nVerts == 0L
     while (!drained && rounds < ColorRounds) {
       rounds += 1
+      val act = st.filter(col("color").isNull)
       val nbmin = und
-        .join(active.select(col("v").as("u")), Seq("u"), "left_semi")
-        .join(active.select(col("v"), col("p").as("pv")), Seq("v"))
+        .join(act.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(act.select(col("v"), col("p").as("pv")), Seq("v"))
         .groupBy(col("u")).agg(min(col("pv")).as("mn"))
         .select(col("u").as("v"), col("mn"))
-      val sel = active.join(nbmin, Seq("v"), "left")
+      val sel = act.join(nbmin, Seq("v"), "left")
         .filter(col("mn").isNull || col("p") < col("mn"))
         .select(col("v"))
       val nbColors = und
         .join(sel.select(col("v").as("u")), Seq("u"), "left_semi")
-        .join(colored.select(col("v"), col("color")), Seq("v"))
+        .join(st.filter(col("color").isNotNull)
+          .select(col("v"), col("color")), Seq("v"))
         .groupBy(col("u").as("v"))
         .agg(collect_set(col("color")).as("cs"))
-      val newly = pinned(sel.join(nbColors, Seq("v"), "left")
+      val newly = sel.join(nbColors, Seq("v"), "left")
         .select(col("v"), aggregate(
           array_sort(coalesce(col("cs"),
             array().cast("array<bigint>"))),
           lit(0L),
           (acc, x) => when(x === acc, acc + 1).otherwise(acc))
-          .as("color")))
-      colored = pinned(colored.unionByName(newly))
-      active = pinned(active
-        .join(newly.select(col("v")), Seq("v"), "left_anti"))
-      drained = active.head(1).isEmpty
+          .as("nc"))
+      st = pinned(st.join(newly, Seq("v"), "left")
+        .select(col("v"), col("p"),
+          coalesce(col("color"), col("nc")).as("color")))
+      drained = st.filter(col("color").isNull).head(1).isEmpty
     }
+    val colored = st.filter(col("color").isNotNull)
+      .select(col("v"), col("color"))
     val deg = und.groupBy(col("u").as("v")).agg(count(lit(1)).as("d"))
     val conflicts = can
       .join(colored.select(col("v").as("a"), col("color").as("ca")),
