@@ -299,7 +299,11 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val ngramJaccardSql =
+  /** Shared rare-shingle pair CTE chain ending in `inter`/`sizes` — ONE
+    * val used by the ngram-jaccard and rate-curve oracles (CTE-chain
+    * discipline).
+    */
+  private val rarePairCtes =
     s"""WITH $shingleHashesSql,
        |shd AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(hs)) AS shingle FROM sh),
        |rare AS MATERIALIZED (
@@ -312,7 +316,10 @@ object DedupQueries {
        |  SELECT l.doc_id AS d1, r.doc_id AS d2, COUNT(*) AS inter
        |  FROM rare l JOIN rare r
        |    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardSql =
+    s"""$rarePairCtes
        |SELECT d1, d2,
        |  ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} AS jaccard
        |FROM (
@@ -321,6 +328,105 @@ object DedupQueries {
        |  JOIN sizes s2 ON d2 = s2.doc_id) t
        |WHERE ${Det.qroundSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} >= 0.5
        |ORDER BY d1, d2""".stripMargin
+
+  /** Threshold ladder for X156 in exact ppm — spans BOTH modes of the
+    * measured pair-similarity distribution (see [[dedupRateCurve]]).
+    */
+  private val RateTaus = Seq(5000L, 10000L, 20000L, 500000L)
+
+  /** X156 — dedup_rate_curve: the DEDUP THRESHOLD TUNING SWEEP (the
+    * X153 curve pattern pointed at near-dup removal): per jaccard
+    * threshold τ, the matched pair count, the docs touched, the docs a
+    * drop-if-dominated policy removes (every doc that pairs ≥ τ with a
+    * SMALLER doc id — the standard single-pass keep-first rule), and
+    * the removal rate in exact ppm. Jaccard carried as the EXACT
+    * integer ppm `inter·10⁶ div union` — no FP anywhere.
+    *
+    * The LADDER is a measured choice (the #8 degeneracy lesson): the
+    * corpus' pair-similarity distribution is BIMODAL — random
+    * rare-shingle collisions at ~0.5–1.4 % jaccard and the planted
+    * near-dups at ~99 % with NOTHING between (measured quartiles
+    * 6622/7936/10416 ppm, max 989361 at sf0.001) — so any ladder inside
+    * [0.02, 0.9] is flat; τ ∈ {0.5 %, 1 %, 2 %, 50 %} spans both modes
+    * and the sweep moves at every rung (removal 97.4 → 4.8 % at
+    * sf0.001). The bimodality itself is the audit's finding: near-dup
+    * removal on this corpus is threshold-INSENSITIVE across the whole
+    * conventional range.
+    *
+    * Rides the memoized df-capped [[rareShingles]] frame
+    * (`_build:shingles`); one pair join + a 4-rung broadcast sweep over
+    * the pair frame — the τ ladder never rescans the corpus.
+    */
+  private def dedupRateCurve(s: SparkSession, dir: String): DataFrame =
+    rateCurveOf(Tables(s, dir, "documents"), rareShingles(s, dir))
+
+  /** Testable seam for [[dedupRateCurve]]: explicit documents +
+    * (doc_id, shingle) rare-shingle frame.
+    */
+  private[graft] def rateCurveOf(docs: DataFrame,
+      rare: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = rare.as("l")
+      .join(rare.as("r"), col("l.shingle") === col("r.shingle") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("n_sh", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("n_sh", "n2"), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("inter * 1000000 div (n1 + n2 - inter)").as("j_ppm"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val taus = RateTaus.toDF("tau_ppm")
+    val swept = taus.crossJoin(pairs).filter(col("j_ppm") >= col("tau_ppm"))
+    val perTau = swept.groupBy(col("tau_ppm")).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("d2")).as("n_removed"))
+    // matched docs via an exploded union, never a collected array (the
+    // τ=0.5 % rung carries ~1.1 M pairs at sf0.1 — collect_list there
+    // is the single-task anti-pattern)
+    val matched = swept.select(col("tau_ppm"), col("d1").as("doc"))
+      .unionByName(swept.select(col("tau_ppm"), col("d2").as("doc")))
+      .groupBy(col("tau_ppm"))
+      .agg(countDistinct(col("doc")).as("n_docs_matched"))
+    taus.join(perTau, Seq("tau_ppm"), "left")
+      .join(matched, Seq("tau_ppm"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("tau_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_matched"), lit(0L)).as("n_docs_matched"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr("coalesce(n_removed, 0) * 1000000 div n_docs")
+          .as("removed_ppm"))
+      .orderBy(col("tau_ppm"))
+  }
+
+  private val dedupRateCurveSql = {
+    val tauRows = RateTaus.map(t => s"($t)").mkString(", ")
+    s"""$rarePairCtes,
+       |rcp AS MATERIALIZED (
+       |  SELECT d1, d2, inter * 1000000 // (s1.n_sh + s2.n_sh - inter)
+       |    AS j_ppm
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+       |  JOIN sizes s2 ON d2 = s2.doc_id),
+       |rcn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |rctau(tau_ppm) AS (VALUES $tauRows)
+       |SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm,
+       |  (SELECT COUNT(*) FROM rcp p WHERE p.j_ppm >= tau_ppm)
+       |    AS n_pairs,
+       |  (SELECT COUNT(DISTINCT x) FROM (
+       |     SELECT d1 AS x FROM rcp WHERE j_ppm >= tau_ppm
+       |     UNION SELECT d2 FROM rcp WHERE j_ppm >= tau_ppm))
+       |    AS n_docs_matched,
+       |  (SELECT COUNT(DISTINCT d2) FROM rcp WHERE j_ppm >= tau_ppm)
+       |    AS n_removed,
+       |  (SELECT COUNT(DISTINCT d2) FROM rcp WHERE j_ppm >= tau_ppm)
+       |    * 1000000 // (SELECT n_docs FROM rcn) AS removed_ppm
+       |FROM rctau ORDER BY tau_ppm""".stripMargin
+  }
 
   /** Force the shared shingle-hash frame (bench `_build:shingles` timing
     * hook; see [[graft.sources.GTrade.warm]]).
@@ -849,6 +955,7 @@ object DedupQueries {
     Q("dedup_minhash", minhash, Some(minhashSql)),
     Q("dedup_simhash", simhash, Some(simhashSql)),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("dedup_rate_curve", dedupRateCurve, Some(dedupRateCurveSql)),
     Q("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_metrics", dedupMetrics, Some(dedupMetricsSql)),

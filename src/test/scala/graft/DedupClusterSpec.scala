@@ -173,6 +173,25 @@ class DedupClusterSpec extends GraftSuite {
     assert(splitExact === 0)
   }
 
+  test("dedup_rate_curve: threshold sweep over a hand pair frame - " +
+    "drop-if-dominated removal, per-rung counts, exact ppm") {
+    import spark.implicits._
+    // docs 1,2 share {a,b} (jaccard 1e6 ppm); 3 = {a,c} pairs with both
+    // at 333333 ppm; 4 = {d} pairs with nothing. N = 4 docs.
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id").repartition(2)
+    val rare = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L), (4L, 40L))
+      .toDF("doc_id", "shingle").repartition(3)
+    val out = DedupQueries.rateCurveOf(docs, rare).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (5000L, 3L, 3L, 2L, 500000L),
+      (10000L, 3L, 3L, 2L, 500000L),
+      (20000L, 3L, 3L, 2L, 500000L),
+      (500000L, 1L, 2L, 1L, 250000L)))
+  }
+
   test("dedup_containment: ratio identities; finds every exact-dup pair " +
     "jaccard finds; containment dominates jaccard pairwise") {
     val sf = "/root/testdata/sf0.001"

@@ -140,6 +140,7 @@ class PlanSpec extends GraftSuite {
     "feature_psi",              // 1-row date-midpoint scalar (X151)
     "feature_drift_ks",         // 1-row midpoint + sizes scalars (X152)
     "text_zipf_fit",            // 1-row moments×stats scalar (X154)
+    "dedup_rate_curve",         // 4-row tau ladder + 1-row doc total
     "graph_cc_sizes")           // 1-row vertex-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
