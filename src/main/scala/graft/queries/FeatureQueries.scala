@@ -855,6 +855,85 @@ object FeatureQueries {
       .orderBy(col("nation"))
   }
 
+  /** X157 — demand_holt_backtest: HOLT double exponential smoothing
+    * (level + TREND) one-step-ahead backtest per nation — the rung above
+    * X? demand_ses_backtest for series with drift (SES lags any trend by
+    * construction; Holt's trend term closes the gap, and the MAE pair is
+    * the standard "is there enough trend to justify the extra state"
+    * comparison). α = β = ½: every update is adds + exact halvings of
+    * the ×10⁴-scaled integer series, so the whole recursion stays on
+    * dyadic rationals — bit-identical cross-engine BY CONSTRUCTION (the
+    * X74/X96/SES discipline), and the update expressions are written
+    * with IDENTICAL parenthesization in both engines (the trend update
+    * recomputes the new level inline — same IEEE sequence both sides).
+    * Init: level = x₂, trend = x₂ − x₁, fold from x₃ (n ≥ 3); forecast
+    * per step = level + trend; emits the MAE and the next-month
+    * forecast.
+    *
+    * Scale: same shape as the SES key — the fact scan collapses to the
+    * ≤|nations|·|months| roll-up first; the fold runs per group on a
+    * ≤|months|-element array, never a driver loop, never a fact window.
+    */
+  private def demandHoltBacktest(s: SparkSession, dir: String): DataFrame =
+    demandHoltBacktestOf(Tables(s, dir, "lineitem"),
+      Tables(s, dir, "supplier"), Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandHoltBacktest]]: explicit frames. */
+  private[graft] def demandHoltBacktestOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
+    series
+      .groupBy(col("nation"))
+      .agg(sort_array(collect_list(struct(col("yyyymm"), col("s4"))))
+        .as("ms"))
+      .select(col("nation"),
+        expr("transform(ms, m -> CAST(m.s4 AS DOUBLE))").as("xs"))
+      .filter(size(col("xs")) >= 3)
+      .select(col("nation"), size(col("xs")).cast("long").as("n_months"),
+        expr(
+          """aggregate(
+            |  slice(xs, 3, size(xs) - 2),
+            |  named_struct('level', xs[1], 'trend', xs[1] - xs[0],
+            |               'err', CAST(0.0 AS DOUBLE)),
+            |  (acc, x) -> named_struct(
+            |    'level', (x + acc.level + acc.trend) * 0.5,
+            |    'trend', ((x + acc.level + acc.trend) * 0.5
+            |              - acc.level + acc.trend) * 0.5,
+            |    'err', acc.err + abs(x - acc.level - acc.trend)))"""
+            .stripMargin).as("st"))
+      .select(col("nation"), col("n_months"),
+        Det.qround(col("st.err") / (col("n_months") - 2) / 10000.0, 6)
+          .as("holt_mae"),
+        Det.qround((col("st.level") + col("st.trend")) / 10000.0, 6)
+          .as("forecast_next"))
+      .orderBy(col("nation"))
+  }
+
+  private val demandHoltBacktestSql = {
+    s"""WITH $demandSeriesCtes,
+       |harr AS (
+       |  SELECT nation,
+       |    list_transform(list_sort(list({'yyyymm': yyyymm, 's4': s4})),
+       |      m -> CAST(m.s4 AS DOUBLE)) AS xs
+       |  FROM series GROUP BY nation),
+       |hfolded AS (
+       |  SELECT nation, CAST(len(xs) AS BIGINT) AS n_months,
+       |    list_reduce(
+       |      list_prepend([xs[2], xs[2] - xs[1], 0.0],
+       |        list_transform(xs[3:], x -> [x, 0.0, 0.0])),
+       |      (acc, xl) -> [
+       |        (xl[1] + acc[1] + acc[2]) * 0.5,
+       |        ((xl[1] + acc[1] + acc[2]) * 0.5 - acc[1] + acc[2]) * 0.5,
+       |        acc[3] + abs(xl[1] - acc[1] - acc[2])]) AS st
+       |  FROM harr WHERE len(xs) >= 3)
+       |SELECT nation, n_months,
+       |  ${Det.qroundSql("st[3] / (n_months - 2) / 10000.0", 6)}
+       |    AS holt_mae,
+       |  ${Det.qroundSql("(st[1] + st[2]) / 10000.0", 6)}
+       |    AS forecast_next
+       |FROM hfolded ORDER BY nation""".stripMargin
+  }
+
   private val demandSesBacktestSql = {
     s"""WITH $demandSeriesCtes,
        |arr AS (
@@ -1608,6 +1687,8 @@ object FeatureQueries {
     Q("orders_gini", ordersGini, Some(ordersGiniSql)),
     Q("orders_lorenz_curve", ordersLorenz, Some(ordersLorenzSql)),
     Q("demand_ses_backtest", demandSesBacktest, Some(demandSesBacktestSql)),
+    Q("demand_holt_backtest", demandHoltBacktest,
+      Some(demandHoltBacktestSql)),
     Q("parts_abc_analysis", partsAbc, Some(partsAbcSql)),
     Q("parts_abc_sketch", partsAbcSketch, Some(partsAbcSketchSql)),
     Q("orders_cohort_ltv", ordersCohortLtv, Some(ordersCohortLtvSql)),

@@ -381,6 +381,28 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("demand_holt_backtest: level+trend fold on a hand series, " +
+    "dyadic-exact MAE and next forecast") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // Revenue 100, 200, 400, 500: init l=200 b=100; step 400: f=300,
+    // err=100, l'=350, b'=125; step 500: f=475, err+=25; MAE=125/2=62.5;
+    // next forecast = 487.5 + 131.25 = 618.75 (all dyadic, exact).
+    val li = Seq(
+      (1L, ts("2024-01-15"), 100.0), (1L, ts("2024-02-15"), 200.0),
+      (1L, ts("2024-03-15"), 400.0), (1L, ts("2024-04-15"), 500.0))
+      .map { case (s0, d, p) => (s0, d, p, 0.0) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .repartition(3)
+    val sup = Seq((1L, 7L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.demandHoltBacktestOf(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq(("FRANCE", 4L, 62.5, 618.75)))
+  }
+
   test("parts_abc_analysis: exact integer class boundaries") {
     import spark.implicits._
     // Revenues 80/15/5 → cumulative shares 0.80 (A, boundary inclusive),
