@@ -494,6 +494,49 @@ object StreamQueries {
     * cost of exact trailing distincts (the sketch alternative is X6's
     * HLL ladder); everything downstream is one combinable agg.
     */
+  /** X158 — events_dow_profile: DAY-OF-WEEK seasonality profile per
+    * event type — the traffic-shape audit behind alert thresholds and
+    * capacity plans (a Monday-shaped spike is only an anomaly if the
+    * profile says Mondays are flat): per (event_type, dow 0=Sunday),
+    * the count, its share of the type in exact ppm, and the SIGNED
+    * deviation from the uniform 1/7 expectation in exact ppm
+    * ((n·7 − total)·10⁶ div (total·7) — positive = over-indexed).
+    * All-integer; dow aligned cross-engine (Spark dayofweek()−1 ==
+    * DuckDB dayofweek(), both Sunday-0 under the pinned UTC session).
+    * The 30-day fixture span puts 4–5 of each weekday in each type, so
+    * deviations are genuinely nonzero (measured 260–338 per dow at
+    * sf0.01). One map-side projection + a ≤\|types\|·7 combinable agg +
+    * a broadcast per-type margin join.
+    */
+  private def eventsDowProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("event_type"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+    val cell = e.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cell.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"))
+    cell.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"),
+        expr("(n * 7 - total) * 1000000 div (total * 7)").as("dev_ppm"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val eventsDowProfileSql =
+    s"""WITH dwe AS (
+       |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow
+       |  FROM events),
+       |dwc AS (
+       |  SELECT event_type, dow, COUNT(*) AS n FROM dwe GROUP BY 1, 2),
+       |dwt AS (
+       |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+       |  FROM dwc GROUP BY 1)
+       |SELECT c.event_type, c.dow, c.n,
+       |  c.n * 1000000 // t.total AS share_ppm,
+       |  (c.n * 7 - t.total) * 1000000 // (t.total * 7) AS dev_ppm
+       |FROM dwc c JOIN dwt t USING (event_type)
+       |ORDER BY c.event_type, c.dow""".stripMargin
+
   private def eventsDauStickiness(s: SparkSession,
       dir: String): DataFrame =
     dauStickinessOf(events(s, dir))
@@ -1352,6 +1395,7 @@ object StreamQueries {
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
+    Q("events_dow_profile", eventsDowProfile, Some(eventsDowProfileSql)),
     Q("events_dau_stickiness", eventsDauStickiness,
       Some(eventsDauStickinessSql)),
     Q("events_funnel", x7, Some(x7Sql)),

@@ -48,6 +48,27 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("events_dow_profile: hand counts, exact shares and signed " +
+    "deviations (negative division truncates identically cross-engine)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.Registry.byKey("events_dow_profile")
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length === 35) // 5 types × 7 days, all populated
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val total = g.map(_._3).sum
+      g.foreach { case (_, _, n, share, dev) =>
+        assert(share === n * 1000000L / total)
+        assert(dev === (n * 7 - total) * 1000000L / (total * 7))
+      }
+      // shares of a full type sum to ~1e6 (floor loss < 7)
+      assert(math.abs(g.map(_._4).sum - 1000000L) < 7)
+      assert(g.exists(_._5 > 0) && g.exists(_._5 < 0),
+        "deviations must be genuinely two-sided")
+    }
+  }
+
   test("stream_window_topk: batch rank over the streamed windowed-count " +
     "sink equals the one-shot key over the closed windows") {
     val mem = MemoryStream[Ev]
