@@ -795,7 +795,10 @@ object StreamQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
-  private val eventsMarkovSql =
+  /** Shared transition-count CTE chain (ends in `agg(from_type,
+    * to_type, n)`) — ONE val for the X? markov and X159 entropy oracles.
+    */
+  private val markovCtes =
     """WITH tr AS (
       |  SELECT event_type AS from_type,
       |    lead(event_type) OVER (PARTITION BY user_id
@@ -803,11 +806,82 @@ object StreamQueries {
       |  FROM events),
       |agg AS (
       |  SELECT from_type, to_type, COUNT(*) AS n
-      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  private val eventsMarkovSql =
+    s"""$markovCtes
       |SELECT from_type, to_type, n,
       |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
       |       AS BIGINT) AS p_ppm
       |FROM agg ORDER BY from_type, to_type""".stripMargin
+
+  /** X159 — events_markov_entropy: per source event type, the
+    * CONDITIONAL next-type ENTROPY of the X? markov chain in exact
+    * µnats — the "how predictable is the next action" summary a
+    * session-model or prefetcher is evaluated by (H = 0 ⇒ the next
+    * type is determined; H = ln(branches) ⇒ uniform), plus the argmax
+    * next type and its exact-ppm probability. Determinism: each term
+    * p·ln(1/p) is TWO fixed-order IEEE ops on exact-integer ratios
+    * ((n/total)·ln(total/n)) quantized to µnats BEFORE the sum (the
+    * X23 quantize-then-sum discipline — the per-type total is an
+    * order-free exact BIGINT). Scale: rides the same ≤|types|² frame
+    * as the markov key; the per-user lead window is the only fact
+    * pass.
+    */
+  private def eventsMarkovEntropy(s: SparkSession,
+      dir: String): DataFrame = markovEntropyOf(events(s, dir))
+
+  /** Testable seam for [[eventsMarkovEntropy]]: explicit events frame. */
+  private[graft] def markovEntropyOf(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    tr.withColumn("from_total", sum(col("n")).over(byFrom))
+      .withColumn("h_term",
+        floor((col("n").cast("double") / col("from_total")) *
+          log(col("from_total").cast("double") / col("n")) *
+          lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy(col("from_type"))
+      .agg(max(col("from_total")).as("from_total"),
+        count(lit(1)).as("n_branches"),
+        sum(col("h_term")).as("h_micro_nats"),
+        min(struct((-col("n")).as("nn"), col("to_type"))).as("m"))
+      .select(col("from_type"), col("from_total"), col("n_branches"),
+        col("h_micro_nats"), col("m.to_type").as("top_next"),
+        expr("(-m.nn) * 1000000 div from_total").as("top_next_ppm"))
+      .orderBy(col("from_type"))
+  }
+
+  private val eventsMarkovEntropySql =
+    s"""$markovCtes,
+      |ment AS (
+      |  SELECT from_type, to_type, n,
+      |    CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |      AS from_total
+      |  FROM agg),
+      |mterm AS (
+      |  SELECT from_type, to_type, n, from_total,
+      |    CAST(FLOOR((CAST(n AS DOUBLE) / from_total) *
+      |      ln(CAST(from_total AS DOUBLE) / n) * 1000000 + 0.5)
+      |      AS BIGINT) AS h_term
+      |  FROM ment)
+      |SELECT from_type, MAX(from_total) AS from_total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_branches,
+      |  CAST(SUM(h_term) AS BIGINT) AS h_micro_nats,
+      |  (SELECT i.to_type FROM mterm i WHERE i.from_type = o.from_type
+      |   ORDER BY i.n DESC, i.to_type LIMIT 1) AS top_next,
+      |  (SELECT i.n FROM mterm i WHERE i.from_type = o.from_type
+      |   ORDER BY i.n DESC, i.to_type LIMIT 1) * 1000000
+      |    // MAX(from_total) AS top_next_ppm
+      |FROM mterm o GROUP BY from_type ORDER BY from_type""".stripMargin
 
   /** T7 — stream_doc_filter: the streaming-curation pass
     * ([[Streams.docFilterKeep]]) on the official board via its batch
@@ -1402,6 +1476,8 @@ object StreamQueries {
     Q("events_retention", x8, Some(x8Sql)),
     Q("events_zscore", eventsZscore, Some(eventsZscoreSql)),
     Q("events_markov", eventsMarkov, Some(eventsMarkovSql)),
+    Q("events_markov_entropy", eventsMarkovEntropy,
+      Some(eventsMarkovEntropySql)),
     Q("events_heavy_hitters", eventsHeavyHitters, Some(eventsHeavyHittersSql)),
     Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
     Q("events_anomaly_robust", eventsAnomalyRobust,

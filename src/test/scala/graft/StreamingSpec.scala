@@ -48,6 +48,28 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("events_markov_entropy: a determined branch reads H = 0, a " +
+    "uniform 2-way branch reads exactly ln(2) micro-nats") {
+    import spark.implicits._
+    // user 1: a->b, b->a, a->b (a always goes to b; b always to a...
+    // build: a,b,a,b -> transitions a->b, b->a, a->b: from a: {b:2}
+    // H=0; from b: {a:1} H=0. user 2: c,d then c,e -> from c: {d:1,
+    // e:1} uniform -> H = 2 * floor(0.5*ln2*1e6+0.5) = 2*346574.
+    val evs = Seq(
+      Ev(1, t("00:01"), 1, "a", 0), Ev(2, t("00:02"), 1, "b", 0),
+      Ev(3, t("00:03"), 1, "a", 0), Ev(4, t("00:04"), 1, "b", 0),
+      Ev(5, t("00:01"), 2, "c", 0), Ev(6, t("00:02"), 2, "d", 0),
+      Ev(7, t("00:03"), 3, "c", 0), Ev(8, t("00:04"), 3, "e", 0))
+    val out = graft.queries.StreamQueries
+      .markovEntropyOf(evs.toDF().repartition(3)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("a", 2L, 1L, 0L, "b", 1000000L),
+      ("b", 1L, 1L, 0L, "a", 1000000L),
+      ("c", 2L, 2L, 693148L, "d", 500000L)))
+  }
+
   test("events_dow_profile: hand counts, exact shares and signed " +
     "deviations (negative division truncates identically cross-engine)") {
     val sf = "/root/testdata/sf0.001"
