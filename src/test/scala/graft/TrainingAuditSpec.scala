@@ -381,6 +381,30 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("feature_mutual_info: perfect dependence reads exactly ln(2) " +
+    "micro-nats, independence reads exactly 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // spend bin DETERMINES priority ($1.00 -> '1-', $100.00 -> '2-');
+    // all orders in January, so both month pairs are single-column
+    // tables with MI exactly 0; balanced binary dependence = ln 2.
+    val orders = Seq(
+      (ts("2024-01-05"), 1.00, "1-URGENT"),
+      (ts("2024-01-12"), 1.00, "1-URGENT"),
+      (ts("2024-01-19"), 100.00, "2-HIGH"),
+      (ts("2024-01-26"), 100.00, "2-HIGH"))
+      .toDF("o_orderdate", "o_totalprice", "o_orderpriority")
+      .repartition(3)
+    val out = FeatureQueries.mutualInfoOf(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("priority_month", 4L, 2L, 0L),
+      ("spend_month", 4L, 2L, 0L),
+      ("spend_priority", 4L, 2L, 693148L)))
+  }
+
   test("demand_holt_backtest: level+trend fold on a hand series, " +
     "dyadic-exact MAE and next forecast") {
     import spark.implicits._
