@@ -886,7 +886,67 @@ object Substrate {
        |WHERE (lower_max IS NULL OR size > lower_max) AND size = tie_max
        |ORDER BY p_brand, price_cents, p_partkey""".stripMargin
 
+  /** X161 — substrate_zorder_cluster: Z-ORDER (Morton) clustering audit
+    * — the multi-dimensional data-skipping layout technique (Delta
+    * OPTIMIZE ZORDER / Iceberg sort orders): interleave the bits of two
+    * query dimensions (customer bucket, order-day bucket, both mod 256)
+    * into a 16-bit Morton code, then report per coarse z-range the row
+    * count and BOTH dimensions' min/max. The numbers ARE the skipping
+    * story: every 1/16th z-range bounds each dimension to a 64-wide
+    * span out of 256 (measured — c_span = d_span = 63 in every bucket),
+    * so files written in z-order answer a selective predicate on EITHER
+    * dimension by reading ~1/4 of the ranges, which a single-column
+    * sort only achieves for its leading column. At 100 TB this
+    * expression IS the clustering key the writer sorts by; the audit
+    * table is what a layout optimizer inspects to confirm the skip
+    * spans. Pure integer bit arithmetic — the 16-term interleave is the
+    * same literal expression in both engines; no FP, no windows, one
+    * map-side projection + a 16-group combinable agg.
+    */
+  private def substrateZorder(s: SparkSession, dir: String): DataFrame =
+    zorderOf(Tables(s, dir, "orders"))
+
+  /** Testable seam for [[substrateZorder]]: explicit orders frame. */
+  private[graft] def zorderOf(orders: DataFrame): DataFrame = {
+    val interleave = (0 until 8).map { i =>
+      s"(((c >> $i) & 1) << ${2 * i}) + (((d >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    orders.select(
+      expr("cast(o_custkey % 256 as bigint)").as("c"),
+      (datediff(col("o_orderdate"), lit("1970-01-01")) % 256)
+        .cast("long").as("d"))
+      .withColumn("zv", expr(interleave))
+      .groupBy(expr("zv div 4096").as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("c_min"), max(col("c")).as("c_max"),
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+      .select(col("z_bucket"), col("n_rows"), col("c_min"), col("c_max"),
+        col("d_min"), col("d_max"),
+        (col("c_max") - col("c_min")).as("c_span"),
+        (col("d_max") - col("d_min")).as("d_span"))
+      .orderBy(col("z_bucket"))
+  }
+
+  private val substrateZorderSql = {
+    val interleave = (0 until 8).map { i =>
+      s"(((c >> $i) & 1) << ${2 * i}) + (((d >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH zo AS (
+       |  SELECT CAST(o_custkey % 256 AS BIGINT) AS c,
+       |    CAST(datediff('day', DATE '1970-01-01', o_orderdate) % 256
+       |      AS BIGINT) AS d
+       |  FROM orders),
+       |zz AS (SELECT c, d, $interleave AS zv FROM zo)
+       |SELECT zv // 4096 AS z_bucket, COUNT(*) AS n_rows,
+       |  MIN(c) AS c_min, MAX(c) AS c_max,
+       |  MIN(d) AS d_min, MAX(d) AS d_max,
+       |  MAX(c) - MIN(c) AS c_span, MAX(d) - MIN(d) AS d_span
+       |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
+    Q("substrate_zorder_cluster", substrateZorder,
+      Some(substrateZorderSql)),
     Q("substrate_skyline", substrateSkyline, Some(substrateSkylineSql)),
     Q("substrate_window_frames", r20, Some(r20Sql)),
     Q("substrate_merge_upsert", r19, Some(r19Sql)),

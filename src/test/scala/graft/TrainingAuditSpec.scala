@@ -381,6 +381,38 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("substrate_zorder_cluster: Morton interleave by hand; coarse " +
+    "z-buckets bound BOTH dimensions (the data-skipping property)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // day d = epoch day via a fixed date; c = custkey % 256.
+    // Hand interleave: c=3 (bits 11 -> positions 0,2 = 1+4), d=1
+    // (bit 0 -> position 1 = 2): zv = 7 -> bucket 0. c=200,d=200:
+    // both high bits set -> bucket 15.
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    val orders = Seq(
+      (3L, ts(1), 0.0, ""), (200L, ts(200), 0.0, ""),
+      (64L, ts(2), 0.0, ""), (70L, ts(63), 0.0, ""))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority").repartition(2)
+    val out = graft.queries.Substrate.zorderOf(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // (3,1) -> zv 7 bucket 0; (64,2) -> zv 4096+... c=64 bit6 ->
+    // pos 12 = 4096, d=2 bit1 -> pos 3 = 8: zv 4104 bucket 1;
+    // (70,63): c=70 bits 1,2,6 -> 4+16+4096=4116... plus d=63 bits
+    // 0..5 -> 2+8+32+128+512+2048=2730: zv 6846 bucket 1;
+    // (200,200): c bits 3,6,7; d bits 3,6,7 -> (64+4096+16384) +
+    // (128+8192+32768) = 61632 bucket 15.
+    assert(out.toSeq === Seq(
+      (0L, 1L, 3L, 3L, 1L, 1L, 0L, 0L),
+      (1L, 2L, 64L, 70L, 2L, 63L, 6L, 61L),
+      (15L, 1L, 200L, 200L, 200L, 200L, 0L, 0L)))
+    // bounding property: every bucket's spans stay within the 64-wide
+    // quadrant the top-2 interleaved bits define
+    out.foreach { r => assert(r._7 <= 63 && r._8 <= 63) }
+  }
+
   test("feature_mutual_info: perfect dependence reads exactly ln(2) " +
     "micro-nats, independence reads exactly 0") {
     import spark.implicits._
