@@ -663,6 +663,96 @@ object TextQueries {
        |      x -> contains(x, '_'))) AS n_merged
        |FROM t$BpeRounds ORDER BY doc_id""".stripMargin
 
+  /** X162 — corpus_split_coverage: the TRAIN/VALIDATION n-gram coverage
+    * audit an LM pipeline runs before trusting a perplexity number — a
+    * validation set whose n-grams are mostly unseen in train measures
+    * OOV handling, not the model: deterministic CONTENT-HASH doc split
+    * (stringHash(text) % 2 — stable under re-sharding, the X37
+    * decontamination discipline), then for the validation half the
+    * token and bigram occurrence counts, how many occurrences are of
+    * types UNSEEN in train, and the rates in exact ppm. On the fixture
+    * corpus the honest reading is split-level: token coverage is total
+    * (31-token vocabulary — every type lands in both halves) while
+    * bigrams keep a real unseen tail (8/9 occurrences at
+    * sf0.001/0.01, measured before landing) — exactly the
+    * "unigram-complete, bigram-sparse" shape tiny vocabularies give.
+    *
+    * Scale: two hash-agg DISTINCT type sets (train side) left-anti
+    * joined by the validation occurrences — the decontaminate plan
+    * shape; no windows, no quadratic joins. One row.
+    */
+  private def corpusSplitCoverage(s: SparkSession,
+      dir: String): DataFrame =
+    splitCoverageOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[corpusSplitCoverage]]: explicit documents. */
+  private[graft] def splitCoverageOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      (TextFns.stringHash(col("text")) % 2 === 0).as("is_train"),
+      TextFns.tokens(col("text")).as("tk"))
+    val withBg = base.withColumn("bg", expr(
+      """zip_with(slice(tk, 1, size(tk) - 1),
+                  slice(tk, 2, size(tk) - 1),
+                  (a, b) -> concat(a, ' ', b))"""))
+    val uni = withBg.select(col("is_train"), explode(col("tk")).as("t"))
+    val big = withBg.select(col("is_train"), explode(col("bg")).as("b"))
+    val trainTok = uni.filter(col("is_train")).select(col("t")).distinct()
+    val trainBig = big.filter(col("is_train")).select(col("b")).distinct()
+    val docCounts = base.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(col("is_train"), 0L).otherwise(1L)).as("n_valid_docs"))
+    val vu = uni.filter(!col("is_train"))
+    val vb = big.filter(!col("is_train"))
+    val tokStats = vu.join(trainTok, Seq("t"), "left_anti")
+      .agg(count(lit(1)).as("unseen_tokens"))
+      .crossJoin(vu.agg(count(lit(1)).as("valid_tokens")))
+    val bigStats = vb.join(trainBig, Seq("b"), "left_anti")
+      .agg(count(lit(1)).as("unseen_bigrams"))
+      .crossJoin(vb.agg(count(lit(1)).as("valid_bigrams")))
+    docCounts.crossJoin(tokStats).crossJoin(bigStats)
+      .select(col("n_train_docs"), col("n_valid_docs"),
+        col("valid_tokens"), col("unseen_tokens"),
+        expr("unseen_tokens * 1000000 div valid_tokens")
+          .as("unseen_token_ppm"),
+        col("valid_bigrams"), col("unseen_bigrams"),
+        expr("unseen_bigrams * 1000000 div valid_bigrams")
+          .as("unseen_bigram_ppm"))
+  }
+
+  private val corpusSplitCoverageSql = {
+    val tok = "string_split(text, ' ')"
+    val h = TextFns.stringHashSql("text").replace("\n", " ")
+    s"""WITH scd AS (
+       |  SELECT $h % 2 = 0 AS is_train, $tok AS tk FROM documents),
+       |scb AS (
+       |  SELECT is_train, tk,
+       |    list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i + 1]) AS bg
+       |  FROM scd),
+       |scu AS (SELECT is_train, unnest(tk) AS t FROM scb),
+       |scg AS (SELECT is_train, unnest(bg) AS b FROM scb),
+       |sctu AS (SELECT DISTINCT t FROM scu WHERE is_train),
+       |sctb AS (SELECT DISTINCT b FROM scg WHERE is_train),
+       |scvu AS (SELECT t FROM scu WHERE NOT is_train),
+       |scvb AS (SELECT b FROM scg WHERE NOT is_train)
+       |SELECT
+       |  (SELECT COUNT(*) FROM scd WHERE is_train) AS n_train_docs,
+       |  (SELECT COUNT(*) FROM scd WHERE NOT is_train) AS n_valid_docs,
+       |  (SELECT COUNT(*) FROM scvu) AS valid_tokens,
+       |  (SELECT COUNT(*) FROM scvu
+       |   WHERE t NOT IN (SELECT t FROM sctu)) AS unseen_tokens,
+       |  (SELECT COUNT(*) FROM scvu WHERE t NOT IN
+       |    (SELECT t FROM sctu)) * 1000000
+       |    // (SELECT COUNT(*) FROM scvu) AS unseen_token_ppm,
+       |  (SELECT COUNT(*) FROM scvb) AS valid_bigrams,
+       |  (SELECT COUNT(*) FROM scvb
+       |   WHERE b NOT IN (SELECT b FROM sctb)) AS unseen_bigrams,
+       |  (SELECT COUNT(*) FROM scvb WHERE b NOT IN
+       |    (SELECT b FROM sctb)) * 1000000
+       |    // (SELECT COUNT(*) FROM scvb) AS unseen_bigram_ppm"""
+      .stripMargin
+  }
+
   /** X155 — tokenizer_fertility: the per-LANGUAGE tokenizer-bias audit —
     * per language label, the corpus word count, the unit count after
     * applying the learned BPE merge table, the merged-unit count, and
@@ -1970,6 +2060,8 @@ object TextQueries {
     Q("text_zipf_fit", textZipfFit, Some(textZipfFitSql)),
     Q("tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
+    Q("corpus_split_coverage", corpusSplitCoverage,
+      Some(corpusSplitCoverageSql)),
     Q("text_rake", textRake, Some(textRakeSql)),
     Q("doc_quality_model", docQualityModel, Some(docQualityModelSql)),
     Q("doc_quality_calibration", docQualityCalibration,

@@ -381,6 +381,37 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("corpus_split_coverage: hand corpus with a known unseen tail " +
+    "(occurrence counts, not type counts)") {
+    import spark.implicits._
+    import graft.functions.TextKernels
+    // Pick texts whose stringHash parity we compute with the SAME
+    // kernel the engine uses, then build: train holds "a b", valid
+    // holds "a c c" twice -> unseen token occurrences = 4 (c twice per
+    // doc), unseen bigram occurrences = 4 ("a c" and "c c" per doc).
+    def h(t: String) =
+      TextKernels.stringHash(UTF8String.fromString(t)) % 2 == 0
+    val train = (0 to 40).map(i => s"a b t$i").find(h).get
+    val valid = (0 to 40).map(i => s"a c c v$i").find(t => !h(t)).get
+    val docs = Seq((1L, train), (2L, valid), (3L, valid))
+      .toDF("doc_id", "text").repartition(2)
+    val out = TextQueries.splitCoverageOf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6)))
+    val trainToks = train.split(" ")
+    val validToks = valid.split(" ")
+    val vTok = 2L * validToks.length
+    val unseenTok = 2L * validToks.count(t => !trainToks.contains(t))
+    def bigs(ts: Array[String]) =
+      ts.sliding(2).map(_.mkString(" ")).toSeq
+    val vBig = 2L * (validToks.length - 1)
+    val tb = bigs(trainToks)
+    val unseenBig = 2L * bigs(validToks).count(b => !tb.contains(b))
+    assert(out.toSeq === Seq(
+      (1L, 2L, vTok, unseenTok, vBig, unseenBig)))
+    assert(unseenTok > 0 && unseenBig > 0)
+  }
+
   test("substrate_zorder_cluster: Morton interleave by hand; coarse " +
     "z-buckets bound BOTH dimensions (the data-skipping property)") {
     import spark.implicits._
