@@ -494,6 +494,76 @@ object StreamQueries {
     * cost of exact trailing distincts (the sketch alternative is X6's
     * HLL ladder); everything downstream is one combinable agg.
     */
+  /** X163 — events_burstiness: INTER-ARRIVAL burstiness per event type —
+    * the Goh–Barabási B = (σ−μ)/(σ+μ) over the µs gaps between
+    * consecutive events of the type (B = −1 perfectly periodic, 0
+    * Poisson, → 1 heavy bursts) — the traffic-model audit behind
+    * autoscaling and anomaly thresholds (a Poisson alert rule on bursty
+    * traffic pages all night). Emitted with the exact pieces: gap
+    * count, exact µs gap sum and mean, and B qround(6).
+    *
+    * Determinism: gaps are exact integer µs; Σg is an exact BIGINT
+    * (consecutive gaps telescope to ≈ the span); Σg² rides
+    * DECIMAL(38,0)/HUGEINT (a 30-day-span gap² already needs 2⁸²);
+    * σ and B are ONE fixed-order IEEE chain (sqrt of the exact variance
+    * numerator cast once, divided by n, then the B ratio) mirrored
+    * token-for-token in the oracle. The fixture's uniform generator
+    * reads B ≈ 0 (Poisson-like) — the honest verdict, like X151/X160.
+    * Scale: one lead window per type (the markov exchange) + a
+    * combinable moment agg; ≤|types| rows.
+    */
+  private def eventsBurstiness(s: SparkSession, dir: String): DataFrame =
+    burstinessOf(events(s, dir))
+
+  /** Testable seam for [[eventsBurstiness]]: explicit events frame. */
+  private[graft] def burstinessOf(ev: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("g",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+        sum(col("g").cast(dec) * col("g").cast(dec)).cast(dec).as("sgg"))
+    m.select(col("event_type"), col("n_gaps"), col("sg").as("sum_gap_us"),
+      expr("sg div n_gaps").as("mean_gap_us"),
+      Det.qround(
+        (sqrt((col("n_gaps").cast(dec) * col("sgg") -
+          col("sg").cast(dec) * col("sg").cast(dec)).cast("double")) /
+          col("n_gaps") - col("sg").cast("double") / col("n_gaps")) /
+        (sqrt((col("n_gaps").cast(dec) * col("sgg") -
+          col("sg").cast(dec) * col("sg").cast(dec)).cast("double")) /
+          col("n_gaps") + col("sg").cast("double") / col("n_gaps")), 6)
+        .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventsBurstinessSql =
+    s"""WITH bge AS (
+       |  SELECT event_type,
+       |    epoch_us(lead(ts) OVER (PARTITION BY event_type
+       |                            ORDER BY ts, event_id))
+       |      - epoch_us(ts) AS g
+       |  FROM events),
+       |bgm AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(SUM(g) AS BIGINT) AS sg,
+       |    CAST(SUM(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+       |  FROM bge WHERE g IS NOT NULL GROUP BY 1)
+       |SELECT event_type, n_gaps, sg AS sum_gap_us,
+       |  sg // n_gaps AS mean_gap_us,
+       |  ${Det.qroundSql(
+          "(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg - " +
+            "CAST(sg AS HUGEINT) * sg AS DOUBLE)) / n_gaps - " +
+            "CAST(sg AS DOUBLE) / n_gaps) / " +
+            "(sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg - " +
+            "CAST(sg AS HUGEINT) * sg AS DOUBLE)) / n_gaps + " +
+            "CAST(sg AS DOUBLE) / n_gaps)", 6)} AS burstiness
+       |FROM bgm ORDER BY event_type""".stripMargin
+
   /** X158 — events_dow_profile: DAY-OF-WEEK seasonality profile per
     * event type — the traffic-shape audit behind alert thresholds and
     * capacity plans (a Monday-shaped spike is only an anomaly if the
@@ -1470,6 +1540,7 @@ object StreamQueries {
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
     Q("events_dow_profile", eventsDowProfile, Some(eventsDowProfileSql)),
+    Q("events_burstiness", eventsBurstiness, Some(eventsBurstinessSql)),
     Q("events_dau_stickiness", eventsDauStickiness,
       Some(eventsDauStickinessSql)),
     Q("events_funnel", x7, Some(x7Sql)),

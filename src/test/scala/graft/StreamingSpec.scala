@@ -48,6 +48,27 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("events_burstiness: periodic gaps read exactly -1, a bursty " +
+    "tail reads the hand value") {
+    import spark.implicits._
+    // type p: events every 10s (gaps 10s x3 -> sigma 0 -> B = -1);
+    // type q: gaps 1s,1s,1s,97s -> B = 0.248902 (hand-computed with
+    // the same fixed-order chain).
+    def at(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val evs =
+      (0 to 3).map(i => Ev(i + 1, at(i * 10), 1, "p", 0)) ++
+        Seq(0, 1, 2, 3, 100).zipWithIndex.map { case (sec, i) =>
+          Ev(10 + i, at(sec), 2, "q", 0)
+        }
+    val out = graft.queries.StreamQueries
+      .burstinessOf(evs.toDF().repartition(3)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("p", 3L, 10000000L, -1.0),
+      ("q", 4L, 25000000L, 0.248902)))
+  }
+
   test("events_markov_entropy: a determined branch reads H = 0, a " +
     "uniform 2-way branch reads exactly ln(2) micro-nats") {
     import spark.implicits._
