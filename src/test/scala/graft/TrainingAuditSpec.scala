@@ -381,6 +381,25 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("parts_hhi_concentration: monopoly reads exactly 1e6 ppm, an " +
+    "even split reads exactly 1/n") {
+    import spark.implicits._
+    // part 1: one supplier (monopoly, HHI = top = 1e6); part 2: four
+    // suppliers at 25 each (HHI = 4 * (1/4)^2 = 250000, top 250000);
+    // part 3: 60/40 split (HHI = 360000+160000 = 520000, top 600000).
+    val li = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 25.0), (2L, 2L, 25.0), (2L, 3L, 25.0),
+      (2L, 4L, 25.0), (3L, 1L, 60.0), (3L, 2L, 40.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity").repartition(3)
+    val out = FeatureQueries.hhiOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 10L, 1000000L, 1000000L),
+      (2L, 4L, 100L, 250000L, 250000L),
+      (3L, 2L, 100L, 520000L, 600000L)))
+  }
+
   test("corpus_split_coverage: hand corpus with a known unseen tail " +
     "(occurrence counts, not type counts)") {
     import spark.implicits._
