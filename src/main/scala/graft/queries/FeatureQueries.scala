@@ -855,6 +855,85 @@ object FeatureQueries {
       .orderBy(col("nation"))
   }
 
+  /** X165 — demand_seasonal_decompose: classical ADDITIVE seasonal
+    * decomposition of the per-nation monthly revenue series — trend =
+    * the textbook CENTERED 12-month moving average (half weights on the
+    * ±6 ends), seasonal = the month-of-year mean of the detrended
+    * series, residual = the remainder — the forecasting-pipeline
+    * preprocessing step (X133's CUSUM watches the residual in
+    * production; this key produces the decomposition those monitors
+    * assume). EVERYTHING on an exact ×24 integer grid: trend_x24 =
+    * 2·Σ_{−6..+6} − x_{−6} − x_{+6} over the ×10⁴ revenue ints (the
+    * half-weight MA cleared of fractions), detrended_x24 = 24·x −
+    * trend_x24, seasonal_x24 = Σ detrended div k per (nation,
+    * month-of-year) — integer floor division, deterministic by fiat —
+    * and residual_x24 the exact remainder. No FP anywhere. Rows exist
+    * where the full ±6 window does (count guard == 13).
+    *
+    * Scale: ONE exchange on the nation key serves the centered-window
+    * pass (the X127/X133 single-exchange lesson); the seasonal means
+    * are a ≤\|nations\|·12-row broadcast join back. The fact scan
+    * collapses to the monthly roll-up first, as in every demand key.
+    */
+  private def demandSeasonalDecompose(s: SparkSession,
+      dir: String): DataFrame =
+    seasonalDecomposeOf(Tables(s, dir, "lineitem"),
+      Tables(s, dir, "supplier"), Tables(s, dir, "nation"))
+
+  /** Testable seam for [[demandSeasonalDecompose]]: explicit frames. */
+  private[graft] def seasonalDecomposeOf(lineitem: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val series = demandSeriesOf(lineitem, supplier, nation)
+    val w = Window.partitionBy(col("nation")).orderBy(col("yyyymm"))
+    val wc = w.rowsBetween(-6, 6)
+    val t = series.select(col("nation"), col("yyyymm"), col("s4"))
+      .withColumn("wn", count(lit(1)).over(wc))
+      .withColumn("wsum", sum(col("s4")).over(wc))
+      .withColumn("xm6", lag(col("s4"), 6).over(w))
+      .withColumn("xp6", lead(col("s4"), 6).over(w))
+      .filter(col("wn") === 13)
+      .select(col("nation"), col("yyyymm"), col("s4"),
+        (lit(2) * col("wsum") - col("xm6") - col("xp6")).as("trend_x24"))
+      .withColumn("detr_x24", lit(24) * col("s4") - col("trend_x24"))
+    val seas = t.groupBy(col("nation").as("s_nation"),
+        (col("yyyymm") % 100).as("moy"))
+      .agg(expr("sum(detr_x24) div count(1)").as("seasonal_x24"))
+    t.join(broadcast(seas),
+        col("nation") === col("s_nation") &&
+          (col("yyyymm") % 100) === col("moy"))
+      .select(col("nation"), col("yyyymm"), col("s4"), col("trend_x24"),
+        col("seasonal_x24"),
+        (col("detr_x24") - col("seasonal_x24")).as("residual_x24"))
+      .orderBy(col("nation"), col("yyyymm"))
+  }
+
+  private val demandSeasonalDecomposeSql =
+    s"""WITH $demandSeriesCtes,
+       |sdt AS (
+       |  SELECT nation, yyyymm, s4,
+       |    COUNT(*) OVER wc AS wn,
+       |    CAST(SUM(s4) OVER wc AS BIGINT) AS wsum,
+       |    lag(s4, 6) OVER wo AS xm6,
+       |    lead(s4, 6) OVER wo AS xp6
+       |  FROM series
+       |  WINDOW wo AS (PARTITION BY nation ORDER BY yyyymm),
+       |         wc AS (PARTITION BY nation ORDER BY yyyymm
+       |                ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+       |sdd AS (
+       |  SELECT nation, yyyymm, s4,
+       |    2 * wsum - xm6 - xp6 AS trend_x24,
+       |    24 * s4 - (2 * wsum - xm6 - xp6) AS detr_x24
+       |  FROM sdt WHERE wn = 13),
+       |sds AS (
+       |  SELECT nation, yyyymm % 100 AS moy,
+       |    CAST(SUM(detr_x24) // COUNT(*) AS BIGINT) AS seasonal_x24
+       |  FROM sdd GROUP BY 1, 2)
+       |SELECT d.nation, d.yyyymm, d.s4, d.trend_x24, s.seasonal_x24,
+       |  d.detr_x24 - s.seasonal_x24 AS residual_x24
+       |FROM sdd d JOIN sds s
+       |  ON s.nation = d.nation AND s.moy = d.yyyymm % 100
+       |ORDER BY d.nation, d.yyyymm""".stripMargin
+
   /** X164 — parts_hhi_concentration: the HERFINDAHL–HIRSCHMAN supplier
     * CONCENTRATION index per part — the supply-chain risk audit behind
     * sourcing policy (HHI = Σ share² of per-supplier quantity; 10⁶ ppm
@@ -1819,6 +1898,8 @@ object FeatureQueries {
     Q("feature_mutual_info", featureMutualInfo,
       Some(featureMutualInfoSql)),
     Q("parts_hhi_concentration", partsHhi, Some(partsHhiSql)),
+    Q("demand_seasonal_decompose", demandSeasonalDecompose,
+      Some(demandSeasonalDecomposeSql)),
     Q("feature_corr_matrix", featureCorrMatrix,
       Some(featureCorrMatrixSql)),
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),

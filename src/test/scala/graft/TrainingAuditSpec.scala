@@ -381,6 +381,32 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("demand_seasonal_decompose: hand series - linear trend is " +
+    "absorbed exactly, the July bump lands in seasonal, residual 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(ym: (Int, Int)) =
+      Timestamp.valueOf(f"${ym._1}%04d-${ym._2}%02d-15 00:00:00")
+    // 14 months 2024-01..2025-02, revenue 100*t dollars with a +50
+    // bump in July (t=7). Full +/-6 windows exist only at t=7,8.
+    // Hand (x24, in s4=1e4 units): trend(7)=1.69e8, detr=1.1e7 ->
+    // seasonal(Jul)=1.1e7, residual 0; trend(8)=1.93e8, detr=-1e6.
+    val months = (1 to 14).map(t =>
+      (if (t <= 12) (2024, t) else (2025, t - 12),
+        100.0 * t + (if (t == 7) 50.0 else 0.0)))
+    val li = months.map { case (ym, rev) => (1L, ts(ym), rev, 0.0) }
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .repartition(3)
+    val sup = Seq((1L, 7L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((7L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = FeatureQueries.seasonalDecomposeOf(li, sup, nat).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("FRANCE", 202407, 7500000L, 169000000L, 11000000L, 0L),
+      ("FRANCE", 202408, 8000000L, 193000000L, -1000000L, 0L)))
+  }
+
   test("parts_hhi_concentration: monopoly reads exactly 1e6 ppm, an " +
     "even split reads exactly 1/n") {
     import spark.implicits._
