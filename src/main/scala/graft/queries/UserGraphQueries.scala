@@ -3707,6 +3707,71 @@ object UserGraphQueries {
        |  TRUE AS converged,
        |  TRUE AS degree_bound_ok""".stripMargin
   }
+  // ── X166: graph_degree_gini — degree-inequality scalar on the tier.
+  /** X166 — graph_degree_gini: the GINI coefficient of the Zipf tier's
+    * degree distribution plus the top vertex's degree share, both exact
+    * ppm — the one-number heavy-tail evidence behind every skew
+    * mitigation this family carries (df caps, salting, hub exclusion):
+    * gini ≈ 0 means uniform degrees (caps never fire), gini → 1 means
+    * hub-dominated (caps are load-bearing). Measured 431221 ppm at
+    * sf0.001 GROWING to 564211 at sf0.01 — the tail thickens with
+    * scale, which is exactly why cap parameters are re-scanned per SF.
+    * The X142 exact-integer Gini form ((2Σi·d − (n+1)Σd)·10⁶ div
+    * (n·Σd)) over the (d, id) total order; one rank window over \|V\|
+    * (the orders_gini global-sort class — vertices, not edges), one
+    * moment agg, one row.
+    */
+  private def graphDegreeGini(s: SparkSession, dir: String): DataFrame =
+    degreeGiniOf(zipfCanonicalFrame(s, dir))
+
+  /** Testable seam for [[graphDegreeGini]]: explicit canonical (a < b)
+    * edge frame.
+    */
+  private[graft] def degreeGiniOf(canEdges: DataFrame): DataFrame = {
+    val und = canEdges.select(col("a").as("id"))
+      .unionByName(canEdges.select(col("b").as("id")))
+    val deg = und.groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val w = Window.orderBy(col("d"), col("id"))
+    deg.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("sum_deg"),
+        sum(col("i") * col("d")).as("sid"), max(col("d")).as("max_deg"))
+      .select(col("n_vertices"), col("sum_deg"),
+        expr("(2 * sid - (n_vertices + 1) * sum_deg) * 1000000 div " +
+          "(n_vertices * sum_deg)").as("gini_ppm"),
+        expr("max_deg * 1000000 div sum_deg").as("top1_ppm"))
+  }
+
+  private val graphDegreeGiniSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    s"""WITH dge AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |dgc AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM dge WHERE u <> v),
+       |dgd AS (
+       |  SELECT id, COUNT(*) AS d FROM (
+       |    SELECT a AS id FROM dgc UNION ALL SELECT b FROM dgc)
+       |  GROUP BY 1),
+       |dgr AS (
+       |  SELECT d, row_number() OVER (ORDER BY d, id) AS i FROM dgd),
+       |dgm AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       |    CAST(SUM(d) AS BIGINT) AS sum_deg,
+       |    CAST(SUM(i * d) AS BIGINT) AS sid,
+       |    CAST(MAX(d) AS BIGINT) AS max_deg
+       |  FROM dgr)
+       |SELECT n_vertices, sum_deg,
+       |  (2 * sid - (n_vertices + 1) * sum_deg) * 1000000
+       |    // (n_vertices * sum_deg) AS gini_ppm,
+       |  max_deg * 1000000 // sum_deg AS top1_ppm
+       |FROM dgm""".stripMargin
+  }
+
   private val MatchRounds = 24 // observed 3/4/6/10 at the four SFs
 
   private def graphMatching(s: SparkSession, dir: String): DataFrame =
@@ -4055,6 +4120,7 @@ object UserGraphQueries {
     Q("graph_mis", graphMis, Some(graphMisSql)),
     Q("graph_coloring", graphColoring, Some(graphColoringSql)),
     Q("graph_scc_layered", graphSccLayered, Some(graphSccLayeredSql)),
+    Q("graph_degree_gini", graphDegreeGini, Some(graphDegreeGiniSql)),
     Q("graph_mst_boruvka", graphMstBoruvka, Some(graphMstBoruvkaSql)),
     Q("graph_temporal_reach", graphTemporalReach,
       Some(graphTemporalReachSql)),

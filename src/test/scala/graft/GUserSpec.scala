@@ -537,6 +537,24 @@ class GUserSpec extends GraftSuite {
       (8L, 6L, 4L)))
   }
 
+  test("graph_degree_gini: star reads high, cycle reads exactly 0") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // 5-cycle: all degrees 2 -> gini exactly 0, top1 = 2/10.
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+      .toDF("a", "b").repartition(2)
+    val c = UserGraphQueries.degreeGiniOf(cyc).collect()(0)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ===
+      ((5L, 10L, 0L, 200000L)))
+    // star K1,4: degrees 4,1,1,1,1; sorted i*d = 1+2+3+4+20=30;
+    // gini = (60 - 6*8)*1e6 div (5*8) = 300000; top1 = 500000.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b").repartition(2)
+    val st = UserGraphQueries.degreeGiniOf(star).collect()(0)
+    assert((st.getLong(0), st.getLong(1), st.getLong(2),
+      st.getLong(3)) === ((5L, 8L, 300000L, 500000L)))
+  }
+
   test("graph_coloring: JP == sequential greedy on hand graphs " +
     "(priority-injected), contract row pins the mex/conflict/MIS facts") {
     import spark.implicits._
