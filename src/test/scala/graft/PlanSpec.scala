@@ -142,6 +142,7 @@ class PlanSpec extends GraftSuite {
     "text_zipf_fit",            // 1-row moments×stats scalar (X154)
     "dedup_rate_curve",         // 4-row tau ladder + 1-row doc total
     "corpus_split_coverage",    // 1-row doc/token/bigram count scalars
+    "emb_quantization_curve",   // 4-row bit-width ladder (X167)
     "graph_cc_sizes")           // 1-row vertex-total scalar
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)

@@ -381,6 +381,26 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("emb_quantization_curve: hand vector - exact per-bit errors, " +
+    "negative components round half-up like positive ones") {
+    import spark.implicits._
+    // one vector [0.5, -0.5, 0.1]: xq = 500000, -500000, 100000.
+    // b=2: step 500000 -> qb 500000, -500000, 0 (100000+250000=350000,
+    // floor(0.7)=0): errs 0, 0, 100000 -> mse (1e10)/3, max 100000.
+    // b=8: step 7812 -> qb = floor((xq+3906)/7812)*7812:
+    //  500000 -> floor(64.50)=64 *7812=499968 err 32
+    // -500000 -> floor(-63.50)= -64 -> -499968 err -32
+    //  100000 -> floor(13.30)=13 -> 101556 err -1556
+    val emb = Seq((1L, 0, Seq(0.5f, -0.5f, 0.1f)))
+      .toDF("vec_id", "label", "embedding").repartition(2)
+    val out = SimQueries.quantCurveOf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = out.map(t => t._1 -> t).toMap
+    assert(m(2L) === ((2L, 3L, 10000000000L / 3, 100000L)))
+    assert(m(8L) === ((8L, 3L,
+      (32L * 32 + 32L * 32 + 1556L * 1556) / 3, 1556L)))
+  }
+
   test("demand_seasonal_decompose: hand series - linear trend is " +
     "absorbed exactly, the July bump lands in seasonal, residual 0") {
     import spark.implicits._
