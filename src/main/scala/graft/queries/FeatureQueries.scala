@@ -855,6 +855,95 @@ object FeatureQueries {
       .orderBy(col("nation"))
   }
 
+  /** X168 — orders_ship_lag_audit: the ORDER→SHIP lag distribution per
+    * order priority — the referential-sanity + SLA audit a warehouse
+    * runs on ingested operational data (does priority actually speed
+    * shipping? is shipdate even derived from orderdate?): per priority
+    * class, the item count, the NEGATIVE-lag violation count and
+    * exact-ppm rate (a shipment before its order is a data-quality
+    * violation), min/max, and exact NEAREST-RANK median and p90
+    * (rk = ceil(q·n) over the (lag, orderkey, linenumber) total order —
+    * the value_percentiles_exact discipline, one exchange per the
+    * priority key). THE FINDING IS LOUD, BY DESIGN (the Benford-audit
+    * shape): the fixture's shipdate is drawn INDEPENDENTLY of
+    * orderdate — ~48 % of items "ship" before their order at every SF
+    * (measured at landing) and the lag quantiles are priority-blind;
+    * the audit's job is to say so, not to hide it.
+    *
+    * Scale: one |lineitem| keyed join to the orders dimension (shuffle
+    * on orderkey), then ONE exchange on the 5-value priority key for
+    * the rank window — the per-priority partitions are |items|/5-sized;
+    * the declared scale path past memory-sized partitions is the
+    * two-phase bottom-k of X70, as for every exact-order-statistics
+    * key.
+    */
+  private def ordersShipLag(s: SparkSession, dir: String): DataFrame =
+    shipLagOf(Tables(s, dir, "orders"), Tables(s, dir, "lineitem"))
+
+  /** Testable seam for [[ordersShipLag]]: explicit frames. */
+  private[graft] def shipLagOf(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val j = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long")
+          .as("priority"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lag_days"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))
+    j.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("priority"))))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n_items"),
+        sum(when(col("lag_days") < 0, 1L).otherwise(0L))
+          .as("n_negative"),
+        min(col("lag_days")).as("min_lag"),
+        min(when(col("rk") === expr("(n + 1) div 2"), col("lag_days")))
+          .as("median_lag"),
+        min(when(col("rk") === expr("(9 * n + 9) div 10"),
+          col("lag_days"))).as("p90_lag"),
+        max(col("lag_days")).as("max_lag"))
+      .select(col("priority"), col("n_items"), col("n_negative"),
+        expr("n_negative * 1000000 div n_items").as("negative_ppm"),
+        col("min_lag"), col("median_lag"), col("p90_lag"),
+        col("max_lag"))
+      .orderBy(col("priority"))
+  }
+
+  private val ordersShipLagSql =
+    s"""WITH slj AS (
+       |  SELECT CAST(SUBSTR(o.o_orderpriority, 1, 1) AS BIGINT)
+       |      AS priority,
+       |    l.l_orderkey, l.l_linenumber,
+       |    CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+       |      AS lag_days
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |slr AS (
+       |  SELECT priority, lag_days,
+       |    row_number() OVER (PARTITION BY priority
+       |      ORDER BY lag_days, l_orderkey, l_linenumber) AS rk,
+       |    COUNT(*) OVER (PARTITION BY priority) AS n
+       |  FROM slj),
+       |slg AS (
+       |  SELECT priority, CAST(MAX(n) AS BIGINT) AS n_items,
+       |    CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_negative,
+       |    MIN(lag_days) AS min_lag,
+       |    MIN(CASE WHEN rk = (n + 1) // 2 THEN lag_days END)
+       |      AS median_lag,
+       |    MIN(CASE WHEN rk = (9 * n + 9) // 10 THEN lag_days END)
+       |      AS p90_lag,
+       |    MAX(lag_days) AS max_lag
+       |  FROM slr GROUP BY 1)
+       |SELECT priority, n_items, n_negative,
+       |  n_negative * 1000000 // n_items AS negative_ppm,
+       |  min_lag, median_lag, p90_lag, max_lag
+       |FROM slg ORDER BY priority""".stripMargin
+
   /** X165 — demand_seasonal_decompose: classical ADDITIVE seasonal
     * decomposition of the per-nation monthly revenue series — trend =
     * the textbook CENTERED 12-month moving average (half weights on the
@@ -1900,6 +1989,7 @@ object FeatureQueries {
     Q("parts_hhi_concentration", partsHhi, Some(partsHhiSql)),
     Q("demand_seasonal_decompose", demandSeasonalDecompose,
       Some(demandSeasonalDecomposeSql)),
+    Q("orders_ship_lag_audit", ordersShipLag, Some(ordersShipLagSql)),
     Q("feature_corr_matrix", featureCorrMatrix,
       Some(featureCorrMatrixSql)),
     Q("customer_rfm", customerRfm, Some(customerRfmSql)),

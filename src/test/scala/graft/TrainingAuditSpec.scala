@@ -381,6 +381,34 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.toSeq === Seq(("FRANCE", 3L, 175.0)))
   }
 
+  test("orders_ship_lag_audit: nearest-rank medians/p90 and the " +
+    "negative-lag violation count on a hand join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    val base = ts("2024-02-10")
+    def ship(days: Int) = Timestamp.valueOf(
+      java.time.LocalDateTime.ofEpochSecond(
+        base.getTime / 1000 + days.toLong * 86400, 0,
+        java.time.ZoneOffset.UTC))
+    // priority 1: lags [-3, 0, 2, 7, 10] -> n 5, neg 1 (200000 ppm),
+    // median rk 3 -> 2, p90 rk (45+9) div 10 = 5 -> 10.
+    // priority 2: lags [1, 1, 5, 9] -> median rk 2 -> 1, p90 rk 4 -> 9.
+    val orders = Seq((1L, "1-URGENT", base), (2L, "2-HIGH", base))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = (Seq(-3, 0, 2, 7, 10).zipWithIndex.map { case (d, i) =>
+      (1L, i + 1, ship(d))
+    } ++ Seq(1, 1, 5, 9).zipWithIndex.map { case (d, i) =>
+      (2L, i + 1, ship(d))
+    }).toDF("l_orderkey", "l_linenumber", "l_shipdate").repartition(3)
+    val out = FeatureQueries.shipLagOf(orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 1L, 200000L, -3L, 2L, 10L, 10L),
+      (2L, 4L, 0L, 0L, 1L, 1L, 9L, 9L)))
+  }
+
   test("emb_quantization_curve: hand vector - exact per-bit errors, " +
     "negative components round half-up like positive ones") {
     import spark.implicits._
