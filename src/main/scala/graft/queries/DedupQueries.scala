@@ -337,10 +337,16 @@ object DedupQueries {
   /** X156 — dedup_rate_curve: the DEDUP THRESHOLD TUNING SWEEP (the
     * X153 curve pattern pointed at near-dup removal): per jaccard
     * threshold τ, the matched pair count, the docs touched, the docs a
-    * drop-if-dominated policy removes (every doc that pairs ≥ τ with a
-    * SMALLER doc id — the standard single-pass keep-first rule), and
-    * the removal rate in exact ppm. Jaccard carried as the EXACT
-    * integer ppm `inter·10⁶ div union` — no FP anywhere.
+    * DROP-IF-DOMINATED-BY-ANY-SMALLER-ID policy removes (every doc that
+    * pairs ≥ τ with ANY smaller doc id, whether or not that smaller doc
+    * was itself removed), and the removal rate in exact ppm. On
+    * similarity CHAINS this is an UPPER BOUND on the iterative
+    * keep-first rule (keep-first compares only against KEPT docs, so a
+    * doc whose only smaller partners were themselves removed survives
+    * keep-first but is counted here) — the standard conservative bound a
+    * tuning sweep wants, not the closure itself (ADVICE r12). Jaccard
+    * carried as the EXACT integer ppm `inter·10⁶ div union` — no FP
+    * anywhere.
     *
     * The LADDER is a measured choice (the #8 degeneracy lesson): the
     * corpus' pair-similarity distribution is BIMODAL — random

@@ -649,7 +649,6 @@ object Streams {
     def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
       synchronized {
       if (batchId >= 0 && batchId <= lastApplied) return
-      if (batchId >= 0) lastApplied = batchId
       val b = scd2Batch(batch)
       val carry = hist.filter(col("is_current"))
         .select(col("user_id"), col("vcur").as("carry_v"),
@@ -677,6 +676,13 @@ object Streams {
             .as("valid_to_us"),
           (col("is_current") && col("bfrom").isNull).as("is_current"))
       hist = closed.unionByName(adjusted).localCheckpoint()
+      // Marked applied only AFTER the fold materialized (localCheckpoint
+      // runs a Spark job that can throw). If it were set before and the
+      // fold failed, Structured Streaming's retry of the SAME epoch would
+      // hit the replay guard and skip it — permanently dropping the batch
+      // from the history, the exact at-least-once path the guard exists
+      // for. Same ordering as [[MergeMaintainer.applyBatch]].
+      if (batchId >= 0) lastApplied = batchId
       ()
     }
     /** The live history table (total order for comparison). */

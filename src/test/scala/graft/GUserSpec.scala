@@ -470,6 +470,44 @@ class GUserSpec extends GraftSuite {
     assert(a.nonEmpty)
   }
 
+  test("graph_coreness: hand graph — K4 at 3, hung triangle at 2, " +
+    "pendant at 1") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Same graph as the kcore golden: K4 {1,2,3,4}, triangle {5,6,7}
+    // hung off 4 via 4-5, pendant 1-8. Hand h-index trace: degrees
+    // (4,3,3,4,3,2,2,1) -> round 1 (3,3,3,3,2,2,2,1) -> round 2
+    // unchanged = the core numbers.
+    val simple = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L), (1L, 8L))
+      .toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.corenessOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 3L, true), (2L, 3L, true),
+      (3L, 3L, true), (4L, 3L, true), (5L, 2L, true), (6L, 2L, true),
+      (7L, 2L, true), (8L, 1L, true)))
+  }
+
+  test("graph_coreness: coreness >= K agrees with the K-core peel on " +
+    "the zipf tier; invariant under partitioning") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val simple = UserGraphQueries.zipfEdgesOf(ev).localCheckpoint()
+    val cor = UserGraphQueries.corenessOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(cor.forall(_._3), "h-index iteration must converge")
+    // multi-level histogram (the non-degeneracy gate): >= 3 levels
+    assert(cor.map(_._2).distinct.length >= 3)
+    val coreMembers = UserGraphQueries.kcorePeelOf(simple).collect()
+      .map(_.getLong(0)).toSet
+    assert(cor.filter(_._2 >= 3L).map(_._1).toSet === coreMembers)
+    val b = UserGraphQueries.corenessOf(simple.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(cor.toSeq === b.toSeq)
+  }
+
   test("graph_truss_decompose: hand-built graph with a level-4 cascade") {
     import spark.implicits._
     import graft.queries.UserGraphQueries

@@ -57,9 +57,21 @@ def main():
     use_cpu = (not force_wall) and "cpu" in fresh and "cpu" in base
     metric = "cpu" if use_cpu else "queries"
     fq, bq = fresh[metric], base[metric]
+    # DUAL-METRIC band (r13 adjudication): when both records carry both
+    # maps, a key is flagged only when CPU AND wall are both out of band.
+    # A genuine code regression inflates both; box contention inflates
+    # wall while CPU stays honest (the r9 reason CPU became primary); and
+    # the r12 driver anomaly showed the dual failure — the executorCpuTime
+    # counter swings 3-6x run-to-run on short spin-heavy parallel stages
+    # (graph_rich_club CPU 6.8/22/21/17/36 s across five runs while its
+    # WALL sat at 1.6-2.3 s on an idle box). Requiring both bounds the
+    # false-flag rate of each counter by the other.
+    dual = use_cpu and "queries" in fresh and "queries" in base
+    fw, bw = (fresh.get("queries", {}), base.get("queries", {}))
     # Wall -1 and cpu -1 are set together by Bench, so failure detection is
     # metric-independent; keep using whichever map we compare on.
-    print(f"comparing {'executor-CPU' if use_cpu else 'wall'} seconds "
+    print(f"comparing {'executor-CPU' if use_cpu else 'wall'} seconds"
+          f"{' (wall-confirmed)' if dual else ''} "
           f"({len(set(fq) & set(bq))} shared keys, band {band}x)")
 
     flagged = []
@@ -72,6 +84,14 @@ def main():
             continue
         ratio = f_t / max(b_t, 1e-9)
         if ratio > band or ratio < 1 / band:
+            if dual and key in fw and key in bw and min(fw[key], bw[key]) >= 0:
+                wratio = fw[key] / max(bw[key], 1e-9)
+                if max(fw[key], bw[key]) < FLOOR or 1 / band <= wratio <= band:
+                    print(f"  cpu-only move (wall in band, not flagged): "
+                          f"{key}: cpu {b_t:.2f}s -> {f_t:.2f}s "
+                          f"[{ratio:.2f}x], wall {bw[key]:.2f}s -> "
+                          f"{fw[key]:.2f}s [{wratio:.2f}x]")
+                    continue
             flagged.append((key, b_t, f_t, f"{ratio:.2f}x"))
 
     for key in sorted(set(fq) - set(bq)):

@@ -10,8 +10,12 @@ can check coverage mechanically instead of hand-walking the tables.
 Usage:
     python3 tools/survey_diff.py [oracle_sql.json | keys.txt]
 
-With no argument, reads key names from the most recent Verify dump it can
-find under /tmp, else requires one.
+With no argument, reads the registry DIRECTLY from the `Q("key", ...)`
+registrations in src/main/scala/graft/queries/*.scala — no dump needed.
+When a dump IS passed, its key set is cross-checked against the source
+registrations and REFUSED on mismatch: the judge r12 finding was that the
+old most-recent-/tmp-dump default silently reconciled against a stale
+prior-round dump, making the round-close exit-0 spoofable.
 
 Rows marked "API-level, no standalone registry key" contribute no key, by
 design (I1 pregel, R8 substrate_iterate).
@@ -59,18 +63,40 @@ def survey_keys(path="SURVEY.md"):
 registry_keys_cache: set = set()
 
 
+Q_RE = re.compile(r'\bQ\(\s*"([a-z][a-z0-9_]+)"')
+
+
+def source_registry_keys(root="src/main/scala/graft/queries"):
+    """The registry as declared in source — every `Q("key", ...)`
+    registration across the family modules. This is the ground truth a
+    dump must match; a Verify dump can only be STALE relative to it."""
+    keys = set()
+    for path in sorted(glob.glob(os.path.join(root, "*.scala"))):
+        keys.update(Q_RE.findall(open(path).read()))
+    if not keys:
+        sys.exit(f"survey_diff: no Q(\"...\") registrations under {root}")
+    return keys
+
+
 def registry_keys(arg):
+    src = source_registry_keys()
     if arg and arg.endswith(".json"):
-        data = json.load(open(arg))
-        return set(data.keys())
-    if arg:
-        return {l.strip() for l in open(arg) if l.strip()}
-    cands = sorted(glob.glob("/tmp/verify_out*/oracle_sql.json"),
-                   key=os.path.getmtime)
-    if not cands:
-        sys.exit("survey_diff: no oracle_sql.json found; pass one")
-    print(f"using {cands[-1]}")
-    return set(json.load(open(cands[-1])).keys())
+        dump = set(json.load(open(arg)).keys())
+    elif arg:
+        dump = {l.strip() for l in open(arg) if l.strip()}
+    else:
+        print(f"using source registrations ({len(src)} Q(...) keys)")
+        return src
+    # Refuse stale dumps: a dump from a prior round reconciles cleanly
+    # against that round's SURVEY and spoofs the close-out (judge r12 #3).
+    if dump != src:
+        extra = sorted(dump - src)[:5]
+        miss = sorted(src - dump)[:5]
+        sys.exit(f"survey_diff: dump {arg} is STALE — {len(dump)} keys vs "
+                 f"{len(src)} source registrations "
+                 f"(dump-only: {extra}; source-only: {miss}). "
+                 "Re-run graft.Verify or omit the argument to use source.")
+    return dump
 
 
 def main():
