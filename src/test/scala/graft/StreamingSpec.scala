@@ -527,4 +527,76 @@ class StreamingSpec extends GraftSuite {
     assert(perm.current.collect().map(r =>
       (r.getLong(0), r.getLong(1))).toSeq === oneShot(b1 ++ b2 ++ b3))
   }
+
+  test("stream_dedup_minhash: LshDedupMaintainer equals the batch twin " +
+    "after every micro-batch; replays are skipped") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    // Texts engineered around the fold's cases: an exact-dup cluster
+    // split ACROSS batches (1≡4≡7), a prefix chain A⊂B⊂C where
+    // j(A,B)/j(B,C) ≥ τ but j(A,C) < τ (B drops via A, C must come BACK
+    // to kept — the closure round-2 / ADVICE chain case, ids 2/5/8), a
+    // cross-batch near-dup of a KEPT doc (9 vs 3), and a short
+    // shingle-less doc (6).
+    val words = (1 to 30).map(i => s"w$i")
+    val tA = words.mkString(" ")
+    val tB = (words ++ (31 to 52).map(i => s"w$i")).mkString(" ")
+    val tC = (words ++ (31 to 90).map(i => s"w$i")).mkString(" ")
+    val t3 = (1 to 25).map(i => s"z$i").mkString(" ")
+    val t9 = ((1 to 25).map(i => s"z$i") ++ Seq("tail")).mkString(" ")
+    val b1 = Seq((1L, tA), (2L, tA), (3L, t3))
+    val b2 = Seq((4L, tA), (5L, tB), (6L, "too short"))
+    val b3 = Seq((7L, tA), (8L, tC), (9L, t9))
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    def twin(docs: Seq[(Long, String)]) = {
+      val d = docs.toDF("doc_id", "text")
+      snap(DedupQueries.streamDedupMinhashOf(spark, d,
+        DedupQueries.shingleSetsOf(d)))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val m = new Streams.LshDedupMaintainer(spark)
+    val q = Streams.lshDedupMaintainStream(
+      mem.toDF().toDF("doc_id", "text"), m).start()
+    try {
+      var seen = Seq.empty[(Long, String)]
+      for (b <- Seq(b1, b2, b3)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(snap(m.current) === twin(seen))
+      }
+      val fin = snap(m.current)
+      // exact-dup cluster: 1 kept, 2 (same text, same batch), 4 and 7
+      // (later batches) all dropped onto 1
+      assert(fin.filter(v => Seq(2L, 4L, 7L).contains(v._1))
+        .forall(v => !v._2 && v._3 == 1L))
+      // chain: 5 (=B) dropped onto 2's rep 1? no — B pairs with A-texts
+      // via prefix overlap only if j >= tau; pin the closure INVARIANTS
+      // instead of hand jaccards: every dropped doc's dup_of is a KEPT
+      // smaller doc, and kept docs never point anywhere
+      val keptSet = fin.filter(_._2).map(_._1).toSet
+      assert(fin.forall(v => v._2 == (v._3 == -1L)))
+      assert(fin.filter(!_._2).forall(v =>
+        keptSet.contains(v._3) && v._3 < v._1))
+      assert(fin.forall(_._4), "every batch fold must converge")
+      // the shingle-less doc is kept
+      assert(fin.find(_._1 == 6L).exists(_._2))
+      // state holds exactly the kept shingled docs
+      assert(m.keptState.count() ===
+        fin.count(v => v._2 && v._1 != 6L))
+      // cross-batch near-dup: 9 dropped onto the kept 3
+      assert(fin.find(_._1 == 9L).exists(v => !v._2 && v._3 == 3L))
+    } finally q.stop()
+    // At-least-once replay of an applied epoch is a no-op (guard set
+    // AFTER the fold materializes — the ADVICE r12 ordering).
+    val r = new Streams.LshDedupMaintainer(spark)
+    r.applyBatch(b1.toDF("doc_id", "text"), batchId = 0L)
+    val once = snap(r.current)
+    r.applyBatch(b1.toDF("doc_id", "text"), batchId = 0L)
+    assert(snap(r.current) === once)
+    assert(once === twin(b1))
+  }
 }

@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Simulate graph_partition BEFORE any Spark code (rule-11 discipline;
+judge r12 item #5): balanced MULTILEVEL graph partitioning on the
+derived Zipf tier — the mitigation the board's skew evidence (X166/X17)
+exists for.
+
+Pipeline (every stage a deterministic integer fixpoint / window rule,
+identically expressible in Spark and DuckDB):
+  1. coarsen LEVEL 1: X134's locally-dominant (mutual-best) matching on
+     hash-weighted edges; matched pair contracts to min(a, b);
+  2. coarsen LEVEL 2: same matching on the contracted graph, edge
+     weight = contracted multiplicity (heavy-edge matching), packed
+     strict order p = w*2^32 + a*2^16 + b;
+  3. initial K-way split of the coarsest graph: super-vertices sorted
+     by (weight DESC, id), striped part = (rank-1) mod K;
+  4. refinement, R synchronous rounds on the coarsest graph: per vertex
+     the best-connected part (gain = conn(best) - conn(cur), ties to
+     the smallest part id); movers must have gain > 0, be the strict
+     (gain*2^32 + id)-max among gain-positive neighbors (no two
+     adjacent movers -> cut decrease is exactly the sum of gains), and
+     pass the capacity quota: in-movers per target ranked by
+     (gain DESC, id), kept while prev_weight(q) + cumsum(w) <= Cap,
+     Cap = (11*W) div (10*K) + 1 (10 % slack);
+  5. project back two levels; emit per-part sizes, edge cut, balance.
+
+Measures per SF: coarsening ratios, matching rounds per level,
+refinement movers + exact cut per round (validating monotone descent),
+final cut vs initial, balance ppm. Greedy==local-max equality for the
+matching was proven in tools/sim_densest_match.py (X134).
+
+Usage: python3 tools/sim_partition.py /root/testdata/sf0.001 [...]
+"""
+import sys
+from sim_mst import zipf_edges, string_hash
+
+K = 8
+REFINE_ROUNDS = 4
+PACK_W = 1 << 32
+PACK_E = 1 << 16
+
+
+def mutual_best_matching(edges_p):
+    """Synchronous locally-dominant rounds over packed edges
+    {(a,b): p}; returns (matched pairs, rounds)."""
+    live = dict(edges_p)
+    matched = []
+    rounds = 0
+    while live:
+        rounds += 1
+        best = {}
+        for (a, b), p in live.items():
+            if p > best.get(a, -1):
+                best[a] = p
+            if p > best.get(b, -1):
+                best[b] = p
+        sel = [(a, b) for (a, b), p in live.items()
+               if best[a] == p and best[b] == p]
+        if not sel:
+            raise RuntimeError("stuck")
+        matched += sel
+        mv = {x for e in sel for x in e}
+        live = {e: p for e, p in live.items()
+                if e[0] not in mv and e[1] not in mv}
+    return matched, rounds
+
+
+def contract(edges_w, vweight, matched):
+    lead = {}
+    for a, b in matched:
+        m = min(a, b)
+        lead[a] = m
+        lead[b] = m
+    cmap = {v: lead.get(v, v) for v in vweight}
+    cw = {}
+    for v, w in vweight.items():
+        c = cmap[v]
+        cw[c] = cw.get(c, 0) + w
+    ce = {}
+    for (a, b), w in edges_w.items():
+        ca, cb = cmap[a], cmap[b]
+        if ca == cb:
+            continue
+        key = (min(ca, cb), max(ca, cb))
+        ce[key] = ce.get(key, 0) + w
+    return ce, cw, cmap
+
+
+def pack_hash(a, b):
+    return string_hash(f"mw:{a}:{b}") * PACK_W + a * PACK_E + b
+
+
+def pack_weight(w, a, b):
+    return w * PACK_W + a * PACK_E + b
+
+
+def cut_of(edges_w, part):
+    return sum(w for (a, b), w in edges_w.items() if part[a] != part[b])
+
+
+for d in sys.argv[1:]:
+    es = zipf_edges(d)
+    verts = sorted({x for e in es for x in e})
+    e0 = {(a, b): 1 for a, b in es}
+    w0 = {v: 1 for v in verts}
+    # level 1: hash-weighted matching (the X134 weights)
+    m1, r1 = mutual_best_matching({e: pack_hash(*e) for e in e0})
+    e1, w1, map1 = contract(e0, w0, m1)
+    # level 2: heavy-edge matching on contracted multiplicities
+    m2, r2 = mutual_best_matching(
+        {(a, b): pack_weight(w, a, b) for (a, b), w in e1.items()})
+    e2, w2, map2 = contract(e1, w1, m2)
+    # initial striped split by (weight DESC, id)
+    order = sorted(w2, key=lambda v: (-w2[v], v))
+    part = {v: i % K for i, v in enumerate(order)}
+    W = sum(w2.values())
+    cap = (11 * W) // (10 * K) + 1
+    adj = {}
+    for (a, b), w in e2.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    cuts = [cut_of(e2, part)]
+    movers_per_round = []
+    for r in range(REFINE_ROUNDS):
+        pw = {}
+        for v, p in part.items():
+            pw[p] = pw.get(p, 0) + w2[v]
+        prop = {}  # v -> (gain, target)
+        for v in w2:
+            conn = {}
+            for u, w in adj.get(v, {}).items():
+                conn[part[u]] = conn.get(part[u], 0) + w
+            cur = conn.get(part[v], 0)
+            best_gain, best_q = 0, None
+            for q in sorted(conn):
+                if q == part[v]:
+                    continue
+                g = conn[q] - cur
+                if g > best_gain:
+                    best_gain, best_q = g, q
+            if best_q is not None:
+                prop[v] = (best_gain, best_q)
+        # strict local max among gain-positive neighbors
+        def pk(v):
+            return prop[v][0] * PACK_W + v
+        lm = [v for v in prop
+              if all(pk(v) > pk(u) for u in adj.get(v, {}) if u in prop)]
+        # capacity quota per target part
+        moved = []
+        bytarget = {}
+        for v in lm:
+            bytarget.setdefault(prop[v][1], []).append(v)
+        for q, vs in bytarget.items():
+            room = cap - pw.get(q, 0)
+            acc = 0
+            for v in sorted(vs, key=lambda x: (-prop[x][0], x)):
+                if acc + w2[v] <= room:
+                    acc += w2[v]
+                    moved.append(v)
+        exp_gain = sum(prop[v][0] for v in moved)
+        for v in moved:
+            part[v] = prop[v][1]
+        c = cut_of(e2, part)
+        assert c == cuts[-1] - exp_gain, "cut delta != sum of gains"
+        cuts.append(c)
+        movers_per_round.append(len(moved))
+    # project back
+    p0 = {v: part[map2[map1[v]]] for v in verts}
+    sizes = {}
+    for v in verts:
+        sizes[p0[v]] = sizes.get(p0[v], 0) + 1
+    cut0 = cut_of(e0, p0)
+    assert cut0 == cuts[-1], "projected cut != coarse cut"
+    bal = max(sizes.values()) * K * 1000000 // len(verts)
+    print(f"{d}: |V|={len(verts)} |E|={len(es)} "
+          f"lvl1 |M|={len(m1)} r={r1} -> {len(w1)}v/{len(e1)}e "
+          f"lvl2 |M|={len(m2)} r={r2} -> {len(w2)}v/{len(e2)}e "
+          f"cuts={cuts} movers={movers_per_round} "
+          f"sizes={sorted(sizes.values())} balance_ppm={bal}")

@@ -141,7 +141,39 @@ for d in sys.argv[1:]:
                     state_kept.add(b)
             ref, _ = sequential_fold(seen, adj)
             assert state_kept == ref, f"{d}: prefix w={width} diverged"
+    # REP-COLLAPSE equivalence (the engine's X2-style optimization): run
+    # the closure on exact-dup representatives only, then map members
+    # back (copy d of rep r: dropped, dup_of = r if r kept else
+    # dup_of(r)). Must equal the straight rule INCLUDING dup_of.
+    text_by_id = dict(rows)
+    rep = {}
+    for did in ids:  # min doc_id per text among shingled docs
+        t = text_by_id[did]
+        rep.setdefault(t, did)
+    reps = sorted(rep.values())
+    repset = set(reps)
+    rdocs = {r2: docs[r2] for r2 in reps}
+    rcand, rver, _ = verified_pairs(rdocs)
+    radj = {}
+    for a, b in rver:
+        radj.setdefault(b, set()).add(a)
+        radj.setdefault(a, set()).add(b)
+    rkept, rdup = sequential_fold(reps, radj)
+    kept2 = set()
+    dup2 = {}
+    for did in ids:
+        r2 = rep[text_by_id[did]]
+        if did == r2:
+            if did in rkept:
+                kept2.add(did)
+            else:
+                dup2[did] = rdup[did]
+        else:
+            dup2[did] = r2 if r2 in rkept else rdup[r2]
+    assert kept2 == kept, f"{d}: rep-collapse kept set diverged"
+    assert dup2 == dup_of, f"{d}: rep-collapse dup_of diverged"
     n_all = len(rows)
     print(f"{d}: docs={n_all} shingled={len(docs)} cand={len(cand)} "
           f"verified={len(ver)} kept={len(kept)} dropped={len(docs)-len(kept)} "
-          f"rounds={rounds} top_bucket_widths={topw}")
+          f"rounds={rounds} reps={len(reps)} rep_verified={len(rver)} "
+          f"top_bucket_widths={topw}")
