@@ -508,6 +508,47 @@ class GUserSpec extends GraftSuite {
     assert(cor.toSeq === b.toSeq)
   }
 
+  test("graph_partition: 8 isolated edges coarsen to 8 singleton parts " +
+    "with zero cut") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Every isolated edge is trivially locally dominant -> level-1
+    // matching contracts each to one super-vertex of weight 2; level 2
+    // has no edges; striping gives the 8 super-vertices one part each;
+    // refinement no-ops (no edges). Fully hand-computable: per-part
+    // size 2, cut 0, balance 2*8*1e6/16 = 1000000 exactly.
+    val simple = (0L until 8L).map(i => (i * 2 + 1, i * 2 + 2))
+      .toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.partitionOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.length === 8)
+    assert(out.forall(v => v._2 == 2L && v._3 == 0L &&
+      v._4 == 1000000L && v._5))
+  }
+
+  test("graph_partition: invariants + determinism on the zipf tier") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val simple = UserGraphQueries.zipfEdgesOf(ev).localCheckpoint()
+    val nV = simple.select(col("a").as("v"))
+      .unionByName(simple.select(col("b").as("v"))).distinct().count()
+    val nE = simple.count()
+    val out = UserGraphQueries.partitionOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.map(_._2).sum === nV, "part sizes partition the vertices")
+    assert(out.forall(_._3 < nE), "refined cut strictly below |E|")
+    assert(out.forall(_._5), "matchings must drain")
+    assert(out.map(_._4).distinct.length === 1)
+    val b = UserGraphQueries.partitionOf(simple.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("graph_truss_decompose: hand-built graph with a level-4 cascade") {
     import spark.implicits._
     import graft.queries.UserGraphQueries

@@ -149,12 +149,15 @@ for d in sys.argv[1:]:
         bytarget = {}
         for v in lm:
             bytarget.setdefault(prop[v][1], []).append(v)
+        # BLOCKING window-cumsum quota (the SQL form both engines run:
+        # running = SUM(w) OVER (PARTITION BY q ORDER BY gain DESC, v),
+        # keep while prev_weight + running <= cap)
         for q, vs in bytarget.items():
             room = cap - pw.get(q, 0)
             acc = 0
             for v in sorted(vs, key=lambda x: (-prop[x][0], x)):
-                if acc + w2[v] <= room:
-                    acc += w2[v]
+                acc += w2[v]
+                if acc <= room:
                     moved.append(v)
         exp_gain = sum(prop[v][0] for v in moved)
         for v in moved:
