@@ -93,6 +93,8 @@ object Bench {
         queries.UserGraphQueries.warmProbeHist(spark, sfDir)),
       timed("_build:walks")(queries.UserGraphQueries.warmWalks(spark, sfDir)),
       timed("_build:zipf")(queries.UserGraphQueries.warmZipf(spark, sfDir)),
+      timed("_build:match")(
+        queries.UserGraphQueries.warmMatch(spark, sfDir)),
       timed("_build:mst")(queries.UserGraphQueries.warmMst(spark, sfDir)),
       timed("_build:louvain")(
         queries.UserGraphQueries.warmLouvain(spark, sfDir)),

@@ -84,7 +84,7 @@ object UserGraphQueries {
   def evict(s: SparkSession): Unit = {
     gxCache.evict(s); probeHistCache.evict(s); walksCache.evict(s)
     zipfDirCache.evict(s); zipfCanCache.evict(s); sccLabCache.evict(s)
-    mstCache.evict(s)
+    mstCache.evict(s); matchCache.evict(s)
     GUser.evict(s)
   }
 
@@ -3906,8 +3906,25 @@ object UserGraphQueries {
 
   private val MatchRounds = 24 // observed 3/4/6/10 at the four SFs
 
+  // The level-1 matched frame is shared by graph_matching and
+  // graph_partition (its coarsening step runs the SAME matching on the
+  // SAME hash-weighted edges) — memoized per (session, sfDir) so the
+  // synchronous matching rounds run once per session (Bench
+  // `_build:match`); evicted via [[evict]].
+  private val matchCache = graft.util.SessionMemo.persisted[String]()
+
+  private[graft] def matchedFrame(s: SparkSession, dir: String): DataFrame =
+    matchCache(s, dir)(
+      matchingOf(matchWeightedOf(zipfCanonicalFrame(s, dir)))
+        .localCheckpoint())
+
+  /** Bench `_build:match` hook: the shared level-1 matched frame. */
+  def warmMatch(s: SparkSession, dir: String): Unit = {
+    matchedFrame(s, dir).count(); ()
+  }
+
   private def graphMatching(s: SparkSession, dir: String): DataFrame =
-    matchingOf(matchWeightedOf(zipfCanonicalFrame(s, dir)))
+    matchedFrame(s, dir).orderBy(col("a"), col("b"))
 
   /** Weighted edges for X134 — the MST pack with its own hash tag
     * (`"mw:a:b"`), strict total order p = w·2³² + a·2¹⁶ + b.
@@ -4073,22 +4090,28 @@ object UserGraphQueries {
     * public algorithms, engine-original implementation.
     */
   private def graphPartition(s: SparkSession, dir: String): DataFrame =
-    partitionOf(zipfCanonicalFrame(s, dir))
+    partitionFrom(zipfCanonicalFrame(s, dir).select(col("a"), col("b")),
+      matchedFrame(s, dir))
 
   /** The multilevel pipeline over an explicit canonical (a < b) simple
-    * edge frame — the hand-built-graph seam.
+    * edge frame — the hand-built-graph seam (computes its own level-1
+    * matching; production goes through [[graphPartition]], which reuses
+    * the memoized [[matchedFrame]]).
     */
   private[graft] def partitionOf(simple: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
     val can = simple.select(col("a"), col("b")).localCheckpoint()
+    partitionFrom(can, matchingOf(matchWeightedOf(can)).localCheckpoint())
+  }
+
+  private def partitionFrom(canIn: DataFrame, m1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    val can = canIn
     val verts = can.select(col("a").as("v"))
       .unionByName(can.select(col("b").as("v"))).distinct()
       .localCheckpoint()
     val nV = verts.count()
     def drainedOk(m: DataFrame): Boolean =
       m.filter(!col("converged")).head(1).isEmpty
-    // level 1: X134 matching on the hash-weighted edges
-    val m1 = matchingOf(matchWeightedOf(can)).localCheckpoint()
     val conv1 = drainedOk(m1)
     val map1 = pinned(verts.join(
       m1.select(col("a").as("v"), col("a").as("c"))
