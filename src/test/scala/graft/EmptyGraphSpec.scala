@@ -53,4 +53,16 @@ class EmptyGraphSpec extends GraftSuite {
     assert(g.numVertices === 0 && g.numEdges === 0)
     assert(g.subgraph(lit(true), lit(true)).numEdges === 0)
   }
+
+  test("round-13 iteratives are total on an empty edge frame") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(UserGraphQueries.corenessOf(empty).count() === 0)
+    assert(UserGraphQueries.partitionOf(empty).count() === 0)
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val hs = graft.queries.DedupQueries.shingleSetsOf(docs)
+    assert(graft.queries.DedupQueries
+      .streamDedupMinhashOf(spark, docs, hs).count() === 0)
+  }
 }

@@ -106,6 +106,7 @@ class PlanSpec extends GraftSuite {
     "emb_pca_project",    // 1-row broadcast direction vector
     // scalar-aggregate crossJoins: the broadcast side is a 1-row count
     "graph_partition",          // 1-row cut_edges + 1-row max-size scalars
+    "emb_ivf_balance",          // 1-row totals scalar over <=K list counts
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar
     "num_vertices_edges",       // edge-count scalar

@@ -1325,6 +1325,26 @@ class TrainingAuditSpec extends GraftSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("emb_ivf_balance: hand list sizes give exact shares, imbalance " +
+    "and the scan HHI") {
+    import spark.implicits._
+    // lists: label 5 holds 3 vectors, label 7 holds 1. shares
+    // 750000/250000; imbalance = 3*2*1e6/4 = 1500000; scan HHI =
+    // (9+1)*1e6/16 = 625000 (vs the 500000 uniform floor at K=2).
+    val emb = Seq((1L, Array(0.1f), 5), (2L, Array(0.2f), 5),
+      (3L, Array(0.3f), 5), (4L, Array(0.4f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimQueries.embIvfBalanceOf(emb.repartition(3)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq((5, 3L, 750000L, 1500000L, 625000L),
+      (7, 1L, 250000L, 1500000L, 625000L)))
+    val again = SimQueries.embIvfBalanceOf(emb.repartition(1)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("feature_psi: Laplace-smoothed terms and per-feature totals " +
     "match a hand model, including a zero-count reference bin") {
     import spark.implicits._
