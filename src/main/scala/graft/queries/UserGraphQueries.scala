@@ -4369,6 +4369,105 @@ object UserGraphQueries {
        |ORDER BY s.part""".stripMargin
   }
 
+  // ── X173: graph_partition2d — 2D vertex-cut replication audit.
+  private val P2Grid = 4L // 4×4 = 16 cells; span bound 2·√16 = 8
+
+  /** X173 — graph_partition2d: the VERTEX-CUT paradigm audited next to
+    * X171's edge-cut — GraphX-style 2D edge partitioning (cite:
+    * PAPERS.md GraphX / PowerGraph EdgePartition2D; public scheme,
+    * deterministic here via our own stringHash): edge (a, b) lands in
+    * grid cell (h(a) mod √N, h(b) mod √N) with N = 16, so a vertex's
+    * REPLICAS are confined to one grid row + one grid column —
+    * replication ≤ 2·√N regardless of degree, the property that makes
+    * 2D the deployment choice for power-law graphs (a hub under 1D
+    * hash-by-edge replicates to every partition; under 2D to at most
+    * 8 of 16). Emitted: per-cell edge counts (all 16 live at every
+    * SF), the replication factor Σspans·10⁶ div |V| (measured ppm
+    * 1 320 170 / 1 483 345 / 1 922 572 / 2 760 226 / 3 869 171 at
+    * sf0.001→sf10 — replication GROWS with the heavy tail while the
+    * span bound holds at 7 ≤ 8 everywhere), the max span with its
+    * pinned `span_bound_ok` ≤ 2√N contract, and the cell-imbalance
+    * factor (X171's balance formula on cells; 1.68→1.14, IMPROVING
+    * with scale as cells fill — the edge-balance price 2D pays shrinks
+    * exactly where the vertex-cut benefit grows).
+    * Honest pairing: X171 optimizes edge-cut by moving vertices; 2D
+    * BOUNDS vertex replication by construction and pays edge
+    * imbalance instead — the audit shows both prices on one tier.
+    * Shape: one map-side projection, one ≤16-key count, one
+    * count-distinct-per-vertex agg, two 1-row broadcast crossJoins
+    * (PlanSpec allowlist). All-integer.
+    */
+  private def graphPartition2d(s: SparkSession, dir: String): DataFrame =
+    partition2dOf(zipfCanonicalFrame(s, dir))
+
+  /** Testable seam over an explicit canonical (a < b) edge frame. */
+  private[graft] def partition2dOf(simple: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    def h(c: Column) =
+      TextFns.stringHash(concat(lit("p2:"), c.cast("string")))
+    val asg = simple.select(col("a"), col("b"),
+      ((h(col("a")) % P2Grid) * P2Grid + h(col("b")) % P2Grid).as("cell"))
+      .localCheckpoint()
+    val pc = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_edges"))
+    val spans = asg.select(col("a").as("v"), col("cell"))
+      .unionByName(asg.select(col("b").as("v"), col("cell")))
+      .groupBy(col("v"))
+      .agg(countDistinct(col("cell")).as("nsp"))
+    val tot = spans.agg(sum(col("nsp")).as("ssp"),
+      count(lit(1)).as("nv"), max(col("nsp")).as("mx"))
+    val imb = pc.agg(max(col("n_edges")).as("mxe"),
+      sum(col("n_edges")).as("se"))
+    pc.crossJoin(broadcast(tot)).crossJoin(broadcast(imb))
+      .select(col("cell"), col("n_edges"),
+        expr("ssp * 1000000 div nv").as("rf_ppm"),
+        col("mx").as("max_span"),
+        (col("mx") <= lit(2L * P2Grid)).as("span_bound_ok"),
+        expr(s"mxe * ${P2Grid * P2Grid} * 1000000 div se")
+          .as("cell_imbalance_ppm"))
+      .orderBy(col("cell"))
+  }
+
+  private val graphPartition2dSql = {
+    import graft.functions.TextFns
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    def hp(e: String) =
+      TextFns.stringHashSql(s"'p2:' || CAST($e AS VARCHAR)")
+        .replace("\n", " ")
+    s"""WITH p2e AS (
+       |  SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $KcBits)) AS u,
+       |         ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $KcBits)) AS v
+       |  FROM events),
+       |p2s AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+       |  FROM p2e WHERE u <> v),
+       |p2a AS MATERIALIZED (
+       |  SELECT a, b, (${hp("a")} % $P2Grid) * $P2Grid
+       |             + ${hp("b")} % $P2Grid AS cell FROM p2s),
+       |p2c AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_edges
+       |  FROM p2a GROUP BY cell),
+       |p2sp AS (
+       |  SELECT v, CAST(COUNT(DISTINCT cell) AS BIGINT) AS nsp FROM (
+       |    SELECT a AS v, cell FROM p2a
+       |    UNION ALL SELECT b, cell FROM p2a) GROUP BY v),
+       |p2t AS (
+       |  SELECT CAST(SUM(nsp) AS BIGINT) AS ssp,
+       |         CAST(COUNT(*) AS BIGINT) AS nv,
+       |         CAST(MAX(nsp) AS BIGINT) AS mx FROM p2sp),
+       |p2i AS (
+       |  SELECT CAST(MAX(n_edges) AS BIGINT) AS mxe,
+       |         CAST(SUM(n_edges) AS BIGINT) AS se FROM p2c)
+       |SELECT c.cell, c.n_edges,
+       |  t.ssp * 1000000 // t.nv AS rf_ppm,
+       |  t.mx AS max_span,
+       |  t.mx <= ${2L * P2Grid} AS span_bound_ok,
+       |  i.mxe * ${P2Grid * P2Grid} * 1000000 // i.se AS cell_imbalance_ppm
+       |FROM p2c c CROSS JOIN p2t t CROSS JOIN p2i i
+       |ORDER BY c.cell""".stripMargin
+  }
+
   // ── X135: graph_densest_subgraph — Bahmani-style peeling.
   private val DsRounds = 16 // observed full-peel depth 5/6/8/8
   private val DsScale = 1000000000L // density quantization grid (e9)
@@ -4596,6 +4695,7 @@ object UserGraphQueries {
     Q("graph_densest_subgraph", graphDensest, Some(graphDensestSql)),
     Q("graph_matching", graphMatching, Some(graphMatchingSql)),
     Q("graph_partition", graphPartition, Some(graphPartitionSql)),
+    Q("graph_partition2d", graphPartition2d, Some(graphPartition2dSql)),
     Q("graph_mis", graphMis, Some(graphMisSql)),
     Q("graph_coloring", graphColoring, Some(graphColoringSql)),
     Q("graph_scc_layered", graphSccLayered, Some(graphSccLayeredSql)),

@@ -549,6 +549,29 @@ class GUserSpec extends GraftSuite {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("graph_partition2d: single edge gives RF exactly 1; zipf tier " +
+    "holds the 2-sqrt-N span bound; deterministic") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // One edge -> one cell, both endpoints span 1 cell: rf = 1e6
+    // exactly, max_span 1, cell imbalance 16e6/1 — hash-independent.
+    val one = Seq((3L, 9L)).toDF("a", "b")
+    val o = UserGraphQueries.partition2dOf(one).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(o.toSeq === Seq((1L, 1000000L, 1L, true, 16000000L)))
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val simple = UserGraphQueries.zipfEdgesOf(ev).localCheckpoint()
+    val a = UserGraphQueries.partition2dOf(simple).collect().map(_.toSeq)
+    assert(a.forall(r => r(4) == true), "span bound 2*sqrt(N) must hold")
+    assert(a.map(_(1).asInstanceOf[Long]).sum === simple.count(),
+      "cells partition the edges")
+    val b = UserGraphQueries.partition2dOf(simple.repartition(13))
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("graph_truss_decompose: hand-built graph with a level-4 cascade") {
     import spark.implicits._
     import graft.queries.UserGraphQueries
