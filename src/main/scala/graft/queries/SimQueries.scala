@@ -2262,7 +2262,11 @@ object SimQueries {
 
   /** Testable seam: explicit (vec_id, embedding, label) frame. */
   private[graft] def embIvfBalanceOf(emb: DataFrame): DataFrame = {
+    // persisted: ls feeds BOTH the per-list output and the totals agg —
+    // without reuse the single-column corpus scan + partial count runs
+    // twice (plan-audited; at 100 TB that is two corpus scans)
     val ls = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .persist()
     val tot = ls.agg(sum(col("n_vecs")).as("n"),
       max(col("n_vecs")).as("mx"), count(lit(1)).as("k"),
       sum(col("n_vecs") * col("n_vecs")).as("ss"))
