@@ -82,4 +82,75 @@ class PropertiesSpec extends GraftSuite {
       assert(pairs(m.vertices).map(_._1) === pairs(g.vertices).map(_._1))
     }
   }
+
+  /** Canonical (a < b) random simple graph — denser and larger than
+    * [[randomGraph]] so the coreness fixpoint runs real multi-level
+    * structure (round-13 properties).
+    */
+  private def randomCanonical(seed: Long): Seq[(Long, Long)] = {
+    val rnd = new Random(seed)
+    val n = 8 + rnd.nextInt(25)
+    (0 until n * 3).map { _ =>
+      val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+  }
+
+  /** Independent MODEL: the textbook sequential min-degree peel —
+    * deliberately NOT the engine's h-index formulation, so agreement is
+    * a real cross-implementation check (the sim's assertion re-proven
+    * in-JVM on fresh random structure every run).
+    */
+  private def corenessModel(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    es.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val alive = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+    val deg = scala.collection.mutable.Map(
+      adj.map { case (v, ns) => v -> ns.size.toLong }.toSeq: _*)
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1L
+    while (alive.nonEmpty) {
+      var drop = alive.filter(deg(_) < k)
+      while (drop.nonEmpty) {
+        drop.foreach { v =>
+          alive -= v; core(v) = k - 1
+          adj(v).foreach(u => if (alive(u)) deg(u) -= 1)
+        }
+        drop = alive.filter(deg(_) < k)
+      }
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("graph_coreness: h-index fixpoint == the sequential min-degree " +
+    "peel on random graphs") {
+    import graft.queries.UserGraphQueries
+    seeds.foreach { s =>
+      val es = randomCanonical(s)
+      val got = UserGraphQueries.corenessOf(es.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === corenessModel(es), s"seed $s")
+    }
+  }
+
+  test("graph_partition: sizes partition the vertices and the reported " +
+    "cut matches an independent recount on random graphs") {
+    import graft.queries.UserGraphQueries
+    seeds.take(3).foreach { s =>
+      val es = randomCanonical(s)
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val out = UserGraphQueries.partitionOf(es.toDF("a", "b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      assert(out.map(_._2).sum === verts.size.toLong, s"seed $s sizes")
+      assert(out.forall(_._5), s"seed $s convergence")
+      // balance recount from the emitted sizes
+      val bal = out.map(_._2).max * 8L * 1000000L / verts.size
+      assert(out.forall(_._4 == bal), s"seed $s balance")
+    }
+  }
 }

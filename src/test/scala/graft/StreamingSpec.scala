@@ -599,4 +599,49 @@ class StreamingSpec extends GraftSuite {
     assert(snap(r.current) === once)
     assert(once === twin(b1))
   }
+
+  test("stream_dedup_minhash: maintainer == batch twin under RANDOM " +
+    "batch widths on seeded random corpora") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    import scala.util.Random
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    for (seed <- Seq(11L, 77L)) {
+      val rnd = new Random(seed)
+      // corpus: base texts + exact copies + prefix-extended near-dups +
+      // occasional short shingle-less docs, ids in arrival order
+      val bases = (0 until 6).map(i =>
+        (0 until 12 + rnd.nextInt(20)).map(j => s"s${seed}b${i}w$j")
+          .mkString(" "))
+      val docs = (1L to 40L).map { id =>
+        val b = bases(rnd.nextInt(bases.length))
+        val t = rnd.nextInt(4) match {
+          case 0 => b                                  // exact copy
+          case 1 => b + " " + (0 until rnd.nextInt(18))
+            .map(j => s"x${id}w$j").mkString(" ")      // extended near-dup
+          case 2 => "tiny doc"                         // shingle-less
+          case _ => (0 until 15).map(j => s"u${id}w$j").mkString(" ")
+        }
+        (id, t)
+      }
+      def twin(ds: Seq[(Long, String)]) = {
+        val d = ds.toDF("doc_id", "text")
+        snap(DedupQueries.streamDedupMinhashOf(spark, d,
+          DedupQueries.shingleSetsOf(d)))
+      }
+      val m = new Streams.LshDedupMaintainer(spark)
+      var seen = Seq.empty[(Long, String)]
+      var i = 0
+      while (i < docs.length) {
+        val w = 1 + rnd.nextInt(9)
+        val batch = docs.slice(i, i + w)
+        i += w
+        m.applyBatch(batch.toDF("doc_id", "text"))
+        seen ++= batch
+        assert(snap(m.current) === twin(seen), s"seed $seed prefix $i")
+      }
+    }
+  }
 }
