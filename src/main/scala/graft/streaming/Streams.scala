@@ -892,8 +892,18 @@ object Streams {
             lit(converged).as("converged"))
         val keptNew = bhs.join(keptF.select(col("v").as("doc_id")),
           Seq("doc_id"), "left_semi")
-        keptHs = keptHs.unionByName(keptNew).localCheckpoint()
-        verdicts = verdicts.unionByName(newVerdicts).localCheckpoint()
+        // Materialize BOTH next frames before assigning EITHER: the two
+        // state frames must advance atomically w.r.t. failure — if the
+        // second checkpoint threw after the first assignment, the
+        // epoch's retry (lastApplied still unset) would union the same
+        // batch into the already-advanced frame, duplicating rows
+        // (the Scd2Maintainer ordering lesson, ADVICE r12, applied to a
+        // TWO-frame maintainer). lastApplied still goes last.
+        val nextKept = keptHs.unionByName(keptNew).localCheckpoint()
+        val nextVerdicts = verdicts.unionByName(newVerdicts)
+          .localCheckpoint()
+        keptHs = nextKept
+        verdicts = nextVerdicts
         if (batchId >= 0) lastApplied = batchId
         ()
       }
