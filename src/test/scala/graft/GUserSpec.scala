@@ -572,6 +572,34 @@ class GUserSpec extends GraftSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("cross-key invariant: k-truss edge mass is bounded by the " +
+    "(k-1)-core on the zipf tier") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Classic containment: every edge of the k-truss lies inside the
+    // (k-1)-core, so the truss histogram's >= k mass can never exceed
+    // the count of edges whose BOTH endpoints have coreness >= k-1 —
+    // a consistency check ACROSS two independently-oracled operators
+    // (X114's oriented triangle peel vs X169's h-index fixpoint).
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val simple = UserGraphQueries.zipfEdgesOf(ev).localCheckpoint()
+    val truss = UserGraphQueries.trussDecomposeOf(simple).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core = UserGraphQueries.corenessOf(simple).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = simple.collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (k <- Seq(3L, 4L)) {
+      val trussGe = truss.filter(_._1 >= k).values.sum
+      val coreEdges = edges.count { case (a, b) =>
+        math.min(core(a), core(b)) >= k - 1
+      }
+      assert(trussGe <= coreEdges, s"k=$k: $trussGe !<= $coreEdges")
+    }
+    // and the histogram covers every edge exactly once
+    assert(truss.values.sum === edges.length.toLong)
+  }
+
   test("graph_truss_decompose: hand-built graph with a level-4 cascade") {
     import spark.implicits._
     import graft.queries.UserGraphQueries
