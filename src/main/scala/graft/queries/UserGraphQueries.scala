@@ -2121,19 +2121,28 @@ object UserGraphQueries {
     * [[kcorePeelOf]]'s K-core members (asserted in GUserSpec).
     */
   private def graphCoreness(s: SparkSession, dir: String): DataFrame =
-    corenessOf(zipfCanonicalFrame(s, dir))
+    corenessOf(zipfCanonicalFrame(s, dir), hintBroadcast = true)
 
   /** The h-index fixpoint over an explicit canonical (a < b) simple
     * edge frame — the hand-built-graph seam.
+    *
+    * `hintBroadcast` is gated on the TIER entry point (ADVICE r13):
+    * the zipf tier's h frame is ≤2^[[KcBits]] rows by construction, so
+    * the hint is safe there, but this seam accepts arbitrary edge
+    * frames where forcing a broadcast would collect the full \|V\|-row
+    * frame to the driver — the generic path leaves the join strategy
+    * to AQE (shuffle join at open scale, auto-broadcast when small).
     */
-  private[graft] def corenessOf(simple: DataFrame): DataFrame = {
+  private[graft] def corenessOf(simple: DataFrame,
+      hintBroadcast: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.SqlBridge.pinned
     val can = simple.select(col("a"), col("b"))
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
       .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
     def hRound(hIn: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("u")).orderBy(col("nh").desc)
-      und.join(broadcast(hIn.select(col("v"), col("h").as("nh"))),
+      val hSide = hIn.select(col("v"), col("h").as("nh"))
+      und.join(if (hintBroadcast) broadcast(hSide) else hSide,
           Seq("v"))
         .select(col("u"), col("nh"))
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -4043,8 +4052,14 @@ object UserGraphQueries {
   // ── X171: graph_partition — balanced multilevel partitioning.
   private val PartK = 8
   private val PartRefineRounds = 4 // fixed schedule (kmeans precedent)
-  private val PartM1Rounds = 20 // lvl-1 matching rounds 3/4/6/10/16 measured (sf0.001..sf10)
-  private val PartM2Rounds = 10 // lvl-2 rounds 2/2/4/4/6 measured (sf0.001..sf10)
+  // Both coarsening oracles unroll the ENGINE's matching cap
+  // ([[MatchRounds]]) so the two engines share one bound (ADVICE r13:
+  // a graph needing 21-24 rounds converged in Scala but silently
+  // truncated in the 20/10-round oracle). Measured depths stay far
+  // inside it: lvl-1 3/4/6/10/16, lvl-2 2/2/4/4/6 (sf0.001..sf10);
+  // post-drain oracle rounds are exact no-ops (live set empty).
+  private val PartM1Rounds = MatchRounds
+  private val PartM2Rounds = MatchRounds
   private val PartOff = 16777216L // 2^24 gain offset (|gain| < 2^20)
 
   /** X171 — graph_partition: BALANCED MULTILEVEL GRAPH PARTITIONING

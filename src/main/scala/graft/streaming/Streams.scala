@@ -835,10 +835,31 @@ object Streams {
     @volatile private var keptHs: DataFrame = emptyHs
     @volatile private var verdicts: DataFrame = emptyVerdicts
     private var lastApplied: Long = -1L
+    // Max doc_id over EVERY doc seen so far (kept or dropped) — the
+    // cheap scalar that makes the id-monotonicity contract loud
+    // (ADVICE r13): the state probe's verifiedDupEdges(cross = true)
+    // assumes every batch doc_id strictly exceeds all prior ids; a
+    // source redelivering out-of-order or reused ids would silently
+    // point dup_of at a larger/equal id. Advanced only AFTER the state
+    // frames (same failure-ordering rule as lastApplied).
+    private var maxSeenId: Long = Long.MinValue
 
     def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
       synchronized {
         if (batchId >= 0 && batchId <= lastApplied) return
+        val bounds = batch.agg(
+          min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+          .first()
+        val batchMax =
+          if (bounds.isNullAt(1)) maxSeenId
+          else {
+            require(bounds.getLong(0) > maxSeenId,
+              s"LshDedupMaintainer id-monotonicity violated: batch " +
+                s"min doc_id ${bounds.getLong(0)} <= max seen id " +
+                s"$maxSeenId (out-of-order or reused ids break " +
+                "keep-first semantics)")
+            bounds.getLong(1)
+          }
         val bhs = DedupQueries.shingleSetsOf(batch).localCheckpoint()
         val ids = batch.select(col("doc_id"))
         // (2) state probe: kept state partners drop batch docs outright
@@ -904,6 +925,7 @@ object Streams {
           .localCheckpoint()
         keptHs = nextKept
         verdicts = nextVerdicts
+        maxSeenId = batchMax
         if (batchId >= 0) lastApplied = batchId
         ()
       }

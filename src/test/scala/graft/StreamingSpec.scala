@@ -600,6 +600,36 @@ class StreamingSpec extends GraftSuite {
     assert(once === twin(b1))
   }
 
+  test("stream_dedup_minhash: the id-monotonicity contract is loud — " +
+    "an out-of-order or reused doc_id fails the batch, and a failed " +
+    "batch leaves state untouched") {
+    import spark.implicits._
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.getLong(0)).toSeq
+    val t = (1 to 20).map(i => s"m$i").mkString(" ")
+    val m = new Streams.LshDedupMaintainer(spark)
+    m.applyBatch(Seq((5L, t), (6L, t + " x")).toDF("doc_id", "text"))
+    val before = snap(m.current)
+    // reused id (== max seen)
+    val e1 = intercept[IllegalArgumentException] {
+      m.applyBatch(Seq((6L, t)).toDF("doc_id", "text"))
+    }
+    assert(e1.getMessage.contains("id-monotonicity"))
+    // out-of-order id (< max seen)
+    intercept[IllegalArgumentException] {
+      m.applyBatch(Seq((3L, t), (9L, t)).toDF("doc_id", "text"))
+    }
+    // the guard fires BEFORE any state advance: verdicts unchanged,
+    // and a valid next batch still applies cleanly
+    assert(snap(m.current) === before)
+    m.applyBatch(Seq((7L, t)).toDF("doc_id", "text"))
+    assert(snap(m.current) === (before :+ 7L))
+    // empty batches are fine and don't advance the bound
+    m.applyBatch(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    m.applyBatch(Seq((8L, "tiny")).toDF("doc_id", "text"))
+    assert(snap(m.current) === (before ++ Seq(7L, 8L)))
+  }
+
   test("stream_dedup_minhash: maintainer == batch twin under RANDOM " +
     "batch widths on seeded random corpora") {
     import spark.implicits._
