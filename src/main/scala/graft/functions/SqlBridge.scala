@@ -39,8 +39,36 @@ object SqlBridge {
     */
   def pinned(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-    val ck = ds.localCheckpoint()
+    // LAZY checkpoint + count = ONE job (the count materializes the
+    // checkpoint); the eager form runs an internal count to
+    // materialize and we'd count again — two jobs for the same state.
+    val ck = ds.localCheckpoint(eager = false)
     val rows = ck.count()
+    rebuilt(ck, rows)
+  }
+
+  /** [[pinned]] fused with an iterative loop's integer convergence
+    * probe: ONE Spark job materializes the lazy local checkpoint and
+    * computes `count(*)` + `sum(probeCol)` together, instead of the
+    * two the pin-then-probe pattern costs per round. Driver actions
+    * are the wall clock of high-round loops (the r12 coloring lesson),
+    * so fixpoint loops probing a monotone column sum each round should
+    * use this. Returns (pinned frame, rows, sum — 0 when empty).
+    */
+  def pinnedSum(df: DataFrame, probeCol: String):
+      (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val ck = ds.localCheckpoint(eager = false)
+    val r = ck.agg(count(lit(1)).as("n"), sum(col(probeCol)).as("s"))
+      .first()
+    val rows = r.getLong(0)
+    val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+    (rebuilt(ck, rows), rows, s)
+  }
+
+  private def rebuilt(ck: org.apache.spark.sql.classic.Dataset[Row],
+      rows: Long): DataFrame = {
     val out = ck.queryExecution.analyzed.output
     val width = 8L + out.map(_.dataType.defaultSize.toLong).sum
     val stats = Statistics(

@@ -549,6 +549,27 @@ class GUserSpec extends GraftSuite {
     assert(out.toSeq === b.toSeq)
   }
 
+  test("stripeByRank: distributed rank == the row_number window form, " +
+    "independent of input partitioning") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    import org.apache.spark.sql.expressions.Window
+    // weights with heavy ties (the window form's tiebreak on v must be
+    // reproduced exactly) over ids strided by a prime
+    val wv = (0L until 257L).map(i => (i * 7919L % 1000L, (i * i) % 7L))
+      .toDF("v", "w")
+    val win = wv.select(col("v"),
+      ((row_number().over(Window.orderBy(col("w").desc, col("v")))
+        .cast("long") - 1L) % 8).as("part"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = UserGraphQueries.stripeByRank(wv, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === win)
+    val got13 = UserGraphQueries.stripeByRank(wv.repartition(13), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got13 === win)
+  }
+
   test("graph_partition2d: single edge gives RF exactly 1; zipf tier " +
     "holds the 2-sqrt-N span bound; deterministic") {
     import spark.implicits._

