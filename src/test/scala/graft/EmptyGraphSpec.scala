@@ -60,6 +60,7 @@ class EmptyGraphSpec extends GraftSuite {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(UserGraphQueries.corenessOf(empty).count() === 0)
     assert(UserGraphQueries.partitionOf(empty).count() === 0)
+    assert(UserGraphQueries.trussnessOf(empty).count() === 0)
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val hs = graft.queries.DedupQueries.shingleSetsOf(docs)
     assert(graft.queries.DedupQueries

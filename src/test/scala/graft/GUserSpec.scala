@@ -508,6 +508,59 @@ class GUserSpec extends GraftSuite {
     assert(cor.toSeq === b.toSeq)
   }
 
+  test("graph_trussness: hand graph — K5 edges are 5-truss, a pendant " +
+    "triangle is 3-truss, bridges and pendants are 2") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // K5 on {1..5} (every edge in 3 triangles -> trussness 5), a bridge
+    // (5,6) in no triangle (2), a triangle {6,7,8} (3 each), and a
+    // pendant (8,9) (2).
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val simple = (k5 ++ Seq((5L, 6L), (6L, 7L), (6L, 8L), (7L, 8L),
+      (8L, 9L))).toDF("a", "b").repartition(3)
+    val out = UserGraphQueries.trussnessOf(simple).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.forall(_._3), "must converge")
+    val m = out.map(v => v._1 -> v._2).toMap
+    k5.foreach(e => assert(m(e) === 5L, s"K5 edge $e"))
+    assert(m((5L, 6L)) === 2L)
+    assert(m((6L, 7L)) === 3L && m((6L, 8L)) === 3L && m((7L, 8L)) === 3L)
+    assert(m((8L, 9L)) === 2L)
+  }
+
+  test("graph_trussness: zipf tier — class counts reproduce the X114 " +
+    "leveled peel, trussness <= min endpoint coreness + 1, " +
+    "deterministic") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    val ev = (0L until 1500L).map(i => Tuple1(i * 7919L + 13L))
+      .toDF("event_id")
+    val simple = UserGraphQueries.zipfEdgesOf(ev).localCheckpoint()
+    val out = UserGraphQueries.trussnessOf(simple).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.forall(_._3), "h-index iteration must converge")
+    // cross-operator: histogram of min(trussness, 4) == the leveled
+    // peel's {2, 3, 4+} classes (X114 computes the SAME decomposition
+    // through a different fixpoint)
+    val hist = out.groupBy(v => math.min(v._2, 4L))
+      .map { case (k, vs) => (k, vs.length.toLong) }
+    val peel = UserGraphQueries.trussDecomposeOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((2L to 4L).forall(k => hist.getOrElse(k, 0L) === peel(k)),
+      s"hist=$hist peel=$peel")
+    // a k-truss lives in the (k-1)-core: trussness(e) <= min coreness+1
+    val cor = UserGraphQueries.corenessOf(simple).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.forall(v =>
+      v._2 <= math.min(cor(v._1._1), cor(v._1._2)) + 1L))
+    val b = UserGraphQueries.trussnessOf(simple.repartition(13))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === b.toSeq)
+  }
+
   test("graph_partition: 8 isolated edges coarsen to 8 singleton parts " +
     "with zero cut") {
     import spark.implicits._

@@ -50,29 +50,35 @@ def triangles(es):
 
 
 def peel_trussness(es, tris):
-    """Exact sequential min-support peel (Cohen's k-truss)."""
+    """Exact sequential min-support peel (Cohen's k-truss) with a lazy
+    heap (trussness values are independent of the tie order among
+    equal-support edges, so stale heap entries are simply skipped)."""
+    import heapq
     sup = {e: 0 for e in es}
     tri_of = {e: [] for e in es}
     for t in tris:
         for i in range(3):
             sup[t[i]] += 1
             tri_of[t[i]].append(t)
+    heap = [(s, e) for e, s in sup.items()]
+    heapq.heapify(heap)
     alive = set(es)
     truss = {}
     k = 2
-    remaining = sorted(alive, key=lambda e: (sup[e], e))
-    while alive:
-        e = min(alive, key=lambda x: (sup[x], x))
-        if sup[e] > k - 2:
-            k = sup[e] + 2
+    while heap:
+        s, e = heapq.heappop(heap)
+        if e not in alive or s != sup[e]:
+            continue  # stale entry
+        if s > k - 2:
+            k = s + 2
         truss[e] = k
-        # remove e; decrement supports of co-triangle edges still alive
         alive.discard(e)
         for t in tri_of[e]:
             if all(x == e or x in alive for x in t):
                 for x in t:
-                    if x != e:
+                    if x != e and sup[x] > s:
                         sup[x] -= 1
+                        heapq.heappush(heap, (sup[x], x))
     return truss
 
 
@@ -98,6 +104,9 @@ def hindex_trussness(es, tris):
             for i, v in enumerate(vals):
                 best = max(best, min(i + 1, v))
             nxt[e] = best
+        # monotone non-increasing from the support init — the engine's
+        # integer-sum convergence probe depends on it
+        assert all(nxt[e] <= h[e] for e in h), "h-index not monotone"
         if nxt == h:
             return h, r - 1  # last round was the no-op probe
         h = nxt
