@@ -600,6 +600,54 @@ class StreamingSpec extends GraftSuite {
     assert(once === twin(b1))
   }
 
+  test("stream_ivf_balance: IvfMaintainer counts and balance equal the " +
+    "one-shot audit after every micro-batch; replays are skipped; the " +
+    "append hook sees every batch exactly once") {
+    import spark.implicits._
+    import graft.queries.SimQueries
+    // (vec_id, embedding, label) with a skewed label mix so the
+    // balance columns are non-degenerate
+    val vecs = (1L to 40L).map(i =>
+      (i, Array(i.toFloat, 1.0f), (i * i % 5).toInt))
+    def snapB(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    def oneShot(prefix: Seq[(Long, Array[Float], Int)]) = snapB(
+      SimQueries.embIvfBalanceOf(prefix
+        .toDF("vec_id", "embedding", "label")
+        .withColumn("label",
+          org.apache.spark.sql.functions.col("label").cast("long"))))
+    var appended = Seq.empty[Long]
+    val m = new Streams.IvfMaintainer(spark,
+      appendList = b => appended ++= b.collect().map(_.getLong(0)))
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = Streams.ivfMaintainStream(
+      mem.toDF().toDF("vec_id", "embedding", "label"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Array[Float], Int)]
+      for (b <- vecs.grouped(13)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(snapB(m.balance) === oneShot(seen))
+        assert(m.current.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSeq ===
+          seen.groupBy(v => v._3.toLong).view
+            .mapValues(_.length.toLong).toSeq.sorted)
+      }
+      // every vector hit the label-partitioned append hook exactly once
+      assert(appended.sorted === vecs.map(_._1))
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op
+    val r = new Streams.IvfMaintainer(spark)
+    val b1 = vecs.take(7).toDF("vec_id", "embedding", "label")
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapB(r.balance)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapB(r.balance) === once)
+    assert(once === oneShot(vecs.take(7)))
+  }
+
   test("stream_dedup_minhash: the id-monotonicity contract is loud — " +
     "an out-of-order or reused doc_id fails the batch, and a failed " +
     "batch leaves state untouched") {
