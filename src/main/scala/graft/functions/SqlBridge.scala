@@ -57,10 +57,20 @@ object SqlBridge {
     */
   def pinnedSum(df: DataFrame, probeCol: String):
       (DataFrame, Long, Long) = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.col
+    pinnedSum(df, col(probeCol))
+  }
+
+  /** [[pinnedSum]] with an arbitrary integer probe EXPRESSION (e.g.
+    * `when(col("color").isNull, 1L).otherwise(0L)` for a drain test) —
+    * still one Spark job for checkpoint + stats + probe.
+    */
+  def pinnedSum(df: DataFrame, probe: Column):
+      (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     val ck = ds.localCheckpoint(eager = false)
-    val r = ck.agg(count(lit(1)).as("n"), sum(col(probeCol)).as("s"))
+    val r = ck.agg(count(lit(1)).as("n"), sum(probe).as("s"))
       .first()
     val rows = r.getLong(0)
     val s = if (r.isNullAt(1)) 0L else r.getLong(1)

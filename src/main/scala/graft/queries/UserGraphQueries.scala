@@ -3880,7 +3880,7 @@ object UserGraphQueries {
     */
   private[graft] def coloringOf(canEdges: DataFrame,
       prio: Column => Column = colPriority): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val can = canEdges.select(col("a"), col("b"))
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
       .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
@@ -3937,12 +3937,16 @@ object UserGraphQueries {
       // JP round body references its input ~4× (act twice, colored
       // once, final join once), so the un-checkpointed round-1 subplan
       // re-executes ~4× inside round 2's plan. Per-round pins stay;
-      // only the probe is skipped (3 driver actions per 2 rounds
-      // instead of 4).
+      // only the probe is skipped, and (round 14) the remaining drain
+      // probe is FUSED into the second pin's stats job via
+      // SqlBridge.pinnedSum — 2 driver actions per 2 rounds (from the
+      // naive 4 via r12's 3).
       rounds += 2
       st = pinned(jpRound(st))
-      st = pinned(jpRound(st))
-      drained = st.filter(col("color").isNull).head(1).isEmpty
+      val (st2, _, nUncolored) = pinnedSum(jpRound(st),
+        when(col("color").isNull, 1L).otherwise(0L))
+      st = st2
+      drained = nUncolored == 0L
     }
     val colored = st.filter(col("color").isNotNull)
       .select(col("v"), col("color"))
