@@ -19,5 +19,14 @@ object Registry {
       DedupQueries.qs ++ SimQueries.qs ++ StreamQueries.qs ++
       PipelineQueries.qs ++ TemporalQueries.qs ++ FeatureQueries.qs
 
-  lazy val byKey: Map[String, Q] = all.map(q => q.key -> q).toMap
+  lazy val byKey: Map[String, Q] = {
+    // Loud duplicate guard (round 14 — a `graph_summarize` re-registration
+    // was silently last-wins-shadowed by this Map for a whole verify
+    // cycle): a duplicate key means one implementation is dead code and
+    // the oracle is checking the OTHER one.
+    val dup = all.groupBy(_.key).collect { case (k, qs) if qs.size > 1 => k }
+    require(dup.isEmpty,
+      s"duplicate registry keys: ${dup.mkString(", ")}")
+    all.map(q => q.key -> q).toMap
+  }
 }

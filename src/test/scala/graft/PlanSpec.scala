@@ -151,6 +151,16 @@ class PlanSpec extends GraftSuite {
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 
+  test("registry keys are unique and byKey is total") {
+    // Round 14: a re-registered key was silently last-wins-shadowed by
+    // the byKey Map for a whole verify cycle — the guard in Registry
+    // must stay loud.
+    val keys = queries.Registry.all.map(_.key)
+    assert(keys.distinct.size === keys.size,
+      keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k })
+    assert(queries.Registry.byKey.size === keys.size)
+  }
+
   test("no cartesian/nested-loop joins outside the declared literal joins") {
     val offenders = queries.Registry.all.map(_.key).flatMap { key =>
       val bad = planOf(key).collect {
