@@ -1438,7 +1438,7 @@ object UserGraphQueries {
     */
   private[graft] def louvainMergeLoopOf(uedges: DataFrame,
       lab1: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val e = uedges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
     val twoM = e.count()
@@ -1475,12 +1475,15 @@ object UserGraphQueries {
       val best = gains.groupBy(col("la"))
         .agg(min(struct((-col("g")).as("ng"), col("lb"))).as("m"))
         .select(col("la").as("c"), col("m.lb").as("pick"))
-      val mutual = pinned(best.as("x")
+      // pin + emptiness probe fused into one job (round 14, the
+      // coloring-fusion pattern): rows == 0 is the drain test
+      val (mutual, nMerges, _) = pinnedSum(best.as("x")
         .join(best.as("y"),
           col("x.pick") === col("y.c") && col("y.pick") === col("x.c") &&
             col("x.c") < col("y.c"))
-        .select(col("x.c").as("into"), col("y.c").as("from")))
-      if (mutual.head(1).isEmpty) done = true
+        .select(col("x.c").as("into"), col("y.c").as("from")),
+        lit(0L))
+      if (nMerges == 0L) done = true
       else lab = pinned(lab
         .join(mutual.select(col("from").as("lab"), col("into")),
           Seq("lab"), "left")
