@@ -2138,7 +2138,7 @@ object UserGraphQueries {
     */
   private[graft] def corenessOf(simple: DataFrame,
       hintBroadcast: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val can = simple.select(col("a"), col("b"))
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
       .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
@@ -2152,17 +2152,15 @@ object UserGraphQueries {
         .groupBy(col("u").as("v"))
         .agg(max(least(col("rn"), col("nh"))).as("h"))
     }
-    var h = pinned(und.groupBy(col("u").as("v"))
-      .agg(count(lit(1)).as("h")))
-    var hSum = h.agg(coalesce(sum(col("h")), lit(0L)))
-      .first().getLong(0)
+    // checkpoint + monotone-sum probe fused into one job per 2-round
+    // batch (round 14 — SqlBridge.pinnedSum)
+    var (h, _, hSum) = pinnedSum(und.groupBy(col("u").as("v"))
+      .agg(count(lit(1)).as("h")), "h")
     var rounds = 0
     var converged = hSum == 0L // empty graph: already drained
     while (!converged && rounds < CorenessRounds) {
       rounds += 2
-      val next = pinned(hRound(hRound(h)))
-      val s2 = next.agg(coalesce(sum(col("h")), lit(0L)))
-        .first().getLong(0)
+      val (next, _, s2) = pinnedSum(hRound(hRound(h)), "h")
       converged = s2 == hSum
       h = next; hSum = s2
     }
@@ -2842,6 +2840,7 @@ object UserGraphQueries {
     */
   private[graft] def sccLabelRawOf(dedges: DataFrame):
       (DataFrame, Boolean) = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum
     val e0 = dedges.select(col("u"), col("v")).localCheckpoint()
     val allVerts = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id"))).distinct()
@@ -2881,24 +2880,25 @@ object UserGraphQueries {
       var stable = false
       var t = 0
       while (!stable && t < SccTrimRounds && nActive > 0) {
-        val next = trimStep(trimStep(active)).localCheckpoint()
-        val n = next.count()
+        // checkpoint + count fused into one job per 2-step batch
+        // (round 14 — SqlBridge.pinnedSum)
+        val (next, n, _) = pinnedSum(trimStep(trimStep(active)), lit(0L))
         stable = n == nActive
         active = next; nActive = n; t += 2
       }
-      val coreVerts = active.select(col("u").as("id"))
-        .unionByName(active.select(col("v").as("id"))).distinct()
-        .localCheckpoint()
+      val (coreVerts, nCore, _) = pinnedSum(
+        active.select(col("u").as("id"))
+          .unionByName(active.select(col("v").as("id"))).distinct(),
+        lit(0L))
       addLabels(remVerts.join(coreVerts, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("scc_id")))
       remVerts = coreVerts
-      if (coreVerts.head(1).isEmpty) {
+      if (nCore == 0L) {
         complete = true
       } else {
         // (2) color: synchronous min-propagation with pointer doubling
-        var color = coreVerts.select(col("id"), col("id").as("color"))
-          .localCheckpoint()
-        var cSum = color.agg(sum(col("color"))).first().getLong(0)
+        var (color, _, cSum) = pinnedSum(
+          coreVerts.select(col("id"), col("id").as("color")), "color")
         var c = 0
         stable = false
         while (!stable && c < SccColorRounds) {
@@ -2910,13 +2910,11 @@ object UserGraphQueries {
             .join(color.select(col("id").as("did"), col("color").as("dc")),
               col("color") === col("did"), "left")
             .select(col("id"), col("dc"))
-          val next = color.join(m1, Seq("id"), "left")
+          val (next, _, nSum) = pinnedSum(color.join(m1, Seq("id"), "left")
             .join(m2, Seq("id"), "left")
             .select(col("id"), least(col("color"),
               coalesce(col("mc"), col("color")),
-              coalesce(col("dc"), col("color"))).as("color"))
-            .localCheckpoint()
-          val nSum = next.agg(sum(col("color"))).first().getLong(0)
+              coalesce(col("dc"), col("color"))).as("color")), "color")
           stable = nSum == cSum // integer min-prop: sum is strictly
           color = next; cSum = nSum; c += 1 // monotone until fixpoint
         }
@@ -2932,28 +2930,30 @@ object UserGraphQueries {
             sce.join(fl.select(col("id").as("v")), Seq("v"))
               .select(col("u").as("id")))
           .distinct()
-        var flagged = color.filter(col("id") === col("color"))
-          .select(col("id")).localCheckpoint()
-        var nf = flagged.count()
+        var (flagged, nf, _) = pinnedSum(
+          color.filter(col("id") === col("color")).select(col("id")),
+          lit(0L))
         var f = 0
         stable = false
         while (!stable && f < SccFlagRounds) { // 2 steps per count, as trim
-          val next = flagStep(flagStep(flagged)).localCheckpoint()
-          val n = next.count()
+          val (next, n, _) = pinnedSum(flagStep(flagStep(flagged)),
+            lit(0L))
           stable = n == nf
           flagged = next; nf = n; f += 2
         }
         addLabels(color.join(flagged, Seq("id"), "left_semi")
           .select(col("id"), col("color").as("scc_id")))
-        remVerts = remVerts.join(flagged, Seq("id"), "left_anti")
-          .localCheckpoint()
-        complete = remVerts.head(1).isEmpty
+        val (rv2, nRem, _) = pinnedSum(
+          remVerts.join(flagged, Seq("id"), "left_anti"), lit(0L))
+        remVerts = rv2
+        complete = nRem == 0L
         if (!complete) {
-          active = active
+          val (a2, nA, _) = pinnedSum(active
             .join(flagged.select(col("id").as("u")), Seq("u"), "left_anti")
             .join(flagged.select(col("id").as("v")), Seq("v"), "left_anti")
-            .select(col("u"), col("v")).localCheckpoint()
-          nActive = active.count()
+            .select(col("u"), col("v")), lit(0L))
+          active = a2
+          nActive = nA
         }
       }
     }
@@ -3307,12 +3307,12 @@ object UserGraphQueries {
           col("layer").as("pl")), Seq("src_scc"))
         .groupBy(col("dst_scc").as("scc_id"))
         .agg((max(col("pl")) + 1L).as("cl"))
-      val next = layer.join(cand, Seq("scc_id"), "left")
-        .select(col("scc_id"),
-          greatest(col("layer"), coalesce(col("cl"), col("layer")))
-            .as("layer"))
-        .localCheckpoint()
-      val nSum = next.agg(sum(col("layer"))).first().getLong(0)
+      // checkpoint + monotone-sum probe fused (round 14 — one job)
+      val (next, _, nSum) = org.apache.spark.sql.graftbridge.SqlBridge
+        .pinnedSum(layer.join(cand, Seq("scc_id"), "left")
+          .select(col("scc_id"),
+            greatest(col("layer"), coalesce(col("cl"), col("layer")))
+              .as("layer")), "layer")
       converged = nSum == lSum // monotone non-decreasing integer layers
       layer = next; lSum = nSum; r += 1
     }
@@ -3564,7 +3564,7 @@ object UserGraphQueries {
     * anywhere: weights, packs, and labels are exact BIGINTs.
     */
   private[graft] def mstBoruvkaOf(wedges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val e = pinned(wedges.select(col("a"), col("b"), col("p")))
     def unpacked(src: DataFrame, conv: Boolean) = src.select(
       expr(s"(p div $MstPackE) % $MstPackE").as("a"),
@@ -3580,13 +3580,13 @@ object UserGraphQueries {
     var rounds = 0
     var more = true
     while (more && rounds < MstRounds) {
-      val cross = e
+      // checkpoint + emptiness probe fused (round 14 — one job)
+      val (cross, nCross, _) = pinnedSum(e
         .join(comp.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
         .join(comp.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
         .filter(col("ca") =!= col("cb"))
-        .select(col("p"), col("ca"), col("cb"))
-        .transform(pinned)
-      if (cross.head(1).isEmpty) more = false
+        .select(col("p"), col("ca"), col("cb")), lit(0L))
+      if (nCross == 0L) more = false
       else {
         val picks = cross.select(col("ca").as("c"), col("p"))
           .unionByName(cross.select(col("cb").as("c"), col("p")))
@@ -3740,7 +3740,7 @@ object UserGraphQueries {
     */
   private[graft] def misOf(canEdges: DataFrame,
       prio: Column => Column = misPriority): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val can = canEdges.select(col("a"), col("b"))
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
       .unionByName(can.select(col("b").as("u"), col("a").as("v"))))
@@ -3767,8 +3767,11 @@ object UserGraphQueries {
         sel.select(col("v"), lit(rounds.toLong).as("round"))))
       val drop = sel.unionByName(
         und.join(sel, Seq("v"), "left_semi").select(col("u").as("v")))
-      active = pinned(active.join(drop, Seq("v"), "left_anti"))
-      drained = active.head(1).isEmpty
+      // pin + drained probe fused (round 14 — one job)
+      val (a2, nActive, _) = pinnedSum(
+        active.join(drop, Seq("v"), "left_anti"), lit(0L))
+      active = a2
+      drained = nActive == 0L
     }
     mis.select(col("v").as("id"), col("round"),
       lit(drained).as("converged")).orderBy(col("id"))
@@ -4144,7 +4147,7 @@ object UserGraphQueries {
     * SqlBridge.pinned. Zero FP.
     */
   private[graft] def matchingOf(wedges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     var live = pinned(wedges.select(col("a"), col("b"), col("p")))
     def unpacked(src: DataFrame, conv: Boolean) = src.select(
       expr(s"(p div $MstPackE) % $MstPackE").as("a"),
@@ -4169,11 +4172,13 @@ object UserGraphQueries {
         sel.select(col("p"), lit(rounds.toLong).as("round"))))
       val mv = sel.select(col("a").as("v"))
         .unionByName(sel.select(col("b").as("v")))
-      live = pinned(live
+      // pin + drained probe fused (round 14 — one job)
+      val (l2, nLive, _) = pinnedSum(live
         .join(mv.select(col("v").as("a")), Seq("a"), "left_anti")
         .join(mv.select(col("v").as("b")), Seq("b"), "left_anti")
-        .select(col("a"), col("b"), col("p")))
-      drained = live.head(1).isEmpty
+        .select(col("a"), col("b"), col("p")), lit(0L))
+      live = l2
+      drained = nLive == 0L
     }
     unpacked(matched, conv = drained).orderBy(col("a"), col("b"))
   }
@@ -4767,7 +4772,7 @@ object UserGraphQueries {
     * density is published on the same integer grid the argmax used.
     */
   private[graft] def densestOf(canEdges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     var live = pinned(canEdges.select(col("a"), col("b")))
     def undDeg(e: DataFrame) = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
@@ -4779,16 +4784,19 @@ object UserGraphQueries {
     var states = List.empty[(Int, Long, Long, DataFrame)]
     var r = 0
     var drained = false
+    var ne = live.count()
     while (!drained && r < DsRounds) {
-      val deg = pinned(undDeg(live))
-      val nv = deg.count()
-      val ne = live.count()
+      // per round TWO fused jobs (round 14): deg pin+count, and the
+      // peeled live pin+count (the next round's ne and the drain test)
+      val (deg, nv, _) = pinnedSum(undDeg(live), lit(0L))
       states ::= ((r, nv, ne, live))
       val keep = deg.filter(col("d") * nv > 2L * ne).select(col("v"))
-      live = pinned(live
+      val (l2, ne2, _) = pinnedSum(live
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"))
-      drained = live.head(1).isEmpty
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi"),
+        lit(0L))
+      live = l2; ne = ne2
+      drained = ne == 0L
       r += 1
     }
     val best = states.minBy { case (s, nv, ne, _) =>

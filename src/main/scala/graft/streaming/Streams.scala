@@ -750,9 +750,11 @@ object Streams {
       .filter(col("x") =!= col("y"))
     val ce = mapped.select(least(col("x"), col("y")).as("a"),
       greatest(col("x"), col("y")).as("b")).distinct()
-    val und = pinned(ce.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(ce.select(col("b").as("u"), col("a").as("v"))))
-    if (und.head(1).isEmpty) return (state, true)
+    val (und, nUnd, _) = pinnedSum(
+      ce.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(ce.select(col("b").as("u"), col("a").as("v"))),
+      lit(0L))
+    if (nUnd == 0L) return (state, true)
     var (lab, _, cur) = pinnedSum(
       und.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("label")), "label")
