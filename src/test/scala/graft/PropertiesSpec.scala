@@ -137,6 +137,49 @@ class PropertiesSpec extends GraftSuite {
     }
   }
 
+  /** Independent MODEL for trussness: Cohen's sequential min-support
+    * peel — deliberately NOT the engine's edge h-index formulation
+    * (the tools/sim_trussness.py assertion re-proven in-JVM on fresh
+    * random structure every run).
+    */
+  private def trussnessModel(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    es.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    def tris(e: (Long, Long), alive: Set[(Long, Long)]): Seq[Long] =
+      (adj(e._1) & adj(e._2)).toSeq.filter { w =>
+        alive(canon(e._1, w)) && alive(canon(e._2, w))
+      }
+    def canon(x: Long, y: Long) = (math.min(x, y), math.max(x, y))
+    var alive = es.toSet
+    val sup = scala.collection.mutable.Map(
+      es.map(e => e -> tris(e, alive).size.toLong): _*)
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    var k = 2L
+    while (alive.nonEmpty) {
+      val e = alive.minBy(x => (sup(x), x))
+      if (sup(e) > k - 2) k = sup(e) + 2
+      out(e) = k
+      alive -= e
+      (adj(e._1) & adj(e._2)).foreach { w =>
+        val f1 = canon(e._1, w); val f2 = canon(e._2, w)
+        if (alive(f1) && alive(f2)) { sup(f1) -= 1; sup(f2) -= 1 }
+      }
+    }
+    out.toMap
+  }
+
+  test("graph_trussness: edge h-index fixpoint == the sequential " +
+    "min-support peel on random graphs") {
+    import graft.queries.UserGraphQueries
+    seeds.take(4).foreach { s =>
+      val es = randomCanonical(s)
+      val got = UserGraphQueries.trussnessOf(es.toDF("a", "b")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got === trussnessModel(es), s"seed $s")
+    }
+  }
+
   test("graph_partition: sizes partition the vertices and the reported " +
     "cut matches an independent recount on random graphs") {
     import graft.queries.UserGraphQueries
