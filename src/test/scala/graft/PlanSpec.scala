@@ -151,6 +151,41 @@ class PlanSpec extends GraftSuite {
   // (hits left the list in r8: its L1 normalizer is now a driver-side
   // scalar — no crossJoin remains in the plan.)
 
+  test("runtime bloom-filter join pruning injects might_contain on the " +
+    "fact side of a selective shuffle join") {
+    // The 100 TB shuffle-join reducer: when the dim side is too big to
+    // broadcast but carries a selective predicate, Spark's
+    // InjectRuntimeFilter builds a bloom filter from the dim keys and
+    // prunes fact rows BEFORE the shuffle. Our star-schema keys ride
+    // broadcast at test scale; this guard proves the engine's join
+    // shapes stay eligible for the runtime-filter path a deployment
+    // flips on (thresholds lowered here because test-scale scans are
+    // far below the 10 GB application-side default).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val j = fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${opt.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("registry keys are unique and byKey is total") {
     // Round 14: a re-registered key was silently last-wins-shadowed by
     // the byKey Map for a whole verify cycle — the guard in Registry
