@@ -2022,21 +2022,21 @@ object UserGraphQueries {
     * list — the seam the hand-built-graph goldens drive.
     */
   private[graft] def kcorePeelOf(simple: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum
     val und = simple.select(col("a"), col("b"))
       .unionByName(simple.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var alive = und.select(col("a").as("v")).distinct().localCheckpoint()
-    var nAlive = alive.count()
+    var (alive, nAlive, _) = pinnedSum(
+      und.select(col("a").as("v")).distinct(), lit(0L))
     var changed = true
     var rounds = 0
     while (changed && rounds < KcRounds) {
-      val next = und
+      // checkpoint + count fused into one job per round (round 14)
+      val (next, nNext, _) = pinnedSum(und
         .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .groupBy(col("a")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= KcK).select(col("a").as("v"))
-        .localCheckpoint()
-      val nNext = next.count()
+        .filter(col("d") >= KcK).select(col("a").as("v")), lit(0L))
       changed = nNext != nAlive
       alive = next; nAlive = nNext; rounds += 1
     }
@@ -2287,10 +2287,11 @@ object UserGraphQueries {
       var rounds = 0
       while (changed && rounds < TrussRounds) {
         val sup = supports(alive)
-        val next = alive.join(sup, Seq("a", "b"), "left")
-          .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-          .select(col("a"), col("b")).localCheckpoint()
-        val nNext = next.count()
+        // checkpoint + count fused into one job per round (round 14)
+        val (next, nNext, _) = org.apache.spark.sql.graftbridge.SqlBridge
+          .pinnedSum(alive.join(sup, Seq("a", "b"), "left")
+            .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+            .select(col("a"), col("b")), lit(0L))
         changed = nNext != nAlive
         alive = next; nAlive = nNext; rounds += 1
       }
@@ -2695,11 +2696,12 @@ object UserGraphQueries {
       var changed = true
       var rounds = 0
       while (changed && rounds < SccRounds) {
-        val next = seen.unionByName(
+        // checkpoint + count fused into one job per round (round 14)
+        val (next, nNext, _) = org.apache.spark.sql.graftbridge.SqlBridge
+          .pinnedSum(seen.unionByName(
             adj.join(seen.withColumnRenamed("id", "src"), Seq("src"))
               .select(col("dst").as("id")))
-          .distinct().localCheckpoint()
-        val nNext = next.count()
+            .distinct(), lit(0L))
         changed = nNext != n
         seen = next; n = nNext; rounds += 1
       }

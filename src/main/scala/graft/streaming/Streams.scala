@@ -898,8 +898,9 @@ object Streams {
         // seeded with the state-dropped docs
         val be = DedupQueries.verifiedDupEdges(s, bhs, bhs, cross = false)
           .localCheckpoint()
-        val bIds = bhs.select(col("doc_id").as("v")).localCheckpoint()
-        val nDocs = bIds.count()
+        import org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum
+        val (bIds, nDocs, _) = pinnedSum(
+          bhs.select(col("doc_id").as("v")), lit(0L))
         var keptF = bIds.limit(0)
         var droppedF = stateHits.select(col("doc_id").as("v"))
           .localCheckpoint()
@@ -916,9 +917,12 @@ object Streams {
             .join(be.join(droppedF.withColumnRenamed("v", "small"),
                 Seq("small"), "left_anti")
               .select(col("big").as("v")), Seq("v"), "left_anti")
-          keptF = kNext.localCheckpoint()
-          droppedF = dNext.localCheckpoint()
-          converged = keptF.count() + droppedF.count() == nDocs
+          // checkpoint + count fused, one job per frame (round 14)
+          val (k2, nK, _) = pinnedSum(kNext, lit(0L))
+          val (d2, nD, _) = pinnedSum(dNext, lit(0L))
+          keptF = k2
+          droppedF = d2
+          converged = nK + nD == nDocs
         }
         val batchDup = be
           .join(keptF.withColumnRenamed("v", "small"), Seq("small"),
