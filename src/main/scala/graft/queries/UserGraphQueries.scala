@@ -1299,11 +1299,11 @@ object UserGraphQueries {
     * general-gain rounds, returning the final per-vertex (id, lab).
     */
   private[graft] def louvainMoveLoopOf(uedges: DataFrame): DataFrame = {
-    val e = uedges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint()
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum
+    val (e, twoM, _) = pinnedSum(uedges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")), lit(0L))
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
-    val twoM = e.count()
     var lab = deg.select(col("v").as("id"), col("v").as("lab"))
       .localCheckpoint()
     for (r <- 1 to LvRounds) {
@@ -1557,9 +1557,9 @@ object UserGraphQueries {
 
   private[graft] def louvainAuditOf(uedges: DataFrame, lab1: DataFrame,
       mg: DataFrame): DataFrame = {
-    val e = uedges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).localCheckpoint()
-    val twoM = e.count()
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum
+    val (e, twoM, _) = pinnedSum(uedges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")), lit(0L))
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val composed = lab1
       .join(mg.select(col("id").as("lab"), col("lab").as("flab")),
