@@ -1518,6 +1518,149 @@ object StreamQueries {
       |FROM ex JOIN vb USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ── X176: streaming distinct-count maintenance (register-space HLL) ──
+
+  /** Register count m = 64 (6 index bits) and the rho sentinel for a
+    * zero suffix word: `h div 64` < (10⁹+7)/64 < 2²⁴, so a nonzero
+    * suffix yields rho ≤ 24 and the sentinel 25 is reserved for w = 0 —
+    * every register fits the 2⁻²⁵-granularity dyadic-exactness argument
+    * in [[hllEstimateFromRegisters]].
+    */
+  private[graft] val HllBuckets = 64
+  private[graft] val HllRhoCap = 25
+
+  /** The register-space HLL observation: per (event_type, bucket) the max
+    * rho over observed users, where `h` is the engine's shared
+    * deterministic poly hash ([[TextFns.stringHash]] — the ONE hash both
+    * engines evaluate bit-identically), bucket = `h & 63` and rho =
+    * trailing-zero rank of `h >> 6` (`instr(reverse(bin(w)), '1')` —
+    * leading-zero padding differences between the two engines' `bin`
+    * cannot matter because reversal puts padding at the END). Registers
+    * are the WHOLE state: max is associative, commutative and idempotent,
+    * so partial register frames merge across executors, micro-batches
+    * and replays without any rescan — the mergeable-sketch shape that
+    * makes distinct-count maintainable at 100 TB. Output is sparse
+    * (only observed buckets); [[hllEstimateFromRegisters]] densifies.
+    */
+  private[graft] def hllRegistersOf(ev: DataFrame): DataFrame = {
+    val h = TextFns.stringHash(col("user_id").cast("string"))
+    ev.select(col("event_type"), h.as("h"))
+      .select(col("event_type"),
+        col("h").bitwiseAND(lit(63L)).as("bucket"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("event_type"), col("bucket"),
+        when(col("w") === 0L, lit(HllRhoCap))
+          .otherwise(instr(reverse(bin(col("w"))), "1"))
+          .cast("long").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Densify a sparse register frame to all 64 buckets per observed type
+    * and attach the per-type raw HLL estimator — the ONE formula shared
+    * by the one-shot audit and [[graft.streaming.Streams.HllMaintainer]]'s
+    * `estimate` view (the balanceFromCounts discipline: two surfaces,
+    * one implementation). Determinism: Σ 2⁻ʳᵉᵍ is a sum of ≤ 64 dyadics
+    * of granularity ≥ 2⁻²⁵ bounded by 64 = 2⁶, so it is EXACTLY
+    * representable (31 < 53 mantissa bits) and order-independent in both
+    * engines; the estimator is then ONE pinned FP chain
+    * `floor(2904.064 / s · 10⁶ + 0.5)` (2904.064 = α₆₄·m² as a SINGLE
+    * literal — a two-literal product would round differently under
+    * DuckDB's decimal-exact folding vs Catalyst's double fold). The
+    * small-range (linear-counting) correction is deliberately NOT
+    * applied: it needs a transcendental `ln` whose cross-engine bit
+    * parity is not guaranteed, and it is a pure function of the emitted
+    * integer `n_zero` column — left to the consumer, documented here.
+    */
+  private[graft] def hllEstimateFromRegisters(regs: DataFrame): DataFrame = {
+    val s = regs.sparkSession
+    val dense = regs.select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        s.range(HllBuckets.toLong).select(col("id").as("bucket"))))
+      .join(regs, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("register"), lit(0L)).as("register"))
+    val est = dense.groupBy(col("event_type"))
+      .agg(sum(pow(lit(2.0), -col("register"))).as("s"),
+        sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("event_type"), col("n_zero"),
+        floor(lit(2904.064) / col("s") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("est_micro"))
+    dense.join(est, Seq("event_type"))
+  }
+
+  /** X176 — stream_distinct_hll: the BATCH TWIN of
+    * [[graft.streaming.Streams.HllMaintainer]] — distinct-users-per-type
+    * (X6's question) maintained as a mergeable register-space HLL
+    * instead of re-scanned: the events corpus folds through 4
+    * deterministic micro-batches (event_id % 4) of per-batch register
+    * max-merges, and the key emits the maintained dense registers, the
+    * per-type raw estimator, and the exact count as the accuracy anchor
+    * (X6's "declare both, compare exact" stance — except HERE the sketch
+    * columns are hash-compared too, because the registers are built from
+    * the shared deterministic hash rather than an engine-internal one).
+    *
+    * Registers telescope (per-batch maxes max to the corpus max —
+    * associative + commutative + IDEMPOTENT, so even at-least-once
+    * replay is algebraically harmless), and the oracle is the
+    * independent one-shot re-proof: the same register/estimator SQL
+    * over the never-batched table. StreamingSpec proves maintainer ==
+    * one-shot after EVERY micro-batch, the replay guard, and register
+    * idempotence under re-observed users. Scale: state is ≤ 64·|types|
+    * rows forever; per batch one map-side-combinable register agg + a
+    * tiny merge — the only shape that keeps a distinct-count dashboard
+    * fresh per micro-batch at 100 TB (the exact column is the one-shot
+    * audit anchor, affordable at test scale). Honest fixture verdict:
+    * every type sees the SAME user population, so all five types carry
+    * identical registers; the estimator sits in the small-range regime
+    * at sf ≤ 0.01 (n_zero > 0 — raw HLL overestimates there by design;
+    * the emitted n_zero is exactly what the LC correction needs) and
+    * within 13 % (= 1.04/√64) above it.
+    */
+  private def streamDistinctHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.HllMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    m.estimate.join(exact, Seq("event_type"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val streamDistinctHllSql = {
+    val h = TextFns.stringHashSql("CAST(user_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH hh AS (SELECT event_type, $h AS h FROM events),
+       |hr AS (SELECT event_type, h & 63 AS bucket,
+       |  CASE WHEN (h >> 6) = 0 THEN $HllRhoCap
+       |       ELSE strpos(reverse(bin(h >> 6)), '1') END AS rho FROM hh),
+       |hreg AS (SELECT event_type, bucket, MAX(rho) AS register
+       |         FROM hr GROUP BY 1, 2),
+       |htypes AS (SELECT DISTINCT event_type FROM hh),
+       |hb AS (SELECT unnest(range(0, $HllBuckets)) AS bucket),
+       |hdense AS (
+       |  SELECT t.event_type, b.bucket,
+       |    CAST(COALESCE(g.register, 0) AS BIGINT) AS register
+       |  FROM htypes t CROSS JOIN hb b
+       |  LEFT JOIN hreg g
+       |    ON g.event_type = t.event_type AND g.bucket = b.bucket),
+       |hest AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero,
+       |    CAST(FLOOR(CAST(2904.064 AS DOUBLE) / SUM(power(2.0, -register))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS est_micro
+       |  FROM hdense GROUP BY 1),
+       |hex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+       |        FROM events GROUP BY 1)
+       |SELECT d.event_type, d.bucket, d.register, e.n_zero, e.est_micro,
+       |  x.n_users
+       |FROM hdense d JOIN hest e USING (event_type)
+       |JOIN hex x USING (event_type)
+       |ORDER BY d.event_type, d.bucket""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
     Q("events_bitmap_distinct", eventsBitmapDistinct,
@@ -1537,6 +1680,7 @@ object StreamQueries {
     Q("stream_cc_labels", t11, Some(t11Sql)),
     Q("events_scd2_history", scd2, Some(scd2Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
+    Q("stream_distinct_hll", streamDistinctHll, Some(streamDistinctHllSql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
     Q("events_dow_profile", eventsDowProfile, Some(eventsDowProfileSql)),

@@ -108,6 +108,7 @@ class PlanSpec extends GraftSuite {
     "graph_partition",          // 1-row cut_edges + 1-row max-size scalars
     "emb_ivf_balance",          // 1-row totals scalar over <=K list counts
     "stream_ivf_balance",       // same totals scalar over the folded counts
+    "stream_distinct_hll",      // |types|-row × 64-bucket densify nest
     "graph_partition2d",        // 1-row replication + imbalance scalars
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar

@@ -722,4 +722,61 @@ class StreamingSpec extends GraftSuite {
       }
     }
   }
+
+  test("stream_distinct_hll: HllMaintainer registers and estimate equal " +
+    "the one-shot over every prefix; replays are skipped; re-observed " +
+    "users are register no-ops") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // (event_id, user_id, event_type): two types over a shared-but-offset
+    // user population so the register sets differ per type
+    val evs = (1L to 120L).map(i =>
+      (i, if (i % 2 == 0) i % 37 else i % 23 + 100,
+        if (i % 2 == 0) "a" else "b"))
+    def snapR(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def snapE(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sorted
+    def oneShot(prefix: Seq[(Long, Long, String)]) = {
+      val d = prefix.toDF("event_id", "user_id", "event_type")
+      (snapR(StreamQueries.hllRegistersOf(d)),
+        snapE(StreamQueries.hllEstimateFromRegisters(
+          StreamQueries.hllRegistersOf(d))))
+    }
+    val m = new Streams.HllMaintainer(spark)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.hllMaintainStream(
+      mem.toDF().toDF("event_id", "user_id", "event_type"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long, String)]
+      for (b <- evs.grouped(35)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val (regs, est) = oneShot(seen)
+        assert(snapR(m.current) === regs)
+        assert(snapE(m.estimate) === est)
+      }
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op (batchId guard)
+    val r = new Streams.HllMaintainer(spark)
+    val b1 = evs.take(40).toDF("event_id", "user_id", "event_type")
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapR(r.current)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapR(r.current) === once)
+    // register idempotence: the SAME users under a NEW batch id change
+    // nothing either (max is idempotent — stronger than the count-merge
+    // maintainers, where only the guard protects replays)
+    r.applyBatch(b1, batchId = 1L)
+    assert(snapR(r.current) === once)
+    assert(once === oneShot(evs.take(40))._1)
+    // a genuinely new user does advance a register set (user 999999
+    // lands in bucket 25 with rho 1, a bucket the take(40) "a" users
+    // leave at 0 — precomputed against the shared hash)
+    r.applyBatch(Seq((999L, 999999L, "a")).toDF(
+      "event_id", "user_id", "event_type"), batchId = 2L)
+    assert(snapR(r.current) !== once)
+  }
 }
