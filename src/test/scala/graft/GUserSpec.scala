@@ -1237,4 +1237,48 @@ class GUserSpec extends GraftSuite {
     assert(empty.columns.toSeq === Seq("id", "round", "converged"))
     assert(empty.count() === 0L)
   }
+
+  test("graph_leiden_refine: a deliberately disconnected community " +
+    "splits into its connected parts; connected and singleton " +
+    "communities certify n_parts = 1") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Community 100 holds two islands {1,2} and {10,11} whose only
+    // connections run THROUGH community 200 (the Louvain
+    // disconnected-community failure mode Leiden's refinement exists
+    // for); 200 is a connected pair; 300 is an edgeless singleton;
+    // 400 is a 5-vertex path (multi-round min-label propagation).
+    val labs = Seq(1L -> 100L, 2L -> 100L, 10L -> 100L, 11L -> 100L,
+      5L -> 200L, 6L -> 200L, 7L -> 300L,
+      20L -> 400L, 21L -> 400L, 22L -> 400L, 23L -> 400L, 24L -> 400L)
+      .toDF("id", "lab")
+    val dir = Seq((1L, 2L), (10L, 11L), (5L, 6L), (1L, 5L), (10L, 6L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 24L))
+    val ue = (dir ++ dir.map(_.swap)).toDF("src", "dst")
+    val out = UserGraphQueries.leidenRefineOf(ue, labs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(out === Seq(
+      (100L, 1L, 2L, 2L, 1),   // island {1,2}
+      (100L, 10L, 2L, 2L, 1),  // island {10,11}
+      (200L, 5L, 2L, 1L, 0),
+      (300L, 7L, 1L, 1L, 0),   // edgeless singleton is its own part
+      (400L, 20L, 5L, 1L, 0))) // path: propagation crossed 4 hops
+    // Refined parts are exactly (community ∩ connected component of the
+    // intra graph): recompute with an independent union-find.
+    val parent = scala.collection.mutable.Map(
+      labs.collect().map(r => r.getLong(0) -> r.getLong(0)): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val labMap = labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b) <- dir if a != b && labMap.get(a) == labMap.get(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = labMap.keys.toSeq
+      .groupBy(v => (labMap(v), find(v)))
+      .map { case ((lab, root), vs) => (lab, root, vs.size.toLong) }
+      .toSeq.sorted
+    assert(out.map(t => (t._1, t._2, t._3)).sorted === expect)
+  }
 }
