@@ -1589,6 +1589,107 @@ object StreamQueries {
     dense.join(est, Seq("event_type"))
   }
 
+  // ── X178: streaming exact-grid quantile maintenance ─────────────────
+
+  /** The per-(type, cents) value histogram — X163's cents grid
+    * (`floor(value·100 + 0.5)`, the exact integer µ-grid every value key
+    * rides) counted per event type. This is the WHOLE maintained state
+    * of [[graft.streaming.Streams.ValueHistMaintainer]]: counts are
+    * combinable and the row count is bounded by the VALUE DOMAIN
+    * (distinct cents ≤ 10²·max_value per type — a property of the data
+    * dictionary, not the corpus size), which is what makes exact
+    * quantiles maintainable at 100 TB where the batch key's per-refresh
+    * sort over the accumulated corpus is not.
+    */
+  private[graft] def valueHistOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Nearest-rank p50/p90/p99 from a (event_type, cents, cnt) histogram
+    * — the ONE formula shared by the registered batch twin and the
+    * maintainer's `quantiles` view. Emits EXACTLY
+    * `value_percentiles_exact`'s output shape (event_type, q_pct, rank,
+    * n, value_cents): the element at rank ⌈p·n⌉ of the sorted cents
+    * multiset is the unique cents whose cumulative count first reaches
+    * the target — all-integer, so the maintained-histogram path and the
+    * batch row_number path provably coincide (PropertiesSpec asserts it
+    * on the fixture). The window runs over the HISTOGRAM (≤ distinct
+    * cents rows), not the corpus — the same three explode arms as the
+    * batch key, map-side off one cumulative frame.
+    */
+  private[graft] def quantilesFromHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val arms = explode(array(
+      Seq((50L, 1L, 2L), (90L, 9L, 10L), (99L, 99L, 100L)).map {
+        case (pct, num, den) => struct(lit(pct).as("q_pct"),
+          expr(s"($num * n + ${den - 1}) div $den").as("target"))
+      }: _*))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(col("event_type"), col("cents"), col("cnt"), col("cum"),
+        col("n"), arms.as("arm"))
+      .filter(col("cum") >= col("arm.target") &&
+        col("cum") - col("cnt") < col("arm.target"))
+      .select(col("event_type"), col("arm.q_pct").as("q_pct"),
+        col("arm.target").as("rank"), col("n"),
+        col("cents").as("value_cents"))
+      .orderBy(col("event_type"), col("q_pct"))
+  }
+
+  /** X178 — stream_value_quantiles: the BATCH TWIN of
+    * [[graft.streaming.Streams.ValueHistMaintainer]] — EXACT-grid
+    * quantile maintenance, closing the quantile family's ingestion
+    * asymmetry the way X175/X176 closed the IVF and distinct-count
+    * ones: the events corpus folds through 4 deterministic micro-batches
+    * (event_id % 4) of per-(type, cents) count merges, and the key
+    * emits nearest-rank p50/p90/p99 over the MAINTAINED histogram —
+    * bit-identical to `value_percentiles_exact`'s corpus-sort answer,
+    * because the element at rank ⌈p·n⌉ of the sorted cents multiset IS
+    * the first cents whose cumulative histogram count reaches the
+    * target. Counts telescope, so the oracle is the independent
+    * never-batched re-proof (histogram SQL over the full table); the
+    * cross-key equality with the row_number formulation is asserted in
+    * PropertiesSpec. Scale: state is value-domain-bounded (≤ distinct
+    * cents per type — the data dictionary, not the corpus); per batch
+    * one map-side-combinable count + a tiny merge; the quantile view
+    * windows over the histogram, never the corpus. This is the exact
+    * counterpart of the mergeable rank sketches (X6b): where the value
+    * domain is grid-bounded, the sketch is unnecessary — the histogram
+    * IS exact.
+    */
+  private def streamValueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.ValueHistMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.quantiles
+  }
+
+  private val streamValueQuantilesSql =
+    """WITH svh AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |    AS cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |svc AS (
+      |  SELECT event_type, cents, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM svh),
+      |sva(q_pct, num, den) AS (
+      |  VALUES (CAST(50 AS BIGINT), 1, 2), (90, 9, 10), (99, 99, 100))
+      |SELECT event_type, q_pct, (num * n + den - 1) // den AS rank, n,
+      |  cents AS value_cents
+      |FROM svc CROSS JOIN sva
+      |WHERE cum >= (num * n + den - 1) // den
+      |  AND cum - cnt < (num * n + den - 1) // den
+      |ORDER BY event_type, q_pct""".stripMargin
+
   /** X176 — stream_distinct_hll: the BATCH TWIN of
     * [[graft.streaming.Streams.HllMaintainer]] — distinct-users-per-type
     * (X6's question) maintained as a mergeable register-space HLL
@@ -1681,6 +1782,8 @@ object StreamQueries {
     Q("events_scd2_history", scd2, Some(scd2Sql)),
     Q("distinct_users_hll", x6, Some(x6Sql)),
     Q("stream_distinct_hll", streamDistinctHll, Some(streamDistinctHllSql)),
+    Q("stream_value_quantiles", streamValueQuantiles,
+      Some(streamValueQuantilesSql)),
     Q("value_quantiles", x6b, Some(x6bSql)),
     Q("value_percentiles_exact", valuePctExact, Some(valuePctExactSql)),
     Q("events_dow_profile", eventsDowProfile, Some(eventsDowProfileSql)),

@@ -1111,4 +1111,59 @@ object Streams {
     events.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
+
+  // ── X178: streaming exact-grid quantile maintenance ─────────────────
+
+  /** X178 stream side: a foreachBatch maintainer for exact nearest-rank
+    * value quantiles, with state = the per-(event_type, cents) count
+    * histogram ([[graft.queries.StreamQueries.valueHistOf]]). Counts are
+    * combinable, and the state row count is bounded by the VALUE DOMAIN
+    * (distinct cents per type), not the corpus — so p50/p90/p99 stay
+    * exactly refreshable per micro-batch at 100 TB, where the batch
+    * key's per-refresh corpus sort is not. Per batch: one
+    * map-side-combinable count over the batch + a histogram-sized merge.
+    * The `quantiles` view computes the nearest-rank picks through the
+    * ONE shared formula ([[graft.queries.StreamQueries
+    * .quantilesFromHist]]) — emitting `value_percentiles_exact`'s exact
+    * output shape, provably equal to the corpus-sort answer.
+    *
+    * `StreamingSpec` proves maintained histogram == one-shot histogram
+    * AND quantiles == one-shot quantiles after EVERY micro-batch, plus
+    * the at-least-once replay guard.
+    */
+  final class ValueHistMaintainer(s: org.apache.spark.sql.SparkSession) {
+    private def emptyHist: DataFrame =
+      s.range(0).select(col("id").cast("string").as("event_type"),
+        col("id").as("cents"), col("id").as("cnt"))
+    @volatile private var hist: DataFrame = emptyHist
+    private var lastApplied: Long = -1L
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        val b = graft.queries.StreamQueries.valueHistOf(batch)
+        val next = hist.unionByName(b)
+          .groupBy(col("event_type"), col("cents"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+        hist = next
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
+
+    /** The maintained histogram (value-domain-bounded, total order). */
+    def current: DataFrame =
+      hist.orderBy(col("event_type"), col("cents"))
+    /** The live exact p50/p90/p99 over the maintained histogram. */
+    def quantiles: DataFrame =
+      graft.queries.StreamQueries.quantilesFromHist(hist)
+  }
+
+  /** Wire an event stream to a [[ValueHistMaintainer]] via foreachBatch. */
+  def valueHistMaintainStream(events: DataFrame, m: ValueHistMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
 }

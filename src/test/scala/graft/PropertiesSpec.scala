@@ -196,4 +196,18 @@ class PropertiesSpec extends GraftSuite {
       assert(out.forall(_._4 == bal), s"seed $s balance")
     }
   }
+
+  test("stream_value_quantiles == value_percentiles_exact on the " +
+    "fixture: the maintained-histogram path and the corpus-sort " +
+    "row_number path pick identical nearest-rank elements") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(key: String) = queries.Registry.byKey(key).fn(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val hist = rows("stream_value_quantiles")
+    val sorted = rows("value_percentiles_exact")
+    assert(hist.nonEmpty)
+    assert(hist === sorted)
+  }
 }

@@ -779,4 +779,61 @@ class StreamingSpec extends GraftSuite {
       "event_id", "user_id", "event_type"), batchId = 2L)
     assert(snapR(r.current) !== once)
   }
+
+  test("stream_value_quantiles: ValueHistMaintainer histogram and " +
+    "quantiles equal the one-shot over every prefix; replays are " +
+    "skipped") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // values engineered for grid collisions (duplicated cents) and
+    // rank-boundary picks across two types of different sizes
+    val evs = (1L to 90L).map(i =>
+      (i, (i * 37 % 41).toDouble + (i % 3) * 0.004,
+        if (i % 4 == 0) "a" else "b"))
+    def snapH(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def snapQ(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    def oneShot(prefix: Seq[(Long, Double, String)]) = {
+      val d = prefix.toDF("event_id", "value", "event_type")
+      (snapH(StreamQueries.valueHistOf(d)),
+        snapQ(StreamQueries.quantilesFromHist(StreamQueries.valueHistOf(d))))
+    }
+    val m = new Streams.ValueHistMaintainer(spark)
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = Streams.valueHistMaintainStream(
+      mem.toDF().toDF("event_id", "value", "event_type"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Double, String)]
+      for (b <- evs.grouped(28)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val (h, qq) = oneShot(seen)
+        assert(snapH(m.current) === h)
+        assert(snapQ(m.quantiles) === qq)
+      }
+      // nearest-rank sanity against an independent in-memory sort
+      val byType = seen.groupBy(_._3)
+      for ((t, rows) <- byType) {
+        val cents = rows.map(r => math.floor(r._2 * 100 + 0.5).toLong)
+          .sorted
+        val n = cents.size
+        val expect = Seq(50L -> ((n + 1) / 2), 90L -> ((9 * n + 9) / 10),
+          99L -> ((99 * n + 99) / 100))
+          .map { case (p, rank) => (t, p, rank.toLong, n.toLong,
+            cents(rank.toInt - 1)) }
+        assert(snapQ(m.quantiles).filter(_._1 == t) === expect)
+      }
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op
+    val r = new Streams.ValueHistMaintainer(spark)
+    val b1 = evs.take(30).toDF("event_id", "value", "event_type")
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapH(r.current)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapH(r.current) === once)
+    assert(once === oneShot(evs.take(30))._1)
+  }
 }
