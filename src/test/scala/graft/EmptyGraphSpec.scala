@@ -66,4 +66,36 @@ class EmptyGraphSpec extends GraftSuite {
     assert(graft.queries.DedupQueries
       .streamDedupMinhashOf(spark, docs, hs).count() === 0)
   }
+
+  test("round-14 seams are total on empty inputs") {
+    import spark.implicits._
+    import graft.queries.{StreamQueries, UserGraphQueries}
+    val noEv = Seq.empty[(Long, Long, String)]
+      .toDF("event_id", "user_id", "event_type")
+    assert(StreamQueries.hllRegistersOf(noEv).count() === 0)
+    assert(StreamQueries.hllEstimateFromRegisters(
+      StreamQueries.hllRegistersOf(noEv)).count() === 0)
+    val noVal = Seq.empty[(Long, Double, String)]
+      .toDF("event_id", "value", "event_type")
+    assert(StreamQueries.valueHistOf(noVal).count() === 0)
+    assert(StreamQueries.quantilesFromHist(
+      StreamQueries.valueHistOf(noVal)).count() === 0)
+    // fresh maintainers expose empty-but-well-typed views
+    val hm = new graft.streaming.Streams.HllMaintainer(spark)
+    assert(hm.current.count() === 0 && hm.estimate.count() === 0)
+    val vm = new graft.streaming.Streams.ValueHistMaintainer(spark)
+    assert(vm.current.count() === 0 && vm.quantiles.count() === 0)
+    // an empty micro-batch neither fails nor perturbs state
+    vm.applyBatch(noVal); hm.applyBatch(noEv)
+    assert(hm.current.count() === 0 && vm.quantiles.count() === 0)
+    // leiden refinement: empty labels, and labels with an empty edge set
+    val noLabs = Seq.empty[(Long, Long)].toDF("id", "lab")
+    val noE = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(UserGraphQueries.leidenRefineOf(noE, noLabs).count() === 0)
+    val labs = Seq(1L -> 10L, 2L -> 10L).toDF("id", "lab")
+    val out = UserGraphQueries.leidenRefineOf(noE, labs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // no intra edges: every vertex is its own part
+    assert(out.toSeq === Seq((10L, 1L, 1L, 2L), (10L, 2L, 1L, 2L)))
+  }
 }
