@@ -3953,37 +3953,57 @@ object UserGraphQueries {
 
   // ── X149: graph_coloring — Jones–Plassmann greedy coloring, gated by
   // the contract-oracle pattern.
-  /** Engine-side round cap: ~2× the measured sf1 depth (sync rounds GROW
-    * with scale — 7/21/43/74 at the four SFs, tools/sim_color.py — which
-    * is exactly why the ORACLE cannot unroll the coloring itself).
+  /** Engine-side round cap: ~3.5× the measured sf1 depth (sync rounds
+    * GROW with scale — 6/13/27/44 at the four SFs under the round-14
+    * DEGREE-FIRST priorities, tools/sim_color.py; down from 7/21/43/74
+    * under the r12 hash-only priorities — which is exactly why the
+    * ORACLE cannot unroll the coloring itself).
     */
   private val ColorRounds = 160
 
   /** Oracle-side Luby unroll cap for the color-0 == greedy-MIS check:
-    * 2× the measured max (2/3/7/4 rounds under the "col:" priorities).
+    * 2× the measured max (3/3/7/4 rounds under the degree-first
+    * priorities; was 2/3/7/4 under hash-only).
     */
   private val ColorMisRounds = 14
 
+  /** The strict hash tiebreak UNDER the degree field: hash("col:"+v)
+    * packed over the 16-bit id (ids on the Zipf tier are < 2¹⁶ —
+    * KcBits caps the shift at 16).
+    */
   private def colPriority(v: Column): Column = {
     import graft.functions.TextFns
     TextFns.stringHash(concat(lit("col:"), v.cast("string"))) *
       MisPackV + v
   }
 
+  /** 2⁴⁶ — the degree field's place value in the packed priority:
+    * (65535 − deg) ⋅ 2⁴⁶ + hash ⋅ 2¹⁶ + v. hash < 2³⁰ so the
+    * hash/id sub-pack stays strictly below the degree field; deg ≤
+    * |V| − 1 ≤ 65535 on the tier (guarded loudly at the seam).
+    */
+  private val ColorDegScale = 1L << 46
+
   private def graphColoring(s: SparkSession, dir: String): DataFrame =
     coloringOf(zipfCanonicalFrame(s, dir))
 
   /** X149 — graph_coloring: distributed greedy graph coloring
-    * (Jones–Plassmann with FIXED strict hash priorities — the register-
-    * allocation / conflict-scheduling primitive, and with strict
-    * priorities provably EQUAL to the sequential greedy-by-priority
-    * coloring, cross-checked in the sim at all four SFs): per round,
-    * every uncolored vertex whose priority is the strict minimum over
-    * its UNCOLORED neighborhood colors itself with the mex (smallest
-    * absent color) of its already-colored neighbors.
+    * (Jones–Plassmann with FIXED strict DEGREE-FIRST priorities — the
+    * register-allocation / conflict-scheduling primitive, and with
+    * strict priorities provably EQUAL to the sequential
+    * greedy-by-priority coloring, cross-checked in the sim at all four
+    * SFs): per round, every uncolored vertex whose priority is the
+    * strict minimum over its UNCOLORED neighborhood colors itself with
+    * the mex (smallest absent color) of its already-colored neighbors.
+    * Priorities are (−degree, hash, id) packed into one long (round
+    * 14): hubs color FIRST, which shortens the priority chains that
+    * bound JP's sync depth on the Zipf tier — measured rounds 43→27
+    * (sf0.1) and 74→44 (sf1) vs the r12 hash-only priorities, and
+    * FEWER colors (8→6, 12→7: hub-first approximates
+    * largest-degree-first greedy, the classic quality ordering).
     *
     * THE HONESTY SHAPE (VERDICT r11 item #3, executed as measured): the
-    * sync round depth GROWS with scale — 7/21/43/74 at sf0.001/0.01/
+    * sync round depth GROWS with scale — 6/13/27/44 at sf0.001/0.01/
     * 0.1/sf1 (priority-chain-bound, tools/sim_color.py) — so no pinned
     * oracle unroll of the coloring exists; the r11 refusal stands for a
     * color-by-color replay. What ships instead is the X37/X68 CONTRACT
@@ -4000,8 +4020,8 @@ object UserGraphQueries {
     *    lower-priority... no earlier-colored neighbor took 0 — the MIS
     *    membership rule; sim-verified at every SF), and THAT the
     *    oracle can compute with a bounded Luby unroll
-    *    ([[ColorMisRounds]]; measured 2/3/7/4) — a real cross-engine
-    *    integer, 515/3251/10149/21965 at the four SFs;
+    *    ([[ColorMisRounds]]; measured 3/3/7/4) — a real cross-engine
+    *    integer, 485/3149/9635/21929 at the four SFs;
     *  - `converged` / `degree_bound_ok` (every color ≤ degree, the
     *    greedy invariant): engine-measured, oracle pins TRUE.
     *
@@ -4012,7 +4032,7 @@ object UserGraphQueries {
     * in PlanSpec's allowlist.
     */
   private[graft] def coloringOf(canEdges: DataFrame,
-      prio: Column => Column = colPriority): DataFrame = {
+      prio: Option[Column => Column] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.SqlBridge.{pinned, pinnedSum}
     val can = canEdges.select(col("a"), col("b"))
     val und = pinned(can.select(col("a").as("u"), col("b").as("v"))
@@ -4020,11 +4040,39 @@ object UserGraphQueries {
     val nEdges = can.count()
     // ONE state frame (v, p, color: null = uncolored) — two driver
     // actions per round (pin + drained probe) instead of the naive
-    // four (newly/colored/active pins + probe); at 43 rounds (sf0.1)
+    // four (newly/colored/active pins + probe); at 27 rounds (sf0.1)
     // the action count is the wall-clock, not the data.
-    var st = pinned(und.select(col("u").as("v")).distinct()
-      .select(col("v"), prio(col("v")).as("p"),
-        lit(null).cast("long").as("color")))
+    //
+    // DEFAULT priority (round 14): DEGREE-FIRST, hash tiebreak —
+    // hubs color first, which shortens the priority chains that bound
+    // JP's sync depth on the Zipf tier: measured rounds 43→27 (sf0.1)
+    // and 74→44 (sf1), colors 8→6 and 12→7, with JP == sequential
+    // greedy and color-0 == greedy-MIS re-proven for the new priority
+    // at every SF (tools/sim_color.py — the invariants are
+    // priority-generic, the numbers are not). Tests inject explicit
+    // priorities through `prio`.
+    var st = pinned(prio match {
+      case Some(p) =>
+        und.select(col("u").as("v")).distinct()
+          .select(col("v"), p(col("v")).as("p"),
+            lit(null).cast("long").as("color"))
+      case None =>
+        val degf = und.groupBy(col("u").as("v"))
+          .agg(count(lit(1)).as("d"))
+        // loud pack-bounds guard: the degree field holds 16 bits and
+        // the id sub-pack 16 — a graph outside the tier's id space
+        // must not silently fold priority classes together
+        val mx = degf.agg(max(col("d")), max(col("v"))).first()
+        require(mx.isNullAt(0) ||
+          (mx.getLong(0) <= 65535L && mx.getLong(1) <= 65535L),
+          s"degree-first priority pack needs deg and id <= 65535; got " +
+            s"max deg ${mx.getLong(0)}, max id ${mx.getLong(1)} - " +
+            "inject an explicit priority for graphs off the Zipf tier")
+        degf.select(col("v"),
+          ((lit(65535L) - col("d")) * lit(ColorDegScale) +
+            colPriority(col("v"))).as("p"),
+          lit(null).cast("long").as("color"))
+    })
     val nVerts = st.count()
     var rounds = 0
     var drained = nVerts == 0L
@@ -4141,8 +4189,13 @@ object UserGraphQueries {
        |  SELECT a AS u, b AS v FROM cocan
        |  UNION ALL SELECT b AS u, a AS v FROM cocan),
        |cov AS (SELECT DISTINCT u AS v FROM cound),
+       |codeg AS (
+       |  SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM cound GROUP BY 1),
        |cma0 AS MATERIALIZED (
-       |  SELECT v, $pExpr * $MisPackV + v AS p FROM cov),
+       |  SELECT v, (65535 - d) * $ColorDegScale + ($pExpr * $MisPackV + v)
+       |    AS p
+       |  FROM codeg),
        |$rounds
        |SELECT
        |  (SELECT COUNT(*) FROM cov) AS n_vertices,

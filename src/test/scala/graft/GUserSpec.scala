@@ -770,19 +770,19 @@ class GUserSpec extends GraftSuite {
     // exists for). n_color0 = |{5,3,1}| = 3 = the greedy MIS.
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("a", "b").repartition(3)
-    val out = UserGraphQueries.coloringOf(path, v => lit(6L) - v)
+    val out = UserGraphQueries.coloringOf(path, Some(v => lit(6L) - v))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
     assert(out.toSeq === Seq((5L, 4L, 5L, 0L, 3L, true, true)))
     // Triangle: forced 3 colors, exactly one color-0 vertex.
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
-    val t = UserGraphQueries.coloringOf(tri, v => v).collect()
+    val t = UserGraphQueries.coloringOf(tri, Some(v => v)).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getBoolean(5)))
     assert(t.toSeq === Seq((3L, 3L, 0L, 1L, true)))
     // Empty graph degrades to the zero row, converged.
     val z = UserGraphQueries.coloringOf(
-      Seq.empty[(Long, Long)].toDF("a", "b"), v => v).collect()
+      Seq.empty[(Long, Long)].toDF("a", "b"), Some(v => v)).collect()
     assert(z.length === 1 && z(0).getLong(0) === 0L &&
       z(0).getBoolean(5))
   }

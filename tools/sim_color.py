@@ -1,21 +1,27 @@
 #!/usr/bin/env python3
-"""Simulate graph_color_greedy (Jones-Plassmann with fixed strict
+"""Simulate graph_coloring (Jones-Plassmann with fixed strict
 priorities) on the derived Zipf tier BEFORE any Spark code — measures
-sync round count, color count, and validates the parallel rounds
-against the sequential greedy-by-priority coloring (fixed strict
-priorities make JP == greedy).
+sync round count, color count, oracle Luby-MIS unroll depth, and
+validates the parallel rounds against the sequential
+greedy-by-priority coloring (fixed strict priorities make JP ==
+greedy, for ANY strict priority).
 
-MEASURED (rounds 12 evidence for the X149 contract key):
-- JP sync rounds GROW with scale: 7/21/43/74 at sf0.001/0.01/0.1/sf1
-  -> no pinned oracle unroll exists; the ENGINE iterates to
-  convergence (cap 160 = ~2x sf1) and the key is gated by the
-  X37/X68 CONTRACT pattern instead of a color-by-color replay.
-- color-0 class == the greedy MIS under the SAME "col:" priorities at
-  every SF (515/3251/10149/21965) — greedy coloring gives 0 exactly
-  to greedy-MIS members, and the ORACLE can compute that size with a
-  bounded Luby unroll (measured luby rounds 2/3/7/4 -> cap 14).
-- proper at every SF (0 conflicting edges), jp == sequential greedy
-  at every SF, colors 4/4/8/12 <= maxdeg+1.
+PRIORITY (round 14): DEGREE-FIRST — p(v) = (65535 - deg(v)) << 46 |
+hash("col:"+v) << 16 | v. Hubs color first, which shortens the
+priority chains that bound JP's sync depth on the Zipf tier
+(hub-centered stars resolve in one round instead of serializing
+behind hash order). Measured against the r12 hash-only priority:
+
+  rounds:      sf0.001 7->6, sf0.01 21->13, sf0.1 43->27, sf1 74->44
+  colors:      sf0.01 4->3, sf0.1 8->6, sf1 12->7 (hub-first is
+               closer to largest-degree-first greedy, a known
+               quality win)
+  luby rounds (oracle cms-chain depth for the color-0 == greedy-MIS
+  check): hash 2/3/7/4 -> degree 3/3/7/4 (cap 14 keeps 2x margin)
+
+MEASURED invariants (every SF): proper (0 conflicting edges),
+jp == sequential greedy, color-0 class == greedy MIS, colors <=
+maxdeg+1.
 
 Usage: python3 tools/sim_color.py /root/testdata/sf0.001 [...]
 """
@@ -23,8 +29,9 @@ import sys
 from sim_mst import zipf_edges, string_hash
 
 
-def priorities(verts):
-    return {v: string_hash(f"col:{v}") * 65536 + v for v in verts}
+def priorities(verts, deg):
+    return {v: ((65535 - deg[v]) << 46) | (string_hash(f"col:{v}") << 16)
+            | v for v in verts}
 
 
 def mex(used):
@@ -63,17 +70,45 @@ def greedy(edges, verts, pr):
     return color
 
 
+def luby_rounds(edges, verts, pr):
+    """Rounds of the oracle's cms chain: select strict-local-min among
+    REMAINING, remove selected + neighbors; depth = rounds to empty."""
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    alive = set(verts)
+    mis = set()
+    r = 0
+    while alive:
+        r += 1
+        sel = [v for v in alive if
+               all(pr[v] < pr[u] for u in adj[v] if u in alive)]
+        mis.update(sel)
+        drop = set(sel)
+        for v in sel:
+            drop.update(adj[v])
+        alive -= drop
+    return mis, r
+
+
 for d in sys.argv[1:]:
     es = zipf_edges(d)
     verts = sorted({x for e in es for x in e})
-    pr = priorities(verts)
+    deg = {v: 0 for v in verts}
+    for a, b in es:
+        deg[a] += 1; deg[b] += 1
+    pr = priorities(verts, deg)
     col, rounds = jones_plassmann(es, verts, pr)
     g = greedy(es, verts, pr)
+    mis, lrounds = luby_rounds(es, verts, pr)
     ncol = len(set(col.values()))
     hist = {}
     for c in col.values():
         hist[c] = hist.get(c, 0) + 1
     ok = all(col[a] != col[b] for a, b in es)
+    color0 = {v for v, c in col.items() if c == 0}
     print(f"{d}: |V|={len(verts)} |E|={len(es)} rounds={rounds} "
-          f"colors={ncol} hist={sorted(hist.items())[:8]} "
-          f"proper={ok} jp==greedy={col == g}")
+          f"colors={ncol} luby_rounds={lrounds} "
+          f"n_color0={len(color0)} hist={sorted(hist.items())[:8]} "
+          f"proper={ok} jp==greedy={col == g} "
+          f"color0==greedyMIS={color0 == mis}")
