@@ -836,4 +836,42 @@ class StreamingSpec extends GraftSuite {
     assert(snapH(r.current) === once)
     assert(once === oneShot(evs.take(30))._1)
   }
+
+  test("sketch maintainers == one-shot under RANDOM batch widths on " +
+    "seeded random streams (the LSH-maintainer property, applied to " +
+    "the X176/X178 state algebras)") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    import scala.util.Random
+    for (seed <- Seq(19L, 83L)) {
+      val rnd = new Random(seed)
+      val evs = (1L to 150L).map(i =>
+        (i, rnd.nextInt(400).toLong,
+          rnd.nextInt(1000).toDouble / 7.0,
+          s"t${rnd.nextInt(4)}"))
+      val hm = new Streams.HllMaintainer(spark)
+      val vm = new Streams.ValueHistMaintainer(spark)
+      var seen = Seq.empty[(Long, Long, Double, String)]
+      var i = 0
+      while (i < evs.length) {
+        val w = 1 + rnd.nextInt(13)
+        val batch = evs.slice(i, i + w)
+        i += w
+        val bdf = batch.toDF("event_id", "user_id", "value", "event_type")
+        hm.applyBatch(bdf); vm.applyBatch(bdf)
+        seen ++= batch
+        val sdf = seen.toDF("event_id", "user_id", "value", "event_type")
+        assert(hm.current.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ===
+          StreamQueries.hllRegistersOf(sdf).collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+          s"seed $seed prefix $i registers")
+        assert(vm.current.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ===
+          StreamQueries.valueHistOf(sdf).collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+          s"seed $seed prefix $i histogram")
+      }
+    }
+  }
 }
