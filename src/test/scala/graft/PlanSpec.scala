@@ -109,6 +109,7 @@ class PlanSpec extends GraftSuite {
     "emb_ivf_balance",          // 1-row totals scalar over <=K list counts
     "stream_ivf_balance",       // same totals scalar over the folded counts
     "stream_distinct_hll",      // |types|-row × 64-bucket densify nest
+    "privacy_k_anonymity",      // 1-row k/exposure scalar over QI cells
     "graph_partition2d",        // 1-row replication + imbalance scalars
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar

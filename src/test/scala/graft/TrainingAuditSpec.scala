@@ -1448,4 +1448,27 @@ class TrainingAuditSpec extends GraftSuite {
         r.getLong(4)))
     assert(out.toSeq === Seq((4L, 4L, 100L, 4L, 250000L)))
   }
+
+  test("privacy_k_anonymity: hand classes give exact k, l-diversity, " +
+    "and exposure; negative balances bucket below zero") {
+    import spark.implicits._
+    // QI = (nation, floor(bal/1000)): nation 1 bucket 2 has 3 rows of
+    // 2 segments; nation 1 bucket -1 is a SINGLETON (k_anon = 1) and
+    // 1-diverse; nation 2 bucket 0 has 5 rows of one segment (meets
+    // k=5 but fully discloses the segment — the l-diversity point).
+    val cust = Seq(
+      (1, 2500.0, "AUTO"), (1, 2600.0, "AUTO"), (1, 2999.99, "HOUSE"),
+      (1, -0.01, "AUTO"),
+      (2, 10.0, "BLDG"), (2, 900.0, "BLDG"), (2, 0.0, "BLDG"),
+      (2, 500.0, "BLDG"), (2, 999.99, "BLDG"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment").repartition(3)
+    val out = FeatureQueries.privacyKAnonymityOf(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // rows below k5: the singleton (1) + the 3-row class (3) = 4 of 9
+    assert(out.toSeq === Seq(
+      (1L, -1L, 1L, 1L, 1L, 4L, 444444L),
+      (1L, 2L, 3L, 2L, 1L, 4L, 444444L),
+      (2L, 0L, 5L, 1L, 1L, 4L, 444444L)))
+  }
 }
