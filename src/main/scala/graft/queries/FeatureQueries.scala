@@ -2016,12 +2016,17 @@ object FeatureQueries {
 
   /** Testable seam: explicit customer-shaped frame. */
   private[graft] def privacyKAnonymityOf(cust: DataFrame): DataFrame = {
+    // persisted: the QI-domain-bounded class frame feeds BOTH the
+    // per-class output and the k/exposure totals — without reuse the
+    // customer scan + two-phase distinct agg run twice (plan-audited;
+    // the emb_ivf_balance one-corpus-scan rule)
     val cls = cust.select(col("c_nationkey").cast("long").as("nation"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
         col("c_mktsegment"))
       .groupBy(col("nation"), col("bal_bucket"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("c_mktsegment")).as("n_segments"))
+      .persist()
     val tot = cls.agg(min(col("n_rows")).as("k_anon"),
       sum(when(col("n_rows") < 5, col("n_rows")).otherwise(0L))
         .as("rows_below_k5"),
