@@ -1544,7 +1544,12 @@ object StreamQueries {
     */
   private[graft] def hllRegistersOf(ev: DataFrame): DataFrame = {
     val h = TextFns.stringHash(col("user_id").cast("string"))
-    ev.select(col("event_type"), h.as("h"))
+    // null user ids carry no identity: excluded up front, matching the
+    // exact anchor's COUNT(DISTINCT) null semantics (a null would
+    // otherwise become a null-bucket register row the densify silently
+    // drops — better never to admit it)
+    ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"), h.as("h"))
       .select(col("event_type"),
         col("h").bitwiseAND(lit(63L)).as("bucket"),
         shiftright(col("h"), 6).as("w"))
@@ -1602,8 +1607,12 @@ object StreamQueries {
     * sort over the accumulated corpus is not.
     */
   private[graft] def valueHistOf(ev: DataFrame): DataFrame =
-    ev.select(col("event_type"),
-      expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    // null values carry no rank: excluded up front (SQL percentile
+    // semantics; a null-cents row would otherwise sort ahead of every
+    // real bucket and shift all rank targets)
+    ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
       .groupBy(col("event_type"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
 
