@@ -230,6 +230,20 @@ class PropertiesSpec extends GraftSuite {
       "fixture verdict: every community is internally connected")
   }
 
+  test("stream_distinct_hll's exact anchor == distinct_users_hll's " +
+    "n_users per type on the fixture (two independent paths to the " +
+    "same exact quantity)") {
+    val sf = "/root/testdata/sf0.001"
+    val hll = queries.Registry.byKey("stream_distinct_hll").fn(spark, sf)
+      .select("event_type", "n_users").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val x6 = queries.Registry.byKey("distinct_users_hll").fn(spark, sf)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hll.nonEmpty)
+    assert(hll === x6)
+  }
+
   test("stream_value_quantiles == value_percentiles_exact on the " +
     "fixture: the maintained-histogram path and the corpus-sort " +
     "row_number path pick identical nearest-rank elements") {
