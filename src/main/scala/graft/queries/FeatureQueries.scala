@@ -2014,19 +2014,35 @@ object FeatureQueries {
   private def privacyKAnonymity(s: SparkSession, dir: String): DataFrame =
     privacyKAnonymityOf(Tables(s, dir, "customer"))
 
-  /** Testable seam: explicit customer-shaped frame. */
-  private[graft] def privacyKAnonymityOf(cust: DataFrame): DataFrame = {
-    // persisted: the QI-domain-bounded class frame feeds BOTH the
-    // per-class output and the k/exposure totals — without reuse the
-    // customer scan + two-phase distinct agg run twice (plan-audited;
-    // the emb_ivf_balance one-corpus-scan rule)
-    val cls = cust.select(col("c_nationkey").cast("long").as("nation"),
+  /** The per-class audit state: QI tuple → exact row count + the SET
+    * of sensitive values seen (sorted array — collect_set order is
+    * partitioning-dependent, the sort pins it). This is the WHOLE
+    * maintained state of [[graft.streaming.Streams
+    * .KAnonymityMaintainer]]: counts merge by sum, segment sets by
+    * union — a composite mergeable algebra, bounded by |QI domain| ×
+    * |sensitive domain| (both data-dictionary properties, not corpus
+    * size; a high-cardinality sensitive attribute would swap the exact
+    * set for a distinct sketch, X6's trade).
+    */
+  private[graft] def privacyClassesOf(cust: DataFrame): DataFrame =
+    cust.select(col("c_nationkey").cast("long").as("nation"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
         col("c_mktsegment"))
       .groupBy(col("nation"), col("bal_bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("c_mktsegment")).as("n_segments"))
-      .persist()
+        array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+
+  /** X179's output shape from a class frame — the ONE formula shared by
+    * the one-shot audit and the maintainer's `verdict` view (the
+    * balanceFromCounts discipline).
+    */
+  private[graft] def privacyVerdictFromClasses(cls0: DataFrame): DataFrame = {
+    // persisted: the QI-domain-bounded class frame feeds BOTH the
+    // per-class output and the k/exposure totals — without reuse the
+    // upstream scan + agg run twice (plan-audited; the emb_ivf_balance
+    // one-corpus-scan rule)
+    val cls = cls0.select(col("nation"), col("bal_bucket"), col("n_rows"),
+      size(col("segments")).cast("long").as("n_segments")).persist()
     val tot = cls.agg(min(col("n_rows")).as("k_anon"),
       sum(when(col("n_rows") < 5, col("n_rows")).otherwise(0L))
         .as("rows_below_k5"),
@@ -2036,6 +2052,36 @@ object FeatureQueries {
         col("n_segments"), col("k_anon"), col("rows_below_k5"),
         expr("rows_below_k5 * 1000000 div n_total").as("exposure_ppm"))
       .orderBy(col("nation"), col("bal_bucket"))
+  }
+
+  /** Testable seam: explicit customer-shaped frame. */
+  private[graft] def privacyKAnonymityOf(cust: DataFrame): DataFrame =
+    privacyVerdictFromClasses(privacyClassesOf(cust))
+
+  /** X180 — stream_k_anonymity: the BATCH TWIN of
+    * [[graft.streaming.Streams.KAnonymityMaintainer]] — X179's release
+    * audit maintained over an ACCUMULATING release instead of
+    * re-scanned: the customer table folds through 4 deterministic
+    * micro-batches (c_custkey % 4) of per-class (count-sum ⊕
+    * segment-set-union) merges, and the key emits the X179 verdict
+    * over the MAINTAINED state. The state algebra telescopes (counts
+    * are associative sums; sets are associative, commutative,
+    * IDEMPOTENT unions), so the oracle is the independent one-shot
+    * re-proof: X179's SQL over the never-batched table. The
+    * operational point (the reason a release audits CONTINUOUSLY): k
+    * is not monotone under ingestion — a batch touching a fresh QI
+    * cell drops k to 1 — and StreamingSpec pins exactly that behavior
+    * alongside maintainer == one-shot after every micro-batch and the
+    * replay guard. Scale: state bounded by |QI| × |sensitive| domains
+    * (data dictionary, not corpus); per batch one map-side class agg +
+    * a domain-bounded merge.
+    */
+  private def streamKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val m = new graft.streaming.Streams.KAnonymityMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(cust.filter(col("c_custkey") % 4 === k))
+    m.verdict
   }
 
   private val privacyKAnonymitySql =
@@ -2058,6 +2104,9 @@ object FeatureQueries {
 
   val qs: Seq[Q] = Seq(
     Q("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),
+    // same never-batched SQL: the state algebra telescopes, so the
+    // one-shot scan IS the independent re-proof of the 4-batch fold
+    Q("stream_k_anonymity", streamKAnonymity, Some(privacyKAnonymitySql)),
     Q("feature_psi", featurePsi, Some(featurePsiSql)),
     Q("feature_drift_ks", featureDriftKs, Some(featureDriftKsSql)),
     Q("feature_mutual_info", featureMutualInfo,

@@ -1166,4 +1166,66 @@ object Streams {
     events.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
+
+  // ── X180: streaming k-anonymity release audit ───────────────────────
+
+  /** X180 stream side: a foreachBatch maintainer for the X179
+    * k-anonymity/l-diversity audit over an ACCUMULATING release — the
+    * governance reason to maintain rather than re-scan is that k is
+    * NOT monotone under ingestion: class sizes only grow, but a batch
+    * touching a fresh QI cell creates a new singleton class and k
+    * drops to 1 on the spot, so a release that passed yesterday's
+    * audit can fail after today's append. State = the per-class
+    * (count, sensitive-value set) frame ([[graft.queries
+    * .FeatureQueries.privacyClassesOf]]) — a COMPOSITE mergeable
+    * algebra: counts merge by sum, segment sets by union
+    * (sorted-array normal form keeps the frame deterministic), bounded
+    * by |QI domain| × |sensitive domain| regardless of corpus size.
+    * Per batch: one map-side-combinable class agg + a domain-bounded
+    * merge. The `verdict` view computes X179's exact output through
+    * the ONE shared formula ([[graft.queries.FeatureQueries
+    * .privacyVerdictFromClasses]]).
+    *
+    * `StreamingSpec` proves maintained classes AND verdict == one-shot
+    * after EVERY micro-batch, the replay guard, and the k-drop
+    * behavior on a fresh-cell batch.
+    */
+  final class KAnonymityMaintainer(s: org.apache.spark.sql.SparkSession) {
+    private def emptyClasses: DataFrame =
+      s.range(0).select(col("id").as("nation"), col("id").as("bal_bucket"),
+        col("id").as("n_rows"),
+        array().cast("array<string>").as("segments"))
+    @volatile private var classes: DataFrame = emptyClasses
+    private var lastApplied: Long = -1L
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        val b = graft.queries.FeatureQueries.privacyClassesOf(batch)
+        val next = classes.unionByName(b)
+          .groupBy(col("nation"), col("bal_bucket"))
+          .agg(sum(col("n_rows")).as("n_rows"),
+            array_sort(array_distinct(
+              flatten(collect_list(col("segments"))))).as("segments"))
+          .localCheckpoint()
+        classes = next
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
+
+    /** The maintained class state (QI-domain-bounded, total order). */
+    def current: DataFrame =
+      classes.orderBy(col("nation"), col("bal_bucket"))
+    /** The live X179 audit over the maintained classes. */
+    def verdict: DataFrame =
+      graft.queries.FeatureQueries.privacyVerdictFromClasses(classes)
+  }
+
+  /** Wire a row stream to a [[KAnonymityMaintainer]] via foreachBatch. */
+  def kAnonymityMaintainStream(rows: DataFrame, m: KAnonymityMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
 }

@@ -110,6 +110,7 @@ class PlanSpec extends GraftSuite {
     "stream_ivf_balance",       // same totals scalar over the folded counts
     "stream_distinct_hll",      // |types|-row × 64-bucket densify nest
     "privacy_k_anonymity",      // 1-row k/exposure scalar over QI cells
+    "stream_k_anonymity",       // same verdict scalar over folded classes
     "graph_partition2d",        // 1-row replication + imbalance scalars
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar

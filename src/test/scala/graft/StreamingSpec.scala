@@ -837,6 +837,60 @@ class StreamingSpec extends GraftSuite {
     assert(once === oneShot(evs.take(30))._1)
   }
 
+  test("stream_k_anonymity: KAnonymityMaintainer classes and verdict " +
+    "equal the one-shot after every micro-batch; a fresh QI cell DROPS " +
+    "k to 1; replays are skipped") {
+    import spark.implicits._
+    import graft.queries.FeatureQueries
+    // batches over two QI cells, then a batch touching a FRESH cell
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) 1 else 2, (i % 4) * 1000.0 + 500.0,
+        if (i % 3 == 0) "AUTO" else "BLDG"))
+    def snapC(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).mkString("|"))).toSeq.sorted
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def cust(p: Seq[(Long, Int, Double, String)]) =
+      p.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    def oneShot(p: Seq[(Long, Int, Double, String)]) =
+      (snapC(FeatureQueries.privacyClassesOf(cust(p))),
+        snapV(FeatureQueries.privacyKAnonymityOf(cust(p))))
+    val m = new Streams.KAnonymityMaintainer(spark)
+    val mem = MemoryStream[(Long, Int, Double, String)]
+    val q = Streams.kAnonymityMaintainStream(mem.toDF()
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"), m)
+      .start()
+    try {
+      var seen = Seq.empty[(Long, Int, Double, String)]
+      for (b <- rows.grouped(14)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val (c, v) = oneShot(seen)
+        assert(snapC(m.current) === c)
+        assert(snapV(m.verdict) === v)
+      }
+      val kBefore = m.verdict.collect()(0).getLong(4)
+      assert(kBefore > 1L)
+      // a single row in a FRESH QI cell (nation 9) drops k to 1
+      mem.addData((999L, 9, 9500.0, "AUTO"))
+      q.processAllAvailable()
+      assert(m.verdict.collect()(0).getLong(4) === 1L)
+      assert(snapV(m.verdict) ===
+        oneShot(seen :+ (999L, 9, 9500.0, "AUTO"))._2)
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op
+    val r = new Streams.KAnonymityMaintainer(spark)
+    val b1 = cust(rows.take(20))
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapC(r.current)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapC(r.current) === once)
+    assert(once === oneShot(rows.take(20))._1)
+  }
+
   test("sketch maintainers == one-shot under RANDOM batch widths on " +
     "seeded random streams (the LSH-maintainer property, applied to " +
     "the X176/X178 state algebras)") {
