@@ -891,6 +891,35 @@ class StreamingSpec extends GraftSuite {
     assert(once === oneShot(rows.take(20))._1)
   }
 
+  test("file-source stream drives the HLL maintainer to the batch-twin " +
+    "registers (real readStream path, not MemoryStream)") {
+    // The MemoryStream proofs pin the state algebra; this pins the
+    // actual readStream file-source path the production wiring uses —
+    // same schema-adaptive normalization as the batch read, maintainer
+    // fed through the SAME foreachBatch wire as the prod helper.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_hll_src")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamed = graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
+    val m = new Streams.HllMaintainer(spark)
+    val q = Streams.hllMaintainStream(streamed, m).start()
+    try {
+      q.processAllAvailable()
+      val got = m.current.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = graft.queries.StreamQueries.hllRegistersOf(
+        graft.sources.Tables(spark, sfDir, "events")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got.nonEmpty && got === want)
+    } finally q.stop()
+  }
+
   test("sketch maintainers == one-shot under RANDOM batch widths on " +
     "seeded random streams (the LSH-maintainer property, applied to " +
     "the X176/X178 state algebras)") {
