@@ -1683,7 +1683,7 @@ object StreamQueries {
     """WITH svh AS (
       |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)
       |    AS cents, CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |svc AS (
       |  SELECT event_type, cents, cnt,
       |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents)
@@ -1741,7 +1741,8 @@ object StreamQueries {
   private val streamDistinctHllSql = {
     val h = TextFns.stringHashSql("CAST(user_id AS VARCHAR)")
       .replace("\n", " ")
-    s"""WITH hh AS (SELECT event_type, $h AS h FROM events),
+    s"""WITH hh AS (SELECT event_type, $h AS h FROM events
+       |            WHERE user_id IS NOT NULL),
        |hr AS (SELECT event_type, h & 63 AS bucket,
        |  CASE WHEN (h >> 6) = 0 THEN $HllRhoCap
        |       ELSE strpos(reverse(bin(h >> 6)), '1') END AS rho FROM hh),
