@@ -1101,38 +1101,70 @@ object StreamQueries {
   private def eventsHeavyHitters(s: SparkSession, dir: String): DataFrame =
     eventsHeavyHittersOf(s, events(s, dir))
 
-  /** Testable seam for [[eventsHeavyHitters]]: explicit events frame. */
-  private[graft] def eventsHeavyHittersOf(s: SparkSession,
-      evIn: DataFrame): DataFrame = {
-    val K = 20
-    val Eps = 0.005
-    val ev = evIn.select(col("user_id"))
-    val skRow = ev.agg(
-      expr(s"count_min_sketch(user_id, ${Eps}d, 0.99d, 42)").as("sk"),
+  // X68/CMS constants, shared by the one-shot audit and the maintainer:
+  // same (eps, confidence, seed) ⇒ same width×depth grid and hash
+  // functions ⇒ per-batch sketches merge cell-wise into EXACTLY the
+  // one-shot sketch.
+  private[graft] val HhK = 20
+  private[graft] val HhEps = 0.005
+  private[graft] val HhConf = 0.99
+  private[graft] val HhSeed = 42
+
+  /** ONE map-side-combinable pass over a user_id frame: the serialized
+    * CMS blob (None when the frame is empty — the ADVICE r9 empty-input
+    * guard) plus the row count.
+    */
+  private[graft] def cmsOf(ev: DataFrame): (Option[Array[Byte]], Long) = {
+    val r = ev.agg(
+      expr(s"count_min_sketch(user_id, ${HhEps}d, ${HhConf}d, $HhSeed)")
+        .as("sk"),
       count(lit(1)).as("n")).head()
-    val total = skRow.getAs[Long]("n")
-    // Empty-input guard (ADVICE r9): a zero-row frame yields a NULL
-    // sketch blob and total = 0 — degrade to an empty typed frame like
-    // the other keys instead of NPE/div-by-zero during construction.
+    (Option(r.getAs[Array[Byte]]("sk")), r.getAs[Long]("n"))
+  }
+
+  /** Top-K (count DESC, user_id) from a per-user count frame —
+    * `orderBy.limit` plans as TakeOrdered (per-partition partial top-K,
+    * never a global sort); the collect is bounded at ≤ K rows.
+    */
+  private[graft] def topkFromCounts(counts: DataFrame): Seq[(Long, Long)] =
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(HhK)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
+  /** X68's K-row verdict shape from (exact top-K, the CMS to probe,
+    * total n) — the ONE formula shared by the one-shot audit and
+    * [[graft.streaming.Streams.CmsMaintainer]]'s `verdict` view (the
+    * balanceFromCounts discipline). Empty input degrades to an empty
+    * typed frame.
+    */
+  private[graft] def heavyHittersVerdict(s: SparkSession,
+      topk: Seq[(Long, Long)],
+      cms: Option[org.apache.spark.util.sketch.CountMinSketch],
+      total: Long): DataFrame = {
     val rows: Seq[(Long, Long, Long, Boolean, Boolean)] =
-      if (total == 0L) Seq.empty
+      if (total == 0L || cms.isEmpty) Seq.empty
       else {
-        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
-        val epsBand = math.ceil(5.0 * Eps * total).toLong
-        val topk = ev.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("user_id")).limit(K)
-          .collect() // bounded: ≤ K rows
-        topk.toSeq.map { r =>
-          val uid = r.getLong(0); val cnt = r.getLong(1)
-          val est = cms.estimateCount(java.lang.Long.valueOf(uid))
+        val sk = cms.get
+        val epsBand = math.ceil(5.0 * HhEps * total).toLong
+        topk.map { case (uid, cnt) =>
+          val est = sk.estimateCount(java.lang.Long.valueOf(uid))
           (uid, cnt, cnt * 1000000L / total, est >= cnt, est <= cnt + epsBand)
         }
       }
     s.createDataFrame(rows).toDF("user_id", "exact_cnt", "share_ppm",
         "cms_no_underestimate", "cms_within_eps")
       .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  /** Testable seam for [[eventsHeavyHitters]]: explicit events frame. */
+  private[graft] def eventsHeavyHittersOf(s: SparkSession,
+      evIn: DataFrame): DataFrame = {
+    val ev = evIn.select(col("user_id"))
+    val (blob, total) = cmsOf(ev)
+    val cms = blob.map(b => org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(b)))
+    val topk = topkFromCounts(ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt")))
+    heavyHittersVerdict(s, topk, cms, total)
   }
 
   private val eventsHeavyHittersSql =
@@ -1143,6 +1175,30 @@ object StreamQueries {
       |  TRUE AS cms_no_underestimate, TRUE AS cms_within_eps
       |FROM cnt, tot
       |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin
+
+  /** X181 — stream_heavy_hitters: the BATCH TWIN of
+    * [[graft.streaming.Streams.CmsMaintainer]] — X68's frequency audit
+    * maintained over an event stream instead of re-scanned: the events
+    * corpus folds through 4 deterministic micro-batches (event_id % 4)
+    * of cell-wise count–min grid merges + exact-anchor count merges,
+    * and the key emits the X68 verdict over the MAINTAINED state. The
+    * grid telescopes exactly (same (eps, conf, seed) ⇒ same geometry
+    * and hashes ⇒ per-batch grids add to the one-shot grid cell by
+    * cell), so the oracle is the independent one-shot re-proof: X68's
+    * SQL over the never-batched table — exact counts and shares
+    * value-compared, the sketch probed through its two pinned
+    * contracts. StreamingSpec proves maintainer == one-shot after
+    * EVERY micro-batch and the replay guard. Scale: grid state is
+    * fixed width×depth cells forever; per batch one
+    * map-side-combinable sketch agg + a |touched users| anchor merge.
+    */
+  private def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.CmsMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.verdict
+  }
 
   /** X69 — events_type_overlap: distinct-user overlap between every event-
     * type pair — exact intersection/union/Jaccard next to the HLL
@@ -1807,6 +1863,7 @@ object StreamQueries {
     Q("events_markov_entropy", eventsMarkovEntropy,
       Some(eventsMarkovEntropySql)),
     Q("events_heavy_hitters", eventsHeavyHitters, Some(eventsHeavyHittersSql)),
+    Q("stream_heavy_hitters", streamHeavyHitters, Some(eventsHeavyHittersSql)),
     Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),

@@ -837,6 +837,53 @@ class StreamingSpec extends GraftSuite {
     assert(once === oneShot(evs.take(30))._1)
   }
 
+  test("stream_heavy_hitters: CmsMaintainer verdict equals the one-shot " +
+    "after every micro-batch (grid merges cell-wise); replays are " +
+    "skipped") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // a skewed user population (Zipf-ish: low ids repeat often) so the
+    // top-K order has real ties broken by user_id, plus enough distinct
+    // users that the CMS grid carries genuine collisions to bound
+    val evs = (1L to 200L).map(i => (i, i * i % 61))
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    def oneShot(prefix: Seq[(Long, Long)]) = snapV(
+      StreamQueries.eventsHeavyHittersOf(spark,
+        prefix.toDF("event_id", "user_id")))
+    val m = new Streams.CmsMaintainer(spark)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.cmsMaintainStream(
+      mem.toDF().toDF("event_id", "user_id"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (b <- evs.grouped(45)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val v = oneShot(seen)
+        assert(snapV(m.verdict) === v)
+        // the structural contract holds on the maintained state too
+        assert(v.forall(_._4), "count-min underestimated a count")
+      }
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op — counts and
+    // grid cells are NOT idempotent, so the batchId guard is the
+    // correctness line here (unlike the HLL max-merge)
+    val r = new Streams.CmsMaintainer(spark)
+    val b1 = evs.take(60).toDF("event_id", "user_id")
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapV(r.verdict)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapV(r.verdict) === once)
+    assert(once === oneShot(evs.take(60)))
+    // a NEW batch id with the same rows genuinely double-counts —
+    // proving the equality above is the guard's doing, not idempotence
+    r.applyBatch(b1, batchId = 1L)
+    assert(snapV(r.verdict).map(_._2) === once.map(_._2 * 2))
+  }
+
   test("stream_k_anonymity: KAnonymityMaintainer classes and verdict " +
     "equal the one-shot after every micro-batch; a fresh QI cell DROPS " +
     "k to 1; replays are skipped") {
