@@ -2127,6 +2127,103 @@ object FeatureQueries {
     m.verdict
   }
 
+  /** X185 — privacy_t_closeness: the THIRD rung of the privacy-audit
+    * ladder (Li, Li & Venkatasubramanian 2007 — after k-anonymity's
+    * class sizes and l-diversity's distinct counts): how far does each
+    * QI class's SENSITIVE-ATTRIBUTE DISTRIBUTION sit from the table's
+    * global one? A class can pass k ≥ 5 and l ≥ 3 yet still leak —
+    * e.g. 95 % of its members in one segment that is globally rare
+    * (skewness attack, the paper's motivating case; l-diversity
+    * counts values, not their proportions). Distance is the TOTAL
+    * VARIATION distance (= the paper's EMD under the uniform ground
+    * distance for categorical attributes):
+    * `t(C) = ½ Σ_s |p_C(s) − p(s)|`, published per class in exact ppm
+    * via the all-integer form
+    * `t_ppm = 10⁶·Σ_s |cnt_{C,s}·N − g_s·n_C| div (2·n_C·N)` —
+    * DECIMAL(38,0)/HUGEINT products (cnt·N reaches 9·10¹² at sf1,
+    * safe, but the X142 discipline anyway), ZERO FP. Each row also
+    * carries the table-level `t_max_ppm` verdict (X179's
+    * every-row-verdict shape).
+    *
+    * Scale: ONE map-side-combinable groupBy over (QI, segment) — the
+    * grid is |QI domain| × |sensitive domain| ≤ 275 × 5 cells at any
+    * corpus size and merges across shards like the X180 composite
+    * state; the dense grid (absent (class, segment) cells count 0)
+    * comes from a domain-bounded broadcast nest, declared in
+    * PlanSpec's allowlist with the 1-row totals.
+    *
+    * Fixture verdict (measured at landing): sf0.001's small classes
+    * reach t_max = 84.7 % (a near-point-mass class sits maximally far
+    * from the 5-segment global mix) with min 17 %; the saturated
+    * sf0.1/sf1 boards land max 31.8 % / min 3.2 % — and sf1's values
+    * equal sf0.1's EXACTLY, because the scale generator replicates the
+    * customer table with shifted keys, leaving every per-class
+    * distribution invariant (an unplanned but welcome cross-SF
+    * consistency check). The t-ladder flags the skewed-but-populated
+    * classes that pass k and l — the audit neither sibling performs.
+    */
+  private def privacyTCloseness(s: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables(s, dir, "customer"))
+
+  /** Testable seam: explicit customer-shaped frame. */
+  private[graft] def tClosenessOf(cust: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // (QI class, segment) → exact count: the one corpus-width pass.
+    val cs = cust.select(col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
+        col("c_mktsegment").as("segment"))
+      .groupBy(col("nation"), col("bal_bucket"), col("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // domain-bounded (≤ |QI|·|segments| rows)
+    val glob = cs.groupBy(col("segment")).agg(sum(col("cnt")).as("g"))
+    val nc = cs.groupBy(col("nation"), col("bal_bucket"))
+      .agg(sum(col("cnt")).as("n_rows"))
+    val tot = glob.agg(sum(col("g")).as("n_total"))
+    // dense (class × segment) grid: a missing cell is cnt = 0 but its
+    // |0·N − g·n| term still counts — the left join from the nest.
+    val grid = nc.crossJoin(broadcast(glob))
+      .join(cs, Seq("nation", "bal_bucket", "segment"), "left")
+      .select(col("nation"), col("bal_bucket"), col("n_rows"),
+        col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val perClass = grid.crossJoin(broadcast(tot))
+      .groupBy(col("nation"), col("bal_bucket"), col("n_rows"),
+        col("n_total"))
+      .agg(sum(abs(col("cnt").cast(dec38) * col("n_total") -
+        col("g").cast(dec38) * col("n_rows"))).cast(dec38).as("dev"))
+      .select(col("nation"), col("bal_bucket"), col("n_rows"),
+        expr("cast((dev * 1000000) div (2 * n_rows * n_total) as bigint)")
+          .as("t_ppm"))
+    val tmax = perClass.agg(max(col("t_ppm")).as("t_max_ppm"))
+    perClass.crossJoin(broadcast(tmax))
+      .orderBy(col("nation"), col("bal_bucket"))
+  }
+
+  private val privacyTClosenessSql =
+    """WITH tcs AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |    c_mktsegment AS segment, CAST(COUNT(*) AS HUGEINT) AS cnt
+      |  FROM customer GROUP BY 1, 2, 3),
+      |tcg AS (SELECT segment, SUM(cnt) AS g FROM tcs GROUP BY 1),
+      |tcn AS (SELECT nation, bal_bucket, SUM(cnt) AS n_rows
+      |        FROM tcs GROUP BY 1, 2),
+      |tct AS (SELECT SUM(g) AS n_total FROM tcg),
+      |tgrid AS (
+      |  SELECT n.nation, n.bal_bucket, n.n_rows, g.g,
+      |    COALESCE(c.cnt, 0) AS cnt
+      |  FROM tcn n CROSS JOIN tcg g
+      |  LEFT JOIN tcs c ON c.nation = n.nation
+      |    AND c.bal_bucket = n.bal_bucket AND c.segment = g.segment),
+      |tper AS (
+      |  SELECT nation, bal_bucket, CAST(n_rows AS BIGINT) AS n_rows,
+      |    CAST(SUM(ABS(cnt * n_total - g * n_rows)) * 1000000
+      |      // (2 * n_rows * n_total) AS BIGINT) AS t_ppm
+      |  FROM tgrid CROSS JOIN tct
+      |  GROUP BY nation, bal_bucket, n_rows, n_total)
+      |SELECT nation, bal_bucket, n_rows, t_ppm,
+      |  (SELECT CAST(MAX(t_ppm) AS BIGINT) FROM tper) AS t_max_ppm
+      |FROM tper ORDER BY nation, bal_bucket""".stripMargin
+
   private val privacyKAnonymitySql =
     """WITH pka AS (
       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
@@ -2147,6 +2244,8 @@ object FeatureQueries {
 
   val qs: Seq[Q] = Seq(
     Q("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),
+    Q("privacy_t_closeness", privacyTCloseness,
+      Some(privacyTClosenessSql)),
     // same never-batched SQL: the state algebra telescopes, so the
     // one-shot scan IS the independent re-proof of the 4-batch fold
     Q("stream_k_anonymity", streamKAnonymity, Some(privacyKAnonymitySql)),

@@ -66,6 +66,115 @@ object TextQueries {
        |SELECT doc_id, rk, term, tfidf FROM ranked WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin
 
+  /** text_bm25 query-term band: df-ranks [[Bm25QFrom]]..[[Bm25QTo]] by
+    * (df DESC, term) — just BELOW the RAKE adaptive stoplist's top-8:
+    * mid-frequency informative terms, the band a retrieval query
+    * actually lives in (the top-df terms are function words that match
+    * every document and rank nothing).
+    */
+  private val Bm25QFrom = 9
+  private val Bm25QTo = 12
+  private val Bm25TopK = 10
+
+  /** X184 — text_bm25: Okapi BM25 retrieval scoring (Robertson &
+    * Sparck Jones lineage; k1 = 1.2, b = 0.75, the standard defaults) —
+    * the lexical-retrieval baseline a RAG pipeline runs BEFORE (and as
+    * the recall backstop next to) the X3 embedding ladder. For each
+    * query term the top-[[Bm25TopK]] documents by
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the
+    * plus-one idf `ln(1 + (N − df + ½)/(df + ½))` (always positive —
+    * the Lucene-standard variant). Query terms are corpus-derived and
+    * deterministic (the df band above), so the key needs no external
+    * query fixture.
+    *
+    * Determinism: scores are ONE fixed-order FP expression (identical
+    * operation order in both engines), qround(6) BEFORE ranking so a
+    * libm ulp on `ln` cannot flip ranks (the X4 discipline); ties break
+    * on doc_id; `tf` rides along as the exact integer anchor.
+    *
+    * Scale: explode + two hash aggs (tf, dl) + a term agg (df) — the
+    * X4 cost class; the ≤ 4-term query set broadcasts and the scoring
+    * join touches ONLY its posting lists (the inverted-index probe
+    * shape: |postings|, never |docs|·|queries|); per-term top-K is a
+    * window over the posting frame partitioned BY TERM (no global
+    * sort). The two tiny broadcast nests (query band, corpus stats) are
+    * declared in PlanSpec's allowlist.
+    */
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[textBm25]]: explicit documents frame; the
+    * query band and top-K are parameters so hand specs can pin the
+    * arithmetic on small vocabularies.
+    */
+  private[graft] def bm25Of(docs: DataFrame, qFrom: Int = Bm25QFrom,
+      qTo: Int = Bm25QTo, topK: Int = Bm25TopK): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tok"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = Window.orderBy(col("df").desc, col("term"))
+    val qterms = dfr.orderBy(col("df").desc, col("term")).limit(qTo)
+      .withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") >= qFrom)
+      .select(col("term"), col("df"))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("tf"),
+        Det.qround(
+          log(lit(1.0) + (col("n_docs").cast("double") - col("df") +
+            lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") * col("n_docs") /
+                col("tot_tok")))), 6).as("bm25"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"),
+        col("bm25"))
+      .orderBy(col("term"), col("rk"))
+  }
+
+  private val textBm25Sql = {
+    val score = Det.qroundSql(
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+        "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(dl AS DOUBLE) * n_docs / tot_tok)))", 6)
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |btf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |bst AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS tot_tok FROM bdl),
+       |bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+       |bq AS (
+       |  SELECT term, df FROM (
+       |    SELECT term, df,
+       |      row_number() OVER (ORDER BY df DESC, term) AS qrk
+       |    FROM bdf)
+       |  WHERE qrk BETWEEN $Bm25QFrom AND $Bm25QTo),
+       |bsc AS (
+       |  SELECT q.term, f.doc_id, f.tf, $score AS bm25
+       |  FROM btf f JOIN bq q ON f.term = q.term
+       |  JOIN bdl d ON d.doc_id = f.doc_id
+       |  CROSS JOIN bst),
+       |brk AS (
+       |  SELECT term, doc_id, tf, bm25,
+       |    row_number() OVER (PARTITION BY term
+       |      ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM bsc)
+       |SELECT term, rk, doc_id, tf, bm25 FROM brk WHERE rk <= $Bm25TopK
+       |ORDER BY term, rk""".stripMargin
+  }
+
   /** X5 — per-language corpus stats. */
   private def langStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").groupBy(col("lang"))
@@ -2067,6 +2176,7 @@ object TextQueries {
     Q("doc_quality_calibration", docQualityCalibration,
       Some(docQualityCalibrationSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("text_bm25", textBm25, Some(textBm25Sql)),
     Q("text_chunk", textChunk, Some(textChunkSql)),
     Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),

@@ -1471,4 +1471,58 @@ class TrainingAuditSpec extends GraftSuite {
       (1L, 2L, 3L, 2L, 1L, 4L, 444444L),
       (2L, 0L, 5L, 1L, 1L, 4L, 444444L)))
   }
+
+  test("text_bm25: hand corpus - exact tf/df/dl joins, the plus-one " +
+    "idf, length normalization, and doc_id tie ranking") {
+    import spark.implicits._
+    // 3 docs, 9 tokens; query band pinned to the single top-df term
+    // ("apple", df 2 with the term tiebreak over banana/cherry).
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana cherry date"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.bm25Of(docs, qFrom = 1, qTo = 1, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // BM25 by hand (k1 = 1.2, b = 0.75, N = 3, avgdl = 3):
+    //   idf = ln(1 + (3 - 2 + 0.5)/(2 + 0.5)) = ln(1.6)
+    //   d1: tf 2, dl 3 -> denom 2 + 1.2*(0.25 + 0.75*1)     = 3.2
+    //   d2: tf 1, dl 2 -> denom 1 + 1.2*(0.25 + 0.75*(2*3/9.0)) = 1.9
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val s1 = q6(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * (3.0 * 3 / 9))))
+    val s2 = q6(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (2.0 * 3 / 9))))
+    assert(s1 > s2) // higher tf on the avg-length doc outranks
+    assert(out.toSeq === Seq(
+      ("apple", 1, 1L, 2L, s1),
+      ("apple", 2, 2L, 1L, s2)))
+    // tie ranking: two docs with identical tf and dl tie on score and
+    // must rank by doc_id
+    val tied = Seq((7L, "kiwi mango"), (5L, "kiwi mango"))
+      .toDF("doc_id", "text")
+    val t = TextQueries.bm25Of(tied, qFrom = 1, qTo = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(t.toSeq === Seq(("kiwi", 1, 5L), ("kiwi", 2, 7L)))
+  }
+
+  test("privacy_t_closeness: hand classes - exact TV distance in ppm, " +
+    "missing segment cells still count, every row carries the max " +
+    "verdict") {
+    import spark.implicits._
+    // Global mix: X 4/6, Y 2/6. Class (0,0) = {X,X,Y,Y}: tv = 1/6.
+    // Class (1,0) = {X,X}: its missing Y cell contributes |0*6 - 2*2|,
+    // tv = 1/3 - the skewed-but-populated leak k-anonymity misses.
+    val cust = Seq(
+      (0L, 100.0, "X"), (0L, 200.0, "X"), (0L, 300.0, "Y"),
+      (0L, 400.0, "Y"), (1L, 100.0, "X"), (1L, 200.0, "X"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val out = FeatureQueries.tClosenessOf(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 4L, 166666L, 333333L),
+      (1L, 0L, 2L, 333333L, 333333L)))
+  }
 }
