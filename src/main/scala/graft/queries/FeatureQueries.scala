@@ -2166,15 +2166,33 @@ object FeatureQueries {
     tClosenessOf(Tables(s, dir, "customer"))
 
   /** Testable seam: explicit customer-shaped frame. */
-  private[graft] def tClosenessOf(cust: DataFrame): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    // (QI class, segment) → exact count: the one corpus-width pass.
-    val cs = cust.select(col("c_nationkey").cast("long").as("nation"),
+  private[graft] def tClosenessOf(cust: DataFrame): DataFrame =
+    tClosenessFromCells(privacyCellsOf(cust))
+
+  /** The (QI class, segment) → exact count grid: the one corpus-width
+    * pass, and the maintained state of [[graft.streaming.Streams
+    * .TClosenessMaintainer]] — counts merge by plain sum, bounded by
+    * |QI domain| × |sensitive domain| (a finer-keyed sibling of
+    * [[privacyClassesOf]]'s composite state).
+    */
+  private[graft] def privacyCellsOf(cust: DataFrame): DataFrame =
+    cust.select(col("c_nationkey").cast("long").as("nation"),
         floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"),
         col("c_mktsegment").as("segment"))
       .groupBy(col("nation"), col("bal_bucket"), col("segment"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // domain-bounded (≤ |QI|·|segments| rows)
+
+  /** X185's output shape from a cell frame — the ONE formula shared by
+    * the one-shot audit and the maintainer's `verdict` view (the
+    * privacyVerdictFromClasses discipline).
+    */
+  private[graft] def tClosenessFromCells(cs0: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // domain-bounded (≤ |QI|·|segments| rows); localCheckpoint, NOT
+    // persist — the continuous-audit path calls this per micro-batch
+    // (the r14 CacheManager-leak lesson)
+    val cs = cs0.select(col("nation"), col("bal_bucket"), col("segment"),
+      col("cnt")).localCheckpoint()
     val glob = cs.groupBy(col("segment")).agg(sum(col("cnt")).as("g"))
     val nc = cs.groupBy(col("nation"), col("bal_bucket"))
       .agg(sum(col("cnt")).as("n_rows"))
@@ -2224,6 +2242,29 @@ object FeatureQueries {
       |  (SELECT CAST(MAX(t_ppm) AS BIGINT) FROM tper) AS t_max_ppm
       |FROM tper ORDER BY nation, bal_bucket""".stripMargin
 
+  /** X186 — stream_t_closeness: the BATCH TWIN of
+    * [[graft.streaming.Streams.TClosenessMaintainer]] — X185's
+    * distribution audit maintained over an ACCUMULATING release. The
+    * governance reason mirrors X180's: t is NOT monotone under
+    * ingestion in EITHER direction — a batch can pull a class toward
+    * the global mix (t drops) or pile one segment into it (t jumps),
+    * and the GLOBAL distribution itself moves with every batch,
+    * re-scoring all classes at once — so yesterday's passing release
+    * can fail after today's append without any row of the failing
+    * class arriving. State = the (QI, segment) count grid
+    * ([[privacyCellsOf]]): plain sum-merge, |QI| × |sensitive|
+    * domain-bounded. Oracle = X185's never-batched SQL (count algebra
+    * telescopes). StreamingSpec proves cells AND verdict == one-shot
+    * after every micro-batch plus the replay guard.
+    */
+  private def streamTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    val m = new graft.streaming.Streams.TClosenessMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(cust.filter(col("c_custkey") % 4 === k))
+    m.verdict
+  }
+
   private val privacyKAnonymitySql =
     """WITH pka AS (
       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
@@ -2246,6 +2287,9 @@ object FeatureQueries {
     Q("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),
     Q("privacy_t_closeness", privacyTCloseness,
       Some(privacyTClosenessSql)),
+    // same never-batched SQL: the cell-count algebra telescopes, so the
+    // one-shot scan IS the independent re-proof of the 4-batch fold
+    Q("stream_t_closeness", streamTCloseness, Some(privacyTClosenessSql)),
     // same never-batched SQL: the state algebra telescopes, so the
     // one-shot scan IS the independent re-proof of the 4-batch fold
     Q("stream_k_anonymity", streamKAnonymity, Some(privacyKAnonymitySql)),

@@ -1307,4 +1307,56 @@ object Streams {
     rows.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
+
+  // ── X186: streaming t-closeness release audit ────────────────────────
+
+  /** X186 stream side: a foreachBatch maintainer for the X185
+    * t-closeness audit — the finer-keyed sibling of
+    * [[KAnonymityMaintainer]] (same QI domain, but state keys on
+    * (QI, segment) with exact COUNTS where X180 keeps a distinct SET:
+    * distributions need proportions, not membership). Counts merge by
+    * plain sum, state bounded by |QI| × |sensitive| domains. The
+    * operational reason to maintain: t moves in BOTH directions under
+    * ingestion AND the global reference distribution itself shifts
+    * with every batch — one batch re-scores every class at once, so a
+    * release audit that is not continuous is stale the moment data
+    * lands. The `verdict` view computes X185's exact output through
+    * the ONE shared [[graft.queries.FeatureQueries.tClosenessFromCells]]
+    * formula.
+    */
+  final class TClosenessMaintainer(s: org.apache.spark.sql.SparkSession) {
+    private def emptyCells: DataFrame =
+      s.range(0).select(col("id").as("nation"), col("id").as("bal_bucket"),
+        col("id").cast("string").as("segment"), col("id").as("cnt"))
+    @volatile private var cells: DataFrame = emptyCells
+    private var lastApplied: Long = -1L
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        val b = graft.queries.FeatureQueries.privacyCellsOf(batch)
+        val next = cells.unionByName(b)
+          .groupBy(col("nation"), col("bal_bucket"), col("segment"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+        cells = next
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
+
+    /** The maintained cell grid (domain-bounded, total order). */
+    def current: DataFrame =
+      cells.orderBy(col("nation"), col("bal_bucket"), col("segment"))
+    /** The live X185 audit over the maintained cells. */
+    def verdict: DataFrame =
+      graft.queries.FeatureQueries.tClosenessFromCells(cells)
+  }
+
+  /** Wire a row stream to a [[TClosenessMaintainer]] via foreachBatch. */
+  def tClosenessMaintainStream(rows: DataFrame, m: TClosenessMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
 }

@@ -1004,4 +1004,66 @@ class StreamingSpec extends GraftSuite {
       }
     }
   }
+
+  test("stream_t_closeness: TClosenessMaintainer cells and verdict " +
+    "equal the one-shot after every micro-batch; one skewed batch " +
+    "re-scores every class; replays are skipped") {
+    import spark.implicits._
+    import graft.queries.FeatureQueries
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) 1 else 2, (i % 4) * 1000.0 + 500.0,
+        if (i % 3 == 0) "AUTO" else "BLDG"))
+    def snapC(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq.sorted
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    def cust(p: Seq[(Long, Int, Double, String)]) =
+      p.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    def oneShot(p: Seq[(Long, Int, Double, String)]) =
+      (snapC(FeatureQueries.privacyCellsOf(cust(p))),
+        snapV(FeatureQueries.tClosenessOf(cust(p))))
+    val m = new Streams.TClosenessMaintainer(spark)
+    val mem = MemoryStream[(Long, Int, Double, String)]
+    val q = Streams.tClosenessMaintainStream(mem.toDF()
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"), m)
+      .start()
+    try {
+      var seen = Seq.empty[(Long, Int, Double, String)]
+      for (b <- rows.grouped(14)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val (c, v) = oneShot(seen)
+        assert(snapC(m.current) === c)
+        assert(snapV(m.verdict) === v)
+      }
+      // a batch piling one segment into ONE class moves the GLOBAL
+      // reference too, so classes the batch never touched re-score -
+      // the reason the audit must be continuous
+      val before = snapV(m.verdict)
+      val skew = (100L to 112L).map(i => (i, 1, 500.0, "AUTO"))
+      mem.addData(skew: _*)
+      q.processAllAvailable()
+      val after = snapV(m.verdict)
+      assert(after === oneShot(seen ++ skew)._2)
+      val untouched = (t: (Long, Long, Long, Long, Long)) =>
+        !(t._1 == 1L && t._2 == 0L)
+      assert(before.filter(untouched).map(t => (t._1, t._2)).toSet ===
+        after.filter(untouched).map(t => (t._1, t._2)).toSet)
+      assert(before.filter(untouched).map(_._4) !==
+        after.filter(untouched).map(_._4),
+        "global-shift must re-score untouched classes")
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op (counts are
+    // NOT idempotent - the guard is the correctness line)
+    val r = new Streams.TClosenessMaintainer(spark)
+    val b1 = cust(rows.take(20))
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapC(r.current)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapC(r.current) === once)
+    assert(once === oneShot(rows.take(20))._1)
+  }
 }
