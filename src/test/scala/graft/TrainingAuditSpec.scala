@@ -1525,4 +1525,59 @@ class TrainingAuditSpec extends GraftSuite {
       (0L, 0L, 4L, 166666L, 333333L),
       (1L, 0L, 2L, 333333L, 333333L)))
   }
+
+  test("events_cuped: correlated pre-period shrinks variance - pooled " +
+    "theta, adjusted means, and both z statistics recomputed from " +
+    "first principles") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def arm(u: Long): Boolean =
+      TextKernels.stringHash(UTF8String.fromString(s"ab:$u")) % 2 == 0
+    // 8 users, one pre event (value u) and one post event strongly
+    // correlated with it (2u, +3 lift on the treatment arm) - the
+    // regime CUPED exists for. Anchor = midpoint of [1s, 1008s], so
+    // seconds 1..8 are pre and 1001..1008 post.
+    val ev = (1L to 8L).flatMap { u =>
+      Seq((u, new Timestamp(1000L * u), u, "view", u * 1.0),
+        (100 + u, new Timestamp(1000L * (1000 + u)), u, "view",
+          2.0 * u + (if (!arm(u)) 3.0 else 0.0)))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(3)
+    val out = StreamQueries.eventsCupedOf(ev).collect().head
+    // exact-integer cents per user, then the same fixed-order chain
+    val xs = (1L to 8L).map(u => u -> u * 100.0).toMap
+    val ys = (1L to 8L).map(u =>
+      u -> (200.0 * u + (if (!arm(u)) 300.0 else 0.0))).toMap
+    val (cs, ts0) = (1L to 8L).partition(arm)
+    val all = (1L to 8L)
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val nn = all.size
+    val (sx, sy) = (all.map(xs).sum, all.map(ys).sum)
+    val sxy = all.map(u => xs(u) * ys(u)).sum
+    val sx2 = all.map(u => xs(u) * xs(u)).sum
+    val theta = (sxy * nn - sx * sy) / (sx2 * nn - sx * sx)
+    val mxp = sx / nn
+    def m(us: Seq[Long], f: Map[Long, Double]) = us.map(f).sum / us.size
+    def v2(us: Seq[Long], f: Map[Long, Double]) =
+      us.map(u => f(u) * f(u)).sum / us.size - m(us, f) * m(us, f)
+    def cov(us: Seq[Long]) =
+      us.map(u => xs(u) * ys(u)).sum / us.size - m(us, xs) * m(us, ys)
+    def ma(us: Seq[Long]) = m(us, ys) - theta * (m(us, xs) - mxp)
+    def va(us: Seq[Long]) =
+      v2(us, ys) - 2.0 * theta * cov(us) + theta * theta * v2(us, xs)
+    assert(out.getLong(0) === cs.size && out.getLong(1) === ts0.size)
+    assert(out.getDouble(2) === q6(theta))
+    assert(out.getDouble(3) === q6((m(ts0, ys) - m(cs, ys)) / 100.0))
+    assert(out.getDouble(4) === q6((ma(ts0) - ma(cs)) / 100.0))
+    assert(out.getDouble(5) === q6((m(ts0, ys) - m(cs, ys)) /
+      math.sqrt(v2(ts0, ys) / ts0.size + v2(cs, ys) / cs.size)))
+    assert(out.getDouble(6) === q6((ma(ts0) - ma(cs)) /
+      math.sqrt(va(ts0) / ts0.size + va(cs) / cs.size)))
+    assert(out.getDouble(7) ===
+      q6((va(ts0) + va(cs)) / (v2(ts0, ys) + v2(cs, ys))))
+    // the point of the technique: genuine variance shrink and a
+    // sharper statistic on the same lift
+    assert(out.getDouble(7) < 0.2, s"var_ratio ${out.getDouble(7)}")
+    assert(math.abs(out.getDouble(6)) > math.abs(out.getDouble(5)))
+  }
 }
