@@ -112,6 +112,11 @@ class PlanSpec extends GraftSuite {
     "privacy_k_anonymity",      // 1-row k/exposure scalar over QI cells
     "stream_k_anonymity",       // same verdict scalar over folded classes
     "orders_lorenz_curve",      // 10-row decile self-nest (cum/tot closure)
+    "text_bm25",                // 1-row corpus-stats scalar (N, total tokens)
+    "events_cuped",             // 1-row time-range anchor scalar
+    "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row
+                                // totals/max scalars over QI cells
+    "stream_t_closeness",       // same nests over the folded cell state
     "graph_partition2d",        // 1-row replication + imbalance scalars
     "substrate_union_distinct", // n_intersect / n_except scalars
     "add_vertex_edge",          // edge-count scalar
