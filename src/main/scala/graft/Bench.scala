@@ -98,6 +98,8 @@ object Bench {
       timed("_build:mst")(queries.UserGraphQueries.warmMst(spark, sfDir)),
       timed("_build:louvain")(
         queries.UserGraphQueries.warmLouvain(spark, sfDir)),
+      timed("_build:leiden")(
+        queries.UserGraphQueries.warmLeiden(spark, sfDir)),
       timed("_build:scclab")(
         queries.UserGraphQueries.warmSccLabels(spark, sfDir)),
       timed("_build:cc")(queries.IterQueries.warmCc(spark, sfDir)),

@@ -1318,6 +1318,17 @@ class GUserSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(merged === Seq((1L, 1L, 4L), (2L, 1L, 4L), (5L, 1L, 4L),
       (6L, 1L, 4L), (10L, 10L, 2L), (11L, 10L, 2L)))
+    // X188 audit ladder on the same graph, q_num by hand (2m = 12,
+    // all degrees 2): singletons −Σd² = −24; P has intra 4 and
+    // Σtot² 48 → 0; the REFINE step splits {5,6} leaving intra
+    // untouched while Σtot² drops to 40 → 8 (refinement never costs
+    // modularity — the structural rung this audit exists to pin);
+    // the aggregate moves land all 12 rows intra, Σtot² 72 → 72.
+    val (comp, flab) = UserGraphQueries.leidenFramesOf(ue, labs)
+    val audit = UserGraphQueries.leidenAuditOf(ue, labs, comp, flab)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(audit.toSeq === Seq((0, 6L, -24L), (1, 3L, 0L),
+      (2, 4L, 8L), (3, 2L, 72L)))
   }
 
   test("graph_rich_club: the documented rank-sketch scale path agrees " +
