@@ -149,6 +149,7 @@ class PlanSpec extends GraftSuite {
     "graph_rich_club_fixed",    // 4-row fixed-k ladder nest
     "graph_louvain_move",       // 1-row 2m edge-count scalar
     "graph_louvain_audit",      // 1-row stats×intra scalar per pass
+    "graph_leiden_audit",       // same 1-row scalar, four passes
     "graph_coloring",           // 1-row contract scalars (X149)
     "feature_psi",              // 1-row date-midpoint scalar (X151)
     "feature_drift_ks",         // 1-row midpoint + sizes scalars (X152)
