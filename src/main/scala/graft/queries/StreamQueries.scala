@@ -1386,12 +1386,31 @@ object StreamQueries {
     eventsCupedOf(events(s, dir))
 
   /** Testable seam for [[eventsCuped]]: explicit events frame. */
-  private[graft] def eventsCupedOf(ev0: DataFrame): DataFrame = {
+  private[graft] def eventsCupedOf(ev0: DataFrame): DataFrame =
+    cupedVerdictFromUsers(cupedUsersOf(ev0))
+
+  /** The per-user (user_id, x = pre cents, y = experiment cents) frame
+    * — X187's unit-of-analysis state, and the maintained state of
+    * [[graft.streaming.Streams.CupedMaintainer]]: both columns merge by
+    * plain sum across batches. The anchor defaults to the corpus
+    * time-range midpoint (the one-shot key's deterministic split); a
+    * maintainer injects the FIXED experiment-start anchor instead —
+    * the production shape, where the split date is configuration, not
+    * data (a data-derived anchor would reclassify history as batches
+    * arrive and the state would not telescope).
+    */
+  private[graft] def cupedUsersOf(ev0: DataFrame,
+      anchorUs: Option[Long] = None): DataFrame = {
     val ev = ev0.select(col("user_id"),
       unix_micros(col("ts")).as("tus"), col("value"))
-    val anchor = ev.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
-      .select(expr("t0 + (t1 - t0) div 2").as("anchor"))
-    val perUser = ev.crossJoin(broadcast(anchor))
+    val anchor = anchorUs match {
+      case Some(a) => ev.sparkSession.range(1)
+        .select(lit(a).as("anchor"))
+      case None => ev
+        .agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"))
+        .select(expr("t0 + (t1 - t0) div 2").as("anchor"))
+    }
+    ev.crossJoin(broadcast(anchor))
       .groupBy(col("user_id"))
       .agg(
         (coalesce(sum(when(col("tus") < col("anchor"),
@@ -1400,10 +1419,18 @@ object StreamQueries {
         (coalesce(sum(when(col("tus") >= col("anchor"),
           Det.dec(col("value")))), lit(0).cast("decimal(18,2)")) * 100)
           .cast("long").as("y"))
-      .select(col("x"), col("y"),
-        (TextFns.stringHash(
-          concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
-          .as("is_c"))
+  }
+
+  /** X187's 1-row readout from a per-user (user_id, x, y) frame — the
+    * ONE formula shared by the one-shot key and the maintainer's
+    * `verdict` view (arm assignment happens HERE, from the stable
+    * user-id hash, so the state never stores it).
+    */
+  private[graft] def cupedVerdictFromUsers(users: DataFrame): DataFrame = {
+    val perUser = users.select(col("x"), col("y"),
+      (TextFns.stringHash(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+        .as("is_c"))
     def side(cond: Column, x: Column) = sum(when(cond, x).otherwise(0L))
     val agg = perUser.agg(
       side(col("is_c"), lit(1L)).as("n_c"),
@@ -1418,6 +1445,13 @@ object StreamQueries {
       side(!col("is_c"), col("x") * col("x")).as("sx2_t"),
       side(col("is_c"), col("y") * col("y")).as("sy2_c"),
       side(!col("is_c"), col("y") * col("y")).as("sy2_t"))
+    // Spark 4 ANSI throws on EVERY zero denominator (doubles included),
+    // and a maintainer's mid-stream state can legitimately hold one arm
+    // only (first micro-batches) or zero variance (one user per arm) —
+    // so every division below is guarded to NULL for the degenerate
+    // states instead of crashing the monitoring readout. The gate
+    // fixture populates both arms with real variance, so no guard fires
+    // there and the oracle hash is untouched.
     agg
       .withColumn("nn", col("n_c") + col("n_t"))
       .withColumn("sx", col("sx_c") + col("sx_t"))
@@ -1429,23 +1463,34 @@ object StreamQueries {
       .withColumn("theta", when(col("vden") === 0.0, lit(0.0))
         .otherwise((col("sxy").cast("double") * col("nn") -
           col("sx").cast("double") * col("sy")) / col("vden")))
-      .withColumn("mxp", col("sx").cast("double") / col("nn"))
-      .withColumn("mx_c", col("sx_c").cast("double") / col("n_c"))
-      .withColumn("mx_t", col("sx_t").cast("double") / col("n_t"))
-      .withColumn("my_c", col("sy_c").cast("double") / col("n_c"))
-      .withColumn("my_t", col("sy_t").cast("double") / col("n_t"))
-      .withColumn("vy_c", col("sy2_c").cast("double") / col("n_c") -
-        col("my_c") * col("my_c"))
-      .withColumn("vy_t", col("sy2_t").cast("double") / col("n_t") -
-        col("my_t") * col("my_t"))
-      .withColumn("vx_c", col("sx2_c").cast("double") / col("n_c") -
-        col("mx_c") * col("mx_c"))
-      .withColumn("vx_t", col("sx2_t").cast("double") / col("n_t") -
-        col("mx_t") * col("mx_t"))
-      .withColumn("cxy_c", col("sxy_c").cast("double") / col("n_c") -
-        col("mx_c") * col("my_c"))
-      .withColumn("cxy_t", col("sxy_t").cast("double") / col("n_t") -
-        col("mx_t") * col("my_t"))
+      .withColumn("mxp", when(col("nn") > 0,
+        col("sx").cast("double") / col("nn")))
+      .withColumn("mx_c", when(col("n_c") > 0,
+        col("sx_c").cast("double") / col("n_c")))
+      .withColumn("mx_t", when(col("n_t") > 0,
+        col("sx_t").cast("double") / col("n_t")))
+      .withColumn("my_c", when(col("n_c") > 0,
+        col("sy_c").cast("double") / col("n_c")))
+      .withColumn("my_t", when(col("n_t") > 0,
+        col("sy_t").cast("double") / col("n_t")))
+      .withColumn("vy_c", when(col("n_c") > 0,
+        col("sy2_c").cast("double") / col("n_c") -
+          col("my_c") * col("my_c")))
+      .withColumn("vy_t", when(col("n_t") > 0,
+        col("sy2_t").cast("double") / col("n_t") -
+          col("my_t") * col("my_t")))
+      .withColumn("vx_c", when(col("n_c") > 0,
+        col("sx2_c").cast("double") / col("n_c") -
+          col("mx_c") * col("mx_c")))
+      .withColumn("vx_t", when(col("n_t") > 0,
+        col("sx2_t").cast("double") / col("n_t") -
+          col("mx_t") * col("mx_t")))
+      .withColumn("cxy_c", when(col("n_c") > 0,
+        col("sxy_c").cast("double") / col("n_c") -
+          col("mx_c") * col("my_c")))
+      .withColumn("cxy_t", when(col("n_t") > 0,
+        col("sxy_t").cast("double") / col("n_t") -
+          col("mx_t") * col("my_t")))
       .withColumn("ma_c", col("my_c") -
         col("theta") * (col("mx_c") - col("mxp")))
       .withColumn("ma_t", col("my_t") -
@@ -1456,20 +1501,24 @@ object StreamQueries {
       .withColumn("va_t", col("vy_t") -
         lit(2.0) * col("theta") * col("cxy_t") +
         col("theta") * col("theta") * col("vx_t"))
+      .withColumn("sew", col("vy_t") / col("n_t") + col("vy_c") / col("n_c"))
+      .withColumn("sea", col("va_t") / col("n_t") + col("va_c") / col("n_c"))
+      .withColumn("vysum", col("vy_t") + col("vy_c"))
       .select(
         col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
         Det.qround(col("theta"), 6).as("theta"),
         Det.qround((col("my_t") - col("my_c")) / 100.0, 6).as("lift"),
         Det.qround((col("ma_t") - col("ma_c")) / 100.0, 6)
           .as("lift_cuped"),
-        Det.qround((col("my_t") - col("my_c")) /
-          sqrt(col("vy_t") / col("n_t") + col("vy_c") / col("n_c")), 6)
+        when(col("sew") > 0, Det.qround(
+          (col("my_t") - col("my_c")) / sqrt(col("sew")), 6))
           .as("z_welch"),
-        Det.qround((col("ma_t") - col("ma_c")) /
-          sqrt(col("va_t") / col("n_t") + col("va_c") / col("n_c")), 6)
+        when(col("sea") > 0, Det.qround(
+          (col("ma_t") - col("ma_c")) / sqrt(col("sea")), 6))
           .as("z_cuped"),
-        Det.qround((col("va_t") + col("va_c")) /
-          (col("vy_t") + col("vy_c")), 6).as("var_ratio"))
+        when(col("vysum") > 0, Det.qround(
+          (col("va_t") + col("va_c")) / col("vysum"), 6))
+          .as("var_ratio"))
   }
 
   private val eventsCupedSql = {
@@ -1553,6 +1602,32 @@ object StreamQueries {
        |  ${Det.qroundSql("(va_t + va_c) / (vy_t + vy_c)", 6)}
        |    AS var_ratio
        |FROM cva""".stripMargin
+  }
+
+  /** X189 — stream_cuped: the BATCH TWIN of
+    * [[graft.streaming.Streams.CupedMaintainer]] — X187's CUPED
+    * readout maintained over the event stream (sequential experiment
+    * monitoring). The anchor is computed ONCE up front from the full
+    * table (standing in for the experiment-start configuration a real
+    * deployment injects), then the corpus folds through 4
+    * deterministic event_id % 4 micro-batches of per-user (x, y)
+    * sum-merges — users deliberately span batches (event_id parity is
+    * independent of user), so the cross-batch accumulation is
+    * genuinely exercised. Oracle = X187's never-batched SQL (the state
+    * algebra telescopes under a FIXED anchor). StreamingSpec proves
+    * state AND verdict == one-shot after every micro-batch plus the
+    * replay guard.
+    */
+  private def streamCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val anchorUs = ev
+      .agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1"))
+      .select(expr("t0 + (t1 - t0) div 2")).head().getLong(0)
+    val m = new Streams.CupedMaintainer(s, anchorUs)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.verdict
   }
 
   private val eventsAbTestSql = {
@@ -2160,6 +2235,9 @@ object StreamQueries {
       Some(eventsAnomalyRobustSql)),
     Q("events_ab_test", eventsAbTest, Some(eventsAbTestSql)),
     Q("events_cuped", eventsCuped, Some(eventsCupedSql)),
+    // same never-batched SQL: per-user (x, y) sums telescope under the
+    // fixed anchor, so the one-shot scan IS the independent re-proof
+    Q("stream_cuped", streamCuped, Some(eventsCupedSql)),
   )
 
 

@@ -1359,4 +1359,61 @@ object Streams {
     rows.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
+
+  // ── X189: streaming CUPED experiment monitoring ──────────────────────
+
+  /** X189 stream side: a foreachBatch maintainer for the X187 CUPED
+    * readout — SEQUENTIAL MONITORING of a running experiment, the
+    * production shape (a platform reads the adjusted lift daily while
+    * the experiment runs; it does not wait for the end to scan the
+    * corpus once). The anchor (experiment start) is INJECTED, because
+    * in production the split date is configuration, not data — the
+    * one-shot key's data-derived midpoint would reclassify history as
+    * batches arrive and the state would not telescope (documented on
+    * [[graft.queries.StreamQueries.cupedUsersOf]]). State = the
+    * per-user (x = pre cents, y = experiment cents) frame: both
+    * columns merge by PLAIN SUM across batches — a user whose events
+    * span micro-batches accumulates exactly (the spec splits users
+    * across batches on purpose); |touched users| state, the CC/LSH
+    * state class. Arm assignment is recomputed in the verdict from the
+    * stable user-id hash, so the state never stores a derived column
+    * that could drift. The `verdict` view emits X187's exact 1-row
+    * readout through the ONE shared cupedVerdictFromUsers formula.
+    */
+  final class CupedMaintainer(s: org.apache.spark.sql.SparkSession,
+      anchorUs: Long) {
+    private def emptyUsers: DataFrame =
+      s.range(0).select(col("id").as("user_id"), col("id").as("x"),
+        col("id").as("y"))
+    @volatile private var users: DataFrame = emptyUsers
+    private var lastApplied: Long = -1L
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        val b = graft.queries.StreamQueries
+          .cupedUsersOf(batch, Some(anchorUs))
+        val next = users.unionByName(b)
+          .groupBy(col("user_id"))
+          .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+          .localCheckpoint()
+        users = next
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
+
+    /** The maintained per-user sufficient state (total order). */
+    def current: DataFrame = users.orderBy(col("user_id"))
+    /** The live X187 readout over the maintained state. */
+    def verdict: DataFrame =
+      graft.queries.StreamQueries.cupedVerdictFromUsers(users)
+  }
+
+  /** Wire an event stream to a [[CupedMaintainer]] via foreachBatch. */
+  def cupedMaintainStream(events: DataFrame, m: CupedMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
 }

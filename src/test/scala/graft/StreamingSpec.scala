@@ -1066,4 +1066,65 @@ class StreamingSpec extends GraftSuite {
     assert(snapC(r.current) === once)
     assert(once === oneShot(rows.take(20))._1)
   }
+
+  test("stream_cuped: CupedMaintainer state and verdict equal the " +
+    "one-shot after every micro-batch under a fixed anchor; users span " +
+    "batches; replays are skipped") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.queries.StreamQueries
+    // 10 users x 6 events each (3 pre at seconds 1..59, 3 post at
+    // 1000+), values correlated with the user id so theta is real.
+    // Batching is by EVENT, so every user's (x, y) accumulates across
+    // batches - the cross-batch sum-merge is what this test exercises.
+    val anchorUs = 500L * 1000000L
+    val evs = for (u <- 1L to 10L; k <- 0 to 5) yield {
+      val pre = k < 3
+      val sec = if (pre) u * 5 + k else 1000 + u * 5 + k
+      (u * 100 + k, new Timestamp(sec * 1000L), u, "view",
+        (if (pre) u * 1.0 else 2.0 * u) + k * 0.25)
+    }
+    def snapU(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        // early prefixes legitimately null the z/ratio columns (one
+        // arm, or zero variance) - boxed-NaN placeholder keeps tuple
+        // equality exact
+        def d(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        (r.getLong(0), r.getLong(1), d(2), d(3), d(4), d(5), d(6), d(7))
+      }.toSeq
+    def mkDf(p: Seq[(Long, Timestamp, Long, String, Double)]) =
+      p.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def oneShot(p: Seq[(Long, Timestamp, Long, String, Double)]) = {
+      val u = StreamQueries.cupedUsersOf(mkDf(p), Some(anchorUs))
+      (snapU(u), snapV(StreamQueries.cupedVerdictFromUsers(u)))
+    }
+    val m = new Streams.CupedMaintainer(spark, anchorUs)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = Streams.cupedMaintainStream(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value"), m)
+      .start()
+    try {
+      var seen = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      for (b <- evs.grouped(17)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val (u, v) = oneShot(seen)
+        assert(snapU(m.current) === u)
+        assert(snapV(m.verdict) === v)
+      }
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op (sums are
+    // NOT idempotent - the guard is the correctness line)
+    val r = new Streams.CupedMaintainer(spark, anchorUs)
+    val b1 = mkDf(evs.take(30))
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapU(r.current)
+    r.applyBatch(b1, batchId = 0L)
+    assert(snapU(r.current) === once)
+    assert(once === oneShot(evs.take(30))._1)
+  }
 }
