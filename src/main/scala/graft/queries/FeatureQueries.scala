@@ -413,12 +413,24 @@ object FeatureQueries {
     val n = offsets.last
     val schema = sorted.schema
       .add("i", org.apache.spark.sql.types.LongType, nullable = false)
+    // Both passes call .rdd on the SAME Dataset instance, so they share
+    // one shuffle and see identical partition boundaries. That contract
+    // is load-bearing and silent (advice r15): if a refactor ever made
+    // the frames diverge, ranks would skew with no error. The ++ tail
+    // below runs after each partition drains and asserts the partition
+    // ended exactly at its pass-1 exclusive offset — boundary drift now
+    // fails the job loudly instead of corrupting deciles.
     val ranked = sess.createDataFrame(
       sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
         var r = offsets(pi)
         it.map { row =>
           r += 1
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        } ++ {
+          if (r != offsets(pi + 1)) throw new IllegalStateException(
+            s"lorenz two-phase rank drift: partition $pi ended at row $r," +
+              s" pass-1 counted ${offsets(pi + 1)}")
+          Iterator.empty
         }
       }, schema)
     // 10 rows; pinned so the rank lineage feeds the self-join once.

@@ -1372,7 +1372,13 @@ object SimQueries {
   // 54 header bytes + 96·rows (32 px × 3 B, 4-aligned), WAV is 44 + len;
   // payload aggregates are byte-value aggregates (documents are ASCII, so
   // byte values == code points; BMP zero-padding adds 0 to the sum and
-  // cannot raise the max of a non-empty text).
+  // cannot raise the max of a non-empty text). Empty-text mirror (advice
+  // r15): encodeBmp emits h = max(1, ceil(len/32)) — a BMP must have ≥1
+  // row — so the twin wraps GREATEST(..., 1); and the engine's payload
+  // sum/max over zero pixels/samples is 0, not NULL, so list_sum/list_max
+  // (NULL over an empty list) get COALESCE(..., 0). No fixture currently
+  // ships an empty document, so hashes are unchanged — this pins the twin
+  // to the engine for any future fixture that does.
   private val multimodalSql =
     """WITH b AS MATERIALIZED (
       |  SELECT doc_id, octet_length(encode(text)) AS len,
@@ -1381,8 +1387,9 @@ object SimQueries {
       |  FROM documents),
       |m AS (
       |  SELECT doc_id, len,
-      |    CAST(CEIL(len / 32.0) AS BIGINT) AS h,
-      |    list_sum(bytes) AS psum, list_max(bytes) AS pmax
+      |    GREATEST(CAST(CEIL(len / 32.0) AS BIGINT), 1) AS h,
+      |    COALESCE(list_sum(bytes), 0) AS psum,
+      |    COALESCE(list_max(bytes), 0) AS pmax
       |  FROM b)
       |SELECT doc_id,
       |  CASE WHEN doc_id % 97 = 0 THEN 'unknown'

@@ -1620,10 +1620,16 @@ object StreamQueries {
     */
   private def streamCuped(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val anchorUs = ev
+    val anchorRow = ev
       .agg(min(unix_micros(col("ts"))).as("t0"),
         max(unix_micros(col("ts"))).as("t1"))
-      .select(expr("t0 + (t1 - t0) div 2")).head().getLong(0)
+      .select(expr("t0 + (t1 - t0) div 2")).head()
+    // Empty-corpus guard (advice r15): min/max over zero rows are NULL and
+    // getLong would throw — degrade to the maintainer's empty verdict (the
+    // all-NULL-guarded 1-row readout) like every other key's empty path.
+    if (anchorRow.isNullAt(0))
+      return new Streams.CupedMaintainer(s, 0L).verdict
+    val anchorUs = anchorRow.getLong(0)
     val m = new Streams.CupedMaintainer(s, anchorUs)
     for (k <- 0 to 3)
       m.applyBatch(ev.filter(col("event_id") % 4 === k))

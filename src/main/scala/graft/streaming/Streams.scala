@@ -1229,13 +1229,23 @@ object Streams {
         ()
       }
 
-    /** The maintained exact anchor counts (|touched users|, total order). */
-    def current: DataFrame =
+    /** The maintained exact anchor counts (|touched users|, total order).
+      * Synchronized (advice r15): the readout spans THREE state fields
+      * (`counts`, `sketch`, `total`) and only `counts` is volatile — an
+      * unsynchronized read concurrent with applyBatch could pair a merged
+      * grid with a stale total and transiently break the eps contract in
+      * a live readout. Snapshotting under the same monitor as applyBatch
+      * makes every verdict see a whole batch or none of it.
+      */
+    def current: DataFrame = synchronized {
       counts.orderBy(col("user_id"))
+    }
     /** The live X68 frequency audit over the maintained grid + anchor. */
-    def verdict: DataFrame =
+    def verdict: DataFrame = {
+      val (cSnap, skSnap, tSnap) = synchronized { (counts, sketch, total) }
       graft.queries.StreamQueries.heavyHittersVerdict(s,
-        graft.queries.StreamQueries.topkFromCounts(counts), sketch, total)
+        graft.queries.StreamQueries.topkFromCounts(cSnap), skSnap, tSnap)
+    }
   }
 
   /** Wire an event stream to a [[CmsMaintainer]] via foreachBatch. */
@@ -1344,12 +1354,19 @@ object Streams {
         ()
       }
 
-    /** The maintained cell grid (domain-bounded, total order). */
-    def current: DataFrame =
+    /** The maintained cell grid (domain-bounded, total order). State here
+      * is a single volatile frame (one read is atomic), but the readouts
+      * still synchronize (advice r15) so every maintainer in the family
+      * has the same contract: a verdict never interleaves with a
+      * mid-applyBatch monitor section.
+      */
+    def current: DataFrame = synchronized {
       cells.orderBy(col("nation"), col("bal_bucket"), col("segment"))
+    }
     /** The live X185 audit over the maintained cells. */
-    def verdict: DataFrame =
+    def verdict: DataFrame = synchronized {
       graft.queries.FeatureQueries.tClosenessFromCells(cells)
+    }
   }
 
   /** Wire a row stream to a [[TClosenessMaintainer]] via foreachBatch. */
@@ -1402,11 +1419,15 @@ object Streams {
         ()
       }
 
-    /** The maintained per-user sufficient state (total order). */
-    def current: DataFrame = users.orderBy(col("user_id"))
+    /** The maintained per-user sufficient state (total order). Single
+      * volatile frame, but synchronized anyway — same family contract as
+      * [[TClosenessMaintainer]] (advice r15).
+      */
+    def current: DataFrame = synchronized { users.orderBy(col("user_id")) }
     /** The live X187 readout over the maintained state. */
-    def verdict: DataFrame =
+    def verdict: DataFrame = synchronized {
       graft.queries.StreamQueries.cupedVerdictFromUsers(users)
+    }
   }
 
   /** Wire an event stream to a [[CupedMaintainer]] via foreachBatch. */
