@@ -63,6 +63,147 @@ object SimQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ── X190: retrieval_rrf_fusion — hybrid lexical+dense retrieval. ───
+  private val RrfK = 60 // the Cormack–Clarke–Buettcher constant
+  private val RrfDepth = 10 // per-arm and fused list depth
+
+  /** X190 — retrieval_rrf_fusion: RECIPROCAL-RANK FUSION (Cormack,
+    * Clarke & Buettcher, SIGIR 2009; k = 60) of the two retrieval arms
+    * the engine already serves — X184's BM25 lexical rankings and the
+    * X3 embedding ladder's cosine rankings — the standard hybrid-RAG
+    * baseline that runs BOTH arms per query and merges by
+    * `Σ_arm 1/(k + rank)` over the union of candidates. RRF consumes
+    * RANKS, not scores (the arms' scores live on incomparable scales:
+    * BM25 is unbounded, cosine is [−1, 1]); that makes the fusion
+    * invariant under any order-preserving score perturbation — the
+    * reason RAG stacks use it — and [[RrfSpec]] pins exactly that
+    * property.
+    *
+    * Query set: the documents and embeddings fixtures share one id
+    * universe (doc i ↔ vec i), so query q_idx ∈ [0, [[graft.queries
+    * .TextQueries.Bm25Band]]) pairs the q_idx-th BM25 band term
+    * (alphabetical — recoverable from the posting output alone) with
+    * dense query vector vec_id = q_idx: a deterministic corpus-derived
+    * stand-in for a real query that arrives with both text and an
+    * embedding. Candidates missing from one arm take only the other
+    * arm's term (standard union-RRF); both per-arm ranks ride along as
+    * nullable audit columns.
+    *
+    * Determinism: 1/(60+rank) is one IEEE division on small exact
+    * integers, the two-term sum has a fixed operand order
+    * (lex + dense), qround(6) BEFORE the fused ranking, doc_id
+    * tie-break (symmetric rank pairs, e.g. lex-only-10 vs
+    * dense-only-10, produce exactly equal sums — the tie-break is
+    * load-bearing and spec-pinned).
+    *
+    * Scale: both arms are the already-audited X184/X3 plans; the
+    * fusion itself adds one keyed (q_idx, doc_id) full-outer join over
+    * ≤ |queries|·2·[[RrfDepth]] rows and one per-query window — serving
+    * -page-bounded, corpus-size-independent, the rerank-after-fetch
+    * shape. The tiny broadcast nests are X184's + X3's (allowlisted).
+    */
+  private def retrievalRrf(s: SparkSession, dir: String): DataFrame =
+    rrfOf(TextQueries.bm25Of(Tables(s, dir, "documents")),
+      withNorms(s, dir))
+
+  /** Testable seam for [[retrievalRrf]]: explicit bm25 posting frame
+    * (term, rk, doc_id, …) and (vec_id, embedding, nrm) frame.
+    */
+  private[graft] def rrfOf(lex: DataFrame, e: DataFrame): DataFrame = {
+    // 4-row term → query-index map; the global window runs on the
+    // distinct of a ≤ Bm25Band-row frame (10-row class).
+    val wt = Window.orderBy(col("term"))
+    val qmap = lex.select(col("term")).distinct()
+      .withColumn("q_idx", (row_number().over(wt) - 1).cast("long"))
+    val lexR = lex.join(broadcast(qmap), Seq("term"))
+      .select(col("q_idx"), col("doc_id"),
+        col("rk").cast("long").as("lex_rk"))
+    val q = e.filter(col("vec_id") < TextQueries.Bm25Band)
+      .select(col("vec_id").as("q_idx"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_idx"))
+      .select(col("q_idx"), col("vec_id").as("doc_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val wd = Window.partitionBy(col("q_idx"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    val denseR = scored
+      .withColumn("dense_rk", row_number().over(wd).cast("long"))
+      .filter(col("dense_rk") <= RrfDepth)
+      .select(col("q_idx"), col("doc_id"), col("dense_rk"))
+    rrfFuse(lexR, denseR).join(broadcast(qmap), Seq("q_idx"))
+      .select(col("q_idx"), col("term"), col("fused_rk"), col("doc_id"),
+        col("rrf"), col("lex_rk"), col("dense_rk"))
+      .orderBy(col("q_idx"), col("fused_rk"))
+  }
+
+  /** The rank-only fusion core: takes the two (q_idx, doc_id, *_rk)
+    * rankings, returns the fused top-[[RrfDepth]] with `rrf` and
+    * `fused_rk`. Separated so [[RrfSpec]] can feed hand rankings and
+    * prove score-perturbation invariance against this exact code path.
+    */
+  private[graft] def rrfFuse(lexR: DataFrame, denseR: DataFrame):
+      DataFrame = {
+    val fused = lexR.join(denseR, Seq("q_idx", "doc_id"), "full_outer")
+      .select(col("q_idx"), col("doc_id"), col("lex_rk"), col("dense_rk"),
+        Det.qround(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rk")), lit(0.0)),
+          6).as("rrf"))
+    val wf = Window.partitionBy(col("q_idx"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rk", row_number().over(wf))
+      .filter(col("fused_rk") <= RrfDepth)
+  }
+
+  private val retrievalRrfSql = {
+    val dot = VectorFns.dotSql("q.embedding", "c.embedding")
+    val band = TextQueries.Bm25Band
+    s"""WITH lex AS MATERIALIZED (
+       |  SELECT term, doc_id, CAST(rk AS BIGINT) AS lex_rk
+       |  FROM (${TextQueries.textBm25Sql})),
+       |qmap AS (
+       |  SELECT term,
+       |    CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS q_idx
+       |  FROM (SELECT DISTINCT term FROM lex)),
+       |lexr AS (
+       |  SELECT q.q_idx, l.doc_id, l.lex_rk
+       |  FROM lex l JOIN qmap q USING (term)),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |dscored AS (
+       |  SELECT q.vec_id AS q_idx, c.vec_id AS doc_id,
+       |    ${Det.qroundSql(s"$dot / (q.nrm * c.nrm)", 6)} AS cos
+       |  FROM n q JOIN n c ON q.vec_id < $band AND c.vec_id <> q.vec_id),
+       |dr AS (
+       |  SELECT q_idx, doc_id, dense_rk FROM (
+       |    SELECT q_idx, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_idx
+       |        ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rk
+       |    FROM dscored)
+       |  WHERE dense_rk <= $RrfDepth),
+       |fused AS (
+       |  SELECT COALESCE(l.q_idx, d.q_idx) AS q_idx,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    l.lex_rk, d.dense_rk,
+       |    ${Det.qroundSql(
+            s"COALESCE(1.0 / ($RrfK + l.lex_rk), 0.0) + " +
+              s"COALESCE(1.0 / ($RrfK + d.dense_rk), 0.0)", 6)} AS rrf
+       |  FROM lexr l FULL OUTER JOIN dr d
+       |    ON l.q_idx = d.q_idx AND l.doc_id = d.doc_id),
+       |frk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_idx
+       |    ORDER BY rrf DESC, doc_id) AS fused_rk
+       |  FROM fused)
+       |SELECT f.q_idx, m.term, f.fused_rk, f.doc_id, f.rrf, f.lex_rk,
+       |  f.dense_rk
+       |FROM frk f JOIN qmap m ON m.q_idx = f.q_idx
+       |WHERE f.fused_rk <= $RrfDepth
+       |ORDER BY f.q_idx, f.fused_rk""".stripMargin
+  }
+
   // ── X139: sim_topk_mmr — maximal-marginal-relevance reranking. ─────
   private val MmrK = 10 // final diversified list length
   private val MmrPool = 20 // relevance over-fetch the greedy runs on
@@ -2466,6 +2607,7 @@ object SimQueries {
     Q("emb_ivf_balance", embIvfBalance, Some(embIvfBalanceSql)),
     Q("stream_ivf_balance", streamIvfBalance, Some(streamIvfBalanceSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("retrieval_rrf_fusion", retrievalRrf, Some(retrievalRrfSql)),
     Q("sim_topk_mmr", simTopkMmr, Some(simTopkMmrSql)),
     Q("emb_centroid_confusion", embCentroidConfusion,
       Some(embCentroidConfusionSql)),

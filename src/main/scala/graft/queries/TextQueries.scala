@@ -75,6 +75,10 @@ object TextQueries {
   private val Bm25QFrom = 9
   private val Bm25QTo = 12
   private val Bm25TopK = 10
+  /** Query-band width — the hybrid-retrieval fusion key (X190, in
+    * SimQueries next to the ANN ladder) sizes its dense query set to it.
+    */
+  private[graft] val Bm25Band = Bm25QTo - Bm25QFrom + 1
 
   /** X184 — text_bm25: Okapi BM25 retrieval scoring (Robertson &
     * Sparck Jones lineage; k1 = 1.2, b = 0.75, the standard defaults) —
@@ -141,7 +145,9 @@ object TextQueries {
       .orderBy(col("term"), col("rk"))
   }
 
-  private val textBm25Sql = {
+  // private[graft]: the X190 fusion oracle embeds this whole statement as
+  // its lexical-arm derived table, so both keys run ONE bm25 definition.
+  private[graft] val textBm25Sql = {
     val score = Det.qroundSql(
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
         "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +

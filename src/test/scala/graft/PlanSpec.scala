@@ -113,6 +113,8 @@ class PlanSpec extends GraftSuite {
     "stream_k_anonymity",       // same verdict scalar over folded classes
     "orders_lorenz_curve",      // 10-row decile self-nest (cum/tot closure)
     "text_bm25",                // 1-row corpus-stats scalar (N, total tokens)
+    "retrieval_rrf_fusion",     // composes X184's stats scalar + X3's
+                                // 4-row dense query nest (both declared)
     "events_cuped",             // 1-row time-range anchor scalar
     "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row
                                 // totals/max scalars over QI cells
