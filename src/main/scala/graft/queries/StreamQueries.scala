@@ -1200,6 +1200,147 @@ object StreamQueries {
     m.verdict
   }
 
+  // ── X191: stream_heavy_hitters_bounded — Misra–Gries O(k) state ────
+
+  /** X191 summary size: small enough that pruning genuinely fires at
+    * EVERY fixture scale (15 distinct users at sf0.001, 150 at sf0.01,
+    * 1500 at sf0.1 — all > k+1), so the error ledger is exercised, not
+    * vacuously zero.
+    */
+  private[graft] val MgK = 12
+
+  /** The X191 verdict shape from a maintained MG snapshot plus the
+    * exact counts recomputed from `users` (the AUDIT side — in a
+    * production grid-only deployment this join is a sampled
+    * cross-check, never state): one row per summary entry with the
+    * estimate, the exact count, and the three ledger contracts —
+    * `mg_no_overestimate` (est ≤ true: MG only subtracts),
+    * `mg_within_bound` (true − est ≤ dec_total: each prune lowers any
+    * key by ≤ d), and `bound_ok` ((k+1)·dec_total ≤ N: every prune
+    * removes ≥ (k+1)·d of summary weight). Empty input degrades to an
+    * empty typed frame. Shared by the maintainer's `verdict` view and
+    * nothing else — the registered key IS the maintainer fold.
+    */
+  private[graft] def mgVerdictOf(s: SparkSession, summary: Map[Long, Long],
+      decTotal: Long, total: Long, k: Int, users: DataFrame): DataFrame = {
+    val sm = s.createDataFrame(summary.toSeq).toDF("user_id", "mg_est")
+    val ex = users.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val base =
+      if (total == 0L) s.createDataFrame(
+        Seq.empty[(Long, Long, Long)]).toDF("user_id", "mg_est", "exact_cnt")
+      else sm.join(ex, Seq("user_id")) // every summary key exists in corpus
+    base
+      .select(col("user_id"), col("mg_est"), col("exact_cnt"),
+        expr(s"exact_cnt * 1000000 div ${math.max(total, 1L)}L")
+          .as("share_ppm"),
+        (col("mg_est") <= col("exact_cnt")).as("mg_no_overestimate"),
+        (col("exact_cnt") - col("mg_est") <= lit(decTotal))
+          .as("mg_within_bound"),
+        lit(decTotal).as("dec_total"), lit(total).as("total_n"),
+        lit(decTotal * (k + 1) <= total).as("bound_ok"))
+      .orderBy(col("mg_est").desc, col("user_id"))
+  }
+
+  /** X191 — stream_heavy_hitters_bounded: the BOUNDED-STATE rung of
+    * the frequency ladder — X68's COUNT–MIN grid estimates any key's
+    * frequency but cannot NAME the heavy keys, and X181's exact
+    * anchor grows with |touched users|; [[graft.streaming.Streams
+    * .MgMaintainer]] closes the gap with Misra–Gries summaries
+    * (k = [[MgK]] counters, PODS-2012 mergeable merge): O(k) driver
+    * state whatever the corpus, per batch one exact count agg + a
+    * TakeOrdered(k+1) collect + a driver merge, and the cumulative
+    * subtraction ledger `dec_total` certifies the error: est ≤ true,
+    * true − est ≤ dec_total, (k+1)·dec_total ≤ N — all three emitted
+    * as oracle-pinned verdict columns next to the value-compared
+    * estimates.
+    *
+    * Unlike the telescoping maintainers (HLL/CMS/cells), an MG summary
+    * depends on the batch boundaries — inherent to the algorithm, so
+    * the key fixes the SAME deterministic event_id % 4 fold on both
+    * sides and the DuckDB twin replays it CTE-for-CTE (batch counts →
+    * prune-to-k → full-join merge → prune — all exact integers with
+    * value-only tie semantics, so the summaries match bit-for-bit).
+    * CMS (X181) stays as the cross-check rung that bounds keys the
+    * summary dropped. StreamingSpec proves streaming == direct-fold
+    * state after every MemoryStream micro-batch, the ledger contracts
+    * at every step, the replay guard, and a hand fixture where pruning
+    * demonstrably fires and revives a key.
+    */
+  private def streamHeavyHittersBounded(s: SparkSession,
+      dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.MgMaintainer(s, MgK)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.verdict(ev.select(col("user_id")))
+  }
+
+  /** The unrolled 4-batch Misra–Gries fold as CTEs: per batch, exact
+    * counts → prune to k (subtract the (k+1)-th largest, value at rank
+    * k+1 under (c DESC, user_id)) → full-join merge with the running
+    * summary → prune again; `dec_total` sums every subtracted d.
+    */
+  private val streamHhBoundedSql: String = {
+    val k = MgK
+    def batch(b: Int): String = {
+      val cnt =
+        s"""mg_c$b AS (
+           |  SELECT user_id, COUNT(*) AS c FROM events
+           |  WHERE event_id % 4 = $b GROUP BY 1),
+           |mg_r$b AS (
+           |  SELECT user_id, c,
+           |    row_number() OVER (ORDER BY c DESC, user_id) AS r
+           |  FROM mg_c$b),
+           |mg_d$b AS (
+           |  SELECT COALESCE(MAX(CASE WHEN r = ${k + 1} THEN c END), 0) AS d
+           |  FROM mg_r$b),
+           |mg_s$b AS (
+           |  SELECT user_id, c - d AS c FROM mg_r$b, mg_d$b
+           |  WHERE r <= $k AND c - d > 0)""".stripMargin
+      val merge =
+        if (b == 0)
+          s""",
+             |mg_m0 AS (SELECT user_id, c FROM mg_s0),
+             |mg_e0 AS (SELECT 0 AS d)""".stripMargin
+        else
+          s""",
+             |mg_u$b AS (
+             |  SELECT COALESCE(a.user_id, s.user_id) AS user_id,
+             |    COALESCE(a.c, 0) + COALESCE(s.c, 0) AS c
+             |  FROM mg_m${b - 1} a FULL JOIN mg_s$b s
+             |    ON a.user_id = s.user_id),
+             |mg_v$b AS (
+             |  SELECT user_id, c,
+             |    row_number() OVER (ORDER BY c DESC, user_id) AS r
+             |  FROM mg_u$b),
+             |mg_e$b AS (
+             |  SELECT COALESCE(MAX(CASE WHEN r = ${k + 1} THEN c END), 0) AS d
+             |  FROM mg_v$b),
+             |mg_m$b AS (
+             |  SELECT user_id, c - d AS c FROM mg_v$b, mg_e$b
+             |  WHERE r <= $k AND c - d > 0)""".stripMargin
+      cnt + merge
+    }
+    s"""WITH ${(0 to 3).map(batch).mkString(",\n")},
+       |mg_dec AS (
+       |  SELECT (SELECT d FROM mg_d0) + (SELECT d FROM mg_d1)
+       |    + (SELECT d FROM mg_d2) + (SELECT d FROM mg_d3)
+       |    + (SELECT d FROM mg_e1) + (SELECT d FROM mg_e2)
+       |    + (SELECT d FROM mg_e3) AS dec_total),
+       |mg_tot AS (SELECT COUNT(*) AS n FROM events),
+       |mg_ex AS (SELECT user_id, COUNT(*) AS exact_cnt
+       |  FROM events GROUP BY 1)
+       |SELECT m.user_id, CAST(m.c AS BIGINT) AS mg_est, e.exact_cnt,
+       |  e.exact_cnt * 1000000 // t.n AS share_ppm,
+       |  m.c <= e.exact_cnt AS mg_no_overestimate,
+       |  e.exact_cnt - m.c <= dec.dec_total AS mg_within_bound,
+       |  CAST(dec.dec_total AS BIGINT) AS dec_total,
+       |  CAST(t.n AS BIGINT) AS total_n,
+       |  dec.dec_total * ${k + 1} <= t.n AS bound_ok
+       |FROM mg_m3 m JOIN mg_ex e USING (user_id), mg_tot t, mg_dec dec
+       |ORDER BY mg_est DESC, user_id""".stripMargin
+  }
+
   /** X69 — events_type_overlap: distinct-user overlap between every event-
     * type pair — exact intersection/union/Jaccard next to the HLL
     * inclusion–exclusion estimate. The SET-ALGEBRA rung of the sketch
@@ -2236,6 +2377,8 @@ object StreamQueries {
       Some(eventsMarkovEntropySql)),
     Q("events_heavy_hitters", eventsHeavyHitters, Some(eventsHeavyHittersSql)),
     Q("stream_heavy_hitters", streamHeavyHitters, Some(eventsHeavyHittersSql)),
+    Q("stream_heavy_hitters_bounded", streamHeavyHittersBounded,
+      Some(streamHhBoundedSql)),
     Q("events_type_overlap", eventsTypeOverlap, Some(eventsTypeOverlapSql)),
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),

@@ -1184,9 +1184,11 @@ object Streams {
     * regardless of corpus size. State #2 is the exact per-user count
     * frame — the audit ANCHOR (the X6/X176 "declare both, compare
     * exact" stance): count-merge per batch, state bounded by |touched
-    * users|, affordable at test scale and exactly what the oracle's
-    * contract pins need; a grid-only deployment would drop it and keep
-    * a per-batch candidate heap instead. The `verdict` view emits
+    * users|, affordable at FIXTURE scale only — the bounded-state
+    * deployment rung this scaladoc used to promise in prose now
+    * exists as code: [[MgMaintainer]] (X191) keeps O(k) counters with
+    * the Misra–Gries error ledger and is what a grid-only 100 TB
+    * stream actually deploys next to this grid. The `verdict` view emits
     * X68's exact output shape through the ONE shared formula
     * ([[graft.queries.StreamQueries.heavyHittersVerdict]]).
     *
@@ -1250,6 +1252,115 @@ object Streams {
 
   /** Wire an event stream to a [[CmsMaintainer]] via foreachBatch. */
   def cmsMaintainStream(events: DataFrame, m: CmsMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
+
+  // ── X191: bounded-state streaming heavy hitters (Misra–Gries) ────────
+
+  /** X191 stream side: the BOUNDED-STATE heavy-hitters maintainer —
+    * Misra–Gries summaries with the Agarwal–Cormode–Huang–Phillips–
+    * Wei–Yi (PODS 2012) mergeable-summaries merge. This is the rung
+    * [[CmsMaintainer]]'s scaladoc promised: where the CMS grid answers
+    * point frequency queries but cannot NAME the heavy keys (and its
+    * exact anchor grows with |touched users|), this maintainer keeps
+    * exactly ≤ k (key, counter) pairs — O(k) driver state forever —
+    * and still guarantees every key with true count > dec_total is
+    * present.
+    *
+    * Per batch: ONE distributed exact count agg over the batch, a
+    * TakeOrdered(k+1) collect (≤ k+1 rows of driver traffic — the IVF
+    * label-collect discipline), prune-to-k (subtract the (k+1)-th
+    * largest count d, drop non-positives — the batch's own counts are
+    * an error-0 summary, so the prune is the PODS-2012 "reduce" step),
+    * then a driver-side merge with the maintained summary: counter
+    * sums, and if > k keys survive, one more subtract-the-(k+1)-th
+    * prune. Every subtracted d accumulates in `decTotal` — the ERROR
+    * LEDGER: for every key, est ≤ true and true − est ≤ decTotal, and
+    * (k+1)·decTotal ≤ N unconditionally (each prune removes ≥ (k+1)·d
+    * of summary weight and total weight added is N). All arithmetic is
+    * exact integers with value-only tie semantics (d is the value at
+    * rank k+1 under (count DESC, key) — a multiset property, so no
+    * tie-break ambiguity can change it), which is what lets a DuckDB
+    * twin replay the identical 4-batch fold CTE-for-CTE.
+    *
+    * NOT idempotent (counters add), so the at-least-once batchId guard
+    * is the correctness line. Unlike the telescoping maintainers, an
+    * MG summary depends on the batch BOUNDARIES (that is inherent to
+    * the algorithm, not a defect — the error contract is what's
+    * batch-invariant); the registered key therefore fixes the same
+    * deterministic event_id % 4 fold on both engine and oracle, and
+    * `StreamingSpec` proves streaming == direct-fold state equality
+    * after every micro-batch plus the ledger contracts at every step.
+    */
+  final class MgMaintainer(s: org.apache.spark.sql.SparkSession,
+      private[graft] val k: Int) {
+    private var summary: Map[Long, Long] = Map.empty
+    private var decTotal: Long = 0L
+    private var total: Long = 0L
+    private var lastApplied: Long = -1L
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        if (batchId >= 0 && batchId <= lastApplied) return
+        val cnts = batch.select(col("user_id"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        val nRow = cnts.agg(sum(col("cnt"))).head()
+        val nB = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+        if (nB > 0) {
+          // TakeOrdered(k+1): per-partition partial top-k, bounded collect.
+          val top = cnts.orderBy(col("cnt").desc, col("user_id"))
+            .limit(k + 1).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val dB = if (top.length > k) top(k)._2 else 0L
+          val batchSummary = top.take(k).collect {
+            case (u, c) if c - dB > 0 => u -> (c - dB)
+          }.toMap
+          decTotal += dB
+          summary = mergePrune(summary, batchSummary)
+          total += nB
+        }
+        if (batchId >= 0) lastApplied = batchId
+        ()
+      }
+
+    /** PODS-2012 merge: counter sums, then one prune if > k survive.
+      * Caller holds the monitor (mutates the decTotal ledger).
+      */
+    private def mergePrune(a: Map[Long, Long],
+        b: Map[Long, Long]): Map[Long, Long] = {
+      val combined = (a.keySet ++ b.keySet).iterator
+        .map(u => u -> (a.getOrElse(u, 0L) + b.getOrElse(u, 0L))).toMap
+      if (combined.size <= k) combined
+      else {
+        val d = combined.values.toSeq.sortBy(x => -x).apply(k)
+        decTotal += d
+        combined.collect { case (u, c) if c - d > 0 => u -> (c - d) }
+      }
+    }
+
+    /** Synchronized state snapshot for specs and the verdict view:
+      * (summary, decTotal, total).
+      */
+    private[graft] def snapshot: (Map[Long, Long], Long, Long) =
+      synchronized { (summary, decTotal, total) }
+
+    /** The live X191 audit: the maintained O(k) summary joined against
+      * exact counts recomputed from `users` — the exact side is the
+      * AUDIT input (test-time cross-check), never maintainer state;
+      * emitted through the ONE shared
+      * [[graft.queries.StreamQueries.mgVerdictOf]] formula.
+      */
+    def verdict(users: DataFrame): DataFrame = {
+      val (sm, dec, tot) = snapshot
+      graft.queries.StreamQueries.mgVerdictOf(s, sm, dec, tot, k, users)
+    }
+  }
+
+  /** Wire an event stream to a [[MgMaintainer]] via foreachBatch. */
+  def mgMaintainStream(events: DataFrame, m: MgMaintainer):
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {

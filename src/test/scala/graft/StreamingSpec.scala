@@ -884,6 +884,91 @@ class StreamingSpec extends GraftSuite {
     assert(snapV(r.verdict).map(_._2) === once.map(_._2 * 2))
   }
 
+  test("stream_heavy_hitters_bounded: MgMaintainer hand fold — pruning " +
+    "fires, the ledger tracks every subtraction, and a dropped key " +
+    "revives when it comes back heavy") {
+    import spark.implicits._
+    def batch(rows: Seq[Long]) =
+      rows.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("event_id", "user_id")
+    val m = new Streams.MgMaintainer(spark, 3)
+    // batch 1: {1:5, 2:2, 3:2, 4:1} → d=1 → {1:4, 2:1, 3:1}, dec=1
+    m.applyBatch(batch(Seq(1, 1, 1, 1, 1, 2, 2, 3, 3, 4)))
+    assert(m.snapshot === (Map(1L -> 4L, 2L -> 1L, 3L -> 1L), 1L, 10L))
+    // batch 2: {5:3, 6:3, 2:1} (≤ k, batch d=0); merge has 5 keys →
+    // values [4,3,3,2,1], d=2 → {1:2, 5:1, 6:1}, dec=3
+    m.applyBatch(batch(Seq(5, 5, 5, 6, 6, 6, 2)))
+    assert(m.snapshot === (Map(1L -> 2L, 5L -> 1L, 6L -> 1L), 3L, 17L))
+    // batch 3: key 2 returns heavy {2:6, 7:1}; merge values [6,2,1,1,1],
+    // d=1 → {2:5, 1:1} — the dropped key REVIVES, 6 beats everything
+    m.applyBatch(batch(Seq(2, 2, 2, 2, 2, 2, 7)))
+    assert(m.snapshot === (Map(2L -> 5L, 1L -> 1L), 4L, 24L))
+    // ledger contracts against the full exact counts
+    // (1:5, 2:9, 3:2, 4:1, 5:3, 6:3, 7:1)
+    val exact = Map(1L -> 5L, 2L -> 9L, 3L -> 2L, 4L -> 1L, 5L -> 3L,
+      6L -> 3L, 7L -> 1L)
+    val (sm, dec, tot) = m.snapshot
+    for ((u, c) <- exact) {
+      val est = sm.getOrElse(u, 0L)
+      assert(est <= c, s"overestimate for $u")
+      assert(c - est <= dec, s"ledger bound broken for $u")
+    }
+    assert(dec * 4 <= tot)
+  }
+
+  test("stream_heavy_hitters_bounded: streaming fold equals the direct " +
+    "applyBatch fold after every micro-batch, ledger contracts hold at " +
+    "every step; replays are skipped, a new batch id double-counts") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // Zipf-ish skew (low ids heavy) so MG keeps the genuinely heavy keys
+    val evs = (1L to 240L).map(i => (i, i % (1 + (i * 7) % 23)))
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSeq
+    val k = 6
+    val m = new Streams.MgMaintainer(spark, k)
+    val direct = new Streams.MgMaintainer(spark, k)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.mgMaintainStream(
+      mem.toDF().toDF("event_id", "user_id"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (b <- evs.grouped(50)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        direct.applyBatch(b.toDF("event_id", "user_id"))
+        // state equality: identical batch boundaries ⇒ identical summary
+        assert(m.snapshot === direct.snapshot)
+        // ledger contracts vs the exact prefix counts, EVERY step
+        val exact = seen.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val (sm, dec, tot) = m.snapshot
+        assert(sm.size <= k)
+        assert(tot === seen.size.toLong)
+        assert(dec * (k + 1) <= tot)
+        for ((u, est) <- sm) assert(est <= exact(u))
+        for ((u, c) <- exact)
+          assert(c - sm.getOrElse(u, 0L) <= dec, s"bound broken for $u")
+        // the verdict view mirrors the snapshot through mgVerdictOf
+        val users = seen.toDF("event_id", "user_id").select("user_id")
+        assert(snapV(m.verdict(users)) ===
+          snapV(StreamQueries.mgVerdictOf(spark, sm, dec, tot, k, users)))
+      }
+    } finally q.stop()
+    // at-least-once replay of an applied epoch is a no-op — counters are
+    // NOT idempotent, the batchId guard is the correctness line
+    val r = new Streams.MgMaintainer(spark, k)
+    val b1 = evs.take(60).toDF("event_id", "user_id")
+    r.applyBatch(b1, batchId = 0L)
+    val once = r.snapshot
+    r.applyBatch(b1, batchId = 0L)
+    assert(r.snapshot === once)
+    // a NEW batch id with the same rows genuinely mutates the summary
+    r.applyBatch(b1, batchId = 1L)
+    assert(r.snapshot !== once)
+    assert(r.snapshot._3 === 2 * once._3)
+  }
+
   test("stream_k_anonymity: KAnonymityMaintainer classes and verdict " +
     "equal the one-shot after every micro-batch; a fresh QI cell DROPS " +
     "k to 1; replays are skipped") {
