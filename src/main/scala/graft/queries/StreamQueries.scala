@@ -2051,14 +2051,31 @@ object StreamQueries {
   private def eventsBitmapDistinct(s: SparkSession, dir: String): DataFrame =
     eventsBitmapDistinctOf(events(s, dir))
 
-  /** Testable seam for [[eventsBitmapDistinct]]: explicit events frame. */
-  private[graft] def eventsBitmapDistinctOf(ev: DataFrame): DataFrame = {
-    val buckets = ev
-      .select(col("event_type"), expr("user_id div 62").as("bk"),
+  /** Testable seam for [[eventsBitmapDistinct]]: explicit events frame.
+    * Refactored onto the two X192 seams (the X68/X181 zero-drift stance:
+    * one-shot and maintainer run the SAME bucket and verdict code).
+    */
+  private[graft] def eventsBitmapDistinctOf(ev: DataFrame): DataFrame =
+    bitmapVerdictFromBuckets(bitmapBucketsOf(ev), ev)
+
+  /** The (event_type, id-range, OR-word) bucket map — one 64-bit word
+    * per 62 ids; partials OR-combine map-side (no distinct shuffle of
+    * raw ids). Shared by the X98 one-shot and
+    * [[graft.streaming.Streams.BitmapMaintainer]].
+    */
+  private[graft] def bitmapBucketsOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), expr("user_id div 62").as("bk"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))")
           .as("bit"))
       .groupBy(col("event_type"), col("bk"))
       .agg(expr("bit_or(bit)").as("m"))
+
+  /** X98's verdict shape from a bucket-map frame plus the raw events the
+    * exact `count(DISTINCT)` audit anchor recomputes from — the ONE
+    * formula shared by the one-shot key and the maintainer's view.
+    */
+  private[graft] def bitmapVerdictFromBuckets(buckets: DataFrame,
+      ev: DataFrame): DataFrame = {
     val viaBitmap = buckets.groupBy(col("event_type"))
       .agg(sum(expr("bit_count(m)")).cast("long").as("n_bitmap"))
     val exact = ev.groupBy(col("event_type"))
@@ -2067,6 +2084,27 @@ object StreamQueries {
       .select(col("event_type"), col("n_exact"), col("n_bitmap"),
         (col("n_exact") === col("n_bitmap")).as("bitmap_matches"))
       .orderBy(col("event_type"))
+  }
+
+  /** X192 — stream_bitmap_distinct: the BATCH TWIN of
+    * [[graft.streaming.Streams.BitmapMaintainer]] — X98's exact
+    * bitmap-distinct maintained over the event stream: the corpus
+    * folds through 4 deterministic event_id % 4 micro-batches of
+    * cell-wise `bit_or` bucket merges, and the key emits X98's verdict
+    * over the MAINTAINED map. OR is associative, commutative and
+    * IDEMPOTENT, so the maintained map telescopes to the one-shot map
+    * regardless of batching — the oracle is X98's never-batched SQL
+    * unchanged. The one maintainer in the ladder whose state survives
+    * at-least-once REPLAY without a batchId guard (spec-proven);
+    * every counter-based sibling (CMS, MG, CUPED, counts) must keep
+    * the guard because addition is not idempotent.
+    */
+  private def streamBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.BitmapMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.verdict(ev)
   }
 
   private val eventsBitmapDistinctSql =
@@ -2341,6 +2379,8 @@ object StreamQueries {
 
   val qs: Seq[Q] = Seq(
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
+    Q("stream_bitmap_distinct", streamBitmapDistinct,
+      Some(eventsBitmapDistinctSql)),
     Q("events_bitmap_distinct", eventsBitmapDistinct,
       Some(eventsBitmapDistinctSql)),
     Q("events_lateness_audit", eventsLateness, Some(eventsLatenessSql)),

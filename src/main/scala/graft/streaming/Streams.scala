@@ -1367,6 +1367,63 @@ object Streams {
       (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
     }
 
+  // ── X192: streaming exact-distinct bitmap maintenance ────────────────
+
+  /** X192 stream side: a foreachBatch maintainer for X98's exact
+    * bitmap-distinct — the cheapest algebra in the whole ladder: state
+    * is the (event_type, id-range, OR-word) bucket map (one 64-bit
+    * word per 62 ids — bounded by |types| × |id universe|/62 words,
+    * never by event volume), and merge is cell-wise `bit_or`. OR is
+    * associative, commutative and IDEMPOTENT, which buys this
+    * maintainer two properties no counter-based sibling has:
+    * the maintained map telescopes to the one-shot map under ANY
+    * batching, and at-least-once REPLAY is a no-op BY ALGEBRA — so
+    * `applyBatch` deliberately carries no batchId guard (the param is
+    * accepted for wiring uniformity and ignored, documented here and
+    * spec-proven by applying the same batch twice). The CMS/MG/CUPED/
+    * count maintainers MUST keep their guards: addition is not
+    * idempotent and a replayed epoch there double-counts.
+    *
+    * The `verdict(ev)` view emits X98's exact output (bitmap count vs
+    * the `count(DISTINCT)` anchor recomputed from `ev` — audit input,
+    * not state) through the ONE shared
+    * [[graft.queries.StreamQueries.bitmapVerdictFromBuckets]] formula.
+    */
+  final class BitmapMaintainer(s: org.apache.spark.sql.SparkSession) {
+    private def emptyBuckets: DataFrame =
+      s.range(0).select(col("id").cast("string").as("event_type"),
+        col("id").as("bk"), col("id").as("m"))
+    @volatile private var buckets: DataFrame = emptyBuckets
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        // no lastApplied check — see scaladoc: OR absorbs replays
+        val b = graft.queries.StreamQueries.bitmapBucketsOf(batch)
+        buckets = buckets.unionByName(b)
+          .groupBy(col("event_type"), col("bk"))
+          .agg(expr("bit_or(m)").as("m"))
+          .localCheckpoint()
+        ()
+      }
+
+    /** The maintained bucket map (domain-bounded, total order). */
+    def current: DataFrame = synchronized {
+      buckets.orderBy(col("event_type"), col("bk"))
+    }
+    /** The live X98 audit over the maintained map + exact anchor. */
+    def verdict(ev: DataFrame): DataFrame = synchronized {
+      graft.queries.StreamQueries.bitmapVerdictFromBuckets(buckets, ev)
+    }
+  }
+
+  /** Wire an event stream to a [[BitmapMaintainer]] via foreachBatch. */
+  def bitmapMaintainStream(events: DataFrame, m: BitmapMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
+
   // ── X180: streaming k-anonymity release audit ───────────────────────
 
   /** X180 stream side: a foreachBatch maintainer for the X179

@@ -884,6 +884,49 @@ class StreamingSpec extends GraftSuite {
     assert(snapV(r.verdict).map(_._2) === once.map(_._2 * 2))
   }
 
+  test("stream_bitmap_distinct: BitmapMaintainer verdict equals the " +
+    "one-shot after every micro-batch; replay WITHOUT a batchId guard " +
+    "is a no-op because OR is idempotent") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // ids crossing several 62-wide buckets, with cross-batch repeats so
+    // idempotence is genuinely exercised (same bit OR'd again)
+    val evs = (1L to 180L).map(i =>
+      (i, (i * i) % 150, if (i % 3 == 0) "view" else "click"))
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    def frame(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("event_id", "user_id", "event_type")
+    def oneShot(prefix: Seq[(Long, Long, String)]) = snapV(
+      StreamQueries.eventsBitmapDistinctOf(frame(prefix)))
+    val m = new Streams.BitmapMaintainer(spark)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.bitmapMaintainStream(
+      mem.toDF().toDF("event_id", "user_id", "event_type"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long, String)]
+      for (b <- evs.grouped(40)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val v = oneShot(seen)
+        assert(snapV(m.verdict(frame(seen))) === v)
+        assert(v.forall(_._4), "bitmap diverged from count(DISTINCT)")
+      }
+    } finally q.stop()
+    // the idempotence claim, proven the hard way: apply the SAME batch
+    // twice with DIFFERENT batch ids (so no guard could be saving us) —
+    // bucket words absorb the replay, unlike every counter maintainer
+    val r = new Streams.BitmapMaintainer(spark)
+    val b1 = frame(evs.take(70))
+    r.applyBatch(b1, batchId = 0L)
+    val once = rows(r.current)
+    r.applyBatch(b1, batchId = 1L)
+    assert(rows(r.current) === once)
+    assert(snapV(r.verdict(b1)) === oneShot(evs.take(70)))
+  }
+
   test("stream_heavy_hitters_bounded: MgMaintainer hand fold — pruning " +
     "fires, the ledger tracks every subtraction, and a dropped key " +
     "revives when it comes back heavy") {
