@@ -95,25 +95,110 @@ class MediaCodecSpec extends GraftSuite {
     assert(MediaCodec.decode("not media".getBytes) === None)
   }
 
-  test("multimodal_features end-to-end: corrupt subset is exactly " +
-    "doc_id % 97 == 0, everything else decodes with typed features") {
+  test("PNG encode emits a standard signature + chunk layout with valid " +
+    "CRCs, golden over everything but the deflate-sized IDAT body") {
+    val p = MediaCodec.encodePng(payload)
+    val buf = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+    assert(p.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+      0x0a).map(_.toByte))
+    // IHDR chunk: length 13, 32×4, 8-bit grayscale, deflate, filter 0,
+    // progressive off — byte-exact
+    assert(buf.getInt(8) === 13)
+    assert(new String(p.slice(12, 16), "US-ASCII") === "IHDR")
+    assert(buf.getInt(16) === 32 && buf.getInt(20) === 4)
+    assert(p(24) === 8 && p(25) === 0 && p(26) === 0 && p(27) === 0 &&
+      p(28) === 0)
+    // IHDR CRC over type+data matches a from-scratch CRC-32
+    val c = new java.util.zip.CRC32
+    c.update(p, 12, 4 + 13)
+    assert(buf.getInt(29) === c.getValue.toInt)
+    // IDAT directly follows; IEND (empty, fixed CRC) closes the file
+    assert(new String(p.slice(37, 41), "US-ASCII") === "IDAT")
+    val iend = p.takeRight(12)
+    assert(ByteBuffer.wrap(iend).getInt(0) === 0)
+    assert(new String(iend.slice(4, 8), "US-ASCII") === "IEND")
+    assert(ByteBuffer.wrap(iend).getInt(8) === 0xae426082)
+  }
+
+  test("PNG round-trips through real inflate + defilter across all five " +
+    "filter types with exact payload aggregates") {
+    // 200 bytes → 7 rows → filters 0,1,2,3,4,0,1 all genuinely applied
+    val long = (0 until 200).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val d = MediaCodec.decode(MediaCodec.encodePng(long)).get
+    assert(d.mediaType === "image/png")
+    assert(d.width === Some(32L) && d.height === Some(7L))
+    assert(d.nSamples === None)
+    assert(d.payloadSum === long.map(_ & 0xffL).sum)
+    assert(d.payloadMax === long.map(_ & 0xffL).max)
+    // empty payload: one zero-padded row, sum/max 0 (the BMP convention)
+    val e = MediaCodec.decode(MediaCodec.encodePng(Array.emptyByteArray)).get
+    assert(e.height === Some(1L) && e.payloadSum === 0L &&
+      e.payloadMax === 0L)
+    // high bit stays unsigned through filter arithmetic
+    val hi = Array[Byte](0xff.toByte, 0x80.toByte)
+    assert(MediaCodec.decode(MediaCodec.encodePng(hi)).get
+      .payloadSum === 255L + 128L)
+  }
+
+  test("PNG decode rejects every violated container: flipped IDAT byte " +
+    "(CRC), truncation, bad depth/color, trailing bytes, foreign chunk") {
+    def png = MediaCodec.encodePng(payload)
+    // the fixture's checksum-path corruption: signature intact, CRC dead
+    val crcFlip = png; crcFlip(41) = (crcFlip(41) ^ 0x5a).toByte
+    assert(MediaCodec.decode(crcFlip) === None)
+    // magic corruption (the % 97 subset)
+    assert(MediaCodec.decode("XX".getBytes ++ png.drop(2)) === None)
+    // truncation mid-chunk and mid-CRC
+    assert(MediaCodec.decode(png.dropRight(1)) === None)
+    assert(MediaCodec.decode(png.take(40)) === None)
+    // bad bit depth / color type (CRC re-stamped so ONLY the IHDR check
+    // can be the rejector)
+    def restamp(b: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32
+      c.update(b, 12, 4 + 13)
+      ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+        .putInt(29, c.getValue.toInt)
+      b
+    }
+    val d16 = png; d16(24) = 16; assert(MediaCodec.decode(restamp(d16)) === None)
+    val rgb = png; rgb(25) = 2; assert(MediaCodec.decode(restamp(rgb)) === None)
+    // trailing garbage after IEND
+    assert(MediaCodec.decode(png ++ Array[Byte](0)) === None)
+    // undersized pixel payload: declared height raised by one row
+    val tall = png
+    ByteBuffer.wrap(tall).order(ByteOrder.BIG_ENDIAN).putInt(20,
+      ByteBuffer.wrap(tall).order(ByteOrder.BIG_ENDIAN).getInt(20) + 1)
+    assert(MediaCodec.decode(restamp(tall)) === None)
+  }
+
+  test("multimodal_features end-to-end: corrupt subsets are exactly the " +
+    "magic (% 97) and PNG-CRC (% 89) rows, everything else decodes " +
+    "with typed features; PNG n_bytes declared NULL") {
     val out = queries.Registry.byKey("multimodal_features")
       .fn(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
+    var sawPngCorrupt = false
     out.foreach { r =>
       val id = r.getLong(0)
       val ok = r.getBoolean(2)
-      assert(ok === (id % 97 != 0), s"doc $id decode_ok=$ok")
-      if (ok && id % 2 == 0) {
+      val expectOk = id % 97 != 0 && !(id % 3 == 2 && id % 89 == 0)
+      assert(ok === expectOk, s"doc $id decode_ok=$ok")
+      if (id % 3 == 2 && id % 89 == 0 && id % 97 != 0) sawPngCorrupt = true
+      assert(r.isNullAt(3) === (id % 3 == 2), s"doc $id n_bytes")
+      if (ok && id % 3 == 0) {
         assert(r.getString(1) === "image/bmp")
         assert(r.getLong(4) === 32L && !r.isNullAt(5) && r.isNullAt(6))
-      } else if (ok) {
+      } else if (ok && id % 3 == 1) {
         assert(r.getString(1) === "audio/wav")
         assert(r.isNullAt(4) && r.isNullAt(5) && !r.isNullAt(6))
+      } else if (ok) {
+        assert(r.getString(1) === "image/png")
+        assert(r.getLong(4) === 32L && !r.isNullAt(5) && r.isNullAt(6))
       } else {
         assert(r.getString(1) === "unknown")
         (4 to 8).foreach(i => assert(r.isNullAt(i)))
       }
     }
+    assert(sawPngCorrupt, "fixture never exercised the CRC corrupt path")
   }
 }
