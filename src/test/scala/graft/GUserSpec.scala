@@ -1324,11 +1324,56 @@ class GUserSpec extends GraftSuite {
     // untouched while Σtot² drops to 40 → 8 (refinement never costs
     // modularity — the structural rung this audit exists to pin);
     // the aggregate moves land all 12 rows intra, Σtot² 72 → 72.
-    val (comp, flab) = UserGraphQueries.leidenFramesOf(ue, labs)
-    val audit = UserGraphQueries.leidenAuditOf(ue, labs, comp, flab)
+    // Multi-level (round 16): level 2 re-refines V1 — both communities
+    // are connected (2 parts, no splits) and have zero cross edges, so
+    // the level-2 move phase drains at once: passes 4/5 carry the
+    // level-1 partition unchanged (the drained-outer-loop certificate).
+    val levels = UserGraphQueries.leidenFramesOf(ue, labs)
+    assert(levels.size === 2)
+    val audit = UserGraphQueries.leidenAuditOf(ue, labs, levels)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(audit.toSeq === Seq((0, 6L, -24L), (1, 3L, 0L),
-      (2, 4L, 8L), (3, 2L, 72L)))
+      (2, 4L, 8L), (3, 2L, 72L), (4, 2L, 72L), (5, 2L, 72L)))
+  }
+
+  test("graph_leiden multi-level: level 2 merges whole communities " +
+    "that level 1's part moves could not — hand-traced two-level " +
+    "descent with the full audit ladder") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // 7 vertices, 14 undirected edges (2m = 28), P with 3 communities.
+    // Hand/sim-traced (tools/sim_leiden_multilevel.py machinery):
+    //   level 1: refine → 4 parts (q −106 → −82 at the refine, never a
+    //     cost), 2 move rounds → 2 communities, q = −2;
+    //   level 2: refine finds both communities connected (2 parts),
+    //     ONE move merges them WHOLE → q = 0 — the coarser move the
+    //     level-1 part granularity cannot express (every single-part
+    //     move out of the drained level-1 partition has negative gain);
+    //   level 3: the drained probe (engine-required zero rounds).
+    val labs = Seq(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 2L, 5L -> 3L,
+      6L -> 3L, 7L -> 2L).toDF("id", "lab")
+    val dir = Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 6L), (2L, 7L), (3L, 6L), (3L, 7L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    val ue = (dir ++ dir.map(_.swap)).toDF("src", "dst")
+    val out = UserGraphQueries.leidenOf(ue, labs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === (1L to 7L).map(v => (v, 3L, 7L)))
+    val levels = UserGraphQueries.leidenFramesOf(ue, labs)
+    assert(levels.size === 2)
+    // level-1 final partition: {1,4,5,6} → 3, {2,3,7} → 4
+    val v1 = UserGraphQueries
+      .leidenVertexLabels(levels(0)._1, levels(0)._2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1 === Map(1L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L,
+      2L -> 4L, 3L -> 4L, 7L -> 4L))
+    // audit ladder: singletons −Σd² = −116; P −106; refine-1 −82;
+    // final-1 −2; refine-2 −2 (both communities connected — no split);
+    // final-2 0 — monotone non-decreasing across BOTH levels.
+    val audit = UserGraphQueries.leidenAuditOf(ue, labs, levels)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(audit.toSeq === Seq((0, 7L, -116L), (1, 3L, -106L),
+      (2, 4L, -82L), (3, 2L, -2L), (4, 2L, -2L), (5, 1L, 0L)))
   }
 
   test("graph_rich_club: the documented rank-sketch scale path agrees " +
