@@ -1811,15 +1811,33 @@ object UserGraphQueries {
       labs.select(col("id"), col("id").as("comp")), col("comp"))
     var converged = false
     var r = 0
+    // Delta propagation (round-16 trim): only vertices whose comp
+    // DROPPED last round need to push their label this round — a
+    // neighbor u outside that frontier already pushed its (unchanged)
+    // comp in an earlier round, so restricting the join to the frontier
+    // leaves every round's value sequence bit-identical (min over the
+    // ≤ k-hop neighborhood either way) while the |E| join shrinks to
+    // the still-moving fringe after round 1. `prev` rides the pinned
+    // frames, so the frontier filter runs inside each round's one fused
+    // job — no extra driver action.
+    var prev: DataFrame = null
     while (!converged && r < LeidenCcCap) {
       r += 1
+      val pushers =
+        if (prev == null) c
+        else c.join(prev.select(col("id"), col("comp").as("pc")),
+            Seq("id"))
+          .filter(col("comp") < col("pc"))
+          .select(col("id"), col("comp"))
       val (nxt, _, sm) = pinnedSum(
         c.unionByName(intra
-            .join(c.select(col("id").as("src"), col("comp")), Seq("src"))
+            .join(pushers.select(col("id").as("src"), col("comp")),
+              Seq("src"))
             .select(col("dst").as("id"), col("comp")))
           .groupBy(col("id")).agg(min(col("comp")).as("comp")),
         col("comp"))
       if (sm == prevSum) converged = true
+      prev = c
       c = nxt
       prevSum = sm
     }
@@ -2061,11 +2079,15 @@ object UserGraphQueries {
         .join(comp.select(col("id").as("dst"), col("comp").as("b")),
           Seq("dst"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w")))
-      val pd = pinned(cw.groupBy(col("a").as("p")).agg(sum(col("w"))
-        .as("d")))
-      val lab0 = pinned(comp.filter(col("id") === col("comp"))
+      // pd and lab0 stay LAZY over the pinned cw/comp (round-16 trim:
+      // driver actions are the wall clock of this loop, and both frames
+      // are parts-sized — pd re-groups the pinned cw inside each round's
+      // fused job for less than a pin action costs per level; lab0 is
+      // read once, in round 1's job).
+      val pd = cw.groupBy(col("a").as("p")).agg(sum(col("w")).as("d"))
+      val lab0 = comp.filter(col("id") === col("comp"))
         .join(vlab, Seq("id"))
-        .select(col("comp").as("id"), col("lab")))
+        .select(col("comp").as("id"), col("lab"))
       val (lab, rounds) = leidenDrain(cw, pd, lab0, twoM, unroll, what)
       (comp, lab, rounds)
     }
