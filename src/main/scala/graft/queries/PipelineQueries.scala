@@ -678,6 +678,76 @@ object PipelineQueries {
        |ORDER BY lang, sample_rank""".stripMargin
   }
 
+  /** X193 weighted-reservoir size + the u-space modulus. */
+  private val ResWK = 40
+  private val ResWMod = 1000000L
+
+  /** X193 — sample_reservoir_weighted: WEIGHTED reservoir sampling
+    * (Efraimidis & Spirakis 2006, A-Res) — the curation op X70's
+    * uniform holdout cannot express: sample documents with probability
+    * proportional to a per-document WEIGHT (here w = byte length + 1 —
+    * the doc-level analogue of token-budget sampling, where a long
+    * document carries proportionally more training mass; +1 keeps the
+    * degenerate empty doc admissible and every division nonzero under
+    * ANSI). A-Res keeps the k items with the LARGEST u^(1/w), u
+    * uniform per item; this key orders by the monotone-equivalent
+    * `ln(u)/w` (exp is monotone — spec-pinned on hand pairs), which
+    * replaces the pow with one libm ln + one division.
+    *
+    * Determinism: u is the X70 salted-content-hash contract, scaled to
+    * (0,1) as (h mod 10⁶ + 1)/(10⁶+1) — never 0 or 1, so ln is always
+    * finite and negative; the key is qround(6)-ed BEFORE ranking (the
+    * X4/X184 libm-ulp discipline; the ×1000 rescale keeps typical
+    * magnitudes well above the 10⁻⁶ grid) with doc_id as the total
+    * tie-break.
+    *
+    * Scale: the key is a pure per-row function (no shuffle to build),
+    * and global top-k rides `orderBy.limit` = TakeOrdered — per-
+    * partition partial top-k, never a global sort; the 100 TB shape is
+    * one map pass + a k-row reduce. A-Res is also the MERGEABLE
+    * weighted sampler (top-k by key unions associatively), which is
+    * what makes it the distributed-curation standard.
+    */
+  private def sampleReservoirWeighted(s: SparkSession,
+      dir: String): DataFrame =
+    sampleReservoirWeightedOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[sampleReservoirWeighted]]: explicit documents
+    * frame.
+    */
+  private[graft] def sampleReservoirWeightedOf(docs: DataFrame): DataFrame = {
+    val h = TextFns.stringHash(concat(lit("wres:"), col("text")))
+    val u = (pmod(h, lit(ResWMod)) + 1).cast("double") /
+      lit((ResWMod + 1).toDouble)
+    val w = (octet_length(col("text")) + 1).cast("long")
+    val keyed = docs.select(col("doc_id"), w.as("w"),
+      Det.qround(log(u) / w.cast("double") * 1000.0, 6).as("es_key"))
+    val ranked = keyed
+      .orderBy(col("es_key").desc, col("doc_id")).limit(ResWK)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").desc, col("doc_id"))
+    ranked.withColumn("sample_rank", row_number().over(wr))
+      .select(col("sample_rank"), col("doc_id"), col("w"), col("es_key"))
+      .orderBy(col("sample_rank"))
+  }
+
+  private val sampleReservoirWeightedSql = {
+    val h = TextFns.stringHashSql("'wres:' || text").replace("\n", " ")
+    val key = Det.qroundSql(
+      s"ln((((($h) % $ResWMod + $ResWMod) % $ResWMod) + 1) / " +
+        s"${ResWMod + 1}.0) / (octet_length(encode(text)) + 1) * 1000.0",
+      6)
+    s"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+       |    AS INTEGER) AS sample_rank,
+       |  doc_id, w, es_key FROM (
+       |  SELECT doc_id,
+       |    CAST(octet_length(encode(text)) + 1 AS BIGINT) AS w,
+       |    $key AS es_key
+       |  FROM documents)
+       |QUALIFY sample_rank <= $ResWK
+       |ORDER BY sample_rank""".stripMargin
+  }
+
   /** X72 — recsys_als_step: ONE rank-1 alternating-least-squares
     * half-step over the customer×part purchase matrix (ratings = lineitem
     * counts through the orders join — the implicit-feedback recommender
@@ -926,6 +996,8 @@ object PipelineQueries {
     Q("sample_split_temporal", sampleSplitTemporal,
       Some(sampleSplitTemporalSql)),
     Q("sample_reservoir", sampleReservoir, Some(sampleReservoirSql)),
+    Q("sample_reservoir_weighted", sampleReservoirWeighted,
+      Some(sampleReservoirWeightedSql)),
     Q("recsys_als_step", recsysAlsStep, Some(recsysAlsStepSql)),
     Q("recsys_als_iterated", recsysAlsIterated,
       Some(recsysAlsIteratedSql)),

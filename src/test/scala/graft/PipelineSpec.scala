@@ -108,6 +108,60 @@ class PipelineSpec extends GraftSuite {
     assert(langs.contains("en")) // 100% stratum always present
   }
 
+  test("sample_reservoir_weighted: A-Res keys match the hand formula, " +
+    "ln(u)/w ordering equals u^(1/w) ordering, weights genuinely bias " +
+    "the sample, and the result is partitioning-invariant") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // the ln(u)/w surrogate is order-equivalent to A-Res's u^(1/w):
+    // exp is monotone, so pairwise comparisons agree on ANY (u, w) grid
+    val grid = for {
+      u <- Seq(0.001, 0.137, 0.5, 0.923, 0.999999)
+      w <- Seq(1L, 3L, 47L, 1000L)
+    } yield (u, w)
+    for (Seq(a, b) <- grid.combinations(2)) {
+      val pow = math.pow(a._1, 1.0 / a._2)
+        .compareTo(math.pow(b._1, 1.0 / b._2))
+      val lnw = (math.log(a._1) / a._2)
+        .compareTo(math.log(b._1) / b._2)
+      assert(pow.sign === lnw.sign, s"$a vs $b")
+    }
+    // 200 docs: 10% heavy (len 1000), 90% light (len 10). Weighted
+    // sampling must over-represent heavies far beyond their 10% share.
+    val docs = (0L until 200L).map { i =>
+      val ch = ('a' + (i % 26)).toChar
+      val len = if (i % 10 == 0) 1000 else 10
+      (i, ch.toString * len)
+    }.toDF("doc_id", "text")
+    val out = PipelineQueries.sampleReservoirWeightedOf(docs).collect()
+    assert(out.length === 40)
+    val heavies = out.count(_.getLong(2) === 1001L)
+    // 20 heavy docs exist; expectation under w-proportional sampling is
+    // near-total inclusion (w ratio 100:1). Uniform sampling would give
+    // ~4. Deterministic given the salted hash — pin the measured count
+    // loosely so a hash change fails loudly without over-fitting.
+    assert(heavies >= 15, s"only $heavies heavy docs in the sample")
+    // exact key arithmetic: recompute one row's key by hand from the
+    // frame's own (u, w) ingredients
+    val keyed = docs.select(col("doc_id"),
+      graft.functions.TextFns.stringHash(
+        concat(lit("wres:"), col("text"))).as("h"),
+      (octet_length(col("text")) + 1).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = keyed.map { case (id, h, w) =>
+      val m = ((h % 1000000L) + 1000000L) % 1000000L
+      val u = (m + 1).toDouble / 1000001.0
+      val key = math.floor(math.log(u) / w.toDouble * 1000.0 * 1e6 + 0.5) / 1e6
+      (id, w, key)
+    }.sortBy(t => (-t._3, t._1)).take(40)
+    val got = out.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect.map(t => (t._1, t._2, t._3)).toSeq)
+    // partitioning invariance (the reproducibility contract)
+    val out7 = PipelineQueries
+      .sampleReservoirWeightedOf(docs.repartition(7)).collect()
+    assert(out7.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("shard_pack matches a local exclusive-prefix-sum model") {
     val rows = PipelineQueries.shardPackOf(spark, docs(5))
       .orderBy(col("doc_id"))
