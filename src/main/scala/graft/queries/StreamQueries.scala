@@ -1366,19 +1366,40 @@ object StreamQueries {
   private def eventsTypeOverlap(s: SparkSession, dir: String): DataFrame =
     eventsTypeOverlapOf(s, events(s, dir))
 
-  /** Testable seam for [[eventsTypeOverlap]]: explicit events frame. */
+  /** Testable seam for [[eventsTypeOverlap]]: explicit events frame.
+    * Refactored onto the X194 seams (the zero-drift stance: one-shot
+    * and maintainer run the same sketch-build and verdict code).
+    */
   private[graft] def eventsTypeOverlapOf(s: SparkSession,
       evIn: DataFrame): DataFrame = {
     val ev = evIn.select(col("event_type"), col("user_id"))
-    val sk = ev.groupBy(col("event_type"))
-      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
-        countDistinct(col("user_id")).as("exact_n"))
+    typeOverlapVerdict(typeSketchesOf(ev), ev.distinct())
+  }
+
+  /** Per-type Datasketches HLL blobs (lgK = 14) — one mergeable
+    * sketch per event type, shared by the X69 one-shot and
+    * [[graft.streaming.Streams.TypeOverlapMaintainer]].
+    */
+  private[graft] def typeSketchesOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+
+  /** X69's verdict shape from the per-type sketch frame plus the exact
+    * distinct (type, user) pairs — the ONE formula shared by the
+    * one-shot key and the maintainer's view. Exact counts derive from
+    * `du`; the sketches contribute only the inclusion–exclusion band
+    * boolean.
+    */
+  private[graft] def typeOverlapVerdict(skFrame: DataFrame,
+      du: DataFrame): DataFrame = {
+    val n = du.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+    val sk = skFrame.join(n, Seq("event_type"))
     val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
       col("exact_n").as("exact_a"))
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
       col("exact_n").as("exact_b"))
     val pairs = a.crossJoin(broadcast(b)).where(col("type_a") < col("type_b"))
-    val du = ev.distinct()
     val inter = du.as("x").join(du.as("y"),
         col("x.user_id") === col("y.user_id") &&
           col("x.event_type") < col("y.event_type"))
@@ -1399,6 +1420,34 @@ object StreamQueries {
           lit(0.15) * union.cast("double") + lit(1.0))
           .as("hll_inter_in_band"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** X194 — stream_type_overlap: the BATCH TWIN of
+    * [[graft.streaming.Streams.TypeOverlapMaintainer]] — X69's
+    * pairwise audience-overlap audit maintained over the event stream:
+    * per batch one per-type `hll_sketch_agg` + an `hll_union_agg`
+    * merge into the maintained per-type blobs (|types| tiny binary
+    * values — the 100 TB state), plus the distinct (type, user) anchor
+    * union (the X181-style audit side the exact columns need at test
+    * scale). Both merges are IDEMPOTENT algebras (HLL union is
+    * register max, distinct-union is set union), so the maintained
+    * state telescopes under any batching AND absorbs at-least-once
+    * replay without a batchId guard — the second maintainer in the
+    * [[graft.streaming.Streams.BitmapMaintainer]] no-guard family,
+    * spec-proven the same way (same batch re-applied under a new batch
+    * id). Oracle = X69's never-batched SQL: exact columns are
+    * batching-invariant by the set algebra, and the sketch contributes
+    * only its pinned inclusion–exclusion band (a unioned Datasketches
+    * blob need not be BIT-equal to the one-shot blob — its registers
+    * are, so the estimate band holds identically; the scaladoc claims
+    * the band, not blob equality).
+    */
+  private def streamTypeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.TypeOverlapMaintainer(s)
+    for (k <- 0 to 3)
+      m.applyBatch(ev.filter(col("event_id") % 4 === k))
+    m.verdict
   }
 
   private val eventsTypeOverlapSql =
@@ -2094,10 +2143,11 @@ object StreamQueries {
     * over the MAINTAINED map. OR is associative, commutative and
     * IDEMPOTENT, so the maintained map telescopes to the one-shot map
     * regardless of batching — the oracle is X98's never-batched SQL
-    * unchanged. The one maintainer in the ladder whose state survives
-    * at-least-once REPLAY without a batchId guard (spec-proven);
-    * every counter-based sibling (CMS, MG, CUPED, counts) must keep
-    * the guard because addition is not idempotent.
+    * unchanged. The founding no-guard maintainer: its state survives
+    * at-least-once REPLAY without a batchId guard (spec-proven; X194's
+    * HLL set-algebra maintainer shares the property); every
+    * counter-based sibling (CMS, MG, CUPED, counts) must keep the
+    * guard because addition is not idempotent.
     */
   private def streamBitmapDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
@@ -2381,6 +2431,8 @@ object StreamQueries {
     Q("stream_doc_filter", t7, Some(TextQueries.docFilterKeepSql)),
     Q("stream_bitmap_distinct", streamBitmapDistinct,
       Some(eventsBitmapDistinctSql)),
+    Q("stream_type_overlap", streamTypeOverlap,
+      Some(eventsTypeOverlapSql)),
     Q("events_bitmap_distinct", eventsBitmapDistinct,
       Some(eventsBitmapDistinctSql)),
     Q("events_lateness_audit", eventsLateness, Some(eventsLatenessSql)),

@@ -1380,7 +1380,9 @@ object Streams {
     * batching, and at-least-once REPLAY is a no-op BY ALGEBRA — so
     * `applyBatch` deliberately carries no batchId guard (the param is
     * accepted for wiring uniformity and ignored, documented here and
-    * spec-proven by applying the same batch twice). The CMS/MG/CUPED/
+    * spec-proven by applying the same batch twice). The founding member
+    * of the no-guard family ([[TypeOverlapMaintainer]] joined in X194:
+    * HLL union + distinct union are idempotent too). The CMS/MG/CUPED/
     * count maintainers MUST keep their guards: addition is not
     * idempotent and a replayed epoch there double-counts.
     *
@@ -1418,6 +1420,70 @@ object Streams {
 
   /** Wire an event stream to a [[BitmapMaintainer]] via foreachBatch. */
   def bitmapMaintainStream(events: DataFrame, m: BitmapMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => m.applyBatch(batch, batchId)
+    }
+
+  // ── X194: streaming pairwise audience overlap (HLL set algebra) ──────
+
+  /** X194 stream side: a foreachBatch maintainer for X69's pairwise
+    * distinct-user overlap — the SET-ALGEBRA rung made ingestion-shaped.
+    * State #1 (the 100 TB state): one Datasketches HLL blob per event
+    * type, merged per batch with `hll_union_agg` — |types| tiny binary
+    * values whatever the corpus, and every pairwise union/intersection
+    * estimate is then driver-side arithmetic on those blobs. State #2:
+    * the exact distinct (type, user) anchor the verdict's exact columns
+    * need (the declare-both audit stance; |touched pairs| state,
+    * test-scale affordable — a sketch-only deployment drops it and
+    * reads the estimates alone).
+    *
+    * Both merges are IDEMPOTENT (HLL union = register max, distinct
+    * union = set union), so this maintainer joins
+    * [[BitmapMaintainer]]'s no-guard family: applyBatch accepts and
+    * ignores batchId, replays are absorbed by algebra (spec-proven by
+    * re-applying a batch under a new id). The `verdict` view emits
+    * X69's exact output through the ONE shared
+    * [[graft.queries.StreamQueries.typeOverlapVerdict]] formula.
+    */
+  final class TypeOverlapMaintainer(s: org.apache.spark.sql.SparkSession) {
+    private def emptySk: DataFrame =
+      s.range(0).select(col("id").cast("string").as("event_type"),
+        col("id").cast("string").cast("binary").as("sk"))
+    private def emptyDu: DataFrame =
+      s.range(0).select(col("id").cast("string").as("event_type"),
+        col("id").as("user_id"))
+    private var sketches: DataFrame = emptySk
+    private var du: DataFrame = emptyDu
+
+    def applyBatch(batch: DataFrame, batchId: Long = -1L): Unit =
+      synchronized {
+        // no lastApplied check — idempotent algebra absorbs replays
+        val ev = batch.select(col("event_type"), col("user_id"))
+        val bsk = graft.queries.StreamQueries.typeSketchesOf(ev)
+        sketches = sketches.unionByName(bsk)
+          .groupBy(col("event_type"))
+          .agg(expr("hll_union_agg(sk)").as("sk"))
+          .localCheckpoint()
+        du = du.unionByName(ev.distinct()).distinct().localCheckpoint()
+        ()
+      }
+
+    /** The maintained exact anchor pairs (total order). */
+    def current: DataFrame = synchronized {
+      du.orderBy(col("event_type"), col("user_id"))
+    }
+    /** The live X69 audit over the maintained sketches + anchor. */
+    def verdict: DataFrame = synchronized {
+      graft.queries.StreamQueries.typeOverlapVerdict(sketches, du)
+    }
+  }
+
+  /** Wire an event stream to a [[TypeOverlapMaintainer]] via
+    * foreachBatch.
+    */
+  def typeOverlapMaintainStream(events: DataFrame, m: TypeOverlapMaintainer):
       org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch {

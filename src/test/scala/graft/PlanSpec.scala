@@ -138,6 +138,7 @@ class PlanSpec extends GraftSuite {
     "graph_reciprocity",        // 1-row × 1-row counter combine
     "triangle_census",          // 1-row n_cyclic × 1-row n_transitive
     "events_type_overlap",      // |types|-row HLL-sketch frame pair nest
+    "stream_type_overlap",      // same |types|-row nest over folded state
     "customer_rfm",             // 1-row anchor-date scalar
     "customer_rfm_sketch",      // 1-row edge/boundary scalars ×3 dims
     "basket_rules",             // 1-row basket-total scalar

@@ -927,6 +927,48 @@ class StreamingSpec extends GraftSuite {
     assert(snapV(r.verdict(b1)) === oneShot(evs.take(70)))
   }
 
+  test("stream_type_overlap: TypeOverlapMaintainer verdict equals the " +
+    "one-shot after every micro-batch; replay WITHOUT a guard is " +
+    "absorbed (HLL union and distinct union are idempotent)") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    // three event types with genuinely overlapping audiences, users
+    // repeating across batches so both idempotent merges are exercised
+    val evs = (1L to 150L).map(i =>
+      (i, (i * 7) % 40, Seq("view", "click", "buy")((i % 3).toInt)))
+    def snapV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSeq
+    def frame(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("event_id", "user_id", "event_type")
+    def oneShot(prefix: Seq[(Long, Long, String)]) = snapV(
+      StreamQueries.eventsTypeOverlapOf(spark, frame(prefix)))
+    val m = new Streams.TypeOverlapMaintainer(spark)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.typeOverlapMaintainStream(
+      mem.toDF().toDF("event_id", "user_id", "event_type"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long, String)]
+      for (b <- evs.grouped(40)) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        seen ++= b
+        val v = oneShot(seen)
+        assert(snapV(m.verdict) === v)
+        // the inclusion-exclusion band must hold on the maintained blobs
+        assert(v.forall(_.last == true), "HLL overlap left its band")
+      }
+    } finally q.stop()
+    // no-guard replay: same batch, DIFFERENT batch ids — both merges
+    // are idempotent, so the state absorbs the replay by algebra
+    val r = new Streams.TypeOverlapMaintainer(spark)
+    val b1 = frame(evs.take(60))
+    r.applyBatch(b1, batchId = 0L)
+    val once = snapV(r.verdict)
+    r.applyBatch(b1, batchId = 1L)
+    assert(snapV(r.verdict) === once)
+    assert(once === oneShot(evs.take(60)))
+  }
+
   test("stream_heavy_hitters_bounded: MgMaintainer hand fold — pruning " +
     "fires, the ledger tracks every subtraction, and a dropped key " +
     "revives when it comes back heavy") {
