@@ -142,6 +142,85 @@ object NetworkQueries {
        |FROM cop JOIN deg d1 ON d1.id = s1 JOIN deg d2 ON d2.id = s2
        |ORDER BY s1, s2""".stripMargin
 
+  /** X195 butterfly leaderboard size. */
+  private val BfTopK = 20
+
+  /** X195 — graph_butterflies: BUTTERFLY (bipartite 4-cycle) counting
+    * on the customer×supplier graph — THE bipartite cohesion metric
+    * (Wang-Fu-Cheng lineage; the bipartite analogue of the triangle):
+    * a butterfly is two customers sharing two suppliers, i.e. every
+    * pair of suppliers with w shared customers closes C(w, 2)
+    * butterflies. Per supplier: Σ over its co-purchase partners of
+    * C(n_shared, 2) (butterfly participation), the partner count, and
+    * the wedge count (Σ n_shared — the caterpillar total the butterfly
+    * density is normalized by); global totals ride every row; top-20
+    * by (butterflies DESC, suppkey).
+    *
+    * Scale — the reason this formulation is the 100 TB one: butterflies
+    * are COUNTED FROM WEDGES, never enumerated as 4-cycles. The wedge
+    * frame (per supplier pair: shared-customer count) is exactly the
+    * persisted `_build:copurchase` projection this family already
+    * shares, so the key adds ZERO new shuffles — one map over the pair
+    * frame (C(w,2) is per-row arithmetic), one union-regroup keyed on
+    * supplier, a 1-row totals scalar (allowlisted), and a TakeOrdered
+    * top-k. The hub cap ([[MaxCustFan]]) is the family's declared skew
+    * discipline and does not engage at TPC-H fan shapes.
+    */
+  private def graphButterflies(s: SparkSession, dir: String): DataFrame =
+    butterfliesOf(coPairs(s, dir))
+
+  /** Testable seam for [[graphButterflies]]: explicit (s1, s2,
+    * n_shared) pair frame.
+    */
+  private[graft] def butterfliesOf(pairs: DataFrame): DataFrame = {
+    val bfp = pairs.select(col("s1"), col("s2"), col("n_shared"),
+      expr("n_shared * (n_shared - 1) div 2").as("bf"))
+    val per = bfp.select(col("s1").as("suppkey"), col("bf"),
+        col("n_shared"))
+      .unionByName(bfp.select(col("s2").as("suppkey"), col("bf"),
+        col("n_shared")))
+      .groupBy(col("suppkey"))
+      .agg(sum(col("bf")).as("butterflies"),
+        count(lit(1)).as("n_partners"),
+        sum(col("n_shared")).as("n_wedges"))
+    val tot = bfp.agg(
+      coalesce(sum(col("bf")), lit(0L)).as("total_butterflies"),
+      count(lit(1)).as("total_pairs"))
+    val top = per.crossJoin(broadcast(tot))
+      .orderBy(col("butterflies").desc, col("suppkey")).limit(BfTopK)
+    val w = Window.orderBy(col("butterflies").desc, col("suppkey"))
+    top.withColumn("bf_rank", row_number().over(w))
+      .select(col("bf_rank"), col("suppkey"), col("butterflies"),
+        col("n_partners"), col("n_wedges"), col("total_butterflies"),
+        col("total_pairs"))
+      .orderBy(col("bf_rank"))
+  }
+
+  private val graphButterfliesSql =
+    s"""${GTrade.SqlPrefix}, $coPairsCte,
+       |bfp AS (
+       |  SELECT s1, s2, n_shared,
+       |    n_shared * (n_shared - 1) // 2 AS bf
+       |  FROM cop),
+       |bper AS (
+       |  SELECT suppkey, CAST(SUM(bf) AS BIGINT) AS butterflies,
+       |    COUNT(*) AS n_partners,
+       |    CAST(SUM(n_shared) AS BIGINT) AS n_wedges
+       |  FROM (SELECT s1 AS suppkey, bf, n_shared FROM bfp
+       |        UNION ALL SELECT s2 AS suppkey, bf, n_shared FROM bfp)
+       |  GROUP BY 1),
+       |btot AS (
+       |  SELECT CAST(COALESCE(SUM(bf), 0) AS BIGINT)
+       |      AS total_butterflies,
+       |    COUNT(*) AS total_pairs FROM bfp)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY butterflies DESC,
+       |    suppkey) AS INTEGER) AS bf_rank,
+       |  suppkey, butterflies, n_partners, n_wedges,
+       |  total_butterflies, total_pairs
+       |FROM bper, btot
+       |QUALIFY bf_rank <= $BfTopK
+       |ORDER BY bf_rank""".stripMargin
+
   /** triangle_count — per-supplier triangle participation on the top-k
     * partner graph: keep each supplier's [[TopK]] strongest co-purchase
     * partners (by shared-customer count, partner id as the deterministic
@@ -897,6 +976,7 @@ object NetworkQueries {
   val qs: Seq[Q] = Seq(
     Q("recsys_ndcg", recsysNdcg, Some(recsysNdcgSql)),
     Q("graph_jaccard", graphJaccard, Some(graphJaccardSql)),
+    Q("graph_butterflies", graphButterflies, Some(graphButterfliesSql)),
     Q("recsys_item_cosine", recsysItemCosine, Some(recsysItemCosineSql)),
     Q("recsys_eval_coverage", recsysEvalCoverage,
       Some(recsysEvalCoverageSql)),

@@ -49,6 +49,23 @@ class NetworkSpec extends GraftSuite {
     assert(got((20L, 21L)) === w3 && w3 < 1442695L)
   }
 
+  test("butterfliesOf: C(w,2) per supplier pair, hand-counted against " +
+    "the brute-force 4-cycle enumeration") {
+    // customers 1,2,3 → suppliers 10,11 all; customer 3 → 12 too.
+    // Pair (10,11): w=3 shared customers → C(3,2) = 3 butterflies
+    // (brute force: customer pairs (1,2),(1,3),(2,3) each close a
+    // 4-cycle through 10 and 11). Pairs (10,12),(11,12): w=1 → 0.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L)).toDF("src", "dst")
+    val got = NetworkQueries.butterfliesOf(NetworkQueries.coPairsOf(edges))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1, 10L, 3L, 2L, 4L, 3L, 3L),  // bf 3, partners {11,12}, wedges 3+1
+      (2, 11L, 3L, 2L, 4L, 3L, 3L),
+      (3, 12L, 0L, 2L, 2L, 3L, 3L))) // in 2 pairs, both w=1 → 0 bf
+  }
+
   test("summarizeOf: super-edges carry counts, distinct members, " +
     "exact value sums") {
     // groups: src 1,2 → A; src 3 → B; dst 10 → X; dst 11 → Y

@@ -142,6 +142,7 @@ class PlanSpec extends GraftSuite {
     "customer_rfm",             // 1-row anchor-date scalar
     "customer_rfm_sketch",      // 1-row edge/boundary scalars ×3 dims
     "basket_rules",             // 1-row basket-total scalar
+    "graph_butterflies",        // 1-row butterfly-totals scalar
     "feature_target_encode",    // 1-row global-prior scalar
     "sample_split_temporal",    // 1-row (min,max) time-bounds scalar
     "orders_churn_labels",      // 1-row anchor-date scalar
