@@ -145,6 +145,198 @@ object TextQueries {
       .orderBy(col("term"), col("rk"))
   }
 
+  // X196 PRF parameters: feedback depth, expansion width, serving page.
+  private val PrfFbDocs = 5
+  private val PrfExpTerms = 3
+  private val PrfTopK = 10
+
+  /** X196 — retrieval_prf_expansion: PSEUDO-RELEVANCE-FEEDBACK query
+    * expansion (the RM3-lite rung of the retrieval ladder, after X184
+    * BM25 → X3 ANN → X190 RRF): for each band query term, (1) take its
+    * top-[[PrfFbDocs]] BM25 documents as the feedback set, (2) pick
+    * the [[PrfExpTerms]] expansion terms with the largest summed tf
+    * across the feedback docs — an EXACT INTEGER selection (no FP in
+    * the expansion choice), with the corpus's top-[[Bm25QTo]] df terms
+    * excluded (the RAKE adaptive-stoplist discipline: function words
+    * dominate raw tf; the band itself, hence the query term, sits in
+    * that region and is excluded for free), (3) re-retrieve with the
+    * expanded query: score'(d) = bm25(q,d) + Σ_e bm25(e,d)/2 (uniform
+    * half-weight feedback — an integer-weight RM3 mix).
+    *
+    * The reason PRF exists shows up as a column: `recall_gain` marks
+    * documents that contain NO occurrence of the original term and are
+    * retrievable only through the expansion — vocabulary-mismatch
+    * recall, the failure mode lexical retrieval has and this operator
+    * repairs.
+    *
+    * Determinism — the X139 integer-grid discipline: every per-term
+    * BM25 score is quantized to a micro-integer
+    * (`floor(score·10⁶+0.5)` — order-equivalent to the X184 qround(6)
+    * ranking) BEFORE any combination, so the expanded score is an
+    * exact integer sum (order-independent; the /2 is integer `div`),
+    * and every ranking tie-breaks on ids.
+    *
+    * Scale: tf/dl/df are the X184 hash aggs; the stoplist and band are
+    * TakeOrdered 12-row frames (broadcast); feedback and expansion are
+    * per-term windows over posting-list-sized frames; the expansion
+    * scoring touches only ≤ |band|·[[PrfExpTerms]] terms' posting
+    * lists. Serving-page-bounded everywhere, like a real PRF stack.
+    */
+  private def retrievalPrf(s: SparkSession, dir: String): DataFrame =
+    prfOf(Tables(s, dir, "documents"))
+
+  /** Testable seam for [[retrievalPrf]]: explicit documents frame. */
+  private[graft] def prfOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_tok"))
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stop12 = dfr.orderBy(col("df").desc, col("term")).limit(Bm25QTo)
+    val wq = Window.orderBy(col("df").desc, col("term"))
+    val band = stop12.withColumn("qrk", row_number().over(wq))
+      .filter(col("qrk") >= Bm25QFrom).select(col("term"), col("df"))
+    // (term, doc_id, sc_micro) for an arbitrary small (term, df) set
+    def microScore(terms: DataFrame): DataFrame =
+      tf.join(broadcast(terms), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"),
+          floor(
+            log(lit(1.0) + (col("n_docs").cast("double") - col("df") +
+              lit(0.5)) / (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") * col("n_docs") /
+                  col("tot_tok")))) * 1000000.0 + 0.5)
+            .cast("long").as("sc_micro"))
+    val lex = microScore(band)
+    val wl = Window.partitionBy(col("term"))
+      .orderBy(col("sc_micro").desc, col("doc_id"))
+    val fb = lex.withColumn("rk", row_number().over(wl))
+      .filter(col("rk") <= PrfFbDocs)
+    val cand = fb.select(col("term").as("qterm"), col("doc_id"))
+      .join(tf.select(col("doc_id"), col("term").as("eterm"), col("tf")),
+        Seq("doc_id"))
+      .join(broadcast(stop12.select(col("term").as("eterm"))),
+        Seq("eterm"), "left_anti")
+      .groupBy(col("qterm"), col("eterm")).agg(sum(col("tf")).as("w"))
+    val we = Window.partitionBy(col("qterm"))
+      .orderBy(col("w").desc, col("eterm"))
+    val exp = cand.withColumn("erk", row_number().over(we))
+      .filter(col("erk") <= PrfExpTerms)
+      .select(col("qterm"), col("eterm"))
+    val expScored = microScore(
+      exp.select(col("eterm").as("term")).distinct()
+        .join(dfr, Seq("term")))
+      .select(col("term").as("eterm"), col("doc_id"), col("sc_micro"))
+    val expContrib = exp.join(expScored, Seq("eterm"))
+      .groupBy(col("qterm"), col("doc_id"))
+      .agg(sum(expr("sc_micro div 2")).as("exp_micro"))
+    val orig = lex.select(col("term").as("qterm"), col("doc_id"),
+      col("sc_micro").as("orig_micro"))
+    val combined = orig
+      .join(expContrib, Seq("qterm", "doc_id"), "full_outer")
+      .select(col("qterm"), col("doc_id"),
+        (coalesce(col("orig_micro"), lit(0L)) +
+          coalesce(col("exp_micro"), lit(0L))).as("prf_micro"),
+        col("orig_micro"))
+    val wf = Window.partitionBy(col("qterm"))
+      .orderBy(col("prf_micro").desc, col("doc_id"))
+    combined.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= PrfTopK)
+      .select(col("qterm").as("term"), col("rk"), col("doc_id"),
+        col("prf_micro"), col("orig_micro"),
+        col("orig_micro").isNull.as("recall_gain"))
+      .orderBy(col("term"), col("rk"))
+  }
+
+  private val retrievalPrfSql = {
+    val msc = "CAST(FLOOR(" +
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
+      "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +
+      "(CAST(dl AS DOUBLE) * n_docs / tot_tok))) " +
+      "* 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |btf AS MATERIALIZED (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |bst AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS tot_tok FROM bdl),
+       |bdf AS MATERIALIZED (
+       |  SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+       |stop12 AS (
+       |  SELECT term, df FROM (
+       |    SELECT term, df,
+       |      row_number() OVER (ORDER BY df DESC, term) AS qrk
+       |    FROM bdf)
+       |  WHERE qrk <= $Bm25QTo),
+       |band AS (
+       |  SELECT term, df FROM (
+       |    SELECT term, df,
+       |      row_number() OVER (ORDER BY df DESC, term) AS qrk
+       |    FROM bdf)
+       |  WHERE qrk BETWEEN $Bm25QFrom AND $Bm25QTo),
+       |plex AS MATERIALIZED (
+       |  SELECT q.term, f.doc_id, f.tf, q.df, d.dl, n_docs, tot_tok,
+       |    $msc AS sc_micro
+       |  FROM btf f JOIN band q ON f.term = q.term
+       |  JOIN bdl d ON d.doc_id = f.doc_id
+       |  CROSS JOIN bst),
+       |pfb AS (
+       |  SELECT term, doc_id FROM (
+       |    SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |      ORDER BY sc_micro DESC, doc_id) AS rk
+       |    FROM plex)
+       |  WHERE rk <= $PrfFbDocs),
+       |pcand AS (
+       |  SELECT q.term AS qterm, f.term AS eterm, SUM(f.tf) AS w
+       |  FROM pfb q JOIN btf f ON f.doc_id = q.doc_id
+       |  WHERE f.term NOT IN (SELECT term FROM stop12)
+       |  GROUP BY 1, 2),
+       |pexp AS (
+       |  SELECT qterm, eterm FROM (
+       |    SELECT qterm, eterm, row_number() OVER (PARTITION BY qterm
+       |      ORDER BY w DESC, eterm) AS erk
+       |    FROM pcand)
+       |  WHERE erk <= $PrfExpTerms),
+       |pesc AS MATERIALIZED (
+       |  SELECT f.term AS eterm, f.doc_id, f.tf, q.df, d.dl,
+       |    n_docs, tot_tok, $msc AS sc_micro
+       |  FROM btf f
+       |  JOIN (SELECT DISTINCT e.eterm AS term, dd.df
+       |        FROM pexp e JOIN bdf dd ON dd.term = e.eterm) q
+       |    ON f.term = q.term
+       |  JOIN bdl d ON d.doc_id = f.doc_id
+       |  CROSS JOIN bst),
+       |pcontrib AS (
+       |  SELECT e.qterm, s.doc_id,
+       |    CAST(SUM(s.sc_micro // 2) AS BIGINT) AS exp_micro
+       |  FROM pexp e JOIN pesc s ON s.eterm = e.eterm
+       |  GROUP BY 1, 2),
+       |pcomb AS (
+       |  SELECT COALESCE(o.term, c.qterm) AS term,
+       |    COALESCE(o.doc_id, c.doc_id) AS doc_id,
+       |    COALESCE(o.sc_micro, 0) + COALESCE(c.exp_micro, 0)
+       |      AS prf_micro,
+       |    o.sc_micro AS orig_micro
+       |  FROM plex o FULL OUTER JOIN pcontrib c
+       |    ON c.qterm = o.term AND c.doc_id = o.doc_id)
+       |SELECT term, rk, doc_id, prf_micro, orig_micro,
+       |  orig_micro IS NULL AS recall_gain
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY term
+       |    ORDER BY prf_micro DESC, doc_id) AS INTEGER) AS rk
+       |  FROM pcomb)
+       |WHERE rk <= $PrfTopK
+       |ORDER BY term, rk""".stripMargin
+  }
+
   // private[graft]: the X190 fusion oracle embeds this whole statement as
   // its lexical-arm derived table, so both keys run ONE bm25 definition.
   private[graft] val textBm25Sql = {
@@ -2183,6 +2375,7 @@ object TextQueries {
       Some(docQualityCalibrationSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("text_bm25", textBm25, Some(textBm25Sql)),
+    Q("retrieval_prf_expansion", retrievalPrf, Some(retrievalPrfSql)),
     Q("text_chunk", textChunk, Some(textChunkSql)),
     Q("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("pmi_bigrams", pmiBigrams, Some(pmiBigramsSql)),

@@ -115,6 +115,8 @@ class PlanSpec extends GraftSuite {
     "text_bm25",                // 1-row corpus-stats scalar (N, total tokens)
     "retrieval_rrf_fusion",     // composes X184's stats scalar + X3's
                                 // 4-row dense query nest (both declared)
+    "retrieval_prf_expansion",  // 1-row corpus-stats scalar ×2 score
+                                // stages (the X184 nest, twice)
     "events_cuped",             // 1-row time-range anchor scalar
     "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row
                                 // totals/max scalars over QI cells

@@ -1507,6 +1507,48 @@ class TrainingAuditSpec extends GraftSuite {
     assert(t.toSeq === Seq(("kiwi", 1, 5L), ("kiwi", 2, 7L)))
   }
 
+  test("retrieval_prf_expansion: hand corpus - expansion terms chosen " +
+    "by exact tf sums, a zebra-only doc enters through recall_gain, " +
+    "and a term with no expandable feedback stays pure bm25") {
+    import spark.implicits._
+    // 31 docs. Stop region (df ranks 1-8): sa..sh in docs 1-30.
+    // Band (ranks 9-12): qa..qd in docs 1-20. Docs 1-5 additionally
+    // carry qa x3 extra + zebra x3 (qa's feedback set, by tf); doc 100
+    // is zebra-only - retrievable for qa ONLY via the expansion.
+    val stops = "sa sb sc sd se sf sg sh"
+    val docs = (
+      (1L to 5L).map(i => (i, s"$stops qa qb qc qd qa qa qa " +
+        "zebra zebra zebra")) ++
+      (6L to 20L).map(i => (i, s"$stops qa qb qc qd")) ++
+      (21L to 30L).map(i => (i, stops)) :+
+      (100L, "zebra zebra zebra zebra zebra zebra zebra zebra")
+    ).toDF("doc_id", "text")
+    val out = queries.TextQueries.prfOf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    val byTerm = out.groupBy(_._1)
+    assert(byTerm.keySet === Set("qa", "qb", "qc", "qd"))
+    assert(byTerm.values.forall(_.length == 10))
+    // qa: feedback = docs 1-5 (tf 4 beats tf 1); the only non-stoplist
+    // feedback term is zebra (w = 15). Expanded ranking: docs 1-5 keep
+    // orig + zebra/2 (ranks 1-5, doc_id ties), doc 100 rides zebra
+    // alone at rank 6 with recall_gain - the vocabulary-mismatch doc
+    // lexical bm25 can NEVER return; docs 6.. follow on pure bm25.
+    val qa = byTerm("qa").sortBy(_._2)
+    assert(qa.take(5).map(_._3).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(qa.take(5).forall(r => !r._6 && r._5 >= 0))
+    val rank6 = qa(5)
+    assert(rank6._3 === 100L && rank6._6 && rank6._5 === -1L)
+    assert(qa.drop(6).map(_._3).toSeq === Seq(6L, 7L, 8L, 9L))
+    // qb: feedback docs are the SHORT band docs (6-10 - better length
+    // norm at tf 1), which contain nothing outside the stoplist: no
+    // expansion, no recall gain, scores are pure original bm25
+    val qb = byTerm("qb").sortBy(_._2)
+    assert(qb.forall(r => !r._6 && r._5 >= 0))
+    assert(qb.forall(r => r._4 === r._5)) // prf_micro == orig_micro
+  }
+
   test("privacy_t_closeness: hand classes - exact TV distance in ppm, " +
     "missing segment cells still count, every row carries the max " +
     "verdict") {
