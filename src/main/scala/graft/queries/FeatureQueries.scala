@@ -2031,6 +2031,92 @@ object FeatureQueries {
        |FROM kn""".stripMargin
   }
 
+  // X197 DP-accounting parameters: per-query budget and target slack.
+  private val DpEps0Micro = 100000L // ε₀ = 0.1 per released query
+  private val DpDelta0Nano = 1000L // δ₀ = 1e-6 per released query
+  private val DpDeltaPNano = 10000L // δ' = 1e-5 composition slack
+
+  /** X197 — privacy_dp_accounting: DIFFERENTIAL-PRIVACY BUDGET
+    * accounting over a release ledger — the fourth privacy rung
+    * (X179 k-anonymity → l-diversity → X185 t-closeness → ε-ledger):
+    * a governed platform that answers each day's per-type statistics
+    * under (ε₀, δ₀)-DP must account the CUMULATIVE privacy loss before
+    * approving the next release. The ledger here: one release per
+    * (event_type, UTC day) — k = distinct epoch-days per type. Per
+    * type, both published composition bounds (Dwork & Roth, Thm 3.16 /
+    * 3.20):
+    *   basic:    ε = k·ε₀ (exact integer micro-ε), δ = k·δ₀;
+    *   advanced: ε = ε₀·√(2k·ln(1/δ')) + k·ε₀·(e^{ε₀}−1),
+    *             δ = k·δ₀ + δ' (exact integer nano-δ);
+    * and the column the theorem exists for: `advanced_beats_basic` —
+    * at ε₀ = 0.1, δ' = 1e-5 the √k bound undercuts linear growth from
+    * k ≥ 29 (spec-pinned threshold; every fixture type crosses it).
+    *
+    * Determinism: k and both δ ledgers are exact integers; the one FP
+    * expression (advanced ε) is a fixed operand-order chain of
+    * sqrt/ln/exp on small exact integers, qround(6)-ed (the X184 libm
+    * discipline — both engines evaluate the identical chain).
+    *
+    * Scale: one distinct-collapse of the event stream to (type, day) —
+    * map-side combinable — then a |types|-row agg; the accounting
+    * arithmetic is per-row on a frame the size of the release catalog,
+    * never the data. The ledger is the governance artifact a 100 TB
+    * platform keeps NEXT to the data it describes.
+    */
+  private def privacyDpAccounting(s: SparkSession,
+      dir: String): DataFrame =
+    dpAccountingOf(Tables(s, dir, "events"))
+
+  /** Testable seam for [[privacyDpAccounting]]: explicit events frame
+    * with (event_type, ts).
+    */
+  private[graft] def dpAccountingOf(ev: DataFrame): DataFrame = {
+    val eps0 = DpEps0Micro.toDouble / 1e6
+    val lnInvDp = math.log(1e9 / DpDeltaPNano.toDouble)
+    val k = ev.select(col("event_type"),
+        expr("""(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))
+                 div 86400000000""").as("day"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("k_queries"))
+    k.select(col("event_type"), col("k_queries"),
+        (col("k_queries") * lit(DpEps0Micro)).as("eps_basic_micro"),
+        Det.qround(
+          lit(eps0) * sqrt(col("k_queries").cast("double") * 2.0 *
+            lit(lnInvDp)) +
+            col("k_queries").cast("double") * lit(eps0) *
+              lit(math.exp(eps0) - 1.0), 6).as("eps_advanced"),
+        (col("k_queries") * lit(DpDelta0Nano)).as("delta_basic_nano"),
+        (col("k_queries") * lit(DpDelta0Nano) + lit(DpDeltaPNano))
+          .as("delta_advanced_nano"))
+      .withColumn("advanced_beats_basic",
+        col("eps_advanced") <
+          col("eps_basic_micro").cast("double") / 1e6)
+      .orderBy(col("event_type"))
+  }
+
+  private val privacyDpAccountingSql = {
+    val adv = Det.qroundSql(
+      s"0.1 * sqrt(CAST(k_queries AS DOUBLE) * 2.0 * ln(100000.0)) " +
+        s"+ CAST(k_queries AS DOUBLE) * 0.1 * (exp(0.1) - 1.0)", 6)
+    s"""WITH dpd AS (
+       |  SELECT DISTINCT event_type,
+       |    CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000)
+       |      + 86400000000) % 86400000000) // 86400000000 AS BIGINT)
+       |      AS day
+       |  FROM events),
+       |dpk AS (
+       |  SELECT event_type, COUNT(*) AS k_queries FROM dpd GROUP BY 1)
+       |SELECT event_type, k_queries,
+       |  k_queries * $DpEps0Micro AS eps_basic_micro,
+       |  $adv AS eps_advanced,
+       |  k_queries * $DpDelta0Nano AS delta_basic_nano,
+       |  k_queries * $DpDelta0Nano + $DpDeltaPNano
+       |    AS delta_advanced_nano,
+       |  $adv < CAST(k_queries * $DpEps0Micro AS DOUBLE) / 1000000.0
+       |    AS advanced_beats_basic
+       |FROM dpk ORDER BY event_type""".stripMargin
+  }
+
   /** X179 — privacy_k_anonymity: the K-ANONYMITY / L-DIVERSITY audit
     * (Sweeney 2002; Machanavajjhala et al. 2007) every governed
     * training-data release runs before shipping a table with
@@ -2297,6 +2383,8 @@ object FeatureQueries {
 
   val qs: Seq[Q] = Seq(
     Q("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),
+    Q("privacy_dp_accounting", privacyDpAccounting,
+      Some(privacyDpAccountingSql)),
     Q("privacy_t_closeness", privacyTCloseness,
       Some(privacyTClosenessSql)),
     // same never-batched SQL: the cell-count algebra telescopes, so the

@@ -1549,6 +1549,39 @@ class TrainingAuditSpec extends GraftSuite {
     assert(qb.forall(r => r._4 === r._5)) // prf_micro == orig_micro
   }
 
+  test("privacy_dp_accounting: hand ledger - exact integer budgets, " +
+    "the advanced-composition formula to the published statement, and " +
+    "the sqrt-vs-linear crossover at exactly k = 29") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // type A: 28 release days, B: 29, C: 1 (several events on the same
+    // day must collapse to one release - the DISTINCT in the ledger)
+    val rows =
+      (0 until 28).map(d => ("A", Timestamp.valueOf(
+        f"2024-01-${d + 1}%02d 03:00:00"))) ++
+      (0 until 29).map(d => ("B", Timestamp.valueOf(
+        f"2024-02-${d + 1}%02d 03:00:00"))) ++
+      Seq(("C", Timestamp.valueOf("2024-03-01 03:00:00")),
+        ("C", Timestamp.valueOf("2024-03-01 17:00:00"))) // same day ×2
+    val ev = rows.toDF("event_type", "ts")
+    val out = queries.FeatureQueries.dpAccountingOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    def adv(k: Long): Double = {
+      val x = 0.1 * math.sqrt(k.toDouble * 2.0 * math.log(1e5)) +
+        k.toDouble * 0.1 * (math.exp(0.1) - 1.0)
+      math.floor(x * 1e6 + 0.5) / 1e6
+    }
+    assert(out.toSeq === Seq(
+      ("A", 28L, 2800000L, adv(28), 28000L, 38000L, false),
+      ("B", 29L, 2900000L, adv(29), 29000L, 39000L, true),
+      ("C", 1L, 100000L, adv(1), 1000L, 11000L, false)))
+    // the theorem's content, visible at the boundary: the sqrt bound
+    // undercuts linear growth at 29 queries and not at 28 (e0 = 0.1,
+    // slack 1e-5) - and a single query is always cheaper under basic
+    assert(adv(28) > 2.8 && adv(29) < 2.9 && adv(1) > 0.1)
+  }
+
   test("privacy_t_closeness: hand classes - exact TV distance in ppm, " +
     "missing segment cells still count, every row carries the max " +
     "verdict") {
