@@ -104,6 +104,108 @@ object TemporalQueries {
       |  tus - click_tus AS gap_us
       |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin
 
+  /** X198 — asof_join_nearest: the DIRECTIONAL as-of family completed
+    * (pandas merge_asof's backward / forward / nearest trio; X24 ships
+    * backward only): for every purchase, BOTH the most recent click
+    * at-or-before (inclusive, X24's semantics — a same-instant click
+    * is a gap-0 backward match) and the first click strictly after,
+    * each with its gap, plus the NEAREST pick — smaller absolute gap,
+    * ties to backward (the causal side: attribution prefers the click
+    * that could have caused the purchase). Purchases with clicks on
+    * neither side keep NULLs everywhere.
+    *
+    * Shape: the X24 single-window plan run in BOTH frame directions
+    * over one union — backward = last click in the unbounded-preceding
+    * frame (latest id at equal ts), forward = first click in the
+    * following frame ordered (ts, side, id) (earliest id at its ts;
+    * side 0 < 1 keeps same-instant clicks out of the forward frame, so
+    * the two candidates never double-count one click). Still ONE
+    * shuffle, no join — the as-of family's whole scale story.
+    */
+  private def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_type"))
+    val u = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("side"), col("event_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("side"),
+          col("event_id")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("side"), col("event_id"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u
+      .withColumn("back_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(wb))
+      .withColumn("back_tus",
+        last(when(col("side") === 0, col("tus")), ignoreNulls = true)
+          .over(wb))
+      .withColumn("fwd_id",
+        first(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(wf))
+      .withColumn("fwd_tus",
+        first(when(col("side") === 0, col("tus")), ignoreNulls = true)
+          .over(wf))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("back_id"), (col("tus") - col("back_tus")).as("back_gap_us"),
+        col("fwd_id"), (col("fwd_tus") - col("tus")).as("fwd_gap_us"))
+      .withColumn("nearest_id",
+        when(col("back_id").isNull, col("fwd_id"))
+          .when(col("fwd_id").isNull, col("back_id"))
+          .when(col("back_gap_us") <= col("fwd_gap_us"), col("back_id"))
+          .otherwise(col("fwd_id")))
+      .withColumn("nearest_dir",
+        when(col("back_id").isNull && col("fwd_id").isNull,
+          lit(null).cast("string"))
+          .when(col("back_id").isNull, lit("forward"))
+          .when(col("fwd_id").isNull, lit("backward"))
+          .when(col("back_gap_us") <= col("fwd_gap_us"), lit("backward"))
+          .otherwise(lit("forward")))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofJoinNearestSql =
+    """WITH nu AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, 0 AS side, event_id
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts) AS tus, 1 AS side, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |nw AS (
+      |  SELECT user_id, tus, side, event_id,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS back_id,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS back_tus,
+      |    FIRST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS fwd_id,
+      |    FIRST_VALUE(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, side, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS fwd_tus
+      |  FROM nu)
+      |SELECT event_id AS purchase_id, user_id,
+      |  back_id, tus - back_tus AS back_gap_us,
+      |  fwd_id, fwd_tus - tus AS fwd_gap_us,
+      |  CASE WHEN back_id IS NULL THEN fwd_id
+      |       WHEN fwd_id IS NULL THEN back_id
+      |       WHEN tus - back_tus <= fwd_tus - tus THEN back_id
+      |       ELSE fwd_id END AS nearest_id,
+      |  CASE WHEN back_id IS NULL AND fwd_id IS NULL THEN NULL
+      |       WHEN back_id IS NULL THEN 'forward'
+      |       WHEN fwd_id IS NULL THEN 'backward'
+      |       WHEN tus - back_tus <= fwd_tus - tus THEN 'backward'
+      |       ELSE 'forward' END AS nearest_dir
+      |FROM nw WHERE side = 1 ORDER BY purchase_id""".stripMargin
+
   /** range_join — view→purchase attribution: for every view event, how
     * many purchases the same user made in `(view_ts, view_ts + 2 h]`, and
     * their exact-decimal value sum. Views with no attributed purchase
@@ -441,6 +543,7 @@ object TemporalQueries {
     Q("events_interval_union", eventsIntervalUnion,
       Some(eventsIntervalUnionSql)),
     Q("asof_join", asofJoin, Some(asofJoinSql)),
+    Q("asof_join_nearest", asofJoinNearest, Some(asofJoinNearestSql)),
     Q("range_join", rangeJoin, Some(rangeJoinSql)),
     Q("sessionize", sessionize, Some(sessionizeSql)),
     Q("events_attribution", eventsAttribution, Some(eventsAttributionSql)),
