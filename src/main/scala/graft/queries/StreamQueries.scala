@@ -1497,6 +1497,143 @@ object StreamQueries {
   private def eventsAbTest(s: SparkSession, dir: String): DataFrame =
     eventsAbTestOf(events(s, dir))
 
+  /** X199 — events_did: DIFFERENCE-IN-DIFFERENCES — the
+    * experimentation family's quasi-experimental rung (X88 A/B →
+    * X187 CUPED → DiD → X189 sequential monitoring): when treatment
+    * starts at a known time rather than by randomized exposure, the
+    * causal readout is (post − pre)_treated − (post − pre)_control,
+    * which differences out both the arms' level gap and the common
+    * time trend (the parallel-trends identification). Rides the EXACT
+    * per-user (x = pre cents, y = post cents) panel X187 already
+    * builds ([[cupedUsersOf]] — zero-filled for period-inactive users,
+    * so the panel is BALANCED: both periods cover the same user set,
+    * the panel-DiD precondition), arms from the X88 stable user-id
+    * hash. Inference on per-user DIFFERENCES d = y − x (the paired
+    * estimator — within-user level variance cancels, same reason
+    * CUPED works): z = DiD / √(var_t(d)/n_t + var_c(d)/n_c).
+    *
+    * Every division is NULL-guarded for degenerate states (one arm
+    * empty, zero difference variance) — the Spark 4 ANSI discipline
+    * all experimentation readouts here follow.
+    *
+    * Scale: one map-side-combinable per-user agg (shared with X187's
+    * build), one 1-row reduce. Exact integer cents end to end; the
+    * four FP expressions are fixed-order and qround(6)-ed.
+    */
+  private def eventsDid(s: SparkSession, dir: String): DataFrame =
+    didVerdictFromUsers(cupedUsersOf(events(s, dir)))
+
+  /** X199's 1-row readout from the per-user (user_id, x, y) panel —
+    * arm assignment happens here from the stable hash (the
+    * cupedVerdictFromUsers stance).
+    */
+  private[graft] def didVerdictFromUsers(users: DataFrame): DataFrame = {
+    val pu = users.select(col("x"), col("y"),
+      (col("y") - col("x")).as("d"),
+      (TextFns.stringHash(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+        .as("is_c"))
+    def side(cond: Column, x: Column) = sum(when(cond, x).otherwise(0L))
+    val agg = pu.agg(
+      side(col("is_c"), lit(1L)).as("n_c"),
+      side(!col("is_c"), lit(1L)).as("n_t"),
+      side(col("is_c"), col("x")).as("sx_c"),
+      side(!col("is_c"), col("x")).as("sx_t"),
+      side(col("is_c"), col("y")).as("sy_c"),
+      side(!col("is_c"), col("y")).as("sy_t"),
+      side(col("is_c"), col("d") * col("d")).as("s2d_c"),
+      side(!col("is_c"), col("d") * col("d")).as("s2d_t"))
+    val aggd = agg
+      .withColumn("mx_c", when(col("n_c") > 0,
+        col("sx_c").cast("double") / col("n_c")))
+      .withColumn("my_c", when(col("n_c") > 0,
+        col("sy_c").cast("double") / col("n_c")))
+      .withColumn("mx_t", when(col("n_t") > 0,
+        col("sx_t").cast("double") / col("n_t")))
+      .withColumn("my_t", when(col("n_t") > 0,
+        col("sy_t").cast("double") / col("n_t")))
+      .withColumn("md_c", col("my_c") - col("mx_c"))
+      .withColumn("md_t", col("my_t") - col("mx_t"))
+      .withColumn("vd_c", when(col("n_c") > 0,
+        col("s2d_c").cast("double") / col("n_c") -
+          col("md_c") * col("md_c")))
+      .withColumn("vd_t", when(col("n_t") > 0,
+        col("s2d_t").cast("double") / col("n_t") -
+          col("md_t") * col("md_t")))
+      .withColumn("se2", when(col("n_c") > 0 && col("n_t") > 0,
+        col("vd_t") / col("n_t") + col("vd_c") / col("n_c")))
+    aggd.select(
+      col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
+      Det.qround(col("mx_c") / 100.0, 6).as("mean_pre_c"),
+      Det.qround(col("my_c") / 100.0, 6).as("mean_post_c"),
+      Det.qround(col("mx_t") / 100.0, 6).as("mean_pre_t"),
+      Det.qround(col("my_t") / 100.0, 6).as("mean_post_t"),
+      Det.qround((col("md_t") - col("md_c")) / 100.0, 6).as("did"),
+      Det.qround(when(col("se2") > 0,
+        (col("md_t") - col("md_c")) / sqrt(col("se2"))), 6)
+        .as("z_did"))
+  }
+
+  private val eventsDidSql = {
+    val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH ddu AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+       |danc AS (
+       |  SELECT MIN(tus) + (MAX(tus) - MIN(tus)) // 2 AS anchor
+       |  FROM ddu),
+       |dpu AS (
+       |  SELECT user_id,
+       |    CAST(COALESCE(SUM(CASE WHEN tus < anchor
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+       |      AS x,
+       |    CAST(COALESCE(SUM(CASE WHEN tus >= anchor
+       |      THEN CAST(value AS DECIMAL(18,2)) END), 0) * 100 AS BIGINT)
+       |      AS y
+       |  FROM ddu, danc GROUP BY user_id),
+       |dpu2 AS (
+       |  SELECT x, y, y - x AS d, ($h) % 2 = 0 AS is_c FROM dpu),
+       |dagg AS (SELECT
+       |  CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE 1 END) AS BIGINT) AS n_t,
+       |  CAST(SUM(CASE WHEN is_c THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE x END) AS BIGINT) AS sx_t,
+       |  CAST(SUM(CASE WHEN is_c THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE y END) AS BIGINT) AS sy_t,
+       |  CAST(SUM(CASE WHEN is_c THEN d * d ELSE 0 END) AS BIGINT)
+       |    AS s2d_c,
+       |  CAST(SUM(CASE WHEN is_c THEN 0 ELSE d * d END) AS BIGINT)
+       |    AS s2d_t
+       |  FROM dpu2),
+       |dm AS (SELECT *,
+       |  CASE WHEN n_c > 0 THEN CAST(sx_c AS DOUBLE) / n_c END AS mx_c,
+       |  CASE WHEN n_c > 0 THEN CAST(sy_c AS DOUBLE) / n_c END AS my_c,
+       |  CASE WHEN n_t > 0 THEN CAST(sx_t AS DOUBLE) / n_t END AS mx_t,
+       |  CASE WHEN n_t > 0 THEN CAST(sy_t AS DOUBLE) / n_t END AS my_t
+       |  FROM dagg),
+       |dd AS (SELECT *,
+       |  my_c - mx_c AS md_c, my_t - mx_t AS md_t FROM dm),
+       |dv AS (SELECT *,
+       |  CASE WHEN n_c > 0 THEN CAST(s2d_c AS DOUBLE) / n_c
+       |    - md_c * md_c END AS vd_c,
+       |  CASE WHEN n_t > 0 THEN CAST(s2d_t AS DOUBLE) / n_t
+       |    - md_t * md_t END AS vd_t
+       |  FROM dd),
+       |ds AS (SELECT *,
+       |  CASE WHEN n_c > 0 AND n_t > 0
+       |    THEN vd_t / n_t + vd_c / n_c END AS se2 FROM dv)
+       |SELECT n_c AS n_users_c, n_t AS n_users_t,
+       |  ${Det.qroundSql("mx_c / 100.0", 6)} AS mean_pre_c,
+       |  ${Det.qroundSql("my_c / 100.0", 6)} AS mean_post_c,
+       |  ${Det.qroundSql("mx_t / 100.0", 6)} AS mean_pre_t,
+       |  ${Det.qroundSql("my_t / 100.0", 6)} AS mean_post_t,
+       |  ${Det.qroundSql("(md_t - md_c) / 100.0", 6)} AS did,
+       |  ${Det.qroundSql(
+            "CASE WHEN se2 > 0 THEN (md_t - md_c) / sqrt(se2) END", 6)}
+       |    AS z_did
+       |FROM ds""".stripMargin
+  }
+
   /** Testable seam for [[eventsAbTest]]: explicit events frame. */
   private[graft] def eventsAbTestOf(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("user_id"))
@@ -2475,6 +2612,7 @@ object StreamQueries {
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),
     Q("events_ab_test", eventsAbTest, Some(eventsAbTestSql)),
+    Q("events_did", eventsDid, Some(eventsDidSql)),
     Q("events_cuped", eventsCuped, Some(eventsCupedSql)),
     // same never-batched SQL: per-user (x, y) sums telescope under the
     // fixed anchor, so the one-shot scan IS the independent re-proof

@@ -1549,6 +1549,61 @@ class TrainingAuditSpec extends GraftSuite {
     assert(qb.forall(r => r._4 === r._5)) // prf_micro == orig_micro
   }
 
+  test("events_did: hand panel - the paired difference-in-differences " +
+    "estimator to six decimals, and the one-arm degenerate state " +
+    "degrades to NULLs instead of throwing under ANSI") {
+    import spark.implicits._
+    import graft.queries.StreamQueries
+    import graft.functions.TextFns
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // learn the stable arm assignment for uids 1..8 through the SAME
+    // hash the operator uses, then hand-build a panel with a known
+    // treatment effect riding a common time trend
+    val arms = (1L to 8L).toDF("user_id")
+      .select(col("user_id"),
+        (TextFns.stringHash(concat(lit("ab:"),
+          col("user_id").cast("string"))) % 2 === 0).as("is_c"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // control: y = x + 100 (the common trend); treated: y = x + 100 + 40
+    // (the effect) - DiD must recover exactly 40 cents = 0.40
+    val panel = (1L to 8L).map { u =>
+      val x = 100L + u * 10
+      val lift = if (arms(u)) 0L else 40L
+      (u, x, x + 100L + lift)
+    }.toDF("user_id", "x", "y")
+    val out = StreamQueries.didVerdictFromUsers(panel).head()
+    val nC = arms.values.count(identity).toLong
+    assert(out.getLong(0) === nC && out.getLong(1) === 8 - nC)
+    assert(out.getDouble(6) === 0.4) // did, exact: constant d per arm
+    // constant per-arm differences -> zero variance -> guarded z NULL
+    assert(out.isNullAt(7))
+    // jittered differences give a finite z, hand-checked
+    val jit = (1L to 8L).map { u =>
+      val x = 100L + u * 10
+      val lift = if (arms(u)) 0L else 40L
+      (u, x, x + 100L + lift + (u % 3) * 6L) // jitter both arms
+    }.toDF("user_id", "x", "y")
+    val o2 = StreamQueries.didVerdictFromUsers(jit).head()
+    val ds = (1L to 8L).map(u => (arms(u), 100.0 + (u % 3) * 6 +
+      (if (arms(u)) 0 else 40)))
+    def stats(c: Boolean) = {
+      val v = ds.filter(_._1 == c).map(_._2)
+      val m = v.sum / v.size
+      (m, v.map(d => d * d).sum / v.size - m * m, v.size)
+    }
+    val (mc, vc, ncnt) = stats(true)
+    val (mt, vt, ntk) = stats(false)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(o2.getDouble(6) === q6((mt - mc) / 100.0))
+    assert(o2.getDouble(7) ===
+      q6((mt - mc) / math.sqrt(vt / ntk + vc / ncnt)))
+    // one-arm degenerate: every division NULL-guarded, nothing throws
+    val solo = Seq((2L, 10L, 30L)).toDF("user_id", "x", "y")
+    val o3 = StreamQueries.didVerdictFromUsers(solo).head()
+    assert(o3.getLong(0) + o3.getLong(1) === 1L)
+    assert(o3.isNullAt(6) && o3.isNullAt(7))
+  }
+
   test("privacy_dp_accounting: hand ledger - exact integer budgets, " +
     "the advanced-composition formula to the published statement, and " +
     "the sqrt-vs-linear crossover at exactly k = 29") {
