@@ -118,6 +118,7 @@ class PlanSpec extends GraftSuite {
     "retrieval_prf_expansion",  // 1-row corpus-stats scalar ×2 score
                                 // stages (the X184 nest, twice)
     "events_cuped",             // 1-row time-range anchor scalar
+    "events_did",               // the same anchor scalar (shared panel)
     "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row
                                 // totals/max scalars over QI cells
     "stream_t_closeness",       // same nests over the folded cell state
