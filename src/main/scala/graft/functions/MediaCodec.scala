@@ -279,8 +279,16 @@ object MediaCodec {
       pos += 12 + len
     }
     if (pos != blob.length) return None
-    val expected = h.toLong * (w + 1)
-    if (expected > Int.MaxValue) return None
+    // Long-domain raster size (advice r16: Int `w + 1` overflowed for
+    // w = Int.MaxValue — the negative product passed the range check
+    // and the allocation threw out of the None contract), and a
+    // plausibility cap BEFORE allocating: deflate expands at most
+    // 1032:1 (the zlib stored-block floor), so a tiny blob declaring a
+    // multi-GB raster is rejected without touching the allocator —
+    // an adversarial CRC-valid header must yield None, never OOM.
+    val expected = h.toLong * (w.toLong + 1L)
+    if (expected > Int.MaxValue ||
+      expected > 1032L * idat.size.toLong + 4096L) return None
     val raw = new Array[Byte](expected.toInt)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)

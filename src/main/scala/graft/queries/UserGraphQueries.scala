@@ -1612,21 +1612,27 @@ object UserGraphQueries {
   }
 
   /** X188 — graph_leiden_audit: the per-phase progress certificate for
-    * the X182 pipeline (the X148 rider applied to Leiden): for pass 0
-    * (singletons), pass 1 (the move-phase partition P), pass 2 (the
-    * REFINED partition — every P community split into its connected
-    * parts) and pass 3 (the final aggregate-move partition), the
-    * community count and exact q_num. The sequence is monotone
-    * NON-DECREASING throughout, and the pass-1→2 step is the
-    * non-obvious rung: splitting a community into its connected parts
-    * leaves in(C) untouched (the parts are disconnected — no intra
-    * edges cross them) while Σtot² strictly drops whenever a split
-    * fires, so REFINEMENT NEVER COSTS MODULARITY — the structural
-    * reason Leiden can afford its connectivity guarantee (spec-pinned
-    * on the hand graph where the split fires: q 0 → 8; the gate
-    * fixture pins the zero-split certificate rows at every SF). One
-    * row per pass; the 1-row-frame crossJoins per pass are declared in
-    * PlanSpec's allowlist.
+    * the X182 pipeline (the X148 rider applied to Leiden), SIX passes
+    * since round 16's multi-level descent: pass 0 (singletons), pass 1
+    * (the move-phase partition P), then two passes per materialized
+    * level — pass 2 (level 1 REFINED: every P community split into its
+    * connected parts) / pass 3 (level 1 final aggregate-move), pass 4
+    * (level 2 refined) / pass 5 (level 2 final) — community count and
+    * exact q_num per pass. The sequence is monotone NON-DECREASING
+    * throughout both levels: every even→odd rung is a move phase
+    * (strictly-positive gains only), and every odd→even rung is a
+    * refine — splitting a community into its connected parts leaves
+    * in(C) untouched (the parts are disconnected — no intra edges
+    * cross them) while Σtot² strictly drops whenever a split fires, so
+    * REFINEMENT NEVER COSTS MODULARITY, the structural reason Leiden
+    * can afford its connectivity guarantee (spec-pinned on the hand
+    * graph where the split fires: q 0 → 8, and on the multi-level hand
+    * graph's full 6-pass ladder; the gate fixture pins the zero-split
+    * certificate rows at every SF). sf0.1 certificate: pass 3 = 12
+    * communities / q_num 2 104 999 440 → pass 5 = 11 / 2 108 848 428
+    * (the level-2 whole-community merge). One row per pass; the
+    * 1-row-frame crossJoins per pass are declared in PlanSpec's
+    * allowlist.
     */
   private def graphLeidenAudit(s: SparkSession, dir: String): DataFrame = {
     val (lab1, _) = louvFrames(s, dir)
@@ -1921,10 +1927,17 @@ object UserGraphQueries {
   /** Oracle unroll / engine guard for the LEVEL-2 aggregate-move loop
     * (round 16 multi-level outer loop): measured by
     * tools/sim_leiden_multilevel.py — 0 productive rounds at
-    * sf0.001/0.01, exactly 1 at sf0.1 (the level that repairs 11 → 10
-    * communities); 6 covers with margin, extra unrolled rounds are
-    * no-ops, and the engine fails loudly past the unroll (or past a
-    * moving level 3).
+    * sf0.001/0.01, exactly 1 at sf0.1 (the level that merges two
+    * communities whole, 12 → 11 in the engine's gate-certified audit);
+    * 6 covers with margin, extra unrolled rounds are no-ops, and the
+    * engine fails loudly past the unroll (or past a moving level 3).
+    * The sim is the DEPTH instrument, not the value oracle: its
+    * standalone python pipeline lands different absolute counts/q_num
+    * (11 → 10) than the engine, but its per-level productive-round
+    * counts (1 at level 2, 0 at level 3) match the engine's audit
+    * (pass 4 → 5 applies exactly one move event) — the caps derive
+    * from the depths, the VALUES are pinned by the CTE oracle hash
+    * gate (advice r16: the engine/SURVEY numbers are authoritative).
     */
   private val Leiden2MvRounds = 6
 
@@ -2048,8 +2061,9 @@ object UserGraphQueries {
     * Exactly TWO transforming levels are materialized and returned —
     * the measured drain depth of every fixture (sim_leiden_multilevel:
     * level 2 applies 0 moves at sf0.001/0.01 and exactly 1 move at
-    * sf0.1, repairing 11 → 10 communities with q_num 1 918 276 910 →
-    * 1 920 071 718; level 3 applies 0 everywhere) — and the oracle
+    * sf0.1 — in the engine's gate-certified audit that move merges two
+    * communities whole, 12 → 11, q_num 2 104 999 440 → 2 108 848 428;
+    * level 3 applies 0 everywhere) — and the oracle
     * unrolls the same two levels. When level 2 DOES move, level 3 runs
     * as the drained PROBE (refine + contract + one candidate round)
     * and the engine fails loudly if it still moves — the same

@@ -169,6 +169,21 @@ class MediaCodecSpec extends GraftSuite {
     ByteBuffer.wrap(tall).order(ByteOrder.BIG_ENDIAN).putInt(20,
       ByteBuffer.wrap(tall).order(ByteOrder.BIG_ENDIAN).getInt(20) + 1)
     assert(MediaCodec.decode(restamp(tall)) === None)
+    // adversarial CRC-valid headers (advice r16): w = Int.MaxValue made
+    // the Int raster product negative (passed the > MaxValue check, the
+    // allocation threw NegativeArraySizeException out of the None
+    // contract) — must be a clean None now...
+    val wide = png
+    ByteBuffer.wrap(wide).order(ByteOrder.BIG_ENDIAN)
+      .putInt(16, Int.MaxValue)
+    assert(MediaCodec.decode(restamp(wide)) === None)
+    // ...and a tiny blob declaring a ~2 GB raster (w·h within Int range
+    // but wildly beyond what its IDAT could inflate to) is rejected by
+    // the 1032:1 deflate plausibility cap BEFORE any allocation.
+    val huge = png
+    ByteBuffer.wrap(huge).order(ByteOrder.BIG_ENDIAN)
+      .putInt(16, 40000).putInt(20, 40000)
+    assert(MediaCodec.decode(restamp(huge)) === None)
   }
 
   test("multimodal_features end-to-end: corrupt subsets are exactly the " +
