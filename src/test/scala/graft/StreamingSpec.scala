@@ -1267,9 +1267,18 @@ class StreamingSpec extends GraftSuite {
       }.toSeq
     def mkDf(p: Seq[(Long, Timestamp, Long, String, Double)]) =
       p.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // stream_did rides the SAME maintainer state (round 17): its 8-col
+    // 1-row readout snapshots with the same boxed-null discipline.
+    def snapD(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map { r =>
+        def d(i: Int): Option[Double] =
+          if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        (r.getLong(0), r.getLong(1), d(2), d(3), d(4), d(5), d(6), d(7))
+      }.toSeq
     def oneShot(p: Seq[(Long, Timestamp, Long, String, Double)]) = {
       val u = StreamQueries.cupedUsersOf(mkDf(p), Some(anchorUs))
-      (snapU(u), snapV(StreamQueries.cupedVerdictFromUsers(u)))
+      (snapU(u), snapV(StreamQueries.cupedVerdictFromUsers(u)),
+        snapD(StreamQueries.didVerdictFromUsers(u)))
     }
     val m = new Streams.CupedMaintainer(spark, anchorUs)
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
@@ -1282,9 +1291,10 @@ class StreamingSpec extends GraftSuite {
         mem.addData(b: _*)
         q.processAllAvailable()
         seen ++= b
-        val (u, v) = oneShot(seen)
+        val (u, v, dd) = oneShot(seen)
         assert(snapU(m.current) === u)
         assert(snapV(m.verdict) === v)
+        assert(snapD(m.didVerdict) === dd)
       }
     } finally q.stop()
     // at-least-once replay of an applied epoch is a no-op (sums are
