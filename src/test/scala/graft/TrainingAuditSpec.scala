@@ -1637,6 +1637,46 @@ class TrainingAuditSpec extends GraftSuite {
     assert(adv(28) > 2.8 && adv(29) < 2.9 && adv(1) > 0.1)
   }
 
+  test("privacy_dp_zcdp: hand ledger - exact micro-rho, the Bun-Steinke " +
+    "conversion to the published statement, zCDP beats advanced at " +
+    "every k, and the basic crossover moves down to exactly k = 26") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // type A: 25 release days (below the zCDP-vs-basic crossover),
+    // B: 26 (at it), C: 1 (same-day events collapse to one release)
+    val rows =
+      (0 until 25).map(d => ("A", Timestamp.valueOf(
+        f"2024-01-${d + 1}%02d 03:00:00"))) ++
+      (0 until 26).map(d => ("B", Timestamp.valueOf(
+        f"2024-02-${d + 1}%02d 03:00:00"))) ++
+      Seq(("C", Timestamp.valueOf("2024-03-01 03:00:00")),
+        ("C", Timestamp.valueOf("2024-03-01 17:00:00")))
+    val ev = rows.toDF("event_type", "ts")
+    val out = queries.FeatureQueries.dpZcdpOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7)))
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // the published chains, recomputed from first principles:
+    // rho = k*eps0^2/2; eps = rho + 2*sqrt(rho*ln(1/delta'))  (BS16 1.3)
+    def zc(k: Long): Double = q6(k.toDouble * 0.005 +
+      2.0 * math.sqrt(k.toDouble * 0.005 * math.log(1e5)))
+    def adv(k: Long): Double = q6(
+      0.1 * math.sqrt(k.toDouble * 2.0 * math.log(1e5)) +
+        k.toDouble * 0.1 * (math.exp(0.1) - 1.0))
+    assert(out.toSeq === Seq(
+      ("A", 25L, 125000L, zc(25), adv(25), 35000L, true, false),
+      ("B", 26L, 130000L, zc(26), adv(26), 36000L, true, true),
+      ("C", 1L, 5000L, zc(1), adv(1), 11000L, true, false)))
+    // zCDP's linear term k*eps0^2/2 is strictly below advanced's
+    // k*eps0*(e^eps0 - 1) while the sqrt terms are IDENTICAL - so the
+    // tightening is uniform in k (checked at both ends of the ledger)...
+    assert(zc(1) < adv(1) && zc(26) < adv(26))
+    // ...and the basic crossover lands at 26, three earlier than
+    // advanced's 29 (A at 25 still loses to eps = k*eps0)
+    assert(zc(25) > 2.5 && zc(26) < 2.6)
+  }
+
   test("privacy_t_closeness: hand classes - exact TV distance in ppm, " +
     "missing segment cells still count, every row carries the max " +
     "verdict") {
