@@ -488,6 +488,47 @@ class GUserSpec extends GraftSuite {
       (7L, 2L, true), (8L, 1L, true)))
   }
 
+  test("graph_tip_decompose: hand bipartite graph — level-4 peel " +
+    "cascade, ladder monotonicity, pairless vertex at 0") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Left a=1 b=2 c=3 d=4 e=5; rights 100+. Pair weights by shared
+    // rights: (a,b) w=3 -> bf=3; (b,c) w=3 -> bf=3; (c,d) w=4 -> bf=6.
+    // Supports: b(a)=3, b(b)=6, b(c)=9, b(d)=6, b(e)=0 (one pairless
+    // edge). Level 1: e dies round 1. Level 4 CASCADE: a (3<4) dies
+    // round 1; b drops to 3, dies round 2; c holds at 6 >= 4 — the
+    // right-mediated invariance (c's (c,d) weight is untouched by the
+    // peel above it). Level 16: the {c,d} survivors hold b=6 each and
+    // both die round 1. Expected tipness: a,b -> 1; c,d -> 4; e -> 0.
+    val ab = (0 until 3).flatMap(i => Seq((1L, 100L + i), (2L, 100L + i)))
+    val bc = (0 until 3).flatMap(i => Seq((2L, 200L + i), (3L, 200L + i)))
+    val cd = (0 until 4).flatMap(i => Seq((3L, 300L + i), (4L, 300L + i)))
+    val e = Seq((5L, 400L))
+    val edges = (ab ++ bc ++ cd ++ e).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.tipDecomposeOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, 1L, true), (2L, 1L, true),
+      (3L, 4L, true), (4L, 4L, true), (5L, 0L, true)))
+  }
+
+  test("graph_tip_decompose: the right-side fan cap excludes hub-" +
+    "mediated wedges exactly (the MaxCustFan discipline at toy scale)") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Lefts 1..4 all share hub right 99 (fan 4 > cap 2): uncapped they
+    // would form C(4,2) pairs of weight >= 1. The only capped wedges
+    // run through rights 100..103, shared by (1,2) with w=4 -> bf=6.
+    val hub = (1L to 4L).map(u => (u, 99L))
+    val ok = (0 until 4).flatMap(i => Seq((1L, 100L + i), (2L, 100L + i)))
+    val edges = (hub ++ ok).toDF("u", "v").repartition(2)
+    val out = UserGraphQueries.tipDecomposeOf(edges, fanCap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // 1 and 2 survive k=4 on the capped frame (bf=6 >= 4, < 16);
+    // 3 and 4 lose every wedge to the cap -> tipness 0
+    assert(out.toSeq === Seq((1L, 4L, true), (2L, 4L, true),
+      (3L, 0L, true), (4L, 0L, true)))
+  }
+
   test("graph_coreness: coreness >= K agrees with the K-core peel on " +
     "the zipf tier; invariant under partitioning") {
     import spark.implicits._
