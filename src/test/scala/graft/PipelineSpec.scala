@@ -30,6 +30,68 @@ class PipelineSpec extends GraftSuite {
       c.map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("shard_pack_tar: container manifest is invariant under input " +
+    "partitioning and matches a local tar model byte-for-byte") {
+    import graft.functions.TarCodec
+    val a = PipelineQueries.shardPackTarOf(spark, docs(1)).collect()
+    val b = PipelineQueries.shardPackTarOf(spark, docs(13)).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // Local model: pack the same docs with the same assignment rule,
+    // encode locally, and recompute every manifest column from bytes.
+    val local = PipelineQueries.shardPackOf(spark, docs(3))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val texts = (0L until 200L).map { i =>
+      i -> Seq.fill((i % 50).toInt + 1)("w" + (i % 7)).mkString(" ")
+    }.toMap
+    val expected = local.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (shard, ds) =>
+        val blob = TarCodec.encode(ds.map(_._1).sorted.map(id =>
+          s"$id.txt" -> texts(id).getBytes("UTF-8")))
+        val ms = TarCodec.decode(blob).toOption.get
+        Seq(shard, ms.size.toLong, ds.map(_._1).min, ds.map(_._1).max,
+          blob.length.toLong, blob.map(_ & 0xff).map(_.toLong).sum,
+          ms.map(_.offset).sum)
+    }
+    assert(a.map(_.toSeq).toSeq === expected)
+  }
+
+  test("shard_tar_audit: member walk matches the layout plan; corrupt " +
+    "subsets fail with their own measured class") {
+    import spark.implicits._
+    // bigger fixture than docs(): ~15k tokens -> 16 shards, so both
+    // corrupt classes (shard % 13 = 5 and 7) occur
+    val big = (0L until 600L).map { i =>
+      (i, Seq.fill((i % 50).toInt + 1)("w" + (i % 7)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(5)
+    val rows = PipelineQueries.shardTarAuditOf(spark, big).collect()
+    val byShard = rows.groupBy(_.getLong(0))
+    byShard.foreach { case (shard, rs) =>
+      if (shard % 13 == 5) {
+        assert(rs.length === 1 && !rs.head.getBoolean(1))
+        assert(rs.head.getString(2) === "bad_magic")
+        assert(rs.head.getLong(3) === -1L && rs.head.isNullAt(4))
+      } else if (shard % 13 == 7) {
+        assert(rs.length === 1 && !rs.head.getBoolean(1))
+        assert(rs.head.getString(2) === "bad_checksum")
+      } else {
+        // valid shards: contiguous member_idx, doc-order offsets that
+        // advance by exactly the member's block footprint
+        val sorted = rs.sortBy(_.getLong(3))
+        assert(sorted.map(_.getLong(3)).toSeq === sorted.indices.map(_.toLong))
+        sorted.zip(sorted.drop(1)).foreach { case (m, n) =>
+          val blocks = 1 + (m.getLong(6) + 511) / 512
+          assert(n.getLong(5) === m.getLong(5) + 512 * blocks)
+          assert(m.getLong(4) < n.getLong(4)) // doc order
+        }
+        assert(sorted.head.getLong(5) === 0L)
+        assert(rs.forall(r => r.getBoolean(1) && r.getString(2) == "ok"))
+      }
+    }
+    // both corrupt classes actually occur on this fixture
+    assert(byShard.keys.exists(_ % 13 == 5))
+    assert(byShard.keys.exists(_ % 13 == 7))
+  }
+
   test("corpus_pack_sequences: invariant under partitioning; exact " +
     "local concat-and-chunk model") {
     val a = PipelineQueries.packSequencesOf(spark, docs(1)).collect().toSeq
