@@ -254,7 +254,7 @@ object TextQueries {
       .orderBy(col("term"), col("rk"))
   }
 
-  private val retrievalPrfSql = {
+  private[graft] val retrievalPrfSql = {
     val msc = "CAST(FLOOR(" +
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) " +
       "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * " +

@@ -94,4 +94,42 @@ class RrfSpec extends GraftSuite {
     assert(got.exists(r => r.isNullAt(r.fieldIndex("lex_rk"))) ||
       got.exists(r => r.isNullAt(r.fieldIndex("dense_rk"))))
   }
+  test("retrieval_eval_hybrid on the live sf0.001 fixture: structural " +
+    "lexical saturation, fusion lifts the dense arm, exact integer " +
+    "metric arithmetic") {
+    import graft.sources.Tables
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
+    val rows = SimQueries.evalHybridOf(docs, e).collect()
+    val arms = Seq("bm25", "dense", "prf", "rrf")
+    // shape: 4 arms x (4 per-query rows + 1 summary row)
+    assert(rows.length === 20)
+    val summary = rows.filter(_.getLong(1) == -1L)
+      .map(r => r.getString(0) -> r).toMap
+    assert(summary.keySet === arms.toSet)
+    // STRUCTURAL: every BM25-retrieved doc contains its query term, so
+    // the lexical arm saturates hits@k and its first hit is rank 1
+    // (the known-item-evaluation ceiling the scaladoc documents).
+    assert(summary("bm25").getLong(4) === 40L)   // hits = k * nq
+    assert(summary("bm25").getLong(6) === 1000000L) // mrr_micro
+    // MEASURED fusion benefit (sf0.001/0.01/0.1 receipts in scaladoc):
+    // fusing the arms strictly lifts the dense side and never costs it
+    assert(summary("rrf").getLong(5) > summary("dense").getLong(5))
+    assert(summary("rrf").getLong(6) >= summary("dense").getLong(6))
+    // exact integer metric arithmetic on every row
+    rows.filter(_.getLong(1) >= 0).foreach { r =>
+      assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(3))
+      assert(r.getLong(4) <= 10L && r.getLong(3) > 0L)
+    }
+    // per-arm summary totals fold their per-query rows exactly
+    arms.foreach { a =>
+      val det = rows.filter(r => r.getString(0) == a && r.getLong(1) >= 0)
+      assert(summary(a).getLong(4) === det.map(_.getLong(4)).sum)
+      assert(summary(a).getLong(3) === det.map(_.getLong(3)).sum)
+      assert(summary(a).getLong(6) ===
+        det.map(_.getLong(6)).sum / det.length)
+    }
+  }
 }
