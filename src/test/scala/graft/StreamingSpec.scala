@@ -1307,4 +1307,104 @@ class StreamingSpec extends GraftSuite {
     assert(snapU(r.current) === once)
     assert(once === oneShot(evs.take(30))._1)
   }
+  test("stream_asof: AsofMaintainer enrichment equals the one-shot " +
+    "as-of after every time-ordered micro-batch; late clicks diverge " +
+    "exactly as documented; replay guard is load-bearing for the " +
+    "append, not the register") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // 4 users; clicks C and purchases P interleaved. Times in seconds.
+    // user 1: C@10(id 101), P@20(id 201), C@30(id 102), P@40(id 202)
+    // user 2: P@15(id 203, no prior click), C@25(id 103), P@100(id 204)
+    // user 3: C@50(id 104), C@50(id 105, same ts - higher id wins),
+    //         P@50(id 205, same-ts inclusive match -> 105)
+    // user 4: clicks only, never enriched
+    val evs = Seq(
+      (101L, 10L, 1L, "click"), (201L, 20L, 1L, "purchase"),
+      (102L, 30L, 1L, "click"), (202L, 40L, 1L, "purchase"),
+      (203L, 15L, 2L, "purchase"), (103L, 25L, 2L, "click"),
+      (204L, 100L, 2L, "purchase"),
+      (104L, 50L, 3L, "click"), (105L, 50L, 3L, "click"),
+      (205L, 50L, 3L, "purchase"),
+      (106L, 5L, 4L, "click"))
+    // local hand model of the X24 left as-of join over a prefix
+    def model(prefix: Seq[(Long, Long, Long, String)]) = prefix
+      .filter(_._4 == "purchase").map { case (pid, pts, u, _) =>
+        val cands = prefix.filter(e => e._4 == "click" && e._3 == u &&
+          e._2 <= pts)
+        if (cands.isEmpty) (pid, u, None: Option[Long], None: Option[Long])
+        else {
+          val c = cands.maxBy(e => (e._2, e._1))
+          (pid, u, Some(c._1), Some((pts - c._2) * 1000000L))
+        }
+      }.sortBy(_._1)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSeq
+    def mkDf(p: Seq[(Long, Long, Long, String)]) = p
+      .map(e => (e._1, new Timestamp(e._2 * 1000L), e._3, e._4))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // time-ordered batches (the watermark contract the oracle fold uses)
+    val ordered = evs.sortBy(e => (e._2, e._1))
+    val m = new Streams.AsofMaintainer(spark)
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.asofMaintainStream(mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type"), m).start()
+    try {
+      var seen = Seq.empty[(Long, Long, Long, String)]
+      for (b <- ordered.grouped(3)) {
+        mem.addData(b.map(e =>
+          (e._1, new Timestamp(e._2 * 1000L), e._3, e._4)): _*)
+        q.processAllAvailable()
+        seen ++= b
+        assert(snap(m.current) === model(seen))
+      }
+    } finally q.stop()
+    // same-ts inclusive semantics really picked click 105 for P205
+    assert(snap(m.current).find(_._1 == 205L).get._3 === Some(105L))
+
+    // LATE CLICK: a click older than an already-enriched purchase must
+    // NOT retroactively re-enrich it (immutable append), but must still
+    // max-merge into the register only if newer than the current one.
+    val m2 = new Streams.AsofMaintainer(spark)
+    m2.applyBatch(mkDf(Seq((101L, 10L, 1L, "click"),
+      (201L, 20L, 1L, "purchase")))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type")))
+    val before = snap(m2.current)
+    assert(before === Seq((201L, 1L, Some(101L), Some(10L * 1000000L))))
+    // late click id 107 @15s: newer than register click 101@10s
+    m2.applyBatch(mkDf(Seq((107L, 15L, 1L, "click")))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type")))
+    assert(snap(m2.current) === before) // purchase NOT re-enriched...
+    val reg = m2.latestClicks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(reg === Seq((1L, 15L * 1000000L, 107L))) // ...register moved
+    // ...and the one-shot over all 3 events WOULD differ (the honest
+    // divergence: batch as-of matches the late click)
+    assert(model(Seq((101L, 10L, 1L, "click"), (201L, 20L, 1L, "purchase"),
+      (107L, 15L, 1L, "click"))) ===
+      Seq((201L, 1L, Some(107L), Some(5L * 1000000L))))
+
+    // REPLAY GUARD asymmetry: guarded replay is a no-op; bypassing the
+    // guard double-appends the output while the register (idempotent
+    // max) is unchanged.
+    val m3 = new Streams.AsofMaintainer(spark)
+    val b0 = mkDf(evs.take(4))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+    m3.applyBatch(b0, batchId = 0L)
+    val once = snap(m3.current)
+    val regOnce = m3.latestClicks.collect().map(_.toSeq).toSeq
+    m3.applyBatch(b0, batchId = 0L) // guarded: no-op
+    assert(snap(m3.current) === once)
+    m3.applyBatch(b0) // guard bypassed: the append doubles...
+    assert(m3.current.count() === 2L * once.length)
+    // ...but the register max-merge is idempotent
+    assert(m3.latestClicks.collect().map(_.toSeq).toSeq === regOnce)
+  }
 }
