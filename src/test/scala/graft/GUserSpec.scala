@@ -529,6 +529,57 @@ class GUserSpec extends GraftSuite {
       (3L, 0L, true), (4L, 0L, true)))
   }
 
+  test("graph_wing_decompose: hand bipartite graph — edge-peel " +
+    "cascade at k=4, re-projection after removals, pairless edge at 0") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // x1, x2 share w1..w4 (n_shared 4); x3 shares w1, w2 with both.
+    // Supports: (x1,w1)=(x1,w2)=(x2,w1)=(x2,w2)= 3+1 = 4;
+    // (x1,w3)=(x1,w4)=(x2,w3)=(x2,w4)= 3; (x3,w1)=(x3,w2)= 1+1 = 2.
+    // k=1: all survive (every support >= 1) — one confirming round.
+    // k=4 CASCADE: round 1 kills the four support-3 edges and both x3
+    // edges; removal drops n_shared(x1,x2) to 2, so the four
+    // survivors RE-PROJECT to support 1 and die in round 2 — the
+    // edge-peel mutates wedge weights, the exact property that
+    // distinguishes wing from tip. x4, x5 share w10..w16 (7 rights):
+    // supports 6 — survive k=4 untouched, die at k=16.
+    // x6-w99 closes no butterfly: wingness 0.
+    val sq = (1 to 4).flatMap(i => Seq((1L, 10L + i), (2L, 10L + i)))
+    val x3 = Seq((3L, 11L), (3L, 12L))
+    val cl = (0 until 7).flatMap(i => Seq((4L, 100L + i), (5L, 100L + i)))
+    val pend = Seq((6L, 99L))
+    val edges = (sq ++ x3 ++ cl ++ pend).toDF("u", "v").repartition(3)
+    val out = UserGraphQueries.wingDecomposeOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val expected = (
+      sq.map { case (u, v) => (u, v, 1L, true) } ++
+      x3.map { case (u, v) => (u, v, 1L, true) } ++
+      cl.map { case (u, v) => (u, v, 4L, true) } ++
+      pend.map { case (u, v) => (u, v, 0L, true) })
+      .sortBy(t => (t._1, t._2))
+    assert(out === expected)
+  }
+
+  test("graph_wing_decompose: the right-side fan cap excludes " +
+    "hub-mediated butterflies exactly") {
+    import spark.implicits._
+    import graft.queries.UserGraphQueries
+    // Lefts 1..4 all share hub 99 (fan 4 > cap 2) — uncapped, every
+    // edge pair through the hub would close butterflies with the
+    // rights 100..102 wedges. Capped, only (1,2) via rights 100..102
+    // survive: supports 2 each (n_shared 3 - 1), so they hold k=1
+    // (and die at k=4); hub edges leave the frame entirely.
+    val hub = (1L to 4L).map(u => (u, 99L))
+    val ok = (0 until 3).flatMap(i => Seq((1L, 100L + i), (2L, 100L + i)))
+    val edges = (hub ++ ok).toDF("u", "v").repartition(2)
+    val out = UserGraphQueries.wingDecomposeOf(edges, fanCap = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(out === ok.map { case (u, v) => (u, v, 1L, true) }
+      .sortBy(t => (t._1, t._2)))
+  }
+
   test("graph_coreness: coreness >= K agrees with the K-core peel on " +
     "the zipf tier; invariant under partitioning") {
     import spark.implicits._
