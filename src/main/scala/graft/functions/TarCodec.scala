@@ -104,6 +104,50 @@ object TarCodec {
     out // trailing 1024 bytes stay zero = the terminator
   }
 
+  /** Gzip one shard container (java.util.zip — the same zero-new-deps
+    * stance as [[MediaCodec]]'s PNG deflate). Java's GZIPOutputStream
+    * writes MTIME = 0 and fixed flags, so the compressed bytes are a
+    * deterministic function of the tar bytes (probed at landing:
+    * header 1f 8b 08 00 00 00 00 00 00 ff, byte-identical across
+    * invocations) — required for the `shard_pack_tgz` fixture to be
+    * reproducible even though the LENGTH of the deflate stream stays
+    * oracle-unpredictable (the PNG n_bytes lesson: that column is
+    * omitted, not NULL-escaped, because unlike PNG no row class could
+    * anchor it).
+    */
+  def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data)
+    g.close()
+    bos.toByteArray
+  }
+
+  /** Strict gunzip with a measured failure class: `bad_magic` when the
+    * member does not sniff as gzip (1f 8b, deflate method 8) —
+    * the sniff-path audit — and `bad_gzip` for any failure inside the
+    * stream (corrupt deflate data, CRC-32 mismatch, truncation): the
+    * checksum-path audit, exercised by the `shard % 11 == 7` corrupt
+    * subset whose flipped deflate byte leaves the header intact.
+    */
+  def gunzip(blob: Array[Byte]): Either[String, Array[Byte]] = {
+    if (blob.length < 18 || blob(0) != 0x1f.toByte ||
+        blob(1) != 0x8b.toByte || blob(2) != 8)
+      return Left("bad_magic")
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val out = new java.io.ByteArrayOutputStream(blob.length * 3)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Right(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => Left("bad_gzip")
+    }
+  }
+
   private def isZeroBlock(b: Array[Byte], at: Int): Boolean = {
     var i = at
     while (i < at + BlockSize) { if (b(i) != 0) return false; i += 1 }

@@ -380,6 +380,82 @@ object PipelineQueries {
        |  FROM tmb WHERE shard % 13 IN (5, 7))
        |ORDER BY shard, member_idx""".stripMargin
 
+  /** X208 — shard_pack_tgz: the COMPRESSED shard container — gzip'd
+    * WebDataset shards (`.tar.gz`, the layout most production corpora
+    * actually ship) with the gunzip → strict-tar-walk audit in ONE
+    * key. Each X203 archive is compressed with the deterministic
+    * [[graft.functions.TarCodec.gzip]]; two deterministic corrupt
+    * subsets exercise both failure paths — `shard % 11 == 3` gets its
+    * gzip magic overwritten (sniff path) and `shard % 11 == 7` one
+    * deflate-stream byte flipped (the header still sniffs; inflate /
+    * CRC-32 rejects — the entropy-coded checksum path, the PNG IDAT
+    * discipline applied to the OUTPUT container). Valid shards
+    * publish the manifest MEASURED from the round-tripped bytes
+    * (gunzip output walked by the strict decoder): member count,
+    * first/last doc, decompressed tar_bytes, whole-tar byte_sum,
+    * position-weighted offset_sum — all oracle-predicted in pure SQL
+    * from the documents table (the X203 `tarMemberCte` verbatim — a
+    * single bit of deflate corruption flips gz_ok instead). The
+    * compressed LENGTH is deliberately NOT a column: it is
+    * deflate-output-dependent (the PNG n_bytes lesson), and with no
+    * uncompressed row class to anchor the column it is omitted, not
+    * NULL-escaped.
+    *
+    * Scale: identical to X203/X204 — the blob lives and dies in its
+    * builder task (gzip adds one streaming pass per shard); only
+    * fixed-width manifest rows cross the final sort.
+    */
+  private def shardPackTgz(s: SparkSession, dir: String): DataFrame =
+    shardPackTgzOf(s, Tables(s, dir, "documents"))
+
+  /** Testable seam for [[shardPackTgz]]: explicit documents frame. */
+  private[graft] def shardPackTgzOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    shardTarsOf(s, docs).map { case (shard, tar) =>
+      val gz = TarCodec.gzip(tar)
+      if (shard % 11 == 3) { gz(0) = 'X'.toByte }
+      else if (shard % 11 == 7) { gz(12) = (gz(12) ^ 0x5a).toByte }
+      TarCodec.gunzip(gz).flatMap(t => TarCodec.decode(t).map(t -> _))
+        match {
+        case Right((t, ms)) =>
+          var bsum = 0L
+          var i = 0
+          while (i < t.length) { bsum += t(i) & 0xff; i += 1 }
+          val ids = ms.map(m => m.name.stripSuffix(".txt").toLong)
+          (shard, true, "ok", Some(ms.size.toLong), Some(ids.min),
+            Some(ids.max), Some(t.length.toLong), Some(bsum),
+            Some(ms.map(_.offset).sum))
+        case Left(reason) =>
+          (shard, false, reason, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long])
+      }
+    }.toDF("shard", "gz_ok", "reason", "n_members", "first_doc",
+        "last_doc", "tar_bytes", "byte_sum", "offset_sum")
+      .orderBy(col("shard"))
+  }
+
+  private val shardPackTgzSql =
+    s"""WITH $tarMemberCte
+       |SELECT * FROM (
+       |  SELECT shard, TRUE AS gz_ok, 'ok' AS reason,
+       |    COUNT(*) AS n_members, MIN(doc_id) AS first_doc,
+       |    MAX(doc_id) AS last_doc,
+       |    CAST(SUM(block) + 1024 AS BIGINT) AS tar_bytes,
+       |    CAST(SUM(hdr_sum + csum) AS BIGINT) AS byte_sum,
+       |    CAST(SUM(moffset) AS BIGINT) AS offset_sum
+       |  FROM tmb WHERE shard % 11 NOT IN (3, 7) GROUP BY shard
+       |  UNION ALL
+       |  SELECT DISTINCT shard, FALSE AS gz_ok,
+       |    CASE WHEN shard % 11 = 3 THEN 'bad_magic'
+       |         ELSE 'bad_gzip' END AS reason,
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM tmb WHERE shard % 11 IN (3, 7))
+       |ORDER BY shard""".stripMargin
+
   /** stratified_sample percentage kept per language stratum; languages
     * outside the map keep [[DefaultRate]] %.
     */
@@ -1204,6 +1280,7 @@ object PipelineQueries {
     Q("shard_skew_report", shardSkewReport, Some(shardSkewReportSql)),
     Q("shard_pack_tar", shardPackTar, Some(shardPackTarSql)),
     Q("shard_tar_audit", shardTarAudit, Some(shardTarAuditSql)),
+    Q("shard_pack_tgz", shardPackTgz, Some(shardPackTgzSql)),
     Q("emb_quantize", embQuantize, Some(embQuantizeSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("doc_shuffle", docShuffle, Some(docShuffleSql)),

@@ -92,6 +92,35 @@ class PipelineSpec extends GraftSuite {
     assert(byShard.keys.exists(_ % 13 == 7))
   }
 
+  test("shard_pack_tgz: valid shards match the tar manifest exactly; " +
+    "both gzip corrupt classes occur and null their manifests") {
+    import spark.implicits._
+    val big = (0L until 600L).map { i =>
+      (i, Seq.fill((i % 50).toInt + 1)("w" + (i % 7)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+    val tgz = PipelineQueries.shardPackTgzOf(spark, big).collect()
+    val tar = PipelineQueries.shardPackTarOf(spark, big).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    tgz.foreach { r =>
+      val shard = r.getLong(0)
+      if (shard % 11 == 3) {
+        assert(!r.getBoolean(1) && r.getString(2) == "bad_magic" &&
+          r.isNullAt(3))
+      } else if (shard % 11 == 7) {
+        assert(!r.getBoolean(1) && r.getString(2) == "bad_gzip" &&
+          r.isNullAt(3))
+      } else {
+        // the gunzip round-trip reproduces the uncompressed manifest
+        val t = tar(shard)
+        assert(r.getBoolean(1) && r.getString(2) == "ok")
+        assert((3 to 8).map(r.getLong) ===
+          (1 to 6).map(t.getLong)) // n_members..offset_sum
+      }
+    }
+    assert(tgz.exists(_.getLong(0) % 11 == 3))
+    assert(tgz.exists(_.getLong(0) % 11 == 7))
+  }
+
   test("corpus_pack_sequences: invariant under partitioning; exact " +
     "local concat-and-chunk model") {
     val a = PipelineQueries.packSequencesOf(spark, docs(1)).collect().toSeq

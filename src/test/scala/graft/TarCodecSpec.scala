@@ -124,4 +124,23 @@ class TarCodecSpec extends GraftSuite {
     val ms = TarCodec.decode(blob).toOption.get
     assert(ms.map(m => (m.name, m.size.toInt)) === seen.result())
   }
+  test("gzip emits the deterministic Java header and round-trips " +
+    "byte-exactly; gunzip rejects both corrupt classes") {
+    val tar = TarCodec.encode(Seq("3.txt" -> ascii("shard payload")))
+    val gz = TarCodec.gzip(tar)
+    // deterministic fixed header: magic 1f 8b, deflate(8), no flags,
+    // MTIME = 0 (reproducibility anchor), XFL 0, OS ff
+    assert(gz.slice(0, 10).map(_ & 0xff).toSeq ===
+      Seq(0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0, 0xff))
+    assert(TarCodec.gzip(tar).toSeq === gz.toSeq) // byte-stable
+    assert(TarCodec.gunzip(gz).toOption.get.toSeq === tar.toSeq)
+    // sniff path: magic byte
+    val m = gz.clone(); m(0) = 'X'.toByte
+    assert(TarCodec.gunzip(m) === Left("bad_magic"))
+    // checksum path: deflate byte flip, header intact
+    val c = gz.clone(); c(12) = (c(12) ^ 0x5a).toByte
+    assert(TarCodec.gunzip(c) === Left("bad_gzip"))
+    // truncation is a stream failure too
+    assert(TarCodec.gunzip(gz.dropRight(6)) === Left("bad_gzip"))
+  }
 }
