@@ -2065,6 +2065,61 @@ object StreamQueries {
       |  CAST((tus - lo) * 4 // (hi - lo + 1) AS BIGINT) AS batch_idx
       |FROM w, anch WHERE side = 1 ORDER BY purchase_id""".stripMargin
 
+  /** X209 — stream_butterflies: the streaming-graph maintainer twin of
+    * the bipartite cohesion family (X195 counts, X202/X207 peel —
+    * round 17): [[graft.streaming.Streams.ButterflyMaintainer]] keeps
+    * the distinct bipartite edge set, per-right fans, and the
+    * fan-capped left-pair wedge weights, updated INCREMENTALLY per
+    * batch with RETRACTION when a right crosses the fan cap (the
+    * quadratic-hub discipline made streaming — see the X209 header in
+    * streaming/Streams.scala for the telescoping argument and the
+    * no-guard idempotence proof). Fold: the family's standard
+    * event_id % 4 micro-batches of zipf bipartite edges — the fold is
+    * batch-split-INDEPENDENT (final state = the capped one-shot over
+    * the distinct edge union), so the oracle is the never-batched
+    * capped SQL, 1-row readout: edge/right/cap census, ≤-cap wedge
+    * total, butterfly-closing pair count, exact Σ C(w,2) butterflies.
+    */
+  private def streamButterflies(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val m = new Streams.ButterflyMaintainer(s, UserGraphQueries.TipFanCap)
+    for (k <- 0 to 3)
+      m.applyBatch(UserGraphQueries.zipfDirectedEdgesOf(
+        ev.filter(col("event_id") % 4 === k)))
+    m.verdict
+  }
+
+  private val streamButterfliesSql = {
+    def h(tag: String) =
+      TextFns.stringHashSql(s"'$tag:' || CAST(event_id AS VARCHAR)")
+        .replace("\n", " ")
+    val kb = UserGraphQueries.KcBits
+    val cap = UserGraphQueries.TipFanCap
+    s"""WITH sbe AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT ${h("kcu")} % (CAST(1 AS BIGINT) << (${h("kcb")} % $kb)) AS u,
+       |           ${h("kcv")} % (CAST(1 AS BIGINT) << (${h("kcc")} % $kb)) AS v
+       |    FROM events) raw
+       |  WHERE u <> v),
+       |sbf AS MATERIALIZED (SELECT v, COUNT(*) AS fan FROM sbe GROUP BY v),
+       |sbcap AS (
+       |  SELECT e.u, e.v FROM sbe e JOIN sbf f ON f.v = e.v
+       |  WHERE f.fan <= $cap),
+       |sbp AS MATERIALIZED (
+       |  SELECT l.u AS x, r.u AS y, COUNT(*) AS w
+       |  FROM sbcap l JOIN sbcap r ON l.v = r.v AND l.u < r.u
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  (SELECT COUNT(*) FROM sbe) AS n_edges,
+       |  (SELECT COUNT(*) FROM sbf) AS n_rights,
+       |  (SELECT COUNT(*) FROM sbf WHERE fan > $cap) AS n_rights_capped,
+       |  (SELECT COALESCE(CAST(SUM(fan * (fan - 1) // 2) AS BIGINT), 0)
+       |   FROM sbf WHERE fan <= $cap) AS wedges,
+       |  (SELECT COUNT(*) FROM sbp WHERE w >= 2) AS n_pairs,
+       |  (SELECT COALESCE(CAST(SUM(w * (w - 1) // 2) AS BIGINT), 0)
+       |   FROM sbp) AS butterflies""".stripMargin
+  }
+
   private val eventsAbTestSql = {
     val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
       .replace("\n", " ")
@@ -2721,6 +2776,7 @@ object StreamQueries {
     Q("stream_cuped", streamCuped, Some(eventsCupedSql)),
     Q("stream_did", streamDid, Some(eventsDidSql)),
     Q("stream_asof", streamAsof, Some(streamAsofSql)),
+    Q("stream_butterflies", streamButterflies, Some(streamButterfliesSql)),
   )
 
 

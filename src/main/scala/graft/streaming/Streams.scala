@@ -1815,6 +1815,138 @@ object Streams {
     def latestClicks: DataFrame = state.orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // X209 — streaming butterfly counting with RETRACTION (round 17): the
+  // maintainer twin of the bipartite cohesion family (X195/X202/X207).
+  // State: the distinct bipartite edge set, per-right fan counts, and the
+  // fan-capped left-pair wedge weights. Per batch, NEW edges (anti-join
+  // vs the edge set — event multiplicity and fold order cannot
+  // double-count) contribute wedge increments right-by-right:
+  //   class A (fan stays ≤ cap): + old-adj × new + new × new pairs;
+  //   class B (fan CROSSES the cap this batch): RETRACT every pair the
+  //     right ever contributed (one self-join of its old adjacency, −1
+  //     per pair) and add nothing — the first retracting maintainer in
+  //     the family, the incremental-view-maintenance move a quadratic
+  //     hub term forces;
+  //   class C (already over cap): nothing (pairs already retracted).
+  // Final pair weights therefore equal the one-shot computation over
+  // rights whose FINAL fan is ≤ cap — the fold TELESCOPES under any
+  // batch split, which is exactly why the oracle can be the
+  // never-batched capped SQL.
+  //
+  // Replay guard: deliberately NONE (the CC/bitmap class, proven in
+  // the spec by replaying a batch): although increments and
+  // retractions are sums, every delta is driven EXCLUSIVELY by edges
+  // that survive the anti-join against the maintained edge set — a
+  // replayed batch contributes zero new edges, zero fan movement,
+  // zero class-A/B rights, and therefore zero pair delta. The
+  // distinct-edge-set anchor is what buys counter-shaped state
+  // idempotence here; any maintainer whose deltas are NOT gated on a
+  // set-membership anti-join must keep its guard (the MG/CDC lesson).
+  //
+  // Scale: state is |E| edges + |R| fans + |capped pairs| weights (the
+  // X202 pair-frame bound); per batch one anti-join, two keyed
+  // adjacency joins bounded by the batch's rights' capped fans, one
+  // pair-delta merge. The readout is a 1-row aggregate.
+  // ---------------------------------------------------------------------
+
+  /** X209 state + readout. `fanCap` mirrors the batch family's
+    * [[graft.queries.UserGraphQueries.TipFanCap]] discipline.
+    */
+  final class ButterflyMaintainer(s: org.apache.spark.sql.SparkSession,
+      private[graft] val fanCap: Long) {
+    @volatile private var edges: DataFrame = s.range(0)
+      .select(col("id").as("u"), col("id").as("v"))
+    @volatile private var fans: DataFrame = s.range(0)
+      .select(col("id").as("v"), col("id").as("fan"))
+    @volatile private var pairs: DataFrame = s.range(0)
+      .select(col("id").as("x"), col("id").as("y"), col("id").as("w"))
+
+    /** Fold one micro-batch of (u, v) bipartite edge observations. */
+    def applyBatch(batch: DataFrame): Unit =
+      synchronized {
+        val newE = batch.select(col("u"), col("v")).distinct()
+          .join(edges, Seq("u", "v"), "left_anti").localCheckpoint()
+        val adds = newE.groupBy(col("v")).agg(count(lit(1)).as("nadd"))
+        val fanNow = fans.join(adds, Seq("v"), "full_outer")
+          .select(col("v"),
+            coalesce(col("fan"), lit(0L)).as("fan_old"),
+            (coalesce(col("fan"), lit(0L)) +
+              coalesce(col("nadd"), lit(0L))).as("fan_new"))
+          .localCheckpoint()
+        // class A rights: wedges from old-adjacency × new + new × new
+        val aRights = fanNow
+          .filter(col("fan_new") <= fanCap && col("fan_old") < col("fan_new"))
+          .select(col("v"))
+        val newA = newE.join(aRights, Seq("v"), "left_semi")
+        val oldAdjA = edges.join(aRights, Seq("v"), "left_semi")
+        val wOldNew = oldAdjA.as("l").join(newA.as("r"),
+            col("l.v") === col("r.v"))
+          .select(least(col("l.u"), col("r.u")).as("x"),
+            greatest(col("l.u"), col("r.u")).as("y"))
+        val wNewNew = newA.as("l").join(newA.as("r"),
+            col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+          .select(col("l.u").as("x"), col("r.u").as("y"))
+        val inc = wOldNew.unionByName(wNewNew)
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("d"))
+        // class B rights: cap crossed — retract the old adjacency's pairs
+        val bRights = fanNow
+          .filter(col("fan_old") <= fanCap && col("fan_new") > fanCap)
+          .select(col("v"))
+        val oldAdjB = edges.join(bRights, Seq("v"), "left_semi")
+        val dec = oldAdjB.as("l").join(oldAdjB.as("r"),
+            col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+          .groupBy(col("l.u").as("x"), col("r.u").as("y"))
+          .agg((-count(lit(1))).as("d"))
+        val delta = inc.unionByName(dec)
+          .groupBy(col("x"), col("y")).agg(sum(col("d")).as("d"))
+        pairs = pairs.join(delta, Seq("x", "y"), "full_outer")
+          .select(col("x"), col("y"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("w"))
+          .filter(col("w") > 0)
+          .localCheckpoint()
+        edges = edges.unionByName(newE).localCheckpoint()
+        fans = fanNow.select(col("v"), col("fan_new").as("fan"))
+          .localCheckpoint()
+        ()
+      }
+
+    /** The 1-row live verdict: edge/right/cap census, wedge total over
+      * ≤-cap rights, pair count (w ≥ 2 — butterfly-closing pairs), and
+      * the exact butterfly total Σ C(w, 2).
+      */
+    def verdict: DataFrame = synchronized {
+      val census = edges.groupBy().agg(count(lit(1)).as("n_edges"))
+      val fanAgg = fans.groupBy().agg(
+        count(lit(1)).as("n_rights"),
+        sum(when(col("fan") > fanCap, 1L).otherwise(0L))
+          .as("n_rights_capped"),
+        sum(when(col("fan") <= fanCap,
+          expr("fan * (fan - 1) div 2")).otherwise(0L)).as("wedges"))
+      val pairAgg = pairs.groupBy().agg(
+        sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n_pairs"),
+        sum(expr("w * (w - 1) div 2")).as("butterflies"))
+      census.crossJoin(fanAgg).crossJoin(pairAgg)
+        .select(col("n_edges"),
+          coalesce(col("n_rights"), lit(0L)).as("n_rights"),
+          coalesce(col("n_rights_capped"), lit(0L)).as("n_rights_capped"),
+          coalesce(col("wedges"), lit(0L)).as("wedges"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("butterflies"), lit(0L)).as("butterflies"))
+    }
+  }
+
+  /** X209 — wire a bipartite edge stream to a [[ButterflyMaintainer]]
+    * via foreachBatch.
+    */
+  def butterflyMaintainStream(edges: DataFrame, m: ButterflyMaintainer):
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    edges.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => m.applyBatch(batch)
+    }
+
   /** X206 — wire an event stream to an [[AsofMaintainer]] via
     * foreachBatch, normalizing ts to epoch micros at the boundary.
     */

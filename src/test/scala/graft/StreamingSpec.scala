@@ -1407,4 +1407,69 @@ class StreamingSpec extends GraftSuite {
     // ...but the register max-merge is idempotent
     assert(m3.latestClicks.collect().map(_.toSeq).toSeq === regOnce)
   }
+  test("stream_butterflies: ButterflyMaintainer equals the capped " +
+    "one-shot after every batch, retracts on cap crossing, and is " +
+    "idempotent under replay (no guard by design)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // fanCap = 3. Edges arrive so that: pairs build ACROSS batches
+    // (old-adjacency x new wedges), right 10 crosses the cap in batch
+    // 3 (fan 2 -> 4) and must RETRACT its pair contribution.
+    val batches = Seq(
+      Seq((1L, 10L), (2L, 10L), (1L, 11L)),            // pair (1,2) w=1
+      Seq((2L, 11L), (1L, 12L), (2L, 12L)),            // (1,2) w=3 -> bf 3
+      Seq((3L, 10L), (4L, 10L)),                       // 10 crosses: w=2
+      Seq((3L, 11L), (1L, 10L)))                       // dup edge + new wedge
+    // local one-shot model with the final-fan cap
+    def oneShot(pref: Seq[(Long, Long)]) = {
+      val es = pref.distinct
+      val fans = es.groupBy(_._2).view.mapValues(_.size).toMap
+      val keep = es.filter { case (_, v) => fans(v) <= 3 }
+      val pairs = keep.groupBy(_._2).values.flatMap { adj =>
+        val us = adj.map(_._1).sorted
+        for (i <- us.indices; j <- i + 1 until us.length)
+          yield (us(i), us(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (es.size.toLong, fans.size.toLong,
+        fans.count(_._2 > 3).toLong,
+        fans.values.filter(_ <= 3).map(f => f.toLong * (f - 1) / 2).sum,
+        pairs.values.count(_ >= 2).toLong,
+        pairs.values.map(w => w * (w - 1) / 2).sum)
+    }
+    def snap(m: Streams.ButterflyMaintainer) = {
+      val r = m.verdict.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    val m = new Streams.ButterflyMaintainer(spark, 3L)
+    var seen = Seq.empty[(Long, Long)]
+    for (b <- batches) {
+      m.applyBatch(b.toDF("u", "v").repartition(2))
+      seen ++= b
+      assert(snap(m) === oneShot(seen))
+    }
+    // the retraction really happened: right 10 (final fan 4) closes no
+    // butterflies; only rights 11, 12 (fans 3 and 2) mediate pairs
+    assert(snap(m)._3 === 1L) // one capped right
+    // idempotence: replaying ANY batch is a no-op (every delta is
+    // gated on the edge-set anti-join) - the documented no-guard class
+    val before = snap(m)
+    m.applyBatch(batches(2).toDF("u", "v"))
+    m.applyBatch(batches(0).toDF("u", "v"))
+    assert(snap(m) === before)
+    // and the MemoryStream wiring drives the same maintainer
+    val m2 = new Streams.ButterflyMaintainer(spark, 3L)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.butterflyMaintainStream(
+      mem.toDF().toDF("u", "v"), m2).start()
+    try {
+      var sofar = Seq.empty[(Long, Long)]
+      for (b <- batches) {
+        mem.addData(b: _*)
+        q.processAllAvailable()
+        sofar ++= b
+        assert(snap(m2) === oneShot(sofar))
+      }
+    } finally q.stop()
+  }
 }
