@@ -250,6 +250,19 @@ object SimQueries {
     * honest ground truth stays the SQL-recoverable lexical one, with
     * the saturation documented instead of the ground truth curated.
     *
+    * The SERVING arms (added same round — the r16 design observation
+    * made measurable): `ivf` = [[ivfArmOf]] (the X3b 2-probe rule on
+    * the eval queries) and `rrf_ivf` = the fusion a deployment
+    * actually runs (lexical + IVF). Measured: rrf_ivf > ivf recall at
+    * every checked SF (20265/24777/2062 vs 15199/20965/1739 ppm at
+    * sf0.001/0.01/0.1) — fusing helps the serving arm exactly as it
+    * helps the exact one; and the ANN-for-exact swap cost is
+    * FIXTURE-DEPENDENT in both directions, recorded honestly: ivf
+    * loses recall to dense at sf0.001/0.01 (15199 < 17732,
+    * 20965 < 22236) but WINS at sf0.1 (1739 > 1611 — the probe
+    * restriction correlates with relevance through the label
+    * clusters), so no inequality is spec-pinned as a theorem there.
+    *
     * Honesty notes: the dense arm can never retrieve its own seed doc
     * (X3 excludes self) while the lexical arms can — a ≤ 1-doc
     * asymmetry per query, inherent to the query construction and
@@ -267,13 +280,45 @@ object SimQueries {
     * tiny aggregates — evaluation is cheaper than any arm it measures.
     */
   private def retrievalEvalHybrid(s: SparkSession, dir: String): DataFrame =
-    evalHybridOf(Tables(s, dir, "documents"), withNorms(s, dir))
+    evalHybridOf(Tables(s, dir, "documents"), withNorms(s, dir),
+      centroids(s, dir))
 
-  /** Testable seam for [[retrievalEvalHybrid]]: explicit documents and
-    * normed-embeddings frames.
+  /** The IVF-ANN retrieval arm for the band queries — the X3b serving
+    * rule (probe the 2 nearest coarse centroids, exact-rank only the
+    * probed lists) applied to the hybrid-eval query set, so the eval
+    * measures the ANN-for-exact swap cost INSIDE the hybrid ladder
+    * (the r16 verdict's design observation made measurable).
     */
-  private[graft] def evalHybridOf(docs: DataFrame, e: DataFrame):
-      DataFrame = {
+  private[graft] def ivfArmOf(e: DataFrame, cent: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < TextQueries.Bm25Band)
+      .select(col("vec_id").as("q_idx"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val probeW = Window.partitionBy(col("q_idx"))
+      .orderBy(col("c_cos").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_idx"), col("q_emb"), col("q_nrm"), col("c_label"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("centroid")) /
+          (col("q_nrm") * col("c_nrm")), 6).as("c_cos"))
+      .withColumn("c_rk", row_number().over(probeW))
+      .filter(col("c_rk") <= 2)
+      .select(col("q_idx"), col("q_emb"), col("q_nrm"), col("c_label"))
+    val scored = e.join(broadcast(probes), col("label") === col("c_label"))
+      .filter(col("vec_id") =!= col("q_idx"))
+      .select(col("q_idx"), col("vec_id").as("doc_id"),
+        Det.qround(VectorFns.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos"))
+    val wd = Window.partitionBy(col("q_idx"))
+      .orderBy(col("cos").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(wd).cast("long"))
+      .filter(col("rk") <= RrfDepth)
+      .select(col("q_idx"), col("doc_id"), col("rk"))
+  }
+
+  /** Testable seam for [[retrievalEvalHybrid]]: explicit documents,
+    * normed-embeddings, and centroid frames.
+    */
+  private[graft] def evalHybridOf(docs: DataFrame, e: DataFrame,
+      cent: DataFrame): DataFrame = {
     val lex = TextQueries.bm25Of(docs)
     val wt = Window.orderBy(col("term"))
     val qmap = lex.select(col("term")).distinct()
@@ -290,8 +335,15 @@ object SimQueries {
         col("fused_rk").cast("long").as("rk"))
     val prfR = TextQueries.prfOf(docs).join(broadcast(qmap), Seq("term"))
       .select(col("q_idx"), col("doc_id"), col("rk").cast("long").as("rk"))
-    val page = Seq("bm25" -> lexR, "dense" -> denseR, "rrf" -> fusedR,
-        "prf" -> prfR)
+    val ivfR = ivfArmOf(e, cent)
+    val fusedIvfR = rrfFuse(
+        lexR.withColumnRenamed("rk", "lex_rk"),
+        ivfR.select(col("q_idx"), col("doc_id"),
+          col("rk").as("dense_rk")))
+      .select(col("q_idx"), col("doc_id"),
+        col("fused_rk").cast("long").as("rk"))
+    val page = Seq("bm25" -> lexR, "dense" -> denseR, "ivf" -> ivfR,
+        "rrf" -> fusedR, "rrf_ivf" -> fusedIvfR, "prf" -> prfR)
       .map { case (n, d) => d.withColumn("arm", lit(n)) }
       .reduce(_ unionByName _)
       .filter(col("rk") <= EvalK)
@@ -332,7 +384,8 @@ object SimQueries {
        |    CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS q_idx
        |  FROM (SELECT DISTINCT term FROM elex)),
        |en AS MATERIALIZED (
-       |  SELECT vec_id, embedding, ${VectorFns.normSql("embedding")} AS nrm
+       |  SELECT vec_id, label, embedding,
+       |    ${VectorFns.normSql("embedding")} AS nrm
        |  FROM embeddings),
        |edscored AS (
        |  SELECT q.vec_id AS q_idx, c.vec_id AS doc_id,
@@ -348,6 +401,66 @@ object SimQueries {
        |errf AS MATERIALIZED (
        |  SELECT q_idx, doc_id, CAST(fused_rk AS BIGINT) AS rk
        |  FROM (${retrievalRrfSql})),
+       |ecomps AS (
+       |  SELECT label,
+       |    unnest(range(0, len(embedding))) AS pos,
+       |    unnest(embedding) AS comp
+       |  FROM embeddings),
+       |ecentc AS MATERIALIZED (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(FLOOR(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+       |             AS BIGINT)) AS DOUBLE) / (1000000.0 * COUNT(*)) AS v
+       |  FROM ecomps GROUP BY label, pos),
+       |ecentn AS MATERIALIZED (
+       |  SELECT c_label, centroid,
+       |    ${VectorFns.normSql("centroid")} AS c_nrm
+       |  FROM (SELECT label AS c_label, list(v ORDER BY pos) AS centroid
+       |        FROM ecentc GROUP BY label)),
+       |eprobe0 AS (
+       |  SELECT q.vec_id AS q_idx, q.embedding AS q_emb, q.nrm AS q_nrm,
+       |    c.c_label,
+       |    ${Det.qroundSql(
+            s"${VectorFns.dotSql("q.embedding", "c.centroid")}" +
+              s" / (q.nrm * c.c_nrm)", 6)} AS c_cos
+       |  FROM en q CROSS JOIN ecentn c WHERE q.vec_id < $band),
+       |eprobes AS MATERIALIZED (
+       |  SELECT q_idx, q_emb, q_nrm, c_label FROM (
+       |    SELECT q_idx, q_emb, q_nrm, c_label,
+       |      row_number() OVER (PARTITION BY q_idx
+       |                         ORDER BY c_cos DESC, c_label) AS c_rk
+       |    FROM eprobe0) WHERE c_rk <= 2),
+       |eivfsc AS (
+       |  SELECT p.q_idx, c.vec_id AS doc_id,
+       |    ${Det.qroundSql(
+            s"${VectorFns.dotSql("p.q_emb", "c.embedding")}" +
+              s" / (p.q_nrm * c.nrm)", 6)} AS cos
+       |  FROM en c JOIN eprobes p
+       |    ON c.label = p.c_label AND c.vec_id <> p.q_idx),
+       |eivf AS MATERIALIZED (
+       |  SELECT q_idx, doc_id, rk FROM (
+       |    SELECT q_idx, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_idx
+       |        ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+       |    FROM eivfsc)
+       |  WHERE rk <= $RrfDepth),
+       |elexr AS (
+       |  SELECT m.q_idx, l.doc_id, l.rk AS lex_rk
+       |  FROM elex l JOIN eqmap m USING (term)),
+       |eifused AS (
+       |  SELECT COALESCE(l.q_idx, d.q_idx) AS q_idx,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    ${Det.qroundSql(
+            "COALESCE(1.0 / (60 + l.lex_rk), 0.0) + " +
+              "COALESCE(1.0 / (60 + d.rk), 0.0)", 6)} AS rrf
+       |  FROM elexr l FULL OUTER JOIN eivf d
+       |    ON l.q_idx = d.q_idx AND l.doc_id = d.doc_id),
+       |eifrk AS MATERIALIZED (
+       |  SELECT q_idx, doc_id, CAST(fused_rk AS BIGINT) AS rk FROM (
+       |    SELECT q_idx, doc_id,
+       |      row_number() OVER (PARTITION BY q_idx
+       |        ORDER BY rrf DESC, doc_id) AS fused_rk
+       |    FROM eifused)
+       |  WHERE fused_rk <= $RrfDepth),
        |eprf AS MATERIALIZED (
        |  SELECT m.q_idx, p.doc_id, CAST(p.rk AS BIGINT) AS rk
        |  FROM (${TextQueries.retrievalPrfSql}) p
@@ -358,7 +471,11 @@ object SimQueries {
        |  UNION ALL
        |  SELECT 'dense', q_idx, doc_id, dense_rk FROM edr
        |  UNION ALL
+       |  SELECT 'ivf', q_idx, doc_id, rk FROM eivf
+       |  UNION ALL
        |  SELECT 'rrf', q_idx, doc_id, rk FROM errf
+       |  UNION ALL
+       |  SELECT 'rrf_ivf', q_idx, doc_id, rk FROM eifrk
        |  UNION ALL
        |  SELECT 'prf', q_idx, doc_id, rk FROM eprf),
        |erel AS MATERIALIZED (

@@ -102,10 +102,12 @@ class RrfSpec extends GraftSuite {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
         graft.functions.VectorFns.norm(col("embedding")).as("nrm"))
-    val rows = SimQueries.evalHybridOf(docs, e).collect()
-    val arms = Seq("bm25", "dense", "prf", "rrf")
-    // shape: 4 arms x (4 per-query rows + 1 summary row)
-    assert(rows.length === 20)
+    val cent = SimQueries.centroidsOf(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings"))
+    val rows = SimQueries.evalHybridOf(docs, e, cent).collect()
+    val arms = Seq("bm25", "dense", "ivf", "prf", "rrf", "rrf_ivf")
+    // shape: 6 arms x (4 per-query rows + 1 summary row)
+    assert(rows.length === 30)
     val summary = rows.filter(_.getLong(1) == -1L)
       .map(r => r.getString(0) -> r).toMap
     assert(summary.keySet === arms.toSet)
@@ -118,6 +120,13 @@ class RrfSpec extends GraftSuite {
     // fusing the arms strictly lifts the dense side and never costs it
     assert(summary("rrf").getLong(5) > summary("dense").getLong(5))
     assert(summary("rrf").getLong(6) >= summary("dense").getLong(6))
+    // the serving (IVF-armed) fusion lifts the IVF arm the same way at
+    // every checked SF; ivf-vs-dense is MEASURED per fixture, not a
+    // theorem (the probe restriction lost recall here at sf0.001 but
+    // WON at sf0.1 where label clusters correlate with relevance —
+    // scaladoc records both directions)
+    assert(summary("rrf_ivf").getLong(5) > summary("ivf").getLong(5))
+    assert(summary("ivf").getLong(5) <= summary("dense").getLong(5))
     // exact integer metric arithmetic on every row
     rows.filter(_.getLong(1) >= 0).foreach { r =>
       assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(3))
