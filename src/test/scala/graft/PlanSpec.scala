@@ -117,8 +117,10 @@ class PlanSpec extends GraftSuite {
                                 // 4-row dense query nest (both declared)
     "retrieval_prf_expansion",  // 1-row corpus-stats scalar ×2 score
                                 // stages (the X184 nest, twice)
-    "retrieval_eval_hybrid",    // composes X184 + X3 + X190 + X196 —
-                                // all four arms' declared tiny nests
+    "retrieval_eval_hybrid",    // composes X184 + X3 + X3b + X190 +
+                                // X196 — all arms' declared tiny nests
+    "stream_butterflies",       // 1-row census × fan × pair scalar
+                                // combine in the maintainer verdict
     "events_cuped",             // 1-row time-range anchor scalar
     "events_did",               // the same anchor scalar (shared panel)
     "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row
