@@ -2063,6 +2063,95 @@ object FeatureQueries {
     * never the data. The ledger is the governance artifact a 100 TB
     * platform keeps NEXT to the data it describes.
     */
+  /** X210 contribution cap: max events a single user may contribute
+    * to any per-type release (the DP sensitivity bound).
+    */
+  private[graft] val DpContribCap = 8L
+
+  /** X210 — privacy_contribution_bound: PER-USER CONTRIBUTION BOUNDING
+    * (round 17) — the SENSITIVITY-bounding preprocessing rung the
+    * privacy ladder (X179 k-anonymity → l-diversity → X185
+    * t-closeness → X197/X201 accounting) still lacked: before any
+    * DP mechanism can noise a per-type aggregate, each user's
+    * contribution must be capped (else one user's 10,000 events give
+    * the release unbounded sensitivity — the step every deployed DP
+    * pipeline runs first, and the reason X197's ε-ledger is
+    * meaningful at all). Per (event_type, user): keep the FIRST
+    * [[DpContribCap]] events by (ts, event_id) — deterministic,
+    * arrival-order-free — and publish per type the audit a DP
+    * engineer reads: raw/kept event counts, user count, clipped-user
+    * count, clipped event mass in exact ppm, the bounded-sensitivity
+    * value sum (cents — the aggregate the mechanism would noise), and
+    * the realized max per-user contribution (= min(cap, max raw) —
+    * the certified sensitivity).
+    *
+    * Scale: one per-(type, user) window (keyed shuffle — at 100 TB
+    * this rides the same user partitioning every per-user stage
+    * shares), then map-side-combinable per-type aggregates; no
+    * driver state. A STREAMING twin would need time-ordered batches
+    * (first-C is order-dependent across epochs — the X206 watermark
+    * contract) and is deliberately not claimed here.
+    */
+  private def privacyContributionBound(s: SparkSession,
+      dir: String): DataFrame =
+    contributionBoundOf(Tables(s, dir, "events"))
+
+  /** Testable seam for [[privacyContributionBound]]. */
+  private[graft] def contributionBoundOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ranked = ev.select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_id"),
+        expr("CAST(value AS DECIMAL(18,2)) * 100").cast("long")
+          .as("vc"))
+      .withColumn("rk", row_number().over(w))
+    val perUser = ranked.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("rk") <= DpContribCap, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("rk") <= DpContribCap, col("vc")).otherwise(0L))
+          .as("vc_kept"))
+    perUser.groupBy(col("event_type"))
+      .agg(sum(col("n_raw")).as("n_events_raw"),
+        sum(col("n_kept")).as("n_events_kept"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_raw") > DpContribCap, 1L).otherwise(0L))
+          .as("n_users_clipped"),
+        expr(s"(sum(n_raw) - sum(n_kept)) * 1000000 div sum(n_raw)")
+          .as("clipped_mass_ppm"),
+        sum(col("vc_kept")).as("sum_value_kept_cents"),
+        least(lit(DpContribCap), max(col("n_raw")))
+          .as("max_user_contrib"))
+      .orderBy(col("event_type"))
+  }
+
+  private val privacyContributionBoundSql =
+    s"""WITH cbr AS (
+       |  SELECT event_type, user_id, event_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+       |    row_number() OVER (PARTITION BY event_type, user_id
+       |                       ORDER BY epoch_us(ts), event_id) AS rk
+       |  FROM events),
+       |cbu AS MATERIALIZED (
+       |  SELECT event_type, user_id, COUNT(*) AS n_raw,
+       |    CAST(SUM(CASE WHEN rk <= $DpContribCap THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN rk <= $DpContribCap THEN vc ELSE 0 END)
+       |      AS BIGINT) AS vc_kept
+       |  FROM cbr GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(SUM(n_raw) AS BIGINT) AS n_events_raw,
+       |  CAST(SUM(n_kept) AS BIGINT) AS n_events_kept,
+       |  COUNT(*) AS n_users,
+       |  CAST(SUM(CASE WHEN n_raw > $DpContribCap THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_users_clipped,
+       |  CAST((SUM(n_raw) - SUM(n_kept)) * 1000000
+       |       // CAST(SUM(n_raw) AS BIGINT) AS BIGINT)
+       |    AS clipped_mass_ppm,
+       |  CAST(SUM(vc_kept) AS BIGINT) AS sum_value_kept_cents,
+       |  LEAST($DpContribCap, MAX(n_raw)) AS max_user_contrib
+       |FROM cbu GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def privacyDpAccounting(s: SparkSession,
       dir: String): DataFrame =
     dpAccountingOf(Tables(s, dir, "events"))
@@ -2480,6 +2569,8 @@ object FeatureQueries {
 
   val qs: Seq[Q] = Seq(
     Q("privacy_k_anonymity", privacyKAnonymity, Some(privacyKAnonymitySql)),
+    Q("privacy_contribution_bound", privacyContributionBound,
+      Some(privacyContributionBoundSql)),
     Q("privacy_dp_accounting", privacyDpAccounting,
       Some(privacyDpAccountingSql)),
     Q("privacy_dp_zcdp", privacyDpZcdp, Some(privacyDpZcdpSql)),

@@ -1750,4 +1750,32 @@ class TrainingAuditSpec extends GraftSuite {
     assert(out.getDouble(7) < 0.2, s"var_ratio ${out.getDouble(7)}")
     assert(math.abs(out.getDouble(6)) > math.abs(out.getDouble(5)))
   }
+  test("privacy_contribution_bound: hand users — heavy user clipped " +
+    "at the cap by EARLIEST-first selection, light users untouched, " +
+    "exact clipped-mass ppm; invariant under partitioning") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one type; user 1 heavy (12 events, values 1..12 cents in ts
+    // order -> keeps the FIRST 8 by ts: values 1..8, sum 36 cents),
+    // user 2 exactly at cap (8 events, all kept), user 3 light (2).
+    val evs =
+      (1 to 12).map(i => (100L + i, new Timestamp(i * 1000L), 1L,
+        "view", i / 100.0)) ++
+      (1 to 8).map(i => (200L + i, new Timestamp(i * 1000L), 2L,
+        "view", 0.10)) ++
+      (1 to 2).map(i => (300L + i, new Timestamp(i * 1000L), 3L,
+        "view", 0.05))
+    val ev = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = queries.FeatureQueries.contributionBoundOf(
+      ev.repartition(4)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // raw 22, kept 8+8+2 = 18; 1 clipped user; ppm = 4e6/22 = 181818
+    assert((1 to 7).map(r.getLong) ===
+      Seq(22L, 18L, 3L, 1L, 181818L, 36L + 80L + 10L, 8L))
+    // partitioning invariance (the window orders by (ts, event_id))
+    val out1 = queries.FeatureQueries.contributionBoundOf(
+      ev.repartition(1)).collect().map(_.toSeq).toSeq
+    assert(out1 === out.map(_.toSeq).toSeq)
+  }
 }
