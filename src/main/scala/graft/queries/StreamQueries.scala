@@ -1497,6 +1497,190 @@ object StreamQueries {
   private def eventsAbTest(s: SparkSession, dir: String): DataFrame =
     eventsAbTestOf(events(s, dir))
 
+  /** X211 — events_hte: TREATMENT-EFFECT HETEROGENEITY (round 17) —
+    * the question an experimentation platform asks right after the
+    * pooled readout (X88 → X187 CUPED → X199 DiD → X189 sequential):
+    * is the effect the SAME everywhere, or does a segment hide it?
+    * Segments here are the per-metric breakdown (event_type — "effect
+    * on clicks vs purchases"): per segment the per-user value sums
+    * (ZERO-FILLED via the user × type spine, so every segment covers
+    * the identical balanced user population), arms from the X88
+    * stable hash, Welch effect + z per segment, and the pooled
+    * heterogeneity verdict = COCHRAN'S Q over the segment effects
+    * (Q = Σ wₛ eₛ² − (Σ wₛ eₛ)²/Σ wₛ, wₛ = 1/se²ₛ, df = S_valid − 1).
+    *
+    * Cross-segment FP determinism — the X109 quantize-then-sum
+    * discipline: per-segment w and e are quantized to exact integers
+    * (w micro, e milli-dollars) and Q's three sums run as EXACT LONG
+    * aggregations (order-independent across partitions), with one
+    * fixed-order double expression at the end; every per-segment FP
+    * chain is fixed-order + qround(6). Degenerate segments (one arm,
+    * zero difference variance) NULL their z and drop out of Q (the
+    * ANSI discipline); Q is NULL below 2 valid segments.
+    *
+    * Honest fixture verdict (measured before the spec): arms are a
+    * user-id hash, so NO real heterogeneity exists by construction —
+    * the key's value on this fixture is the calibrated NULL result
+    * (Q stays in the central χ² range, spec-pinned Q < 3·df at both
+    * gate SFs), exactly what a healthy platform report shows.
+    *
+    * Scale: one per-(user, type) combinable agg + the |users|×|types|
+    * zero-fill spine (types is a broadcast literal-sized frame) + a
+    * |types|-row reduce. No driver state.
+    */
+  private def eventsHte(s: SparkSession, dir: String): DataFrame =
+    eventsHteOf(events(s, dir))
+
+  /** Testable seam for [[eventsHte]]: explicit events frame. */
+  private[graft] def eventsHteOf(ev: DataFrame): DataFrame = {
+    val types = ev.select(col("event_type").as("seg")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("is_c", TextFns.stringHash(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+    val sums = ev.groupBy(col("user_id"), col("event_type").as("seg"))
+      .agg(expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)")
+        .as("yc"))
+    val panel = users.crossJoin(broadcast(types))
+      .join(sums, Seq("user_id", "seg"), "left")
+      .select(col("seg"), col("is_c"),
+        coalesce(col("yc"), lit(0L)).as("y"))
+    def side(cond: Column, x: Column) = sum(when(cond, x).otherwise(0L))
+    val segAgg = panel.groupBy(col("seg")).agg(
+      side(col("is_c"), lit(1L)).as("n_c"),
+      side(!col("is_c"), lit(1L)).as("n_t"),
+      side(col("is_c"), col("y")).as("sy_c"),
+      side(!col("is_c"), col("y")).as("sy_t"),
+      side(col("is_c"), col("y") * col("y")).as("s2_c"),
+      side(!col("is_c"), col("y") * col("y")).as("s2_t"))
+    // means/variances in DOLLARS (cents/100) — fixed-order chains
+    val segd = segAgg
+      .withColumn("m_c", when(col("n_c") > 0,
+        col("sy_c").cast("double") / col("n_c") / 100.0))
+      .withColumn("m_t", when(col("n_t") > 0,
+        col("sy_t").cast("double") / col("n_t") / 100.0))
+      .withColumn("v_c", when(col("n_c") > 0,
+        col("s2_c").cast("double") / col("n_c") / 10000.0 -
+          col("m_c") * col("m_c")))
+      .withColumn("v_t", when(col("n_t") > 0,
+        col("s2_t").cast("double") / col("n_t") / 10000.0 -
+          col("m_t") * col("m_t")))
+      .withColumn("eff", col("m_t") - col("m_c"))
+      .withColumn("se2", when(col("n_c") > 0 && col("n_t") > 0,
+        col("v_t") / col("n_t") + col("v_c") / col("n_c")))
+      .withColumn("wq", when(col("se2") > 0,
+        floor(lit(1000000.0) / col("se2") + 0.5).cast("long")))
+      .withColumn("eq", when(col("se2") > 0,
+        floor(col("eff") * 1000.0 + 0.5).cast("long")))
+    val segRows = segd.select(col("seg"),
+      col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
+      Det.qround(col("m_c"), 6).as("mean_c"),
+      Det.qround(col("m_t"), 6).as("mean_t"),
+      Det.qround(col("eff"), 6).as("effect"),
+      Det.qround(when(col("se2") > 0, col("eff") / sqrt(col("se2"))), 6)
+        .as("z"),
+      lit(null).cast("double").as("q_stat"),
+      lit(null).cast("long").as("df"))
+    // Cochran's Q over the quantized per-segment terms — exact long
+    // sums (order-independent), one fixed-order double at the end.
+    val qAgg = segd.agg(
+      max(col("n_c")).as("n_c"), max(col("n_t")).as("n_t"),
+      sum(col("wq")).as("a"),
+      sum(col("wq") * col("eq")).as("b"),
+      sum(col("wq") * col("eq") * col("eq")).as("c"),
+      sum(when(col("wq").isNotNull, 1L).otherwise(0L)).as("s_valid"))
+    val pooled = qAgg.select(lit("*").as("seg"),
+      col("n_c").as("n_users_c"), col("n_t").as("n_users_t"),
+      lit(null).cast("double").as("mean_c"),
+      lit(null).cast("double").as("mean_t"),
+      Det.qround(when(col("a") > 0,
+        col("b").cast("double") / col("a") / 1000.0), 6).as("effect"),
+      lit(null).cast("double").as("z"),
+      Det.qround(when(col("s_valid") >= 2 && col("a") > 0,
+        (col("c").cast("double") -
+          col("b").cast("double") * col("b") / col("a")) / 1.0e12), 6)
+        .as("q_stat"),
+      when(col("s_valid") >= 2, col("s_valid") - 1).as("df"))
+    segRows.unionByName(pooled).orderBy(col("seg"))
+  }
+
+  private val eventsHteSql = {
+    val h = TextFns.stringHashSql("'ab:' || CAST(user_id AS VARCHAR)")
+      .replace("\n", " ")
+    s"""WITH htypes AS (SELECT DISTINCT event_type AS seg FROM events),
+       |husers AS MATERIALIZED (
+       |  SELECT user_id, ($h) % 2 = 0 AS is_c
+       |  FROM (SELECT DISTINCT user_id FROM events)),
+       |hsums AS MATERIALIZED (
+       |  SELECT user_id, event_type AS seg,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+       |  FROM events GROUP BY 1, 2),
+       |hpanel AS (
+       |  SELECT t.seg, u.is_c, COALESCE(s.yc, 0) AS y
+       |  FROM husers u CROSS JOIN htypes t
+       |  LEFT JOIN hsums s ON s.user_id = u.user_id AND s.seg = t.seg),
+       |hagg AS (
+       |  SELECT seg,
+       |    CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN is_c THEN 0 ELSE 1 END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN is_c THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+       |    CAST(SUM(CASE WHEN is_c THEN 0 ELSE y END) AS BIGINT) AS sy_t,
+       |    CAST(SUM(CASE WHEN is_c THEN y * y ELSE 0 END) AS BIGINT)
+       |      AS s2_c,
+       |    CAST(SUM(CASE WHEN is_c THEN 0 ELSE y * y END) AS BIGINT)
+       |      AS s2_t
+       |  FROM hpanel GROUP BY seg),
+       |hd AS MATERIALIZED (
+       |  SELECT *,
+       |    CASE WHEN se2 > 0
+       |      THEN CAST(FLOOR(1000000.0 / se2 + 0.5) AS BIGINT) END AS wq,
+       |    CASE WHEN se2 > 0
+       |      THEN CAST(FLOOR(eff * 1000.0 + 0.5) AS BIGINT) END AS eq
+       |  FROM (
+       |    SELECT *, m_t - m_c AS eff,
+       |      CASE WHEN n_c > 0 AND n_t > 0
+       |        THEN v_t / n_t + v_c / n_c END AS se2
+       |    FROM (
+       |      SELECT seg, n_c, n_t, m_c, m_t,
+       |        CASE WHEN n_c > 0 THEN CAST(s2_c AS DOUBLE) / n_c / 10000.0
+       |             - m_c * m_c END AS v_c,
+       |        CASE WHEN n_t > 0 THEN CAST(s2_t AS DOUBLE) / n_t / 10000.0
+       |             - m_t * m_t END AS v_t
+       |      FROM (
+       |        SELECT seg, n_c, n_t, s2_c, s2_t,
+       |          CASE WHEN n_c > 0
+       |            THEN CAST(sy_c AS DOUBLE) / n_c / 100.0 END AS m_c,
+       |          CASE WHEN n_t > 0
+       |            THEN CAST(sy_t AS DOUBLE) / n_t / 100.0 END AS m_t
+       |        FROM hagg))))
+       |SELECT * FROM (
+       |  SELECT seg, n_c AS n_users_c, n_t AS n_users_t,
+       |    ${Det.qroundSql("m_c", 6)} AS mean_c,
+       |    ${Det.qroundSql("m_t", 6)} AS mean_t,
+       |    ${Det.qroundSql("eff", 6)} AS effect,
+       |    ${Det.qroundSql(
+            "CASE WHEN se2 > 0 THEN eff / sqrt(se2) END", 6)} AS z,
+       |    CAST(NULL AS DOUBLE) AS q_stat, CAST(NULL AS BIGINT) AS df
+       |  FROM hd
+       |  UNION ALL
+       |  SELECT '*', MAX(n_c), MAX(n_t), NULL, NULL,
+       |    ${Det.qroundSql(
+            "CASE WHEN SUM(wq) > 0 THEN CAST(SUM(wq * eq) AS DOUBLE)" +
+              " / CAST(SUM(wq) AS BIGINT) / 1000.0 END", 6)},
+       |    NULL,
+       |    ${Det.qroundSql(
+            "CASE WHEN SUM(CASE WHEN wq IS NOT NULL THEN 1 ELSE 0 END)" +
+              " >= 2 AND SUM(wq) > 0 THEN" +
+              " (CAST(SUM(wq * eq * eq) AS DOUBLE) -" +
+              "  CAST(SUM(wq * eq) AS DOUBLE) * CAST(SUM(wq * eq) AS BIGINT)" +
+              "  / CAST(SUM(wq) AS BIGINT)) / 1.0e12 END", 6)},
+       |    CASE WHEN SUM(CASE WHEN wq IS NOT NULL THEN 1 ELSE 0 END) >= 2
+       |      THEN CAST(SUM(CASE WHEN wq IS NOT NULL THEN 1 ELSE 0 END)
+       |           - 1 AS BIGINT) END
+       |  FROM hd)
+       |ORDER BY seg""".stripMargin
+  }
+
+
   /** X199 — events_did: DIFFERENCE-IN-DIFFERENCES — the
     * experimentation family's quasi-experimental rung (X88 A/B →
     * X187 CUPED → DiD → X189 sequential monitoring): when treatment
@@ -2769,6 +2953,7 @@ object StreamQueries {
     Q("events_anomaly_robust", eventsAnomalyRobust,
       Some(eventsAnomalyRobustSql)),
     Q("events_ab_test", eventsAbTest, Some(eventsAbTestSql)),
+    Q("events_hte", eventsHte, Some(eventsHteSql)),
     Q("events_did", eventsDid, Some(eventsDidSql)),
     Q("events_cuped", eventsCuped, Some(eventsCupedSql)),
     // same never-batched SQL: per-user (x, y) sums telescope under the

@@ -121,6 +121,7 @@ class PlanSpec extends GraftSuite {
                                 // X196 — all arms' declared tiny nests
     "stream_butterflies",       // 1-row census × fan × pair scalar
                                 // combine in the maintainer verdict
+    "events_hte",               // |types|-row broadcast zero-fill spine
     "events_cuped",             // 1-row time-range anchor scalar
     "events_did",               // the same anchor scalar (shared panel)
     "privacy_t_closeness",      // |segments|-row global-mix nest + 1-row

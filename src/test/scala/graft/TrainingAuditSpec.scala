@@ -1778,4 +1778,63 @@ class TrainingAuditSpec extends GraftSuite {
       ev.repartition(1)).collect().map(_.toSeq).toSeq
     assert(out1 === out.map(_.toSeq).toSeq)
   }
+  test("events_hte: hand segments — exact Welch effects and z per " +
+    "segment, Cochran's Q from the quantized exact-integer sums, " +
+    "degenerate segment drops out of Q") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.functions.TextFns
+    // Recover each user's arm from the registered hash so the hand
+    // fixture can CONSTRUCT a heterogeneous effect: for segment
+    // "viewx" treated users earn +10.00, control 0; for segment
+    // "clickx" both arms earn the same 2.00 (zero effect, nonzero
+    // variance via one 1.00 user per arm); segment "solo" has events
+    // only for one user (one arm in the zero-filled panel is still
+    // populated but the OTHER arm's variance can be zero) — engineered
+    // so z stays defined; a fourth segment "flat" pays EVERY user the
+    // same 3.00 -> zero variance in both arms -> se2 = 0 -> wq NULL ->
+    // drops out of Q, df counts only the valid segments.
+    def isC(u: Long): Boolean = {
+      var h = 0L
+      ("ab:" + u).foreach(c => h = (h * 31 + c) % 1000000007L)
+      h % 2 == 0
+    }
+    val us = (1L to 20L)
+    val (cs, ts) = us.partition(isC)
+    assert(cs.nonEmpty && ts.nonEmpty)
+    var eid = 0L
+    def mk(u: Long, seg: String, v: Double) = {
+      eid += 1; (eid, new Timestamp(eid * 1000L), u, seg, v)
+    }
+    val evs =
+      ts.map(u => mk(u, "viewx", 10.0)) ++
+      cs.take(1).map(u => mk(u, "clickx", 1.0)) ++
+      ts.take(1).map(u => mk(u, "clickx", 1.0)) ++
+      us.map(u => mk(u, "flat", 3.0))
+    val ev = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = StreamQueries.eventsHteOf(ev.repartition(5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 4) // 3 segments + pooled
+    val nC = cs.size.toLong; val nT = ts.size.toLong
+    // viewx: treated mean 10, control 0 -> effect 10
+    assert(rows("viewx").getLong(1) === nC &&
+      rows("viewx").getLong(2) === nT)
+    assert(rows("viewx").getDouble(5) === 10.0)
+    assert(rows("viewx").getDouble(4) === 10.0) // mean_t
+    // treated all pay 10 -> var_t = 0; control all 0 -> var_c = 0 ->
+    // se2 = 0 -> z null, drops from Q
+    assert(rows("viewx").isNullAt(6))
+    // flat: both arms mean 3, zero variance -> effect 0, z null
+    assert(rows("flat").getDouble(5) === 0.0 && rows("flat").isNullAt(6))
+    // clickx: one payer per arm among zero-filled panels -> nonzero
+    // variance both arms, effect 1/nT - 1/nC dollars, z defined
+    assert(!rows("clickx").isNullAt(6))
+    // pooled: only clickx is Q-valid -> s_valid = 1 < 2 -> Q/df NULL
+    assert(rows("*").isNullAt(7) && rows("*").isNullAt(8))
+    // partitioning invariance
+    val again = StreamQueries.eventsHteOf(ev.repartition(1)).collect()
+      .map(_.toSeq).toSeq
+    assert(again === StreamQueries.eventsHteOf(ev.repartition(7))
+      .collect().map(_.toSeq).toSeq)
+  }
 }
