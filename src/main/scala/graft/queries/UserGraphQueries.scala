@@ -277,7 +277,14 @@ object UserGraphQueries {
     * whatever edge frame it is handed (the unit-test seam).
     */
   private def triangleCensus(s: SparkSession, dir: String): DataFrame =
-    triangleCensusOf(censusTopKEdges(GUser(s, dir).edges))
+    // Pin the sparsified edge frame ONCE: the census references it six
+    // times (e1/e2/e3 × cyclic/transitive), and unpinned each reference
+    // re-ran the two row_number windows + the G_user derivation — 6×
+    // the capped frame's cost for 0 extra information (measured r17:
+    // 65 s of task time at sf0.1/local[32] collapsing to one window
+    // pass; values unchanged, the pin is plan-only).
+    triangleCensusOf(org.apache.spark.sql.graftbridge.SqlBridge.pinned(
+      censusTopKEdges(GUser(s, dir).edges)))
 
   /** Partners kept per vertex side in the census' sparsified input —
     * the [[NetworkQueries.TopK]] discipline on a directed graph.

@@ -344,16 +344,31 @@ class PlanSpec extends GraftSuite {
   test("triangle_census enumerates over the capped edge frame — two " +
     "per-vertex rank windows feed the triad joins") {
     // Judge r6 item #6: the X21 sparsification discipline must be APPLIED
-    // to the census input, not cited — the plan must contain the two
-    // row_number windows (out-rank by src, in-rank by dst) that bound
-    // every vertex's degree at CensusTopK before any 2-path join forms.
+    // to the census input, not cited — the capped-frame producer must
+    // contain the two row_number windows (out-rank by src, in-rank by
+    // dst) that bound every vertex's degree at CensusTopK before any
+    // 2-path join forms. Since r17 the census PINS that frame once
+    // (localCheckpoint — the six triad-join references were each
+    // re-running the windows), so the windows are asserted on the
+    // producer's own plan and the census plan is asserted to consume
+    // the materialized scan instead of re-deriving it.
     import org.apache.spark.sql.execution.window.WindowExec
-    val p = planOf("triangle_census")
-    val winSpecs = p.collect { case w: WindowExec => w.partitionSpec }
+    import org.apache.spark.sql.execution.RDDScanExec
+    val capped = withoutAqe {
+      queries.UserGraphQueries.censusTopKEdges(
+        sources.GUser(spark, sfDir).edges)
+        .queryExecution.executedPlan
+    }
+    val winSpecs = capped.collect { case w: WindowExec => w.partitionSpec }
     def has(key: String) =
       winSpecs.exists(_.exists(_.toString.contains(key)))
     assert(has("src") && has("dst"),
       s"expected per-src AND per-dst rank windows, got: $winSpecs")
+    val census = planOf("triangle_census")
+    assert(census.collect { case w: WindowExec => w }.isEmpty,
+      "census must consume the pinned capped frame, not re-run windows")
+    assert(census.collect { case r: RDDScanExec => r }.nonEmpty,
+      "census must scan the localCheckpoint-pinned capped frame")
   }
 
   test("graph_partition striping is a distributed rank — no " +
