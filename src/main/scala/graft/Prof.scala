@@ -55,9 +55,12 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // Experiment overrides: GRAFT_CONF="k=v;k=v" (profiling only — the
-    // bench/verify session contract is never touched by this).
-    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+    // Experiment overrides: GRAFT_CONF env or args(2) "k=v;k=v"
+    // (profiling only — the bench/verify session contract is never
+    // touched by this). args(2) exists because `sbt --client` runs in
+    // the server JVM whose env is frozen at server start.
+    (sys.env.get("GRAFT_CONF").toSeq ++ args.drop(2).headOption.toSeq)
+      .foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2); builder.config(k, v)
       })
@@ -114,6 +117,27 @@ object Prof {
     val body = bodyOf(entry)
     val log = new JobLog
     spark.sparkContext.addSparkListener(log)
+    // Driver-thread stack sampler (5 ms): attributes the wall the job
+    // table can't see (gaps = planning, codegen, broadcast waits) to
+    // actual frames. Top frame chosen as the first spark/janino frame.
+    val mainThread = Thread.currentThread()
+    val hist = mutable.Map[String, Int]().withDefaultValue(0)
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        val st = mainThread.getStackTrace
+        val top = st.find { f =>
+          val c = f.getClassName
+          (c.startsWith("org.apache.spark") || c.startsWith("org.codehaus")) &&
+            !c.contains("Prof")
+        }.map(f => s"${f.getClassName.split('.').takeRight(2).mkString(".")}.${f.getMethodName}")
+          .getOrElse(if (st.isEmpty) "<none>" else st.head.getClassName + "." + st.head.getMethodName)
+        hist.synchronized { hist(top) += 1 }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     import org.apache.spark.metrics.source.CodegenMetrics
     def compileMs: Long =
       CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
@@ -122,7 +146,14 @@ object Prof {
     val t0 = System.nanoTime()
     body()
     val wall = (System.nanoTime() - t0) / 1e9
+    sampling = false
     println(s"codegen compiles=${compileN - n0} compileMs~${compileMs - c0}")
+    println("-- driver main-thread samples (5ms) --")
+    hist.synchronized {
+      hist.toSeq.sortBy(-_._2).take(25).foreach { case (f, n) =>
+        println(f"$n%6d  $f")
+      }
+    }
     Thread.sleep(500) // drain listener bus
     println(f"%nPROF $entry wall=$wall%.2f s jobs=${log.jobs.size}")
     println(f"${"job"}%4s ${"wall_ms"}%8s ${"tasks"}%6s ${"taskMs"}%8s ${"cpuMs"}%8s  site")

@@ -319,11 +319,15 @@ object GraphAlgorithms {
     * floor (each half-round's sums depend on the previous half-round's
     * scores, so 2·iterations aggregations cannot overlap; +1 up-front
     * |E| count for the guards, +1 eager output cut). Each half-round's
-    * ONLY job is the 1-row `first()` that materializes its persisted sum
-    * frame and carries the L1 normalizer to the driver; the normalized
-    * projection then references that frame ONCE against the literal, so
-    * lineage stays linear and the old per-round `localCheckpoint` and
-    * per-normalizer broadcast-exchange jobs (~3 barriers/round) are gone.
+    * ONLY job is the fused `pinnedSum` agg that materializes its sum
+    * frame as a lineage-cut LogicalRDD and carries the L1 normalizer to
+    * the driver; the normalized projection then references that frame
+    * ONCE against the literal. (r17: the r8 persist+first() form kept
+    * the same barrier count but compounded plan DEPTH — each round's
+    * InMemoryTableScan embedded the previous round's cached plan via
+    * innerChildren, and AQE's per-stage plan-description events spent
+    * ~10 s/run stringifying the growing tree; the localCheckpoint pin
+    * keeps every round's plan constant-size: 16-18 s → 9.3 s same-box.)
     * Long sums bound: norm ≤ |E|·10⁹, exact in a double up to |E| ≈
     * 2⁵³/10⁹ ≈ 9 × 10⁶ edges per run at this scale constant — GUARDED by
     * a `require` below (a larger graph must lower the scale constant in
@@ -378,9 +382,17 @@ object GraphAlgorithms {
     // once (a second plan reference is what forced the old per-round
     // lineage cuts). The non-empty guards above make the 1-row result
     // total and non-null (edges exist and hub scores start positive).
-    def renorm(sums: DataFrame, out: String): (DataFrame, DataFrame) = {
-      val sm = sums.persist()
-      val nrm = sm.agg(sum(col("s")).as("s")).first().getLong(0).toDouble
+    def renorm(sums: DataFrame, out: String): DataFrame = {
+      // pinnedSum = localCheckpoint + one fused count/sum job — same
+      // one-job-per-half-round barrier budget as the r8 persist+first()
+      // form, but the score frame's plan is a SHALLOW LogicalRDD. The
+      // persist() form compounded: round k's InMemoryTableScan embeds
+      // round k-1's whole cached plan via innerChildren, so AQE's
+      // per-stage plan-description event (withFinalPlanUpdate →
+      // explainString) re-stringified an ever-deeper tree — measured
+      // r17 at sf0.1/local[32]: ~10 s of the 16-18 s wall was driver
+      // tree-to-string time (5 ms stack sampler), and the whole loop
+      // drops to ~9 s once every loop frame is lineage-cut.
       // nrm as a plain literal: measured against the codegen-stable
       // broadcast-1-row-relation alternative (19.9 s vs 22.4 s same-box
       // A/B, r8) — the avoided BroadcastNestedLoopJoin outweighs the
@@ -389,31 +401,24 @@ object GraphAlgorithms {
       // exchange was also measured SLOWER (19.0 s vs 22.8–23.1 s
       // same-box A/B, r8): doubling the map-side agg groups costs more
       // than the avoided 1-row exchange on the persisted frame.
-      (sm.select(col("id"),
+      val (sm, _, total) =
+        org.apache.spark.sql.graftbridge.SqlBridge.pinnedSum(sums, col("s"))
+      val nrm = total.toDouble
+      sm.select(col("id"),
         floor(col("s").cast("double") / lit(nrm) *
-          lit(1000000000.0) + 0.5).as(out)), sm)
+          lit(1000000000.0) + 0.5).as(out))
     }
     var hubs = ids.select(col("id"), lit(One).as("hv"))
     var auths: DataFrame = null
-    // The previous half-round's persisted sums must outlive the CURRENT
-    // half-round's first() (the new sums read the old scores through
-    // them); they are released one half-round later.
-    var prevA: DataFrame = null
-    var prevH: DataFrame = null
     for (_ <- 1 to iterations) {
-      val (a, asm) = renorm(
+      auths = renorm(
         bySrc.join(hubs.withColumnRenamed("id", "src"), Seq("src"))
           .groupBy(col("dst").as("id")).agg(sum(col("hv")).as("s")),
         "av")
-      auths = a
-      if (prevH != null) prevH.unpersist(blocking = false)
-      val (h, hsm) = renorm(
+      hubs = renorm(
         byDst.join(auths.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id")).agg(sum(col("av")).as("s")),
         "hv")
-      hubs = h
-      if (prevA != null) prevA.unpersist(blocking = false)
-      prevA = asm; prevH = hsm
     }
     // single zero-fill against the vertex set (scores were kept sparse);
     // the eager cut lets every persisted intermediate be released before
@@ -428,8 +433,7 @@ object GraphAlgorithms {
         (coalesce(col("av"), lit(0L)).cast("double") /
           lit(1000000000.0)).as("auth"))
       .localCheckpoint()
-    Seq(prevA, prevH, bySrc, byDst)
-      .foreach(df => if (df != null) df.unpersist(blocking = false))
+    Seq(bySrc, byDst).foreach(_.unpersist(blocking = false))
     out
   }
 
