@@ -319,23 +319,54 @@ object SimQueries {
     */
   private[graft] def evalHybridOf(docs: DataFrame, e: DataFrame,
       cent: DataFrame): DataFrame = {
-    val lex = TextQueries.bm25Of(docs)
+    // Every arm frame is PINNED once (SqlBridge.pinned — localCheckpoint
+    // + measured stats): each arm is referenced 2-3× below (its own page
+    // rows + inside one or both fusions, and lex additionally feeds
+    // qmap), so the un-pinned composition inlined the X184/X3/X3b
+    // subplans ~14× into one ~12k-line physical plan (r17 measured:
+    // 308 codegen compiles / 20.7 s of job wall for a serving-page-sized
+    // answer). Pinning is the triangle_census lineage-cut applied to the
+    // eval ladder: each arm executes exactly once, the eval plan reads
+    // k-row LogicalRDDs. Values are untouched — the arms' own plans are
+    // unchanged inside their pin jobs.
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    // The four arm pins are INDEPENDENT, so they materialize from driver
+    // futures (guide §2.6 — overlap independent jobs): the un-pinned plan
+    // recovered much of its duplicated work's wall by running the inlined
+    // subplans as concurrent AQE stages, and serial pins were measured to
+    // give that overlap back (15.6 → 22.3 s cold Prof). Parallel pins
+    // keep both properties: each arm executes exactly once AND the four
+    // executions share the idle cores.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fLex = Future(pinned(TextQueries.bm25Of(docs)
+      .select(col("term"), col("doc_id"), col("rk"))))
+    val fDense = Future(pinned(denseArmOf(e)))
+    val fIvf = Future(pinned(ivfArmOf(e, cent)))
+    val fPrf = Future(pinned(TextQueries.prfOf(docs)
+      .select(col("term"), col("doc_id"), col("rk"))))
+    val lex = Await.result(fLex, Duration.Inf)
     val wt = Window.orderBy(col("term"))
-    val qmap = lex.select(col("term")).distinct()
-      .withColumn("q_idx", (row_number().over(wt) - 1).cast("long"))
+    val qmap = pinned(lex.select(col("term")).distinct()
+      .withColumn("q_idx", (row_number().over(wt) - 1).cast("long")))
+    // lexR / prfR stay LAZY over the pinned leaves: every re-reference
+    // below is a broadcast join over page-sized LogicalRDDs.
     val lexR = lex.join(broadcast(qmap), Seq("term"))
       .select(col("q_idx"), col("doc_id"),
         col("rk").cast("long").as("rk"))
-    val denseR = denseArmOf(e)
+    val denseArm = Await.result(fDense, Duration.Inf)
+    val denseR = denseArm
       .select(col("q_idx"), col("doc_id"), col("dense_rk").as("rk"))
     val fusedR = rrfFuse(
         lexR.withColumnRenamed("rk", "lex_rk"),
-        denseArmOf(e))
+        denseArm)
       .select(col("q_idx"), col("doc_id"),
         col("fused_rk").cast("long").as("rk"))
-    val prfR = TextQueries.prfOf(docs).join(broadcast(qmap), Seq("term"))
+    val prfR = Await.result(fPrf, Duration.Inf)
+      .join(broadcast(qmap), Seq("term"))
       .select(col("q_idx"), col("doc_id"), col("rk").cast("long").as("rk"))
-    val ivfR = ivfArmOf(e, cent)
+    val ivfR = Await.result(fIvf, Duration.Inf)
     val fusedIvfR = rrfFuse(
         lexR.withColumnRenamed("rk", "lex_rk"),
         ivfR.select(col("q_idx"), col("doc_id"),
@@ -347,11 +378,13 @@ object SimQueries {
       .map { case (n, d) => d.withColumn("arm", lit(n)) }
       .reduce(_ unionByName _)
       .filter(col("rk") <= EvalK)
-    val rel = docs.select(col("doc_id"),
+    // rel is referenced twice (perQ join + nRel) and its distinct over
+    // the full token explode is the expensive part — pin it once too.
+    val rel = pinned(docs.select(col("doc_id"),
         explode(TextFns.tokens(col("text"))).as("term"))
       .distinct()
       .join(broadcast(qmap), Seq("term"))
-      .select(col("q_idx"), col("doc_id"), lit(true).as("is_rel"))
+      .select(col("q_idx"), col("doc_id"), lit(true).as("is_rel")))
     val nRel = rel.groupBy(col("q_idx")).agg(count(lit(1)).as("n_rel"))
     val perQ = page.join(rel, Seq("q_idx", "doc_id"), "left")
       .groupBy(col("arm"), col("q_idx"))
