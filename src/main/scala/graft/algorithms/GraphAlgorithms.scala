@@ -59,7 +59,6 @@ object GraphAlgorithms {
     val erdd = g.edges.select(col("src"), col("dst"),
         col("value").cast("double"))
       .rdd.map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val gx = GXGraph(vrdd, erdd)
     // Partition by DATA size, not core count: core-count partitioning
     // (defaultParallelism) turns every Pregel superstep into a fan of
     // near-empty tasks at small scale. Default: inherit the source
@@ -70,8 +69,25 @@ object GraphAlgorithms {
     val parts =
       if (numPartitions > 0) numPartitions
       else math.max(1, erdd.getNumPartitions min
-        gx.edges.sparkContext.defaultParallelism)
-    gx.partitionBy(PartitionStrategy.EdgePartition2D, parts)
+        erdd.sparkContext.defaultParallelism)
+    // Build the graph ONCE over a pre-partitioned edge RDD instead of
+    // `GXGraph(...).partitionBy(EdgePartition2D, parts)` (r17 measure:
+    // the build-then-partitionBy form paid for TWO EdgePartition builds
+    // and two vertex routing-table passes — partitionBy discards both and
+    // rebuilds). The 2D assignment below is exactly the one partitionBy
+    // computes (PartitionStrategy.getPartition per edge, then a modulo
+    // HashPartitioner on the 0..parts-1 ids), and EdgePartitionBuilder
+    // sorts each partition by (src, dst) either way, so the resulting
+    // layout — and therefore every downstream aggregation order — is
+    // identical to the old two-step form.
+    val pe =
+      if (parts <= 1) erdd.coalesce(1)
+      else erdd
+        .map(e => (PartitionStrategy.EdgePartition2D
+          .getPartition(e.srcId, e.dstId, parts), e))
+        .partitionBy(new org.apache.spark.HashPartitioner(parts))
+        .map(_._2)
+    GXGraph(vrdd, pe)
   }
 
   /** Data-sized GraphX partition count: ~32k edges per partition (a few MB

@@ -187,11 +187,22 @@ object TextQueries {
 
   /** Testable seam for [[retrievalPrf]]: explicit documents frame. */
   private[graft] def prfOf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextFns.tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
+    // tf is the frame every stage below re-reads (both microScore
+    // calls, the expansion-candidate agg, dl, dfr): un-pinned, each
+    // reference re-ran the tokenize+count over the whole corpus — in a
+    // single scan task on a one-row-group fixture (r17 measured:
+    // 19.9 s cold at sf0.1). Pin it once over a fanned-out scan
+    // ([[graft.util.FanOut]]); dl re-derives from the pinned tf
+    // (Σ per-doc tf IS the doc's token count — same integers, one
+    // tokenize pass instead of two), and dfr/stats re-group the same
+    // pinned frame.
+    val tf = pinned(graft.util.FanOut(docs)
+      .select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("tot_tok"))
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -213,7 +224,9 @@ object TextQueries {
                 (col("dl").cast("double") * col("n_docs") /
                   col("tot_tok")))) * 1000000.0 + 0.5)
             .cast("long").as("sc_micro"))
-    val lex = microScore(band)
+    // lex is read twice below (feedback page + the orig side of the
+    // final mix) — pin the posting-list-sized frame once.
+    val lex = pinned(microScore(band))
     val wl = Window.partitionBy(col("term"))
       .orderBy(col("sc_micro").desc, col("doc_id"))
     val fb = lex.withColumn("rk", row_number().over(wl))
@@ -1536,12 +1549,16 @@ object TextQueries {
     * seam (PipelineSpec checks a hand-computed conditional LM).
     */
   private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
+    // bg is read three ways (ctx, cnt, the scoring join-back) — pin the
+    // bigram explode once over a fanned-out scan (r17; see [[bm25Of]]).
+    import org.apache.spark.sql.graftbridge.SqlBridge.pinned
     val tk = TextFns.tokens(col("text"))
-    val bg = docs.select(col("doc_id"),
+    val bg = pinned(graft.util.FanOut(docs)
+      .select(col("doc_id"),
         explode(arrays_zip(slice(tk, lit(1), size(tk) - 1),
           slice(tk, lit(2), size(tk) - 1))).as("b"))
       .select(col("doc_id"), col("b").getField("0").as("w1"),
-        col("b").getField("1").as("w2"))
+        col("b").getField("1").as("w2")))
     val ctx = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val nllq = floor(-log(col("c12").cast("double") / col("c1")) *
@@ -1903,7 +1920,12 @@ object TextQueries {
   /** Testable seam for [[docQualityModel]]: explicit `(doc_id, text)`
     * frame.
     */
-  private[graft] def docQualityModelOf(docs: DataFrame): DataFrame = {
+  private[graft] def docQualityModelOf(docs0: DataFrame): DataFrame = {
+    // The per-doc feature pipeline below (tokens + bigrams + a hash and
+    // weight per feature) is the board's single-task CPU hot spot when
+    // the corpus arrives as one parquet split — spread it first
+    // (identity at real scale; see [[graft.util.FanOut]]).
+    val docs = graft.util.FanOut(docs0)
     val tok = TextFns.tokens(col("text"))
     val bigrams = when(size(tok) >= 2, TextFns.shingles(tok, 2))
       .otherwise(array().cast("array<string>"))

@@ -4582,7 +4582,13 @@ object UserGraphQueries {
     var comp = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .distinct().select(col("v"), col("v").as("c")).transform(pinned)
-    var msf = e.limit(0).select(col("p"))
+    // Per-round picks accumulate LAZILY (each is a parts-sized agg over
+    // that round's pinned cross frame, referenced once at the end) —
+    // the per-round `msf = pinned(msf union picks)` form cost one extra
+    // driver action per round for a frame nothing reads until the end
+    // (r17 action-count trim; actions are this loop's wall clock).
+    val msfParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val msfEmpty = e.limit(0).select(col("p"))
     var rounds = 0
     var more = true
     while (more && rounds < MstRounds) {
@@ -4597,7 +4603,7 @@ object UserGraphQueries {
         val picks = cross.select(col("ca").as("c"), col("p"))
           .unionByName(cross.select(col("cb").as("c"), col("p")))
           .groupBy(col("c")).agg(min(col("p")).as("p"))
-        msf = pinned(msf.unionByName(picks.select(col("p")).distinct()))
+        msfParts += picks.select(col("p")).distinct()
         // Hook pointers: comp → the picked edge's other component.
         val pr = picks.join(cross, Seq("p"))
           .select(col("c"), when(col("ca") === col("c"), col("cb"))
@@ -4619,19 +4625,27 @@ object UserGraphQueries {
         var jumping = true
         var j = 0
         while (jumping && j < MstJumps) {
-          val next = par.as("x")
+          // pin + changed-probe fused into ONE job (r17): the self-join
+          // always matches (par values are picking components) and keys
+          // are preserved, so "some pointer moved" — the old anti-join
+          // head(1) probe, a second action per jump — is exactly
+          // sum(y.par != x.par) over the same join.
+          val (nx, _, nMoved) = pinnedSum(par.as("x")
             .join(par.as("y"), col("x.par") === col("y.c"))
-            .select(col("x.c").as("c"), col("y.par").as("par"))
-            .transform(pinned)
-          jumping = next.join(par, Seq("c", "par"), "left_anti")
-            .head(1).nonEmpty
-          par = next; j += 1
+            .select(col("x.c").as("c"), col("y.par").as("par"),
+              (col("y.par") =!= col("x.par")).cast("long").as("moved")),
+            col("moved"))
+          jumping = nMoved > 0L
+          par = nx.select(col("c"), col("par")); j += 1
         }
         comp = pinned(comp.join(par, Seq("c"), "left")
           .select(col("v"), coalesce(col("par"), col("c")).as("c")))
         rounds += 1
       }
     }
+    val msf =
+      if (msfParts.isEmpty) msfEmpty
+      else msfParts.reduce(_ unionByName _)
     unpacked(msf, conv = !more).orderBy(col("a"), col("b"))
   }
 
@@ -5218,8 +5232,13 @@ object UserGraphQueries {
       expr(s"p % $MstPackE").as("b"),
       expr(s"p div $MstPackW").as("w"),
       col("round"), lit(conv).as("converged"))
-    var matched = live.limit(0)
+    // Per-round selections accumulate LAZILY (each is a projection of
+    // that round's pinned sel frame, read once at the end) — the
+    // per-round `matched = pinned(matched union sel)` form cost one
+    // extra driver action per round (r17 action-count trim).
+    val matchedEmpty = live.limit(0)
       .select(col("p"), lit(0L).as("round"))
+    val matchedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rounds = 0
     var drained = live.head(1).isEmpty
     while (!drained && rounds < MatchRounds) {
@@ -5232,8 +5251,8 @@ object UserGraphQueries {
         .join(byV.select(col("v").as("b"), col("mp").as("mb")), Seq("b"))
         .filter(col("p") === col("ma") && col("p") === col("mb"))
         .select(col("a"), col("b"), col("p")))
-      matched = pinned(matched.unionByName(
-        sel.select(col("p"), lit(rounds.toLong).as("round"))))
+      matchedParts +=
+        sel.select(col("p"), lit(rounds.toLong).as("round"))
       val mv = sel.select(col("a").as("v"))
         .unionByName(sel.select(col("b").as("v")))
       // pin + drained probe fused (round 14 — one job)
@@ -5244,6 +5263,9 @@ object UserGraphQueries {
       live = l2
       drained = nLive == 0L
     }
+    val matched =
+      if (matchedParts.isEmpty) matchedEmpty
+      else matchedParts.reduce(_ unionByName _)
     unpacked(matched, conv = drained).orderBy(col("a"), col("b"))
   }
 
